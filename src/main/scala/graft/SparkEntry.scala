@@ -1,13 +1,279 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{RelationalQueries => R, TextQueries => T, SimilarityQueries => X}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query names carry the SURVEY §2 operator ids they demonstrate; every
+  * SQL-expressible query has a DuckDB oracle below. Queries with no oracle
+  * entry (minhash/simhash/LSH — engine-specific hash functions) get the
+  * driver's rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    R.j5ThreeWayJoin(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans / set-ops
+    "s2_scan_union_by_name" -> (R.s2ScanUnionByName _),
+    "u1_union_distinct" -> (R.u1UnionDistinct _),
+    "u2_union_all" -> (R.u2UnionAll _),
+    // filters
+    "f1_validity_split" -> (R.f1ValiditySplit _),
+    "f2_predicate_compile" -> (R.f2PredicateCompile _),
+    "f5_custom_sql_filter" -> (R.f5CustomSqlFilter _),
+    "f6_id_filter" -> (R.f6IdFilter _),
+    "f7_between_prefilter" -> (R.f7BetweenPrefilter _),
+    "f9_nonempty" -> (R.f9NonEmpty _),
+    // joins
+    "j1_semi_join" -> (R.j1SemiJoin _),
+    "j2_anti_closure" -> (R.j2AntiClosure _),
+    "j4_inner_join" -> (R.j4InnerJoin _),
+    "j5_three_way_join" -> (R.j5ThreeWayJoin _),
+    "j8_anti_two_key" -> (R.j8AntiTwoKey _),
+    // aggregations
+    "q1_agg" -> (R.q1Agg _),
+    "a1_ordered_list_agg" -> (R.a1OrderedListAgg _),
+    "a2a3_bool_aggs" -> (R.a2a3BoolAggs _),
+    "a5_first_value" -> (R.a5FirstValue _),
+    "a7_extent_agg" -> (R.a7ExtentAgg _),
+    "a8_distinct" -> (R.a8Distinct _),
+    "a9_count_if" -> (R.a9CountIf _),
+    // windows
+    "w1_global_chunk" -> (R.w1GlobalChunk _),
+    "w2_partitioned_row_number" -> (R.w2PartitionedRowNumber _),
+    "w3_qualify_dedup" -> (R.w3QualifyDedup _),
+    "wx_running_sum" -> (R.wxRunningSum _),
+    "wx_lag_gap" -> (R.wxLagGap _),
+    // sorts / top-k
+    "o1_order_by" -> (R.o1OrderBy _),
+    "o2_topk" -> (R.o2TopK _),
+    // unnest
+    "g1_posexplode" -> (R.g1Posexplode _),
+    "g3_distinct_explode" -> (R.g3DistinctExplode _),
+    // derived columns / scalar functions
+    "t3_case_chain" -> (R.t3CaseChain _),
+    "fx_scalar_funcs" -> (R.fxScalarFuncs _),
+    // text / dedup pipeline
+    "d1_exact_dedup" -> (T.d1ExactDedup _),
+    "d2_dedup_survivors" -> (T.d2DedupSurvivors _),
+    "d3_text_stats" -> (T.d3TextStats _),
+    "d4_lang_profile" -> (T.d4LangProfile _),
+    "d5_quality_score" -> (T.d5QualityScore _),
+    "d6_lang_id" -> (T.d6LangId _),
+    "d7_fingerprint" -> (T.d7Fingerprint _),
+    "d8_token_count" -> (T.d8TokenCount _),
+    // similarity / embeddings
+    "x1_cosine_topk" -> (X.x1CosineTopK _),
+    "x2_minhash_lsh" -> (X.x2MinhashLsh _),
+    "x3_simhash" -> (X.x3Simhash _),
+    "x4_ngram_jaccard" -> (X.x4NgramJaccard _),
+    "x5_ann_buckets" -> (X.x5AnnBuckets _),
+    "x6_embedding_near_dup" -> (X.x6EmbeddingNearDup _),
+  )
+
+  /** DuckDB-runnable oracle per SQL-expressible query (same column names,
+    * same ordering, integer aggregates cast to BIGINT to match Spark). */
+  def oracleSql: Map[String, String] = Map(
+    "s2_scan_union_by_name" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber = 1
+        |UNION ALL BY NAME
+        |SELECT l_orderkey, l_linenumber, CAST(NULL AS DOUBLE) AS l_quantity FROM lineitem WHERE l_linenumber = 2
+        |ORDER BY l_orderkey, l_linenumber, l_quantity NULLS FIRST""".stripMargin,
+    "u1_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+        |  UNION ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY custkey""".stripMargin,
+    "u2_union_all" ->
+      """SELECT bucket, count(*) AS cnt FROM (
+        |  SELECT l_orderkey, l_linenumber, 'small' AS bucket FROM lineitem WHERE l_quantity < 5
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'large' AS bucket FROM lineitem WHERE l_quantity > 45)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "f1_validity_split" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |round(value, 4) AS value_r FROM events
+        |WHERE event_type = 'click' AND value IS NOT NULL ORDER BY event_id""".stripMargin,
+    "f2_predicate_compile" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+        |WHERE (l_returnflag = 'A' OR l_returnflag = 'N')
+        |  AND NOT (l_linestatus = 'F') AND l_quantity >= 30
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus""".stripMargin,
+    "f5_custom_sql_filter" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price_r FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin,
+    "f6_id_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 69, 134, 322, 517, 1000)
+        |   OR o_custkey IN (5, 13)
+        |ORDER BY o_orderkey""".stripMargin,
+    "f7_between_prefilter" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_extendedprice BETWEEN 10000 AND 20000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f9_nonempty" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "j1_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "j2_anti_closure" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey NOT IN (
+        |  SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 10))
+        |ORDER BY o_orderkey""".stripMargin,
+    "j4_inner_join" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+    "j5_three_way_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j8_anti_two_key" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem e
+        |  WHERE e.l_returnflag = 'R' AND e.l_orderkey = l.l_orderkey
+        |    AND e.l_linenumber = l.l_linenumber)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a1_ordered_list_agg" ->
+      """SELECT l_orderkey,
+        |string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS parts_seq
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a2a3_bool_aggs" ->
+      """SELECT l_returnflag, bool_or(l_quantity > 45) AS any_large,
+        |bool_and(l_discount <= 0.1) AS all_low_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a5_first_value" ->
+      """SELECT o_custkey, min(o_orderkey) AS first_order, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "a7_extent_agg" ->
+      """SELECT event_type, round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+        |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a8_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a9_count_if" ->
+      """SELECT lang, count(*) FILTER (WHERE n_chars > 500) AS long_docs,
+        |count(*) AS all_docs FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "w1_global_chunk" ->
+      """SELECT grp, count(*) AS cnt, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (SELECT o_orderkey,
+        |      CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT) AS grp
+        |      FROM orders)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+    "w2_partitioned_row_number" ->
+      """SELECT l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2 ORDER BY l_orderkey, rn""".stripMargin,
+    "w3_qualify_dedup" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "wx_running_sum" ->
+      """SELECT user_id, event_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_v
+        |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    "wx_lag_gap" ->
+      """SELECT user_id, event_id,
+        |date_diff('second', lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+        |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    "o1_order_by" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
+    "o2_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price_r FROM orders
+        |ORDER BY price_r DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "g1_posexplode" ->
+      """SELECT p_partkey, unnest(range(len(str_split(p_type, ' ')))) AS pos,
+        |unnest(str_split(p_type, ' ')) AS token
+        |FROM part ORDER BY p_partkey, pos""".stripMargin,
+    "g3_distinct_explode" ->
+      """SELECT DISTINCT unnest(str_split(p_type, ' ')) AS token FROM part
+        |ORDER BY token""".stripMargin,
+    "t3_case_chain" ->
+      """SELECT 'customer/' || c_custkey AS feature_id,
+        |CASE WHEN c_acctbal < 0 THEN 'negative'
+        |     WHEN c_acctbal < 5000 THEN 'regular'
+        |     ELSE 'premium' END AS tier,
+        |c_mktsegment FROM customer ORDER BY feature_id""".stripMargin,
+    "fx_scalar_funcs" ->
+      """SELECT p_partkey, round(p_retailprice / 7.0, 7) AS price7,
+        |CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part
+        |WHERE p_name LIKE '%green%' OR starts_with(p_type, 'STANDARD')
+        |ORDER BY p_partkey""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+    "d2_dedup_survivors" ->
+      "SELECT count(*) AS n_unique FROM (SELECT md5(text) AS h FROM documents GROUP BY h)",
+    "d3_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+        |CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d4_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "d5_quality_score" ->
+      """SELECT doc_id,
+        |CAST((length(text) - length(replace(text, '.', '')))
+        |   + (length(text) - length(replace(text, ',', '')))
+        |   + (length(text) - length(replace(text, '!', '')))
+        |   + (length(text) - length(replace(text, '?', ''))) AS BIGINT) AS n_punct,
+        |CASE WHEN length(text) < 100 THEN 'short'
+        |     WHEN ((length(text) - length(replace(text, '.', '')))
+        |         + (length(text) - length(replace(text, ',', '')))
+        |         + (length(text) - length(replace(text, '!', '')))
+        |         + (length(text) - length(replace(text, '?', '')))) * 20 > length(text)
+        |     THEN 'punct_heavy' ELSE 'ok' END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d6_lang_id" ->
+      """SELECT doc_id, lang,
+        |CASE WHEN text LIKE '% the %' OR text LIKE '% and %' OR text LIKE '% of %' THEN 'en'
+        |     WHEN text LIKE '% der %' OR text LIKE '% und %' OR text LIKE '% die %' THEN 'de'
+        |     WHEN text LIKE '% le %' OR text LIKE '% la %' OR text LIKE '% et %' THEN 'fr'
+        |     ELSE 'unknown' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d7_fingerprint" ->
+      """SELECT doc_id, md5(left(text, 32) || right(text, 32) || CAST(n_chars AS VARCHAR)) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d8_token_count" ->
+      """SELECT doc_id,
+        |CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x1_cosine_topk" ->
+      """SELECT vec_id,
+        |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+  )
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided synthetic tables (TESTDATA.md).
+  *
+  * All queries take the scale-factor directory as a parameter so the same
+  * plan runs at sf0.001 (smoke) / sf0.01 (correctness) / sf0.1 (bench) —
+  * and, unchanged, on a cluster against arbitrarily large partitioned
+  * datasets: nothing below ever collects data to the driver.
+  */
+object Tables {
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame    = table(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame    = table(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame  = table(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = table(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = table(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame    = table(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame  = table(s, dir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * nanos-since-epoch long (legacy conf); normalize it back to a proper
+    * TimestampType (micros) so downstream ops are engine-portable. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => }
+    val df = table(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+  def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+}

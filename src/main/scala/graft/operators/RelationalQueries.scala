@@ -1,0 +1,383 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's relational operator inventory (SURVEY.md §2) re-expressed
+  * Spark-first over the driver's synthetic tables. Each query name carries the
+  * §2 operator id it demonstrates; every one has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes (100 TB design intent):
+  *  - No driver-side collects anywhere; every plan is a pure DataFrame DAG.
+  *  - Aggregations are hash-based with map-side partial aggregation (Spark
+  *    default for algebraic aggs); joins left to Catalyst/AQE with explicit
+  *    `broadcast()` only on provably-small sides (region/nation).
+  *  - Deterministic total ORDER BY is applied at the very end of each query
+  *    only because the correctness gate hash-compares row streams; at scale
+  *    the sort is the caller's choice and everything before it is
+  *    shuffle-minimal.
+  */
+object RelationalQueries {
+
+  // ---------------------------------------------------------------- scans --
+
+  /** S2: schema-merging union over heterogeneous stage files
+    * (ref: pbf_file_reader.py:1078-1081 union_by_name=True). */
+  def s2ScanUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val a = li.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val b = li.filter(col("l_linenumber") === 2)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    a.unionByName(b.withColumn("l_quantity", lit(null).cast("double")),
+        allowMissingColumns = true)
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").asc_nulls_first)
+  }
+
+  // -------------------------------------------------------------- filters --
+
+  /** F1: kind/validity split (ref: pbf_file_reader.py:1546-1573 — nodes need
+    * non-null coordinates; here: events of one kind with non-null payload). */
+  def f1ValiditySplit(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "click" && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        round(col("value"), 4).as("value_r"))
+      .orderBy("event_id")
+
+  /** F2: tag-filter predicate shape — positive clauses OR-ed, negative
+    * AND-ed (ref: pbf_file_reader.py:2518-2564). */
+  def f2PredicateCompile(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter((col("l_returnflag") === "A" || col("l_returnflag") === "N") &&
+        !(col("l_linestatus") === "F") && col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  /** F5: user-supplied SQL predicate string applied via expr()
+    * (ref: pbf_file_reader.py:1585-1605 custom_sql_filter). */
+  def f5CustomSqlFilter(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .filter(expr("o_orderstatus = 'O' AND o_totalprice > 150000.0"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy("o_orderkey")
+
+  /** F6: explicit id-list filter, per-kind clauses OR-ed
+    * (ref: pbf_file_reader.py:2633-2648). */
+  def f6IdFilter(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .filter(col("o_orderkey").isin(1L, 7L, 32L, 69L, 134L, 322L, 517L, 1000L)
+        || col("o_custkey").isin(5L, 13L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
+  /** F7: bbox prefilter — conjunctive BETWEEN ranges
+    * (ref: pbf_file_reader.py:1756-1762). */
+  def f7BetweenPrefilter(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_extendedprice").between(10000, 20000))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** F9: non-empty-payload filter (ref: pbf_file_reader.py:1592-1593
+    * `tags IS NOT NULL AND cardinality(tags) > 0`). */
+  def f9NonEmpty(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .orderBy("lang")
+
+  // ---------------------------------------------------------------- joins --
+
+  /** J1: semi join restricting a big table by an id-set
+    * (ref: pbf_file_reader.py:1670 et al. — used ~14×). */
+  def j1SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = orders(s, dir).filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("c_custkey"))
+    customer(s, dir)
+      .join(bigOrders, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J2: double-anti ref-closure — an order is valid iff NO line item
+    * references a missing part (ref: pbf_file_reader.py:2462-2476). */
+  def j2AntiClosure(s: SparkSession, dir: String): DataFrame = {
+    val validParts = part(s, dir).filter(col("p_size") > 10)
+      .select(col("p_partkey").as("l_partkey"))
+    val missingRefs = lineitem(s, dir)
+      .join(validParts, Seq("l_partkey"), "left_anti")
+      .select(col("l_orderkey")).distinct()
+    orders(s, dir)
+      .join(missingRefs.withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J4: inner equi join on id (ref: pbf_file_reader.py:2854-2863); small
+    * dimension side broadcast explicitly. */
+  def j4InnerJoin(s: SparkSession, dir: String): DataFrame =
+    nation(s, dir)
+      .join(broadcast(region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** J5: 3-way chained inner join — the shuffle-heavy core
+    * (ref: pbf_file_reader.py:3054-3067 way-refs × nodes). */
+  def j5ThreeWayJoin(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** J8: anti join on a composite (two-column) key
+    * (ref: pbf_file_reader.py:3361-3370). */
+  def j8AntiTwoKey(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val excluded = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    li.join(excluded, Seq("l_orderkey", "l_linenumber"), "left_anti")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  // ----------------------------------------------------------------- aggs --
+
+  /** Q1-style wide aggregation (map-side partial agg; baseline headline). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1: order-preserving list aggregation — rebuild a sequence from
+    * (group, idx, value) rows (ref: pbf_file_reader.py:3176-3179
+    * `list(point ORDER BY ref_idx)`). Spark idiom: sort_array over
+    * collect_list of (idx, value) structs — exact, shuffle-once. */
+  def a1OrderedListAgg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("l_linenumber").as("i"),
+            col("l_partkey").as("p")))),
+          x => x.getField("p").cast("string")),
+        ",").as("parts_seq"))
+      .orderBy("l_orderkey")
+
+  /** A2+A3: bool_or / bool_and per group
+    * (ref: pbf_file_reader.py:3426-3429, 3452-3463). */
+  def a2a3BoolAggs(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(bool_or(col("l_quantity") > 45).as("any_large"),
+        bool_and(col("l_discount") <= lit(0.1)).as("all_low_disc"))
+      .orderBy("l_returnflag")
+
+  /** A5: any_value alongside other aggs — made deterministic via min
+    * (SURVEY §7.4 risk 5: the reference's any_value is nondeterministic;
+    * we pin an ordering). */
+  def a5FirstValue(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderkey")).as("first_order"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  /** A7: extent aggregation — min/max bounds
+    * (ref: pbf_file_reader.py:4144-4157 ST_Extent_Agg). */
+  def a7ExtentAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .orderBy("event_type")
+
+  /** A8: distinct projection (ref: pbf_file_reader.py:1685-1692). */
+  def a8Distinct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A9: conditional count — COUNT_IF per group
+    * (ref: pbf_file_reader.py:3991-3998 empty-column detection). */
+  def a9CountIf(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(when(col("n_chars") > 500, 1)).as("long_docs"),
+        count(lit(1)).as("all_docs"))
+      .orderBy("lang")
+
+  // -------------------------------------------------------------- windows --
+
+  /** W1: global row_number chunking into bounded groups
+    * (ref: pbf_file_reader.py:3037-3045). At 100 TB this exact global
+    * numbering is replaced by per-partition offsets (zipWithIndex-style);
+    * group membership is not semantically relevant, only bounded size. */
+  def w1GlobalChunk(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .withColumn("grp",
+        floor((row_number().over(Window.orderBy(col("o_orderkey"))) - 1) / 1000))
+      .groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("grp")
+
+  /** W2: partitioned row_number — number members within a group, with a
+    * deterministic ordering pinned (SURVEY §7.4 risk 5)
+    * (ref: pbf_file_reader.py:3436-3438). */
+  def w2PartitionedRowNumber(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+      .filter(col("rn") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn").cast("long").as("rn"))
+      .orderBy("l_orderkey", "rn")
+
+  /** W3: QUALIFY-style dedup — keep one row per key by window rank
+    * (ref: pbf_file_reader.py:1082-1086). */
+  def w3QualifyDedup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy("user_id")
+
+  /** Beyond-reference: frame-bounded running aggregation per key (rows
+    * between unbounded preceding and current). */
+  def wxRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("running_v", round(sum(col("value")).over(w), 4))
+      .select(col("user_id"), col("event_id"), col("running_v"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Beyond-reference: lead/lag — inter-event gap seconds per user. */
+  def wxLagGap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_s",
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))))
+      .select(col("user_id"), col("event_id"), col("gap_s"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // -------------------------------------------------------- sorts / topk --
+
+  /** O1: deterministic full ordering (ref: pbf_file_reader.py:2343). */
+  def o1OrderBy(s: SparkSession, dir: String): DataFrame =
+    supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .orderBy("s_suppkey")
+
+  /** Beyond-reference: top-k with deterministic tie-break (TakeOrderedAndProject
+    * — no full sort/shuffle of the input at scale). */
+  def o2TopK(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy(col("price_r").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  // ------------------------------------------------------------- set ops --
+
+  /** U1: UNION with dedup (ref: pbf_file_reader.py:1693-1703). */
+  def u1UnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val a = orders(s, dir).filter(col("o_totalprice") > 250000)
+      .select(col("o_custkey").as("custkey"))
+    val b = customer(s, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    a.union(b).distinct().orderBy("custkey")
+  }
+
+  /** U2: UNION ALL (ref: pbf_file_reader.py:3379-3385). */
+  def u2UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val a = li.filter(col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), lit("small").as("bucket"))
+    val b = li.filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), lit("large").as("bucket"))
+    a.unionByName(b)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  // -------------------------------------------------------------- unnest --
+
+  /** G1: positional unnest of parallel arrays → rows with index
+    * (ref: pbf_file_reader.py:1660-1677 UNNEST(refs) + UNNEST(range(len))).
+    * Spark: posexplode — exact equivalent. */
+  def g1Posexplode(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_type"), " ")).as(Seq("pos", "token")))
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("token"))
+      .orderBy("p_partkey", "pos")
+
+  /** G3: distinct-values explode (ref: pbf_file_reader.py:1502-1509
+    * `SELECT DISTINCT UNNEST(map_keys(tags))`). */
+  def g3DistinctExplode(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(explode(split(col("p_type"), " ")).as("token"))
+      .distinct()
+      .orderBy("token")
+
+  // ---------------------------------------------- scalar / derived column --
+
+  /** T3/F-string surface: CASE-chain derived columns + string concat
+    * feature-id construction (ref: pbf_file_reader.py:2857 `'node/' || id`,
+    * :3811-3946 group CASE chains). */
+  def t3CaseChain(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(
+        concat(lit("customer/"), col("c_custkey")).as("feature_id"),
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "regular")
+          .otherwise("premium").as("tier"),
+        col("c_mktsegment"))
+      .orderBy("feature_id")
+
+  /** Scalar-function surface: round (the 7-decimal coordinate contract,
+    * ref: pbf_file_reader.py:2859), floor, LIKE, starts_with, length. */
+  def fxScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .filter(col("p_name").like("%green%") ||
+        col("p_type").startsWith("STANDARD"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") / lit(7.0), 7).as("price7"),
+        floor(col("p_retailprice")).as("price_floor"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is a pure DataFrame DAG built from codegen'd built-ins —
+  * no UDFs on the hot path, no driver-side collects — so each op scales by
+  * partition count alone. Dedup ops shuffle once on the dedup key (the hash),
+  * never on raw text: at 100 TB the shuffle payload is the 16-byte digest +
+  * doc id, not the document bodies.
+  */
+object TextQueries {
+
+  /** Exact dedup by content hash (hash-groupBy). MD5 is computed map-side;
+    * only (digest, doc_id) reaches the shuffle. DuckDB md5() matches
+    * Spark md5() bit-for-bit on UTF-8, which makes this oracle-able. */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("h")
+
+  /** Exact-dedup survivors: one representative doc per distinct content. */
+  def d2DedupSurvivors(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy().agg(count(lit(1)).as("n_unique"))
+
+  /** Text statistics: length + whitespace word count, all portable
+    * expressions (quality-scoring building blocks). */
+  def d3TextStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"),
+        (length(col("text")) -
+          length(expr("replace(text, ' ', '')")) + 1).cast("long").as("n_words"))
+      .orderBy("doc_id")
+
+  /** Per-language corpus profile (count + size stats, rounded). */
+  def d4LangProfile(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  /** Quality score: punctuation-ish ratio from portable replace() counts,
+    * bucketed. (Java regex vs DuckDB regex classes differ, so only literal
+    * replaces are used — portability is part of the contract here.) */
+  def d5QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val punct = (length(t) - length(expr("replace(text, '.', '')"))) +
+      (length(t) - length(expr("replace(text, ',', '')"))) +
+      (length(t) - length(expr("replace(text, '!', '')"))) +
+      (length(t) - length(expr("replace(text, '?', '')")))
+    documents(s, dir)
+      .select(col("doc_id"),
+        punct.cast("long").as("n_punct"),
+        when(length(t) < 100, "short")
+          .when(punct * 20 > length(t), "punct_heavy")
+          .otherwise("ok").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic from stopword hits (LIKE-based so the DuckDB
+    * oracle is exact); compared against the labeled lang column. */
+  def d6LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(t.like("% the %") || t.like("% and %") || t.like("% of %"), "en")
+          .when(t.like("% der %") || t.like("% und %") || t.like("% die %"), "de")
+          .when(t.like("% le %") || t.like("% la %") || t.like("% et %"), "fr")
+          .otherwise("unknown").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: first/last 32 chars + length — a cheap
+    * content-defined signature (rolling-hash stand-in that stays
+    * oracle-able; the non-SQL MinHash path lives in SimilarityQueries). */
+  def d7Fingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(expr("left(text, 32)"), expr("right(text, 32)"),
+          col("n_chars").cast("string"))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Token counting with a BPE-ish heuristic: whitespace words plus an
+    * extra token per 4 chars of long words — portable arithmetic only. */
+  def d8TokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        (length(col("text")) -
+          length(expr("replace(text, ' ', '')")) + 1).cast("long").as("n_words"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_est"))
+      .orderBy("doc_id")
+}
