@@ -1,0 +1,263 @@
+package graft.osm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import graft.osm.TagFilters._
+
+/** The reference's PBF→GeoParquet conversion DAG (SURVEY §3.1,
+  * /root/reference/quackosm/pbf_file_reader.py:1527-3669) re-expressed as a
+  * single lazy Spark plan.
+  *
+  * Where the reference materializes ~20 intermediate Parquet stages and
+  * manages memory with retry ladders (SURVEY §4 — not ported), this pipeline
+  * is one declarative DAG: Catalyst prunes columns into the PBF scan, the
+  * id-cascade is left_semi/left_anti joins, and the only persisted cuts are
+  * the two relations reused by multiple consumers (node points, way
+  * vertex arrays) — the reference's "7-output prefilter boundary".
+  *
+  * Scale notes:
+  *  - node→way vertex join shuffles on node id; way groupBy shuffles on way
+  *    id — both keys are high-cardinality and skew-free (OSM ids).
+  *  - geometry objects never shuffle: vertices travel as coordinate arrays,
+  *    assembled geometries as WKB.
+  *  - the driver never sees data (no collect anywhere in the flow).
+  */
+object OsmPipeline {
+
+  /** Exact point-in-geometry test (F8, _intersection.py:15-55): the filter
+    * geometry travels as WKT in the closure; each executor JVM parses and
+    * prepares it once (broadcast-equivalent for a driver-side constant). */
+  private class PointInGeom(wkt: String) extends Serializable {
+    @transient private lazy val prepared =
+      org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
+        new org.locationtech.jts.io.WKTReader().read(wkt))
+    @transient private lazy val gf = new org.locationtech.jts.geom.GeometryFactory()
+    def contains(x: Double, y: Double): Boolean = this.synchronized {
+      prepared.intersects(gf.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
+    }
+  }
+
+  case class Options(
+      tagsFilter: Option[OsmTagsFilter] = None,
+      groupedFilter: Option[GroupedFilter] = None,
+      geometryWkt: Option[String] = None,
+      customSqlFilter: Option[String] = None,
+      osmIds: Seq[String] = Nil,
+      keepAllTags: Boolean = false)
+
+  /** Number of distinct consecutive points in a vertex array — codegen'd
+    * equivalent of ST_NPoints(ST_RemoveRepeatedPoints(...))
+    * (pbf_file_reader.py:3246). */
+  private def nPointsDedup(c: Column): Column =
+    size(c) - aggregate(sequence(lit(2), size(c)), lit(0),
+      (acc, i) => acc + when(element_at(c, i) === element_at(c, i - 1), 1).otherwise(0))
+
+  private def isClosed(c: Column): Column =
+    element_at(c, 1) === element_at(c, -1)
+
+  /** Full conversion: PBF path(s) → DataFrame(feature_id, tags, geometry WKB).
+    * Compact tags mode (reference default, pbf_file_reader.py:3709-3712). */
+  def features(spark: SparkSession, pbfPaths: Seq[String],
+      opts: Options = Options()): DataFrame = {
+    val elements = spark.read.format("osmpbf").load(pbfPaths: _*)
+
+    // --- base per-kind views (F1, pbf_file_reader.py:1546-1573) ---
+    val nodes = elements
+      .filter(col("kind") === "node" && col("lat").isNotNull && col("lon").isNotNull)
+    val ways = elements.filter(col("kind") === "way" && size(col("refs")) >= 2)
+    val relations = elements.filter(col("kind") === "relation" &&
+      size(col("refs")) > 0 &&
+      element_at(col("tags"), "type").isin("boundary", "multipolygon"))
+
+    // --- user filter clause over raw tags (F2/F5/F6/F9) ---
+    def matchClause(df: DataFrame): Column = {
+      val tagsNonEmpty = size(col("tags")) > 0
+      val tagC = opts.groupedFilter
+        .map(g => compileGrouped(g, col("tags")))
+        .orElse(opts.tagsFilter.map { f =>
+          compile(expandWildcardKeys(f, elements), col("tags"))
+        })
+        .getOrElse(lit(true))
+      val customC = opts.customSqlFilter.map(expr).getOrElse(lit(true))
+      val idsC =
+        if (opts.osmIds.isEmpty) lit(true)
+        else osmIdsClause(opts.osmIds, col("kind"), col("id"))
+      tagsNonEmpty && tagC && customC && idsC
+    }
+
+    // --- geometry filter: bbox pushdown + exact test (F7+F8) ---
+    val nodePointsAll = nodes.select(col("id"),
+      round(col("lon"), 7).as("x"), round(col("lat"), 7).as("y"))
+    val intersectingNodeIds: Option[DataFrame] = opts.geometryWkt.map { wkt =>
+      val env = new org.locationtech.jts.io.WKTReader().read(wkt).getEnvelopeInternal
+      val pig = new PointInGeom(wkt)
+      val exact = udf((x: Double, y: Double) => pig.contains(x, y))
+      nodePointsAll
+        .filter(col("x").between(env.getMinX, env.getMaxX) &&
+          col("y").between(env.getMinY, env.getMaxY)) // cheap prefilter first
+        .filter(exact(col("x"), col("y")))
+        .select(col("id"))
+    }
+
+    // --- unnested refs (G1, pbf_file_reader.py:2238-2271) ---
+    val wayRefs = ways.select(col("id"),
+      posexplode(col("refs")).as(Seq("ref_idx", "ref")))
+    val relRefs = relations.select(col("id"),
+      posexplode(arrays_zip(col("refs"), col("ref_types"), col("ref_roles")))
+        .as(Seq("ref_idx", "m")))
+      .select(col("id"), col("ref_idx"), col("m.refs").as("ref"),
+        col("m.ref_types").as("ref_type"), col("m.ref_roles").as("ref_role"))
+      .filter(col("ref_type") === "way")
+
+    // --- ref-closure validity (J2, pbf_file_reader.py:2430-2476) ---
+    val nodeIds = nodePointsAll.select(col("id").as("ref"))
+    val invalidWayIds = wayRefs.join(nodeIds, Seq("ref"), "left_anti")
+      .select(col("id")).distinct()
+    val validWayIds = ways.select(col("id"))
+      .join(invalidWayIds, Seq("id"), "left_anti")
+    val invalidRelIds = relRefs
+      .join(validWayIds.withColumnRenamed("id", "ref"), Seq("ref"), "left_anti")
+      .select(col("id")).distinct()
+    val validRelIds = relations.select(col("id"))
+      .join(invalidRelIds, Seq("id"), "left_anti")
+
+    // --- filtered (feature) id sets, with geometry intersection ---
+    val nodesFiltered0 = nodes.filter(matchClause(nodes)).select(col("id"), col("tags"))
+    val nodesFiltered = intersectingNodeIds match {
+      case Some(ids) => nodesFiltered0.join(ids, Seq("id"), "left_semi")
+      case None => nodesFiltered0
+    }
+    val waysIntersected = intersectingNodeIds match {
+      case Some(ids) =>
+        wayRefs.join(ids.withColumnRenamed("id", "ref"), Seq("ref"), "left_semi")
+          .select(col("id")).distinct()
+      case None => ways.select(col("id"))
+    }
+    val waysFiltered = ways.filter(matchClause(ways))
+      .select(col("id"), col("tags"))
+      .join(waysIntersected, Seq("id"), "left_semi")
+      .join(validWayIds, Seq("id"), "left_semi")
+    val relsIntersected = intersectingNodeIds match {
+      case Some(_) =>
+        relRefs.join(waysIntersected.withColumnRenamed("id", "ref"),
+          Seq("ref"), "left_semi").select(col("id")).distinct()
+      case None => relations.select(col("id"))
+    }
+    val relsFiltered = relations.filter(matchClause(relations))
+      .select(col("id"), col("tags"))
+      .join(relsIntersected, Seq("id"), "left_semi")
+      .join(validRelIds, Seq("id"), "left_semi")
+
+    // --- required way set: members of kept relations (J1 cascade) ---
+    val requiredWayIds = relRefs
+      .join(relsFiltered.select(col("id")), Seq("id"), "left_semi")
+      .select(col("ref").as("id")).distinct()
+      .join(validWayIds, Seq("id"), "left_semi")
+
+    // --- way vertex assembly (A1, pbf_file_reader.py:3162-3198) ---
+    val waysToBuild = waysFiltered.select(col("id"))
+      .union(requiredWayIds).distinct()
+    val wayCoords = wayRefs
+      .join(waysToBuild, Seq("id"), "left_semi")
+      .join(nodePointsAll.withColumnRenamed("id", "ref"), Seq("ref"))
+      .groupBy(col("id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("ref_idx"), col("x"), col("y")))),
+        p => array(p.getField("x"), p.getField("y")))
+        .as("coords"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by ways + relations
+
+    // --- node features (pbf_file_reader.py:2850-2871) ---
+    val strippedNonEmpty = size(stripMetadataTags(col("tags"))) > 0
+    val outTags: Column =
+      if (opts.keepAllTags) col("tags") else stripMetadataTags(col("tags"))
+    val nodeFeatures = nodesFiltered
+      .filter(strippedNonEmpty)
+      .join(nodePointsAll, Seq("id"))
+      .select(concat(lit("node/"), col("id")).as("feature_id"),
+        outTags.as("tags"),
+        GeomUdfs.point_wkb(col("x"), col("y")).as("geometry"))
+
+    // --- way features: polygon-vs-linestring (pbf_file_reader.py:3200-3282) ---
+    val wayFeatures = waysFiltered
+      .filter(strippedNonEmpty)
+      .withColumn("raw_tags", col("tags"))
+      .join(wayCoords, Seq("id"))
+      .withColumn("is_polygon", WayPolygonConfig.isPolygon(
+        col("raw_tags"), isClosed(col("coords")), nPointsDedup(col("coords"))))
+      .select(concat(lit("way/"), col("id")).as("feature_id"),
+        outTags.as("tags"),
+        when(col("is_polygon"), GeomUdfs.polygon_wkb(col("coords")))
+          .otherwise(GeomUdfs.line_wkb(col("coords"))).as("geometry"))
+      .filter(col("geometry").isNotNull)
+
+    // --- relation assembly (pbf_file_reader.py:3306-3463) ---
+    val memberLines = relRefs
+      .join(relsFiltered.select(col("id")), Seq("id"), "left_semi")
+      .join(wayCoords.withColumnRenamed("id", "ref"), Seq("ref"))
+      .select(col("id"), coalesce(col("ref_role"), lit("outer")).as("ref_role"),
+        col("coords"))
+    val anyOuter = memberLines.groupBy(col("id"))
+      .agg(max(col("ref_role") === "outer").as("any_outer"))
+    val rings = memberLines
+      .join(anyOuter, Seq("id"))
+      .withColumn("role", when(col("any_outer"), col("ref_role")).otherwise(lit("outer")))
+      .groupBy(col("id"), col("role"))
+      .agg(GeomUdfs.linemerge_dump(collect_list(col("coords"))).as("merged"))
+      .select(col("id"), col("role"), explode(col("merged")).as("ring"))
+      .filter(nPointsDedup(col("ring")) >= 4)
+      .withColumn("geometry_id", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("role"), size(col("ring")),
+          element_at(col("ring"), 1))))
+    val validRingRels = rings.groupBy(col("id"))
+      .agg(min(isClosed(col("ring"))).as("all_closed"))
+      .filter(col("all_closed")).select(col("id"))
+    val validRings = rings.join(validRingRels, Seq("id"), "left_semi")
+      .withColumn("polygon", GeomUdfs.polygon_wkb(col("ring")))
+      .filter(col("polygon").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused 3× below
+    val inner = validRings.filter(col("role") === "inner")
+      .select(col("id"), col("polygon").as("inner_poly"))
+    val outer = validRings.filter(col("role") =!= "inner")
+      .select(col("id"), col("geometry_id"), col("polygon"))
+    val outerWithHoles = outer.join(inner, Seq("id"))
+      .filter(GeomUdfs.within(col("inner_poly"), col("polygon")))
+      .groupBy(col("id"), col("geometry_id"))
+      .agg(GeomUdfs.subtract_holes(first(col("polygon")),
+        collect_list(col("inner_poly"))).as("geometry"))
+    val outerWithoutHoles = outer
+      .join(outerWithHoles.select(col("id"), col("geometry_id")),
+        Seq("id", "geometry_id"), "left_anti")
+      .select(col("id"), col("geometry_id"), col("polygon").as("geometry"))
+    val relGeoms = outerWithHoles.select(col("id"), col("geometry"))
+      .unionByName(outerWithoutHoles.select(col("id"), col("geometry")))
+      .groupBy(col("id"))
+      .agg(GeomUdfs.union_wkb(collect_list(col("geometry"))).as("geometry"))
+      .filter(!GeomUdfs.is_empty(col("geometry")))
+    val relFeatures = relsFiltered
+      .filter(strippedNonEmpty)
+      .join(relGeoms, Seq("id"))
+      .select(concat(lit("relation/"), col("id")).as("feature_id"),
+        outTags.as("tags"), col("geometry"))
+
+    // --- concatenate + ST_MakeValid (pbf_file_reader.py:3606-3669) ---
+    nodeFeatures.unionByName(wayFeatures).unionByName(relFeatures)
+      .withColumn("geometry", GeomUdfs.make_valid(col("geometry")))
+  }
+
+  /** T1: explode tags to one string column per key
+    * (pbf_file_reader.py:3713-3798). Key list comes from the filter when
+    * given, else from the data (driver-side distinct-key collect, bounded
+    * by tag vocabulary). */
+  def explodeTags(features: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val keyList =
+      if (keys.nonEmpty) keys
+      else features.select(explode(map_keys(col("tags"))).as("k"))
+        .distinct().orderBy("k").collect().map(_.getString(0)).toSeq
+    val cols = Seq(col("feature_id")) ++
+      keyList.map(k => element_at(col("tags"), k).as(k)) :+ col("geometry")
+    features.select(cols: _*)
+  }
+}
