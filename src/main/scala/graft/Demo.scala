@@ -30,6 +30,19 @@ object Demo {
 
     println("=== scan plan (pushdown check) ===")
     buildings.select("id").explain("formatted")
+
+    println("=== full conversion -> GeoParquet ===")
+    val features = graft.osm.OsmPipeline.features(spark, Seq(pbf))
+    val out = java.nio.file.Files.createTempDirectory("graft_demo").toString + "/out"
+    graft.osm.GeoParquet.write(features, out, singleFile = true, sortSpatially = true)
+    val back = spark.read.parquet(out)
+    println(s"features written: ${back.count()}")
+    val kv = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(out + "/data.parquet"),
+        spark.sessionState.newHadoopConf()))
+      .getFooter.getFileMetaData.getKeyValueMetaData
+    println("geo footer: " + kv.get("geo").take(120) + "...")
     spark.stop()
   }
 }

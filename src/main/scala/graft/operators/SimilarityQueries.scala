@@ -36,26 +36,35 @@ object SimilarityQueries {
         i => concat_ws(" ", slice(ws, i + 1, lit(3)))))
   }
 
-  /** doc_id + exploded distinct shingles. */
+  /** doc_id + distinct 64-bit shingle hashes. Raw shingle strings are
+    * hashed MAP-SIDE before the distinct — at 100 TB the shuffle carries
+    * 16 bytes/row instead of the shingle text. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"),
+        explode(transform(shingles(col("text")), sh => xxhash64(sh)))
+          .as("shash"))
       .distinct()
 
-  /** MinHash signature per document: NumPerms seeded xxhash64 minima,
-    * assembled map-side-partial (min is algebraic). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash signature per document: NumPerms seeded re-hashes of the
+    * shingle hash, minima assembled map-side-partial (min is algebraic). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFrom(docShingles(s, dir))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumPerms).map { p =>
-      min(xxhash64(lit(s"perm$p"), col("shingle"))).as(s"h$p")
+      min(xxhash64(lit(p), col("shash"))).as(s"h$p")
     }
-    docShingles(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: equal band-hash in any band. Output one row per
     * (band, doc_a, doc_b) candidate with the estimated Jaccard from full
     * signature agreement. */
-  def x2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+  def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshPairs(minhashSignatures(s, dir))
+
+  private def lshPairs(sig: DataFrame): DataFrame = {
     val sigArr = sig.select(col("doc_id"),
       array((0 until NumPerms).map(p => col(s"h$p")): _*).as("sig"))
     val nBands = NumPerms / BandSize
@@ -83,12 +92,17 @@ object SimilarityQueries {
     * scalable verify step: |A∩B| via a co-grouped shingle join, never
     * all-pairs). */
   def x4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val cand = x2MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    // The shingle set feeds signatures, candidate generation, AND the exact
+    // intersection join — persist it once (the reference pattern of a
+    // checkpoint at a multiply-consumed boundary).
     val sh = docShingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshPairs(minhashSignaturesFrom(sh))
+      .select(col("doc_a"), col("doc_b"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val aSh = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val bSh = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val interCnt = cand.join(aSh, Seq("doc_a")).join(bSh, Seq("doc_b", "shingle"))
+    val aSh = sh.select(col("doc_id").as("doc_a"), col("shash"))
+    val bSh = sh.select(col("doc_id").as("doc_b"), col("shash"))
+    val interCnt = cand.join(aSh, Seq("doc_a")).join(bSh, Seq("doc_b", "shash"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     cand
       .join(interCnt, Seq("doc_a", "doc_b"), "left")

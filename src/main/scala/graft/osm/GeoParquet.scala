@@ -1,0 +1,149 @@
+package graft.osm
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** GeoParquet 1.1.0 sink (S6) — Spark port of the reference's KV-metadata
+  * write (/root/reference/quackosm/_geoparquet_metadata.py:7-63,
+  * pbf_file_reader.py:4124-4197).
+  *
+  * Spark's parquet writer has no per-file KV-metadata hook, so the `geo`
+  * footer entry is added in a metadata-only post-pass: each written file's
+  * row groups are appended byte-for-byte (`ParquetFileWriter.appendFile` —
+  * no decode/re-encode) into a replacement file carrying the extra footer
+  * entry. Cost is one file copy, no shuffle, parallelizable per file.
+  */
+object GeoParquet {
+
+  /** PROJJSON for OGC:CRS84 (WGS84 lon-lat), per the GeoParquet spec. */
+  private val CrsLonLat: String =
+    """{"$schema":"https://proj.org/schemas/v0.5/projjson.schema.json","type":"GeographicCRS","name":"WGS 84 longitude-latitude","datum":{"type":"GeodeticReferenceFrame","name":"World Geodetic System 1984","ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}},"coordinate_system":{"subtype":"ellipsoidal","axis":[{"name":"Geodetic longitude","abbreviation":"Lon","direction":"east","unit":"degree"},{"name":"Geodetic latitude","abbreviation":"Lat","direction":"north","unit":"degree"}]},"id":{"authority":"OGC","code":"CRS84"}}"""
+
+  def geoMetadataJson(
+      geometryTypes: Seq[String],
+      bbox: (Double, Double, Double, Double),
+      encoding: String = "WKB"): String = {
+    val types = geometryTypes.sorted.map(t => s""""$t"""").mkString("[", ",", "]")
+    s"""{"version":"1.1.0","primary_column":"geometry","columns":{"geometry":""" +
+      s"""{"encoding":"$encoding","crs":$CrsLonLat,"geometry_types":$types,""" +
+      s""""bbox":[${bbox._1},${bbox._2},${bbox._3},${bbox._4}]}},""" +
+      s""""creator":{"library":"graft","version":"0.1.0"}}"""
+  }
+
+  /** Write features (… geometry: WKB binary) as GeoParquet: stats pass
+    * (A7 extent agg + A10 distinct geometry types), parquet write, footer
+    * post-pass. `singleFile=true` reproduces the reference's one-file
+    * output (S4); false keeps one file per partition (S3). */
+  def write(features: DataFrame, path: String, singleFile: Boolean = true,
+      sortSpatially: Boolean = false): Unit = {
+    val spark = features.sparkSession
+    val extentUdf = udf(GeomUdfs.extent)
+    val typed = features.withColumn("_ext", extentUdf(col("geometry")))
+    // one combined stats pass: bbox (4 min/max) + distinct geometry types
+    val stats = typed.agg(
+      min(col("_ext._1")).as("xmin"), min(col("_ext._2")).as("ymin"),
+      max(col("_ext._3")).as("xmax"), max(col("_ext._4")).as("ymax"),
+      collect_set(udf(GeomUdfs.geomType).apply(col("geometry"))).as("types"))
+      .head()
+    val bbox = (stats.getDouble(0), stats.getDouble(1),
+      stats.getDouble(2), stats.getDouble(3))
+    val types = stats.getSeq[String](4)
+
+    val sorted =
+      if (sortSpatially) spatialSort(features, bbox)
+      else features
+    val out = if (singleFile) sorted.coalesce(1) else sorted
+    val tmp = path + "_tmp_plain"
+    out.write.mode(SaveMode.Overwrite).parquet(tmp)
+
+    val meta = geoMetadataJson(types, bbox)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    fs.delete(new Path(path), true)
+    fs.mkdirs(new Path(path))
+    val parts = fs.listStatus(new Path(tmp))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val target = new Path(path,
+        if (singleFile) "data.parquet" else f.getPath.getName)
+      rewriteWithMetadata(conf, f.getPath, target, Map("geo" -> meta))
+    }
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** Metadata-only rewrite: copy row groups untouched, extend the footer. */
+  def rewriteWithMetadata(conf: Configuration, src: Path, dst: Path,
+      extra: Map[String, String]): Unit = {
+    val in = HadoopInputFile.fromPath(src, conf)
+    val footer = ParquetFileReader.open(in).getFooter
+    val schema = footer.getFileMetaData.getSchema
+    val existing = footer.getFileMetaData.getKeyValueMetaData
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(dst, conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024 /* row-group size */, 8388608 /* max padding */)
+    writer.start()
+    writer.appendFile(in)
+    val kv = new java.util.HashMap[String, String](existing)
+    extra.foreach { case (k, v) => kv.put(k, v) }
+    writer.end(kv)
+  }
+
+  /** S10: WKT text sink (pbf_file_reader.py:4175-4180). */
+  def writeWkt(features: DataFrame, path: String): Unit =
+    features
+      .withColumn("geometry", udf(GeomUdfs.asText).apply(col("geometry")))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  // ------------------------------------------------------ spatial sort --
+
+  /** Hilbert curve index (16 bits/dim) of the geometry envelope center —
+    * the O2 spatial-sort key (reference delegates to
+    * rq_geo_toolkit.geoparquet_sorting; semantic contract is "spatially
+    * clustered row groups"). Public-domain xy→d algorithm. */
+  val hilbertIndex: (Double, Double, Double, Double, Double, Double) => Long =
+    (x, y, xmin, ymin, xmax, ymax) => {
+      val n = 1 << 16
+      val fx = if (xmax > xmin) (x - xmin) / (xmax - xmin) else 0.5
+      val fy = if (ymax > ymin) (y - ymin) / (ymax - ymin) else 0.5
+      var rx = 0L
+      var ry = 0L
+      var d = 0L
+      var px = math.min(n - 1, math.max(0, (fx * (n - 1)).toLong))
+      var py = math.min(n - 1, math.max(0, (fy * (n - 1)).toLong))
+      var s = n / 2L
+      while (s > 0) {
+        rx = if ((px & s) > 0) 1 else 0
+        ry = if ((py & s) > 0) 1 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        // rotate
+        if (ry == 0) {
+          if (rx == 1) { px = s - 1 - px; py = s - 1 - py }
+          val t = px; px = py; py = t
+        }
+        s /= 2
+      }
+      d
+    }
+
+  /** Sort features along the Hilbert curve of envelope centers:
+    * range-partition on the index (parallel, sampled ranges — no single
+    * partition bottleneck), then sort within partitions. */
+  def spatialSort(features: DataFrame, bbox: (Double, Double, Double, Double)): DataFrame = {
+    val extentUdf = udf(GeomUdfs.extent)
+    val h = udf(hilbertIndex)
+    features
+      .withColumn("_ext", extentUdf(col("geometry")))
+      .withColumn("_hilbert", h(
+        (col("_ext._1") + col("_ext._3")) / 2,
+        (col("_ext._2") + col("_ext._4")) / 2,
+        lit(bbox._1), lit(bbox._2), lit(bbox._3), lit(bbox._4)))
+      .repartitionByRange(col("_hilbert"))
+      .sortWithinPartitions(col("_hilbert"))
+      .drop("_ext", "_hilbert")
+  }
+}

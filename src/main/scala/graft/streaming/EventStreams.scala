@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY §2.11) — this surface is green-field,
+  * designed Spark-idiomatically: event-time watermarks bound all state, so
+  * every operator here runs unbounded on a real stream and scales by key
+  * partitioning alone. Transform functions take any streaming DataFrame
+  * with the events schema (file source in tests; Kafka in production).
+  */
+object EventStreams {
+
+  /** Read the driver's events parquet as a bounded stream (test/dev source).
+    * Handles the TIMESTAMP(NANOS) encoding (see graft.Tables.events). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // the streaming file source requires a directory; accept a direct
+    // file path by reading its parent with a glob filter
+    val p = new java.io.File(dir)
+    val (base, glob) =
+      if (p.isFile) (p.getParent, p.getName) else (dir, "*.parquet")
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(base)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * state (late rows beyond 10 minutes are dropped). */
+  def tumblingCounts(events: DataFrame, window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+
+  /** Sliding-window per-type rates. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "2 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows per user (gap-based), watermark-bounded state. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_v"))
+
+  /** Stateful exact dedup by event_id, state expired by watermark. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(nEvents: Long, sumValue: Double, lastTs: Long)
+  case class UserSession(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: emits a
+    * session row when a user is idle past the processing-time timeout.
+    * (The mapGroupsWithState/flatMapGroupsWithState surface — SURVEY §2.11.) */
+  def customSessions(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, s.nEvents, s.sumValue))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var n = prev.nEvents
+            var sum = prev.sumValue
+            var last = prev.lastTs
+            rows.foreach { e =>
+              n += 1; sum += e.value; last = math.max(last, e.ts.getTime)
+            }
+            state.update(SessionState(n, sum, last))
+            state.setTimeoutDuration("2 seconds")
+            Iterator.empty
+          }
+      }
+  }
+
+  case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState (NoTimeout, Update
+    * mode) — the deterministic stateful-op surface. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserTotal](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          var n = prev.nEvents
+          var sum = prev.sumValue
+          rows.foreach { e => n += 1; sum += e.value }
+          state.update(SessionState(n, sum, prev.lastTs))
+          UserTotal(userId, n, sum)
+      }
+  }
+
+  /** Run a streaming transform to completion against a bounded source and
+    * return the materialized result (test harness; memory sink). */
+  def runToCompletion(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

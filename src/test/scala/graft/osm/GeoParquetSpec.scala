@@ -1,0 +1,77 @@
+package graft.osm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoParquetSpec extends AnyFunSuite {
+  private val Monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("GeoParquet write produces readable file with geo footer metadata") {
+    val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/monaco"
+    val features = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter =
+        Some(Map("building" -> graft.osm.TagFilters.AnyValue))))
+    GeoParquet.write(features, out, singleFile = true, sortSpatially = true)
+
+    // file is plain-parquet readable with identical rows
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1283)
+    assert(back.columns.toSeq == Seq("feature_id", "tags", "geometry"))
+
+    // geo footer present and well-formed
+    val conf = spark.sessionState.newHadoopConf()
+    val file = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(out + "/data.parquet"), conf)
+    val kv = org.apache.parquet.hadoop.ParquetFileReader.open(file)
+      .getFooter.getFileMetaData.getKeyValueMetaData
+    assert(kv.containsKey("geo"))
+    val geo = kv.get("geo")
+    assert(geo.contains(""""version":"1.1.0""""))
+    assert(geo.contains(""""primary_column":"geometry""""))
+    assert(geo.contains(""""encoding":"WKB""""))
+    assert(geo.contains("CRS84"))
+    assert(geo.contains(""""Polygon""""))
+    // monaco bbox sanity: lon ~7.4, lat ~43.7
+    assert(geo.contains(""""bbox":[7."""))
+  }
+
+  test("spatial sort clusters nearby features") {
+    val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/sorted"
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter =
+        Some(Map("building" -> graft.osm.TagFilters.AnyValue))))
+    GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
+    // successive rows should be spatially close on average: compare mean
+    // consecutive-centroid distance of sorted vs feature_id order
+    val ext = udf(GeomUdfs.extent)
+    val pts = spark.read.parquet(out)
+      .withColumn("e", ext(col("geometry")))
+      .select(((col("e._1") + col("e._3")) / 2).as("x"),
+        ((col("e._2") + col("e._4")) / 2).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def meanStep(ps: Array[(Double, Double)]): Double =
+      ps.sliding(2).map { case Array(a, b) =>
+        math.hypot(a._1 - b._1, a._2 - b._2)
+      }.sum / (ps.length - 1)
+    val sortedStep = meanStep(pts)
+    val shuffledStep = meanStep(scala.util.Random.shuffle(pts.toList).toArray)
+    assert(sortedStep < shuffledStep / 2,
+      s"sorted=$sortedStep shuffled=$shuffledStep")
+  }
+
+  test("WKT sink writes readable text geometries") {
+    val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/wkt"
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(osmIds = Seq("node/10005045289")))
+    GeoParquet.writeWkt(f, out)
+    val back = spark.read.parquet(out)
+    assert(back.head().getString(2).startsWith("POINT"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ops validated against their batch equivalents on the same
+  * data — the only oracle that exists for the green-field streaming
+  * surface (SURVEY §7.4 risk 7). */
+class EventStreamsSpec extends AnyFunSuite {
+  private val Dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def batchEvents = graft.Tables.events(spark, Dir)
+
+  test("tumbling window counts equal batch groupBy on bounded input") {
+    val stream = EventStreams.fileSource(spark, s"$Dir/events.parquet")
+    val got = EventStreams.runToCompletion(
+      EventStreams.tumblingCounts(stream), "tumbling", OutputMode.Append)
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+    // append-mode emits only watermark-closed windows; every emitted row
+    // must match the batch result, and most windows must be closed
+    val gotC = got.count()
+    val joined = got.join(expected,
+      Seq("window", "event_type", "n", "sum_v"), "inner").count()
+    assert(gotC > 0)
+    assert(joined == gotC, s"all $gotC emitted rows must match batch")
+  }
+
+  test("session windows produce positive gap-bounded sessions") {
+    val stream = EventStreams.fileSource(spark, s"$Dir/events.parquet")
+    val got = EventStreams.runToCompletion(
+      EventStreams.sessionCounts(stream), "sessions", OutputMode.Append)
+    assert(got.count() > 0)
+    assert(got.filter(col("n_events") <= 0).count() == 0)
+  }
+
+  test("stateful dedup keeps one row per event_id") {
+    val stream = EventStreams.fileSource(spark, s"$Dir/events.parquet")
+    // duplicate the stream by unioning it with itself
+    val got = EventStreams.runToCompletion(
+      EventStreams.dedupedEvents(stream.union(stream)), "dedup",
+      OutputMode.Append)
+    val total = batchEvents.count()
+    assert(got.count() == total)
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("mapGroupsWithState running totals match batch aggregation") {
+    import spark.implicits._
+    val stream = EventStreams.fileSource(spark, s"$Dir/events.parquet")
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[EventStreams.Event]
+    val totals = EventStreams.runningUserTotals(stream)
+    val q = totals.writeStream.outputMode("update")
+      .format("memory").queryName("user_totals").start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per user must equal the batch aggregate
+    val got = spark.table("user_totals")
+      .groupBy("user_id").agg(max(col("n_events")).as("n_events"))
+    val expected = batchEvents.filter(col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(got.count() == expected.count())
+    val mismatched = got.join(expected, Seq("user_id"))
+      .filter(col("n_events") =!= col("n")).count()
+    assert(mismatched == 0)
+  }
+
+  test("flatMapGroupsWithState sessionization emits sessions on processing-time timeout") {
+    import spark.implicits._
+    // stage the source in a temp dir so a later append can trigger the
+    // micro-batch that fires due state timeouts
+    val srcDir = java.nio.file.Files.createTempDirectory("events_src").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$Dir/events.parquet").write
+      .mode("append").parquet(srcDir)
+    val stream = EventStreams.fileSource(spark, srcDir)
+      .filter(col("user_id") < 5)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[EventStreams.Event]
+    val sessions = EventStreams.customSessions(stream)
+    // NOTE: while processing-time timeouts are registered the micro-batch
+    // engine keeps scheduling batches, so processAllAvailable() never
+    // settles — poll the sink with a deadline instead.
+    val q = sessions.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .format("memory").queryName("custom_sessions").start()
+    val expected = batchEvents.filter(col("user_id") < 5)
+      .select("user_id").distinct().count()
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("custom_sessions").count() < expected &&
+      System.currentTimeMillis() < deadline) Thread.sleep(500)
+    q.stop()
+    assert(spark.table("custom_sessions").count() == expected)
+  }
+}
