@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalQueries => R, TextQueries => T, SimilarityQueries => X}
+import graft.operators.{MultimodalOps => M, RelationalQueries => R, TextQueries => T, SimilarityQueries => X}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,7 @@ object SparkEntry {
     "w3_qualify_dedup" -> (R.w3QualifyDedup _),
     "wx_running_sum" -> (R.wxRunningSum _),
     "wx_lag_gap" -> (R.wxLagGap _),
+    "e1_window_batch" -> (R.e1WindowBatch _),
     // sorts / top-k
     "o1_order_by" -> (R.o1OrderBy _),
     "o2_topk" -> (R.o2TopK _),
@@ -74,6 +75,9 @@ object SparkEntry {
     "x4_ngram_jaccard" -> (X.x4NgramJaccard _),
     "x5_ann_buckets" -> (X.x5AnnBuckets _),
     "x6_embedding_near_dup" -> (X.x6EmbeddingNearDup _),
+    // multimodal (binary payload) pipeline
+    "m1_media_stats" -> (M.m1MediaStats _),
+    "m2_frame_sample" -> (M.m2FrameSample(_, _)),
   )
 
   /** DuckDB-runnable oracle per SQL-expressible query (same column names,
@@ -269,6 +273,23 @@ object SparkEntry {
         |CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
         |CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "e1_window_batch" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |event_type, count(*) AS n, round(sum(value), 4) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "m1_media_stats" ->
+      """SELECT CASE WHEN vec_id % 3 = 0 THEN 'image'
+        |            WHEN vec_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |count(*) AS n, CAST(count(*) * 32 AS BIGINT) AS total_bytes,
+        |CAST(max(vec_id % 640 + 32) AS INTEGER) AS max_w,
+        |CAST(max(vec_id % 480 + 32) AS INTEGER) AS max_h
+        |FROM embeddings GROUP BY 1 ORDER BY kind""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT media_id, CAST(frame_ts_ms / 5000 AS BIGINT) AS frame_idx, frame_ts_ms FROM (
+        |  SELECT vec_id AS media_id,
+        |  unnest(range(0, (vec_id % 30000) + 1001, 5000)) AS frame_ts_ms
+        |  FROM embeddings WHERE vec_id % 3 = 2)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "x1_cosine_topk" ->
       """SELECT vec_id,
         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

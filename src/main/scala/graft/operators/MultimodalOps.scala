@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column surface for training-data pipelines: media payloads
+  * are opaque `binary` columns with typed metadata alongside.
+  *
+  * Decode/transform steps run batch-at-a-time over partitions (the Scala
+  * analogue of `mapInPandas`): one decoder instance per partition, rows
+  * streamed through it — the shape that amortizes model/codec init at
+  * 100 TB. The actual codec is STUBBED (deterministic fake) because no
+  * image/audio libraries ship in this environment; schema, partitioning,
+  * batch flow, and metadata handling are real.
+  */
+object MultimodalOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image|audio|video
+    StructField("payload", BinaryType, nullable = true), // opaque bytes
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Deterministic synthetic media table derived from the embeddings table
+    * (payload = embedding bytes; stands in for real blobs). */
+  def syntheticMedia(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("media_id"),
+        when(col("vec_id") % 3 === 0, "image")
+          .when(col("vec_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        to_binary(sha2(concat_ws(",",
+          transform(col("embedding"), x => round(x, 4).cast("string"))), 256),
+          lit("hex")).as("payload"),
+        lit("application/octet-stream").as("mime"),
+        (pmod(col("vec_id"), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col("vec_id"), lit(480)) + 32).cast("int").as("height"),
+        (pmod(col("vec_id"), lit(30000)) + 1000).as("duration_ms"))
+
+  case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
+      feature: Array[Float])
+
+  /** STUB decoder: in production this would be an image/audio codec +
+    * feature extractor loaded once per partition. The fake derives a
+    * deterministic feature vector from payload bytes. */
+  private def decodeBatch(rows: Iterator[org.apache.spark.sql.Row]): Iterator[MediaFeature] = {
+    // per-partition init happens HERE (e.g. codec / model load) — once,
+    // not per row
+    rows.map { r =>
+      val id = r.getLong(0)
+      val kind = r.getString(1)
+      val payload = r.getAs[Array[Byte]]("payload")
+      val n = if (payload == null) 0 else payload.length
+      val feat = new Array[Float](8)
+      var i = 0
+      while (i < math.min(n, 8)) { feat(i) = (payload(i) & 0xff) / 255.0f; i += 1 }
+      MediaFeature(id, kind, n, feat)
+    }
+  }
+
+  /** Feature extraction over media payloads: partition-wise batch decode
+    * (mapPartitions — the mapInPandas analogue). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions(decodeBatch)(org.apache.spark.sql.Encoders.product[MediaFeature])
+      .toDF()
+  }
+
+  /** Media-pipeline query: decode features, join metadata, per-kind stats.
+    * Deterministic → oracle-able on row counts/bytes. */
+  def m1MediaStats(s: SparkSession, dir: String): DataFrame = {
+    val media = syntheticMedia(s, dir)
+    extractFeatures(media)
+      .join(media.select(col("media_id"), col("width"), col("height")), Seq("media_id"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        max(col("width")).as("max_w"), max(col("height")).as("max_h"))
+      .orderBy("kind")
+  }
+
+  /** Frame-sampling plumbing: explode a video payload into deterministic
+    * per-frame rows (stub samples byte offsets; real impl decodes frames).
+    * Shows the fan-out shape (1 row → N frame rows) with bounded memory. */
+  def m2FrameSample(s: SparkSession, dir: String, everyMs: Long = 5000): DataFrame =
+    syntheticMedia(s, dir)
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("duration_ms"),
+        posexplode(sequence(lit(0L), col("duration_ms"), lit(everyMs)))
+          .as(Seq("frame_idx", "frame_ts_ms")))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_ts_ms"))
+      .orderBy("media_id", "frame_idx")
+}

@@ -283,6 +283,16 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Batch tumbling-window aggregation via window() — the batch twin of
+    * the streaming surface (graft.streaming.EventStreams.tumblingCounts). */
+  def e1WindowBatch(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_v"))
+      .orderBy("w_start", "event_type")
+
   /** Beyond-reference: lead/lag — inter-event gap seconds per user. */
   def wxLagGap(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
