@@ -61,7 +61,13 @@ object OsmPipeline {
     * Compact tags mode (reference default, pbf_file_reader.py:3709-3712). */
   def features(spark: SparkSession, pbfPaths: Seq[String],
       opts: Options = Options()): DataFrame = {
-    val elements = spark.read.format("osmpbf").load(pbfPaths: _*)
+    // J3 (pbf_file_reader.py:1126-1139): overlapping extract files carry
+    // the same element twice — dedup by (kind, id) before any assembly so
+    // duplicate refs can't corrupt vertex sequences. Single-file reads
+    // skip the extra shuffle.
+    val raw = spark.read.format("osmpbf").load(pbfPaths: _*)
+    val elements =
+      if (pbfPaths.size > 1) raw.dropDuplicates("kind", "id") else raw
 
     // --- base per-kind views (F1, pbf_file_reader.py:1546-1573) ---
     val nodes = elements
@@ -234,7 +240,9 @@ object OsmPipeline {
     val relGeoms = outerWithHoles.select(col("id"), col("geometry"))
       .unionByName(outerWithoutHoles.select(col("id"), col("geometry")))
       .groupBy(col("id"))
-      .agg(GeomUdfs.union_wkb(collect_list(col("geometry"))).as("geometry"))
+      // typed Aggregator: unions inside partial-agg buffers (map-side
+      // combine), not via a collected list — bounded per-group memory
+      .agg(UnionAggregator.union_agg(col("geometry")).as("geometry"))
       .filter(!GeomUdfs.is_empty(col("geometry")))
     val relFeatures = relsFiltered
       .filter(strippedNonEmpty)

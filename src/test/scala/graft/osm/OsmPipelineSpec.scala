@@ -146,6 +146,15 @@ class OsmPipelineSpec extends AnyFunSuite {
     assert(exploded.filter(col("building").isNotNull).count() > 1000)
   }
 
+  test("multi-file conversion dedups overlapping extracts (J3)") {
+    // same file twice == one file (reference: cross-file feature_id dedup)
+    val twice = OsmPipeline.features(spark, Seq(Monaco, Monaco),
+      OsmPipeline.Options(tagsFilter = Some(Map("building" -> AnyValue))))
+    assert(twice.count() == 1283L)
+    assert(twice.groupBy("feature_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("multipolygon relations with holes carry interior rings") {
     val multi = features
       .filter(col("feature_id").startsWith("relation/"))
