@@ -1,0 +1,69 @@
+package graft.osm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Robustness over the reference's regression fixtures
+  * (tests/base/test_pbf_file_reader.py:242-366: duplicated ids, schema
+  * unification, invalid linear rings, tiny/empty extracts). Expected
+  * element counts from tools/pbf_groundtruth.py. */
+class RegressionFixturesSpec extends AnyFunSuite {
+  private val Base = "/root/reference/tests/test_files"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixtures = Seq(
+    // (sha-name, nodes, ways, relations)
+    ("529cdcbb7a3cc103658ef31b39bed24984e421127d319c867edf2f86ff3bb098", 10L, 1L, 0L),
+    ("7a0163cb721992d6219d486b3d29517d06aa0db19dd7be049f4f1fabf6146073", 0L, 0L, 0L),
+    ("aa756ad3a961ba6d9da46c712b0d979d0c7d4768641ceea7409b287e2d18a48f", 1L, 0L, 0L),
+    ("d17f922ed15e9609013a6b895e1e7af2d49158f03586f2c675d17b760af3452e", 2499L, 330L, 89L),
+    ("eb2848d259345ce7dfe8af34fd1ab24503bb0b952e04e872c87c55550fa50fbf", 12L, 1L, 0L))
+
+  test("source reads every fixture with expected element counts") {
+    fixtures.foreach { case (name, n, w, r) =>
+      val counts = spark.read.format("osmpbf").load(s"$Base/$name.osm.pbf")
+        .groupBy("kind").count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(counts.getOrElse("node", 0L) == n, s"$name nodes")
+      assert(counts.getOrElse("way", 0L) == w, s"$name ways")
+      assert(counts.getOrElse("relation", 0L) == r, s"$name relations")
+    }
+  }
+
+  test("conversion runs on every fixture without errors, no dup feature_ids") {
+    fixtures.foreach { case (name, _, _, _) =>
+      val f = OsmPipeline.features(spark, Seq(s"$Base/$name.osm.pbf")).cache()
+      val cnt = f.count()
+      assert(cnt >= 0)
+      assert(f.groupBy("feature_id").count().filter(col("count") > 1).count() == 0,
+        s"$name dup feature_ids")
+      f.unpersist()
+    }
+  }
+
+  test("empty PBF converts to an empty feature set with the right schema") {
+    val f = OsmPipeline.features(spark,
+      Seq(s"$Base/7a0163cb721992d6219d486b3d29517d06aa0db19dd7be049f4f1fabf6146073.osm.pbf"))
+    assert(f.columns.toSeq == Seq("feature_id", "tags", "geometry"))
+    assert(f.count() == 0)
+  }
+
+  test("id-filtered conversion matches the reference's documented expectations") {
+    // reference test_pbf_reader_features_ids_filtering expects exactly these
+    // single-feature results on the d17f… fixture
+    val pbf = s"$Base/d17f922ed15e9609013a6b895e1e7af2d49158f03586f2c675d17b760af3452e.osm.pbf"
+    val one = OsmPipeline.features(spark, Seq(pbf),
+      OsmPipeline.Options(osmIds = Seq("way/259888097")))
+    assert(one.count() == 1)
+    assert(one.head().getString(0) == "way/259888097")
+    val none = OsmPipeline.features(spark, Seq(pbf),
+      OsmPipeline.Options(osmIds = Seq("way/0", "node/0", "relation/0")))
+    assert(none.count() == 0)
+  }
+}
