@@ -101,47 +101,19 @@ object GeoParquet {
 
   // ------------------------------------------------------ spatial sort --
 
-  /** Hilbert curve index (16 bits/dim) of the geometry envelope center —
-    * the O2 spatial-sort key (reference delegates to
-    * rq_geo_toolkit.geoparquet_sorting; semantic contract is "spatially
-    * clustered row groups"). Public-domain xy→d algorithm. */
-  val hilbertIndex: (Double, Double, Double, Double, Double, Double) => Long =
-    (x, y, xmin, ymin, xmax, ymax) => {
-      val n = 1 << 16
-      val fx = if (xmax > xmin) (x - xmin) / (xmax - xmin) else 0.5
-      val fy = if (ymax > ymin) (y - ymin) / (ymax - ymin) else 0.5
-      var rx = 0L
-      var ry = 0L
-      var d = 0L
-      var px = math.min(n - 1, math.max(0, (fx * (n - 1)).toLong))
-      var py = math.min(n - 1, math.max(0, (fy * (n - 1)).toLong))
-      var s = n / 2L
-      while (s > 0) {
-        rx = if ((px & s) > 0) 1 else 0
-        ry = if ((py & s) > 0) 1 else 0
-        d += s * s * ((3 * rx) ^ ry)
-        // rotate
-        if (ry == 0) {
-          if (rx == 1) { px = s - 1 - px; py = s - 1 - py }
-          val t = px; px = py; py = t
-        }
-        s /= 2
-      }
-      d
-    }
-
   /** Sort features along the Hilbert curve of envelope centers:
     * range-partition on the index (parallel, sampled ranges — no single
-    * partition bottleneck), then sort within partitions. */
+    * partition bottleneck), then sort within partitions. The index is a
+    * native codegen'd Catalyst expression ([[HilbertIndexExpr]]), not a
+    * Scala UDF — no boxing on the sort hot path. */
   def spatialSort(features: DataFrame, bbox: (Double, Double, Double, Double)): DataFrame = {
+    HilbertIndexExpr.register(features.sparkSession)
     val extentUdf = udf(GeomUdfs.extent)
-    val h = udf(hilbertIndex)
     features
       .withColumn("_ext", extentUdf(col("geometry")))
-      .withColumn("_hilbert", h(
-        (col("_ext._1") + col("_ext._3")) / 2,
-        (col("_ext._2") + col("_ext._4")) / 2,
-        lit(bbox._1), lit(bbox._2), lit(bbox._3), lit(bbox._4)))
+      .withColumn("_hilbert", expr(
+        s"hilbert_index((_ext._1 + _ext._3) / 2, (_ext._2 + _ext._4) / 2, " +
+          s"${bbox._1}d, ${bbox._2}d, ${bbox._3}d, ${bbox._4}d)"))
       .repartitionByRange(col("_hilbert"))
       .sortWithinPartitions(col("_hilbert"))
       .drop("_ext", "_hilbert")

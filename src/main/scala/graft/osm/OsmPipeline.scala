@@ -255,6 +255,40 @@ object OsmPipeline {
       .withColumn("geometry", GeomUdfs.make_valid(col("geometry")))
   }
 
+  /** T3: grouped-filter group columns (pbf_file_reader.py:3811-3946).
+    * Exploded mode: one string column per group holding the first matching
+    * `key=value` (CASE chain compiled to coalesce(when...)); compact mode:
+    * a map group→match with non-matching groups absent. */
+  def groupedTagColumns(features: DataFrame, grouped: GroupedFilter,
+      explode: Boolean = true): DataFrame = {
+    def groupValue(f: OsmTagsFilter): Column = {
+      val parts = f.toSeq.sortBy(_._1).collect {
+        case (k, TagFilters.AnyValue) =>
+          when(element_at(col("tags"), k).isNotNull,
+            concat(lit(k), lit("="), element_at(col("tags"), k)))
+        case (k, TagFilters.Values(vs)) =>
+          val v = element_at(col("tags"), k)
+          when(vs.map(x =>
+            if (x.contains("*")) v.like(x.replace("*", "%")) else v === x)
+            .reduce(_ || _), concat(lit(k), lit("="), v))
+      }
+      if (parts.isEmpty) lit(null).cast("string") else coalesce(parts: _*)
+    }
+    val names = grouped.keys.toSeq.sorted
+    if (explode) {
+      val cols = Seq(col("feature_id")) ++
+        names.map(n => groupValue(grouped(n)).as(n)) :+ col("geometry")
+      features.select(cols: _*)
+    } else {
+      val m = map_filter(
+        map_from_arrays(
+          array(names.map(lit): _*),
+          array(names.map(n => groupValue(grouped(n))): _*)),
+        (_, v) => v.isNotNull)
+      features.select(col("feature_id"), m.as("tags"), col("geometry"))
+    }
+  }
+
   /** T1: explode tags to one string column per key
     * (pbf_file_reader.py:3713-3798). Key list comes from the filter when
     * given, else from the data (driver-side distinct-key collect, bounded

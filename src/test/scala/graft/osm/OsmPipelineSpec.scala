@@ -146,6 +146,25 @@ class OsmPipelineSpec extends AnyFunSuite {
     assert(exploded.filter(col("building").isNotNull).count() > 1000)
   }
 
+  test("grouped tag columns: exploded CASE-chain and compact map modes") {
+    val grouped: GroupedFilter = Map(
+      "buildings" -> Map("building" -> AnyValue),
+      "transport" -> Map("highway" -> Values(Seq("primary", "secondary"))))
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(groupedFilter = Some(grouped)))
+    val exploded = OsmPipeline.groupedTagColumns(f, grouped, explode = true)
+    assert(exploded.columns.toSeq ==
+      Seq("feature_id", "buildings", "transport", "geometry"))
+    // kiribati-doctest shape: group value is 'key=value' of the match
+    assert(exploded.filter(col("buildings").startsWith("building=")).count() > 1000)
+    assert(exploded.filter(col("transport") === "highway=primary").count() > 0)
+    assert(exploded.filter(col("buildings").isNull &&
+      col("transport").isNull).count() == 0)
+    val compact = OsmPipeline.groupedTagColumns(f, grouped, explode = false)
+    assert(compact.columns.toSeq == Seq("feature_id", "tags", "geometry"))
+    assert(compact.filter(size(col("tags")) === 0).count() == 0)
+  }
+
   test("multi-file conversion dedups overlapping extracts (J3)") {
     // same file twice == one file (reference: cross-file feature_id dedup)
     val twice = OsmPipeline.features(spark, Seq(Monaco, Monaco),
