@@ -1,0 +1,80 @@
+package graft.osm
+
+import org.locationtech.jts.geom.Geometry
+
+/** Extract auto-discovery: cover a query geometry with the smallest set of
+  * downloadable extracts — Scala+JTS port of the reference's greedy IoU
+  * cover (/root/reference/quackosm/osm_extracts/__init__.py:962-1193,
+  * SURVEY §3.2). Driver-side only (extract indexes are tiny).
+  */
+object ExtractCover {
+
+  /** One row of an extract index (extract.py:77 expected columns). */
+  final case class Extract(id: String, name: String, fileName: String,
+      parent: String, area: Double, url: String, geometry: Geometry)
+
+  /** Greedy cover: repeatedly pick the extract with the highest IoU
+    * against the still-uncovered part of the query geometry, tie-broken by
+    * smaller area; discard weak matches below `iouThreshold` except the
+    * first pick; stop when covered (within `coverageTolerance`). */
+  def cover(query: Geometry, index: Seq[Extract],
+      iouThreshold: Double = 0.01,
+      coverageTolerance: Double = 1e-9): Seq[Extract] = {
+    require(!query.isEmpty, "empty query geometry")
+    var remaining = query
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Extract]
+    val available = scala.collection.mutable.ArrayBuffer(index: _*)
+    while (remaining.getArea > coverageTolerance && available.nonEmpty) {
+      val scored = available.flatMap { e =>
+        if (!e.geometry.intersects(remaining)) None
+        else {
+          val inter = e.geometry.intersection(remaining).getArea
+          val union = e.geometry.union(remaining).getArea
+          val iou = if (union > 0) inter / union else 0.0
+          if (inter <= 0) None else Some((e, iou, inter))
+        }
+      }
+      if (scored.isEmpty) {
+        throw new IllegalStateException(
+          s"geometry not coverable: ${remaining.getArea} area uncovered " +
+            "(reference: GeometryNotCoveredError)")
+      }
+      // highest IoU first; smaller area breaks ties (:962-1037)
+      val best = scored.maxBy { case (e, iou, _) => (iou, -e.area) }._1
+      // weak-match cutoff applies after the first pick (:944-959)
+      if (chosen.nonEmpty) {
+        val iou = best.geometry.intersection(remaining).getArea /
+          best.geometry.union(remaining).getArea
+        if (iou < iouThreshold) {
+          // still take it if it contributes real coverage, else stop
+          if (best.geometry.intersection(remaining).getArea <= coverageTolerance)
+            return simplify(query, chosen.toSeq)
+        }
+      }
+      chosen += best
+      available -= best
+      remaining = remaining.difference(best.geometry)
+    }
+    if (remaining.getArea > coverageTolerance)
+      throw new IllegalStateException(
+        "geometry not coverable by available extracts")
+    simplify(query, chosen.toSeq)
+  }
+
+  /** Remove redundant extracts: drop any whose removal still leaves the
+    * query covered (:1040-1193). */
+  private def simplify(query: Geometry, chosen: Seq[Extract]): Seq[Extract] = {
+    val keep = scala.collection.mutable.ArrayBuffer(chosen: _*)
+    var i = 0
+    while (i < keep.length) {
+      val without = keep.zipWithIndex.filter(_._2 != i).map(_._1)
+      if (without.nonEmpty) {
+        val covered = without.map(_.geometry).reduce(_.union(_))
+        if (query.difference(covered).getArea <= 1e-9) {
+          keep.remove(i)
+        } else i += 1
+      } else i += 1
+    }
+    keep.toSeq
+  }
+}

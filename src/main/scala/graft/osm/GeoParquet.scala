@@ -93,6 +93,24 @@ object GeoParquet {
     writer.end(kv)
   }
 
+  /** S5: hive-partitioned sink (pbf_file_reader.py:3138-3156) — partition
+    * the output by a computed column (the reference partitions way groups;
+    * any bucketing column works). */
+  def writePartitioned(features: DataFrame, path: String,
+      partitionCol: String): Unit =
+    features.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(path)
+
+  /** S7: URL source — download a PBF to a local path before reading
+    * (pbf_file_reader.py:1160-1171; driver-side, plain java.net). */
+  def downloadPbf(url: String, dest: String): String = {
+    val in = new java.net.URI(url).toURL.openStream()
+    try java.nio.file.Files.copy(in, java.nio.file.Paths.get(dest),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    dest
+  }
+
   /** S10: WKT text sink (pbf_file_reader.py:4175-4180). */
   def writeWkt(features: DataFrame, path: String): Unit =
     features

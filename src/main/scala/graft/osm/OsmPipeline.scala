@@ -255,6 +255,39 @@ object OsmPipeline {
       .withColumn("geometry", GeomUdfs.make_valid(col("geometry")))
   }
 
+  /** T2: compact-mode tag subsetting (pbf_file_reader.py:3729-3763) —
+    * rebuild the map keeping only entries that match the positive filter
+    * (keys in the filter whose values satisfy it). */
+  def filterTagsToMatched(features: DataFrame, filter: OsmTagsFilter): DataFrame = {
+    val keep = (k: Column, v: Column) =>
+      filter.toSeq.collect {
+        case (key, TagFilters.AnyValue) => k === key
+        case (key, TagFilters.Values(vs)) =>
+          k === key && vs.map(x =>
+            if (x.contains("*")) v.like(x.replace("*", "%")) else v === x)
+            .reduce(_ || _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+    features.withColumn("tags", map_filter(col("tags"), keep))
+      .filter(size(col("tags")) > 0)
+  }
+
+  /** T4: drop all-null columns from an exploded-schema result
+    * (pbf_file_reader.py:3991-4017) — one aggregated stats row collected
+    * to the driver (bounded by column count), then a plain projection. */
+  def dropEmptyColumns(df: DataFrame): DataFrame = {
+    val candidates = df.columns.filter(c => c != "feature_id" && c != "geometry")
+    if (candidates.isEmpty) df
+    else {
+      val counts = df.agg(
+        count(when(col(candidates.head).isNotNull, 1)).as(candidates.head),
+        candidates.tail.map(c => count(when(col(c).isNotNull, 1)).as(c)): _*)
+        .head()
+      val empty = candidates.zipWithIndex
+        .filter { case (_, i) => counts.getLong(i) == 0L }.map(_._1)
+      df.drop(empty: _*)
+    }
+  }
+
   /** T3: grouped-filter group columns (pbf_file_reader.py:3811-3946).
     * Exploded mode: one string column per group holding the first matching
     * `key=value` (CASE chain compiled to coalesce(when...)); compact mode:

@@ -165,6 +165,43 @@ class OsmPipelineSpec extends AnyFunSuite {
     assert(compact.filter(size(col("tags")) === 0).count() == 0)
   }
 
+  test("T2 compact subsetting keeps only filter-matching tag entries") {
+    val filter: OsmTagsFilter = Map(
+      "building" -> AnyValue, "amenity" -> Values(Seq("restaurant", "cafe")))
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter = Some(filter)))
+    val compact = OsmPipeline.filterTagsToMatched(f, filter)
+    // every remaining entry is from the filter's key set
+    val badKeys = compact
+      .select(explode(map_keys(col("tags"))).as("k"))
+      .filter(!col("k").isin("building", "amenity")).count()
+    assert(badKeys == 0)
+    // amenity values outside the allowed list are dropped from the map
+    assert(compact.filter(!element_at(col("tags"), "amenity")
+      .isin("restaurant", "cafe") &&
+      element_at(col("tags"), "amenity").isNotNull).count() == 0)
+  }
+
+  test("T4 drops all-null exploded columns") {
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter = Some(Map("building" -> AnyValue))))
+    val exploded = OsmPipeline.explodeTags(f,
+      Seq("building", "no_such_tag_key"))
+    assert(exploded.columns.contains("no_such_tag_key"))
+    val cleaned = OsmPipeline.dropEmptyColumns(exploded)
+    assert(!cleaned.columns.contains("no_such_tag_key"))
+    assert(cleaned.columns.contains("building"))
+  }
+
+  test("S5 hive-partitioned sink round-trips with partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("part").toString + "/by_kind"
+    val f = features.withColumn("k", split(col("feature_id"), "/").getItem(0))
+    GeoParquet.writePartitioned(f, out, "k")
+    val back = spark.read.parquet(out)
+    assert(back.count() == features.count())
+    assert(back.filter(col("k") === "way").count() == 4774)
+  }
+
   test("multi-file conversion dedups overlapping extracts (J3)") {
     // same file twice == one file (reference: cross-file feature_id dedup)
     val twice = OsmPipeline.features(spark, Seq(Monaco, Monaco),
