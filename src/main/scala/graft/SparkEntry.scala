@@ -43,6 +43,9 @@ object SparkEntry {
     "a7_extent_agg" -> (R.a7ExtentAgg _),
     "a8_distinct" -> (R.a8Distinct _),
     "a9_count_if" -> (R.a9CountIf _),
+    "ax_rollup" -> (R.axRollup _),
+    "ax_percentiles" -> (R.axPercentiles _),
+    "ax_approx_distinct" -> (R.axApproxDistinct _),
     // windows
     "w1_global_chunk" -> (R.w1GlobalChunk _),
     "w2_partitioned_row_number" -> (R.w2PartitionedRowNumber _),
@@ -182,6 +185,16 @@ object SparkEntry {
     "a9_count_if" ->
       """SELECT lang, count(*) FILTER (WHERE n_chars > 500) AS long_docs,
         |count(*) AS all_docs FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "ax_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "ax_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "w1_global_chunk" ->
       """SELECT grp, count(*) AS cnt, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM (SELECT o_orderkey,

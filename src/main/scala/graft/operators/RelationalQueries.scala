@@ -232,6 +232,32 @@ object RelationalQueries {
         count(lit(1)).as("all_docs"))
       .orderBy("lang")
 
+  /** Beyond-reference: ROLLUP grouping sets (subtotals + grand total). */
+  def axRollup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Beyond-reference: exact interpolated percentiles per group. */
+  def axPercentiles(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Beyond-reference: HLL approximate distinct (sketch differs per
+    * engine — rows-only check). */
+  def axApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   // -------------------------------------------------------------- windows --
 
   /** W1: global row_number chunking into bounded groups
