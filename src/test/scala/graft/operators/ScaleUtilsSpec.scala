@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleUtilsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    ScaleUtils.writeBucketed(
+      graft.Tables.lineitem(spark, dir), "li_bucketed", "l_orderkey", 8)
+    ScaleUtils.writeBucketed(
+      graft.Tables.orders(spark, dir)
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_bucketed", "l_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"), Seq("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("salted join returns exactly the same result as a plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(ord, Seq("l_orderkey"))
+      .agg(count(lit(1)), round(sum(col("l_quantity") * col("o_totalprice")), 2))
+      .head()
+    val salted = ScaleUtils.saltedJoin(li, ord, "l_orderkey", salts = 7)
+      .agg(count(lit(1)), round(sum(col("l_quantity") * col("o_totalprice")), 2))
+      .head()
+    assert(plain == salted)
+  }
+}
