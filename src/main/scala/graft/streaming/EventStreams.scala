@@ -99,6 +99,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (re-read per batch; broadcast by Catalyst when small). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
+  /** Stream-stream interval join with watermarks on both sides: purchases
+    * within 30 minutes after a click by the same user. State on both
+    * sides is bounded by the watermark + interval condition. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    clicks.join(purchases, expr(
+      """user_id = p_user_id AND
+        |purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Running per-user totals via mapGroupsWithState (NoTimeout, Update

@@ -77,6 +77,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(mismatched == 0)
   }
 
+  test("stream-static enrichment joins dimension values onto each batch") {
+    val stream = EventStreams.fileSource(spark, s"$Dir/events.parquet")
+    val dim = spark.range(1000).select(col("id").as("user_id"),
+      concat(lit("tier_"), pmod(col("id"), lit(3))).as("tier"))
+    val got = EventStreams.runToCompletion(
+      EventStreams.enrich(stream, dim, "user_id"), "enriched")
+    assert(got.count() == batchEvents.count())
+    assert(got.filter(col("tier").isNull && col("user_id") < 1000).count() == 0)
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = EventStreams.fileSource(spark, s"$Dir/events.parquet")
+    val got = EventStreams.runToCompletion(
+      EventStreams.clickToPurchase(stream), "click_purchase")
+    val e = batchEvents
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val expected = clicks.join(purchases, expr(
+      """user_id = p_user_id AND purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin)).count()
+    // append mode emits watermark-closed matches; every emitted row must be
+    // a true batch match and most of the bounded input closes
+    assert(got.count() > 0)
+    assert(got.count() <= expected)
+    val joinedBack = got.join(
+      clicks.join(purchases, expr(
+        """user_id = p_user_id AND purchase_ts >= click_ts AND
+          |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin))
+        .select(col("click_id"), col("purchase_id")),
+      Seq("click_id", "purchase_id"), "left_anti").count()
+    assert(joinedBack == 0, "every streamed match must exist in batch result")
+  }
+
   test("flatMapGroupsWithState sessionization emits sessions on processing-time timeout") {
     import spark.implicits._
     // stage the source in a temp dir so a later append can trigger the
