@@ -17,6 +17,20 @@ class ScaleUtilsSpec extends AnyFunSuite {
 
   test("bucketed tables join without a shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
+    // suites share one JVM session: drop catalog entries AND their
+    // managed locations from previous runs
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     ScaleUtils.writeBucketed(
       graft.Tables.lineitem(spark, dir), "li_bucketed", "l_orderkey", 8)
     ScaleUtils.writeBucketed(
