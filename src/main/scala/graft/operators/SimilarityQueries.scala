@@ -105,25 +105,25 @@ object SimilarityQueries {
     * all-pairs). */
   def x4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // the shared persisted shingle set feeds signatures, candidate
-    // generation, AND the exact intersection join
+    // generation, AND the exact verification
     val sh = docShingles(s, dir)
     val cand = lshPairs(minhashSignaturesFrom(sh))
       .select(col("doc_a"), col("doc_b"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val aSh = sh.select(col("doc_id").as("doc_a"), col("shash"))
-    val bSh = sh.select(col("doc_id").as("doc_b"), col("shash"))
-    val interCnt = cand.join(aSh, Seq("doc_a")).join(bSh, Seq("doc_b", "shash"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    // exact Jaccard via set expressions: candidate pairs are few (LSH
+    // bounds them), so carrying each doc's hash-set through the join is
+    // cheaper than a two-sided shingle-level intersection join
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shash")).as("set"))
     cand
-      .join(interCnt, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0, Seq("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
-          .as("jaccard"))
+        round(size(array_intersect(col("set_a"), col("set_b"))) /
+          (size(col("set_a")) + size(col("set_b")) -
+            size(array_intersect(col("set_a"), col("set_b")))).cast("double"),
+          6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
