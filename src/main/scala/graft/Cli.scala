@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.osm._
+import graft.osm.TagFilters._
+
+/** Command-line conversion entry point — the reference's CLI surface
+  * (/root/reference/quackosm/cli.py) on Spark:
+  *
+  * {{{
+  * runMain graft.Cli <input.osm.pbf> [<input2.osm.pbf> ...]
+  *   [--output DIR]            (default: <input>.parquet)
+  *   [--osm-tags-filter JSON]  e.g. '{"building": true, "highway": ["primary"]}'
+  *   [--geom-filter-bbox minx,miny,maxx,maxy]
+  *   [--geom-filter-wkt WKT]
+  *   [--geom-filter-geojson-file PATH]
+  *   [--geom-filter-geohash h1,h2,...]
+  *   [--filter-osm-ids way/1,node/2,...]
+  *   [--custom-sql-filter EXPR]
+  *   [--keep-all-tags] [--explode-tags] [--sort] [--wkt-result]
+  * }}}
+  */
+object Cli {
+
+  /** Parse the reference's OsmTagsFilter JSON (cli.py:263-301): values may
+    * be true/false, a string, or a list of strings; grouped filters are
+    * maps of maps. */
+  def parseTagsFilter(json: String): Either[OsmTagsFilter, GroupedFilter] = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root = new ObjectMapper().readTree(json)
+    def flat(n: JsonNode): OsmTagsFilter = {
+      val it = n.fields()
+      val out = scala.collection.mutable.Map.empty[String, TagMatch]
+      while (it.hasNext) {
+        val e = it.next()
+        out(e.getKey) = e.getValue match {
+          case v if v.isBoolean && v.asBoolean() => AnyValue
+          case v if v.isBoolean => Absent
+          case v if v.isTextual => Values(Seq(v.asText()))
+          case v if v.isArray =>
+            Values((0 until v.size()).map(i => v.get(i).asText()))
+          case v => throw new IllegalArgumentException(s"bad filter value: $v")
+        }
+      }
+      out.toMap
+    }
+    val isGrouped = root.fields().hasNext && {
+      val first = root.fields().next().getValue
+      first.isObject
+    }
+    if (isGrouped) {
+      val it = root.fields()
+      val out = scala.collection.mutable.Map.empty[String, OsmTagsFilter]
+      while (it.hasNext) {
+        val e = it.next()
+        out(e.getKey) = flat(e.getValue)
+      }
+      Right(out.toMap)
+    } else Left(flat(root))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = parseArgs(args.toList)
+    require(positional.nonEmpty, "usage: graft.Cli <input.osm.pbf> [flags]")
+    val output = flags.getOrElse("output",
+      positional.head.stripSuffix(".osm.pbf") + ".parquet")
+
+    var opts = OsmPipeline.Options(
+      customSqlFilter = flags.get("custom-sql-filter"),
+      osmIds = flags.get("filter-osm-ids")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      keepAllTags = flags.contains("keep-all-tags"))
+    flags.get("osm-tags-filter").foreach { json =>
+      parseTagsFilter(json) match {
+        case Left(f) => opts = opts.copy(tagsFilter = Some(f))
+        case Right(g) => opts = opts.copy(groupedFilter = Some(g))
+      }
+    }
+    val geom = flags.get("geom-filter-bbox").map(GeometryFilters.parseBbox)
+      .orElse(flags.get("geom-filter-wkt").map(GeometryFilters.parseWkt))
+      .orElse(flags.get("geom-filter-geojson-file").map(p =>
+        GeometryFilters.parseGeoJson(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))))
+      .orElse(flags.get("geom-filter-geohash").map(h =>
+        GeometryFilters.geohashesToGeometry(h.split(",").map(_.trim).toSeq)))
+    geom.foreach(g => opts = opts.copy(geometryWkt = Some(g.toText)))
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .appName("graft-convert")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      var features = OsmPipeline.features(spark, positional, opts)
+      if (flags.contains("explode-tags"))
+        features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
+      if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
+      else GeoParquet.write(features, output,
+        sortSpatially = flags.contains("sort"))
+      println(s"graft: wrote $output")
+    } finally spark.stop()
+  }
+
+  private def parseArgs(args: List[String]): (Map[String, String], Seq[String]) = {
+    val flags = scala.collection.mutable.Map.empty[String, String]
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rest = args
+    val boolFlags = Set("keep-all-tags", "explode-tags", "sort", "wkt-result")
+    while (rest.nonEmpty) {
+      rest match {
+        case flag :: tail if flag.startsWith("--") =>
+          val name = flag.stripPrefix("--")
+          if (boolFlags(name)) { flags(name) = "true"; rest = tail }
+          else tail match {
+            case v :: t2 => flags(name) = v; rest = t2
+            case Nil => throw new IllegalArgumentException(s"missing value for $flag")
+          }
+        case p :: tail => positional += p; rest = tail
+        case Nil =>
+      }
+    }
+    (flags.toMap, positional.toSeq)
+  }
+}

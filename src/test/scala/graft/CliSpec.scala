@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.osm.TagFilters._
+
+class CliSpec extends AnyFunSuite {
+  private val Monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+
+  test("tags-filter JSON parses flat and grouped forms (cli.py semantics)") {
+    val flat = Cli.parseTagsFilter(
+      """{"building": true, "highway": ["primary", "secondary"],
+        |"name": "Monaco", "landuse": false}""".stripMargin)
+    assert(flat == Left(Map(
+      "building" -> AnyValue,
+      "highway" -> Values(Seq("primary", "secondary")),
+      "name" -> Values(Seq("Monaco")),
+      "landuse" -> Absent)))
+    val grouped = Cli.parseTagsFilter(
+      """{"buildings": {"building": true}, "roads": {"highway": true}}""")
+    assert(grouped == Right(Map(
+      "buildings" -> Map("building" -> AnyValue),
+      "roads" -> Map("highway" -> AnyValue))))
+  }
+
+  test("end-to-end CLI conversion with filter + bbox + sort writes GeoParquet") {
+    val out = java.nio.file.Files.createTempDirectory("cli").toString + "/monaco"
+    Cli.main(Array(
+      Monaco,
+      "--output", out,
+      "--osm-tags-filter", """{"building": true}""",
+      "--geom-filter-bbox", "7.41,43.72,7.44,43.76",
+      "--sort"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val back = spark.read.parquet(out)
+    assert(back.count() > 500)
+    assert(back.columns.toSeq == Seq("feature_id", "tags", "geometry"))
+  }
+
+  test("exploded CLI output has per-key columns") {
+    val out = java.nio.file.Files.createTempDirectory("cli").toString + "/expl"
+    Cli.main(Array(
+      Monaco,
+      "--output", out,
+      "--osm-tags-filter", """{"amenity": ["restaurant", "cafe", "bar"]}""",
+      "--explode-tags"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val back = spark.read.parquet(out)
+    assert(back.columns.contains("amenity"))
+    assert(back.count() > 0)
+  }
+}
