@@ -5,10 +5,10 @@ import graft.operators.{MultimodalOps => M, RelationalQueries => R, TextQueries 
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Query names carry the SURVEY §2 operator ids they demonstrate; every
-  * SQL-expressible query has a DuckDB oracle below. Queries with no oracle
-  * entry (minhash/simhash/LSH — engine-specific hash functions) get the
-  * driver's rows-only check.
+  * Query names carry the SURVEY §2 operator ids they demonstrate; EVERY
+  * query has a DuckDB oracle below — including the minhash/simhash/LSH
+  * family, whose hashing is engine-portable (md5-prefix based) precisely
+  * so it can be re-derived in an independent SQL engine.
   */
 object SparkEntry {
 
@@ -309,5 +309,98 @@ object SparkEntry {
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // The x2-x6 oracles reproduce the engine's PORTABLE hashing (28-bit
+    // md5-prefix + affine rehash mod 1e9+7; literal ±1 hyperplanes) — the
+    // whole near-dup/LSH surface is hash-verified, not rows-only.
+    "x2_minhash_lsh" -> (MinhashOracleCtes +
+      """
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    "x3_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 7))::BIGINT AS wh FROM w
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN 1 << b ELSE 0 END AS bit
+        |  FROM wh, range(0, 16) AS r(b) GROUP BY doc_id, b
+        |)
+        |SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x4_ngram_jaccard" -> (MinhashOracleCtes +
+      """,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list(shash) AS s FROM shash GROUP BY doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(len(list_intersect(sa.s, sb.s)) /
+        |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE, 6) AS jaccard
+        |FROM pairs JOIN sets sa ON pairs.doc_a = sa.doc_id
+        |           JOIN sets sb ON pairs.doc_b = sb.doc_id
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    "x5_ann_buckets" -> {
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN list_inner_product(embedding::DOUBLE[], " +
+          s"${operators.SimilarityQueries.planeSignsSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH proj AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket FROM embeddings
+         |)
+         |SELECT b.vec_id, round(list_cosine_similarity(b.v, q.v), 6) AS cosine
+         |FROM proj b JOIN proj q ON b.bucket = q.bucket AND q.vec_id = 0
+         |WHERE b.vec_id <> 0
+         |ORDER BY cosine DESC, b.vec_id ASC LIMIT 10""".stripMargin
+    },
+    "x6_embedding_near_dup" -> {
+      val bucket = (0 until 6).map(p =>
+        s"(CASE WHEN list_inner_product(embedding::DOUBLE[], " +
+          s"${operators.SimilarityQueries.planeSignsSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH proj AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket FROM embeddings
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+         |FROM proj a JOIN proj b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
   )
+
+  /** Shared CTE prefix for the minhash-family oracles: documents → word
+    * 3-gram shingles → portable 28-bit hashes → 16-perm minhash signatures
+    * → 4-row LSH bands. Mirrors SimilarityQueries exactly. */
+  private val MinhashOracleCtes: String =
+    """WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents
+      |), shl AS (
+      |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |    ELSE list_transform(range(0, len(ws) - 2),
+      |      i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END AS shingles
+      |  FROM ws
+      |), shash AS (
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS shash
+      |  FROM (SELECT doc_id, UNNEST(shingles) AS s FROM shl)
+      |), mh AS (
+      |  SELECT doc_id, perm, min((37 * (perm + 1) * shash + 101 * perm + 7) % 1000000007) AS h
+      |  FROM shash, range(0, 16) AS r(perm)
+      |  GROUP BY doc_id, perm
+      |), sig AS (
+      |  SELECT doc_id, list(h ORDER BY perm) AS sig FROM mh GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, sig, band, array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS band_key
+      |  FROM sig, range(0, 4) AS b(band)
+      |)""".stripMargin
 }

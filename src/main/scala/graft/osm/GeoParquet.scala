@@ -49,8 +49,13 @@ object GeoParquet {
       max(col("_ext._3")).as("xmax"), max(col("_ext._4")).as("ymax"),
       collect_set(udf(GeomUdfs.geomType).apply(col("geometry"))).as("types"))
       .head()
-    val bbox = (stats.getDouble(0), stats.getDouble(1),
-      stats.getDouble(2), stats.getDouble(3))
+    // Empty input: min/max come back null — still write the file (with a
+    // degenerate bbox and no geometry types), matching the reference's
+    // empty-result GeoParquet output.
+    val bbox =
+      if (stats.isNullAt(0)) (0.0, 0.0, 0.0, 0.0)
+      else (stats.getDouble(0), stats.getDouble(1),
+        stats.getDouble(2), stats.getDouble(3))
     val types = stats.getSeq[String](4)
 
     val sorted =

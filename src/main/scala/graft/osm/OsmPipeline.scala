@@ -226,7 +226,10 @@ object OsmPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK) // reused 3× below
     val inner = validRings.filter(col("role") === "inner")
       .select(col("id"), col("polygon").as("inner_poly"))
-    val outer = validRings.filter(col("role") =!= "inner")
+    // ref_role = 'outer' exactly (pbf_file_reader.py:3323): members with
+    // non-standard roles (e.g. "part") are excluded from BOTH inner and
+    // outer sets, matching the reference.
+    val outer = validRings.filter(col("role") === "outer")
       .select(col("id"), col("geometry_id"), col("polygon"))
     val outerWithHoles = outer.join(inner, Seq("id"))
       .filter(GeomUdfs.within(col("inner_poly"), col("polygon")))

@@ -54,9 +54,17 @@ object PbfDecoder {
     else if (zStart >= 0) {
       val inf = new Inflater()
       inf.setInput(blob, zStart, zLen)
-      val out = new Array[Byte](if (rawSize > 0) rawSize else zLen * 8)
+      var out = new Array[Byte](if (rawSize > 0) rawSize else math.max(zLen * 8, 1 << 16))
       var n = 0
-      while (!inf.finished() && n < out.length) n += inf.inflate(out, n, out.length - n)
+      while (!inf.finished()) {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        val got = inf.inflate(out, n, out.length - n)
+        if (got == 0 && !inf.finished())
+          throw new IllegalStateException(
+            s"pbf: malformed zlib blob (inflater stalled at $n bytes, " +
+              s"needsInput=${inf.needsInput()}, needsDict=${inf.needsDictionary()})")
+        n += got
+      }
       inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
     } else throw new IllegalStateException("pbf: blob has neither raw nor zlib data")

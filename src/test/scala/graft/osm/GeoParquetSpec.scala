@@ -66,6 +66,24 @@ class GeoParquetSpec extends AnyFunSuite {
       s"sorted=$sortedStep shuffled=$shuffledStep")
   }
 
+  test("empty feature set still writes a GeoParquet file with geo footer") {
+    val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/empty"
+    // a tag filter matching nothing → zero features, degenerate bbox
+    val features = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter =
+        Some(Map("no_such_tag_key_xyz" -> graft.osm.TagFilters.AnyValue))))
+    GeoParquet.write(features, out, singleFile = true)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 0)
+    val conf = spark.sessionState.newHadoopConf()
+    val file = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(out + "/data.parquet"), conf)
+    val kv = org.apache.parquet.hadoop.ParquetFileReader.open(file)
+      .getFooter.getFileMetaData.getKeyValueMetaData
+    assert(kv.containsKey("geo"))
+    assert(kv.get("geo").contains(""""bbox":[0.0,0.0,0.0,0.0]"""))
+  }
+
   test("WKT sink writes readable text geometries") {
     val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/wkt"
     val f = OsmPipeline.features(spark, Seq(Monaco),
