@@ -43,7 +43,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The reference's core workload, timed as its own metric (kept out of
+    // the queries total so round-over-round totals stay comparable):
+    // full monaco PBF -> sorted single-file GeoParquet conversion.
+    val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+    val pbfSec =
+      if (new java.io.File(monaco).exists()) {
+        val out = java.nio.file.Files.createTempDirectory("graftbench")
+          .toString + "/monaco"
+        val t0 = System.nanoTime()
+        try {
+          val f = osm.OsmPipeline.features(spark, Seq(monaco), osm.OsmPipeline.Options())
+          osm.GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      } else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pbf_monaco_convert_sec":$pbfSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

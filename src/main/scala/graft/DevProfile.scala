@@ -15,7 +15,60 @@ object DevProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (name == "x2parts") {
+    if (name == "pbf") {
+      if (sys.env.contains("NO_BROADCAST")) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      }
+      sys.env.get("SHUFFLE_PARTS").foreach(n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n))
+      sys.env.get("NO_AQE").foreach(_ =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false"))
+      val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          stageTimes.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60), ms))
+        }
+      })
+      for (i <- 1 to reps) {
+        val out = java.nio.file.Files.createTempDirectory("pbfbench").toString + "/out"
+        val t0 = System.nanoTime()
+        val features = osm.OsmPipeline.features(spark,
+          Seq("/root/reference/tests/test_files/monaco.osm.pbf"),
+          osm.OsmPipeline.Options())
+        osm.GeoParquet.write(features, out, singleFile = true, sortSpatially = true)
+        println(f"convert$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (i == reps) {
+          import scala.jdk.CollectionConverters._
+          val all = stageTimes.asScala.toSeq
+          val byTime = all.sortBy(-_._2._2).take(12)
+          byTime.foreach { case (id, (n, ms)) => println(f"  stage $id%4d ${ms}%6d ms  $n") }
+          val bc = all.filter(_._2._1.contains("CompletableFuture"))
+          println(f"  stages=${all.size} sumMs=${all.map(_._2._2).sum}  " +
+            f"broadcastJobs=${bc.size} broadcastSumMs=${bc.map(_._2._2).sum}")
+        }
+        stageTimes.clear()
+      }
+    } else if (name == "pbfparts") {
+      val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      t("raw_scan")(spark.read.format("osmpbf").load(monaco).count())
+      t("raw_scan2")(spark.read.format("osmpbf").load(monaco).count())
+      val f1 = osm.OsmPipeline.features(spark, Seq(monaco), osm.OsmPipeline.Options())
+      t("features_count")(f1.count())
+      val f2 = osm.OsmPipeline.features(spark, Seq(monaco), osm.OsmPipeline.Options())
+      t("features_count2")(f2.count())
+      val out = java.nio.file.Files.createTempDirectory("pbfbench").toString + "/out"
+      val f3 = osm.OsmPipeline.features(spark, Seq(monaco), osm.OsmPipeline.Options())
+      t("write")({ osm.GeoParquet.write(f3, out, singleFile = true, sortSpatially = true); 1L })
+    } else if (name == "x2parts") {
       def t(label: String)(f: => Long): Unit = {
         val t0 = System.nanoTime()
         val n = f

@@ -41,6 +41,16 @@ object GeoParquet {
   def write(features: DataFrame, path: String, singleFile: Boolean = true,
       sortSpatially: Boolean = false): Unit = {
     val spark = features.sparkSession
+    // The upstream plan (a full conversion DAG) is consumed two or three
+    // times below (stats pass, optional sort, write) — materialize it ONCE.
+    val mat = features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeMaterialized(spark, mat, path, singleFile, sortSpatially)
+    finally mat.unpersist(blocking = false)
+  }
+
+  private def writeMaterialized(spark: org.apache.spark.sql.SparkSession,
+      features: DataFrame, path: String, singleFile: Boolean,
+      sortSpatially: Boolean): Unit = {
     val extentUdf = udf(GeomUdfs.extent)
     val typed = features.withColumn("_ext", extentUdf(col("geometry")))
     // one combined stats pass: bbox (4 min/max) + distinct geometry types

@@ -70,12 +70,23 @@ object OsmPipeline {
       if (pbfPaths.size > 1) raw.dropDuplicates("kind", "id") else raw
 
     // --- base per-kind views (F1, pbf_file_reader.py:1546-1573) ---
+    // Persisted column-pruned, one per kind: every downstream consumer
+    // (refs unnest, validity closure, tag filter) otherwise re-decodes the
+    // PBF blobs. The reference's first act is materializing exactly this
+    // split to parquet (nodes_valid_with_tags / ways_* / relations_*).
     val nodes = elements
       .filter(col("kind") === "node" && col("lat").isNotNull && col("lon").isNotNull)
+      .select(col("kind"), col("id"), col("tags"), col("lat"), col("lon"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ways = elements.filter(col("kind") === "way" && size(col("refs")) >= 2)
+      .select(col("kind"), col("id"), col("tags"), col("refs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val relations = elements.filter(col("kind") === "relation" &&
       size(col("refs")) > 0 &&
       element_at(col("tags"), "type").isin("boundary", "multipolygon"))
+      .select(col("kind"), col("id"), col("tags"), col("refs"),
+        col("ref_types"), col("ref_roles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- user filter clause over raw tags (F2/F5/F6/F9) ---
     def matchClause(df: DataFrame): Column = {
@@ -94,8 +105,14 @@ object OsmPipeline {
     }
 
     // --- geometry filter: bbox pushdown + exact test (F7+F8) ---
+    // The slim id/x/y projection of every node is the pipeline's most
+    // reused cut (ref-closure, way assembly, node features, geometry
+    // filter) — the reference materializes it as its nodes_valid_with_tags
+    // parquet (pbf_file_reader.py:1546-1573); here it's a persisted
+    // 20-byte-per-node columnar cut.
     val nodePointsAll = nodes.select(col("id"),
       round(col("lon"), 7).as("x"), round(col("lat"), 7).as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val intersectingNodeIds: Option[DataFrame] = opts.geometryWkt.map { wkt =>
       val env = new org.locationtech.jts.io.WKTReader().read(wkt).getEnvelopeInternal
       val pig = new PointInGeom(wkt)
@@ -108,14 +125,19 @@ object OsmPipeline {
     }
 
     // --- unnested refs (G1, pbf_file_reader.py:2238-2271) ---
+    // Both unnested-ref cuts feed 3-4 consumers (validity closure,
+    // intersection cascade, assembly) — persisted like the reference's
+    // ways_required_ids / relations_ids stages (128 MB-file id stages).
     val wayRefs = ways.select(col("id"),
       posexplode(col("refs")).as(Seq("ref_idx", "ref")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val relRefs = relations.select(col("id"),
       posexplode(arrays_zip(col("refs"), col("ref_types"), col("ref_roles")))
         .as(Seq("ref_idx", "m")))
       .select(col("id"), col("ref_idx"), col("m.refs").as("ref"),
         col("m.ref_types").as("ref_type"), col("m.ref_roles").as("ref_role"))
       .filter(col("ref_type") === "way")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- ref-closure validity (J2, pbf_file_reader.py:2430-2476) ---
     val nodeIds = nodePointsAll.select(col("id").as("ref"))
@@ -123,6 +145,7 @@ object OsmPipeline {
       .select(col("id")).distinct()
     val validWayIds = ways.select(col("id"))
       .join(invalidWayIds, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers, ids only
     val invalidRelIds = relRefs
       .join(validWayIds.withColumnRenamed("id", "ref"), Seq("ref"), "left_anti")
       .select(col("id")).distinct()
@@ -155,6 +178,7 @@ object OsmPipeline {
       .select(col("id"), col("tags"))
       .join(relsIntersected, Seq("id"), "left_semi")
       .join(validRelIds, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK) // member cascade + output join
 
     // --- required way set: members of kept relations (J1 cascade) ---
     val requiredWayIds = relRefs
