@@ -78,6 +78,7 @@ object SparkEntry {
     "x4_ngram_jaccard" -> (X.x4NgramJaccard _),
     "x5_ann_buckets" -> (X.x5AnnBuckets _),
     "x6_embedding_near_dup" -> (X.x6EmbeddingNearDup _),
+    "x7_ivf_topk" -> (operators.IvfAnn.x7IvfTopK _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -376,6 +377,27 @@ object SparkEntry {
          |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
+    "x7_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+        |  FROM e CROSS JOIN c
+        |), cells AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1
+        |), qcells AS (
+        |  SELECT cid AS cell FROM (
+        |    SELECT cid, row_number() OVER (ORDER BY sim DESC, cid) AS rn
+        |    FROM sims WHERE vec_id = 0)
+        |  WHERE rn <= 2
+        |), q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT cells.vec_id, round(list_cosine_similarity(cells.v, q.qv), 6) AS cosine
+        |FROM cells JOIN qcells ON cells.cell = qcells.cell CROSS JOIN q
+        |WHERE cells.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
   )
 
   /** Shared CTE prefix for the minhash-family oracles: documents → word

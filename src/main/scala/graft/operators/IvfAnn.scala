@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path for embedding search, complementing the sign-LSH buckets of
+  * [[SimilarityQueries]].
+  *
+  * Shape (the 100 TB design):
+  *  - K centroids are tiny → always BROADCAST; cell assignment is a
+  *    map-side argmax over K cosine similarities (one narrow shuffle by
+  *    vec_id for the deterministic rank-1 pick).
+  *  - the corpus is then partitioned by cell id; a query probes only
+  *    `NProbe` cells — the candidate scan is 1/K of the data per probe,
+  *    and each cell is searched independently (embarrassingly parallel).
+  *  - `trainCentroids` runs Lloyd's k-means as pure DataFrame ops
+  *    (assign = broadcast argmax, update = explode to (cell, dim) and
+  *    average) — deterministic given the deterministic first-K init, so
+  *    results are reproducible across runs and cluster sizes.
+  *
+  * The gate query ([[x7IvfTopK]]) uses untrained first-K centroids so an
+  * independent SQL engine can reproduce it bit-for-bit; the trained path
+  * is exercised by IvfAnnSpec (recall vs the brute-force baseline).
+  */
+object IvfAnn {
+
+  val K = 16
+  val NProbe = 2
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** (vec_id, v, sim, cid) for every vector × centroid pair; centroids
+    * broadcast. */
+  private def centroidSims(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        cosine(col("v"), col("cv")).as("sim"))
+
+  /** Nearest-centroid cell per vector (rank-1 by sim desc, cid asc — the
+    * tie-break is pinned so any engine reproduces the same assignment). */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    centroidSims(emb, cents)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+
+  /** Gate query: IVF top-10 for the vec_id=0 query with untrained
+    * centroids (the first K vectors by id) and NProbe=2. */
+  def x7IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = vectors(s, dir)
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    ivfSearch(emb, cents)
+  }
+
+  /** IVF search against an arbitrary centroid table (cid, cv). */
+  def ivfSearch(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val sims = centroidSims(emb, cents)
+    val cells = assignCells(emb, cents)
+    val qcells = sims.filter(col("vec_id") === 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("sim").desc, col("cid").asc)))
+      .filter(col("rn") <= NProbe)
+      .select(col("cid").as("cell"))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    cells.filter(col("vec_id") =!= 0)
+      .join(broadcast(qcells), Seq("cell"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Lloyd's k-means over the embedding column, pure DataFrame ops.
+    * Init = first `k` vectors by id (deterministic). Each iteration:
+    * assign (broadcast argmax) → update (posexplode to (cell, dim),
+    * average, re-assemble). Returns (cid, cv). `iters` is small and the
+    * centroid table is tiny, so the loop materializes K×dim doubles per
+    * round — the corpus is scanned once per iteration, never collected. */
+  def trainCentroids(emb: DataFrame, k: Int = K, iters: Int = 5): DataFrame = {
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(emb, cents)
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+    }
+    cents
+  }
+
+  /** Trained-IVF search: train on the corpus, then probe. */
+  def ivfTrainedTopK(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val emb = vectors(s, dir)
+    val cents = trainCentroids(emb, K, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfSearch(emb, cents)
+  }
+}
