@@ -68,6 +68,15 @@ object DevProfile {
       val out = java.nio.file.Files.createTempDirectory("pbfbench").toString + "/out"
       val f3 = osm.OsmPipeline.features(spark, Seq(monaco), osm.OsmPipeline.Options())
       t("write")({ osm.GeoParquet.write(f3, out, singleFile = true, sortSpatially = true); 1L })
+    } else if (name == "plans") {
+      val names = if (args.length > 1 && args(1).contains(","))
+        args(1).split(",").toSeq else SparkEntry.queries.keys.toSeq.sorted
+      val dir = "/root/testdata/sf0.01"
+      names.foreach { n =>
+        println(s"===== $n =====")
+        println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
     } else if (name == "x2parts") {
       def t(label: String)(f: => Long): Unit = {
         val t0 = System.nanoTime()
