@@ -26,11 +26,17 @@ object GeoParquet {
   def geoMetadataJson(
       geometryTypes: Seq[String],
       bbox: (Double, Double, Double, Double),
-      encoding: String = "WKB"): String = {
+      encoding: String = "WKB",
+      covering: Boolean = false): String = {
     val types = geometryTypes.sorted.map(t => s""""$t"""").mkString("[", ",", "]")
+    val cover =
+      if (covering)
+        ""","covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],""" +
+          """"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}"""
+      else ""
     s"""{"version":"1.1.0","primary_column":"geometry","columns":{"geometry":""" +
       s"""{"encoding":"$encoding","crs":$CrsLonLat,"geometry_types":$types,""" +
-      s""""bbox":[${bbox._1},${bbox._2},${bbox._3},${bbox._4}]}},""" +
+      s""""bbox":[${bbox._1},${bbox._2},${bbox._3},${bbox._4}]$cover}},""" +
       s""""creator":{"library":"graft","version":"0.1.0"}}"""
   }
 
@@ -39,18 +45,18 @@ object GeoParquet {
     * post-pass. `singleFile=true` reproduces the reference's one-file
     * output (S4); false keeps one file per partition (S3). */
   def write(features: DataFrame, path: String, singleFile: Boolean = true,
-      sortSpatially: Boolean = false): Unit = {
+      sortSpatially: Boolean = false, covering: Boolean = false): Unit = {
     val spark = features.sparkSession
     // The upstream plan (a full conversion DAG) is consumed two or three
     // times below (stats pass, optional sort, write) — materialize it ONCE.
     val mat = features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try writeMaterialized(spark, mat, path, singleFile, sortSpatially)
+    try writeMaterialized(spark, mat, path, singleFile, sortSpatially, covering)
     finally mat.unpersist(blocking = false)
   }
 
   private def writeMaterialized(spark: org.apache.spark.sql.SparkSession,
       features: DataFrame, path: String, singleFile: Boolean,
-      sortSpatially: Boolean): Unit = {
+      sortSpatially: Boolean, covering: Boolean = false): Unit = {
     val extentUdf = udf(GeomUdfs.extent)
     val typed = features.withColumn("_ext", extentUdf(col("geometry")))
     // one combined stats pass: bbox (4 min/max) + distinct geometry types
@@ -71,11 +77,24 @@ object GeoParquet {
     val sorted =
       if (sortSpatially) spatialSort(features, bbox)
       else features
-    val out = if (singleFile) sorted.coalesce(1) else sorted
+    // GeoParquet 1.1 per-row bbox covering column: with the spatial sort,
+    // parquet row-group min/max stats on these four doubles prune
+    // row groups on bbox reads ([[readCovered]]) — the at-scale spatial
+    // access path (row groups of Hilbert-adjacent features have tight
+    // bboxes).
+    val covered =
+      if (covering) sorted
+        .withColumn("_ext", extentUdf(col("geometry")))
+        .withColumn("bbox", struct(
+          col("_ext._1").as("xmin"), col("_ext._2").as("ymin"),
+          col("_ext._3").as("xmax"), col("_ext._4").as("ymax")))
+        .drop("_ext")
+      else sorted
+    val out = if (singleFile) covered.coalesce(1) else covered
     val tmp = path + "_tmp_plain"
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
 
-    val meta = geoMetadataJson(types, bbox)
+    val meta = geoMetadataJson(types, bbox, covering = covering)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     fs.delete(new Path(path), true)
@@ -107,6 +126,17 @@ object GeoParquet {
     extra.foreach { case (k, v) => kv.put(k, v) }
     writer.end(kv)
   }
+
+  /** Bbox read over a covering-enabled GeoParquet: the window predicate
+    * lands on the four plain double columns of the `bbox` struct, so it is
+    * pushed into the parquet scan (PushedFilters) and prunes row groups /
+    * files via their min/max stats before any geometry is decoded. Exact
+    * geometry tests can follow on the survivors. */
+  def readCovered(spark: org.apache.spark.sql.SparkSession, path: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("bbox.xmin") <= xmax && col("bbox.xmax") >= xmin &&
+        col("bbox.ymin") <= ymax && col("bbox.ymax") >= ymin)
 
   /** S5: hive-partitioned sink (pbf_file_reader.py:3138-3156) — partition
     * the output by a computed column (the reference partitions way groups;

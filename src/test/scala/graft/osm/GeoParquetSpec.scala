@@ -84,6 +84,38 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(kv.get("geo").contains(""""bbox":[0.0,0.0,0.0,0.0]"""))
   }
 
+  test("covering bbox column enables pushed-down spatial reads") {
+    val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/cov"
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter =
+        Some(Map("building" -> graft.osm.TagFilters.AnyValue))))
+    GeoParquet.write(f, out, singleFile = true, sortSpatially = true,
+      covering = true)
+
+    // covering metadata present
+    val conf = spark.sessionState.newHadoopConf()
+    val file = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(out + "/data.parquet"), conf)
+    val geo = org.apache.parquet.hadoop.ParquetFileReader.open(file)
+      .getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+    assert(geo.contains(""""covering":{"bbox""""))
+
+    // a sub-window read: pushed filters hit the bbox struct leaves
+    val q = GeoParquet.readCovered(spark, out, 7.42, 43.73, 7.43, 43.74)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PushedFilters") && plan.contains("bbox.xmin"),
+      s"bbox predicate must reach the scan:\n$plan")
+
+    // results equal the brute-force bbox intersection over all rows
+    val ext = udf(GeomUdfs.extent)
+    val all = spark.read.parquet(out)
+      .withColumn("e", ext(col("geometry")))
+      .filter(col("e._1") <= 7.43 && col("e._3") >= 7.42 &&
+        col("e._2") <= 43.74 && col("e._4") >= 43.73)
+    assert(q.count() == all.count() && q.count() > 0)
+  }
+
   test("WKT sink writes readable text geometries") {
     val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/wkt"
     val f = OsmPipeline.features(spark, Seq(Monaco),
