@@ -77,6 +77,34 @@ object DevProfile {
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
+    } else if (name == "pbfscale") {
+      // replicate monaco `reps` times (offset ids/refs, shift lon) into one
+      // big PBF, then time the full no-filter conversion on it
+      val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+      val base = pbf.PbfWriter.fromRows(
+        spark.read.format("osmpbf").load(monaco)).collect()
+      val big = java.nio.file.Files.createTempDirectory("pbfscale").toString + "/big.osm.pbf"
+      val t0 = System.nanoTime()
+      val replicated = (0 until reps).iterator.flatMap { i =>
+        val off = i.toLong * 100000000000L
+        base.iterator.map { e =>
+          e.copy(id = e.id + off,
+            refs = if (e.refs == null) null else e.refs.map(_ + off),
+            lon = if (e.lon.isNaN) e.lon else e.lon + 0.2 * i)
+        }
+      }
+      val n = pbf.PbfWriter.write(replicated, big)
+      println(f"wrote $n elements (${new java.io.File(big).length() / 1e6}%.1f MB) " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      for (r <- 1 to 2) {
+        val out = java.nio.file.Files.createTempDirectory("pbfscale").toString + "/out"
+        val t1 = System.nanoTime()
+        val f = osm.OsmPipeline.features(spark, Seq(big), osm.OsmPipeline.Options())
+        osm.GeoParquet.write(f, out, singleFile = false, sortSpatially = true)
+        val dt = (System.nanoTime() - t1) / 1e9
+        val rows = spark.read.parquet(out).count()
+        println(f"convert$r: $dt%.1f s ($rows features, ${n / dt}%.0f elem/s)")
+      }
     } else if (name == "x2parts") {
       def t(label: String)(f: => Long): Unit = {
         val t0 = System.nanoTime()
