@@ -96,7 +96,20 @@ object DevProfile {
       val n = pbf.PbfWriter.write(replicated, big)
       println(f"wrote $n elements (${new java.io.File(big).length() / 1e6}%.1f MB) " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(s"scan partitions: " +
+        spark.read.format("osmpbf").load(big).rdd.getNumPartitions)
+      val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          stageTimes.put(si.stageId,
+            (si.name.takeWhile(_ != '\n').take(70), ms, si.taskMetrics.executorRunTime))
+        }
+      })
       for (r <- 1 to 2) {
+        stageTimes.clear()
         val out = java.nio.file.Files.createTempDirectory("pbfscale").toString + "/out"
         val t1 = System.nanoTime()
         val f = osm.OsmPipeline.features(spark, Seq(big), osm.OsmPipeline.Options())
@@ -104,6 +117,13 @@ object DevProfile {
         val dt = (System.nanoTime() - t1) / 1e9
         val rows = spark.read.parquet(out).count()
         println(f"convert$r: $dt%.1f s ($rows features, ${n / dt}%.0f elem/s)")
+        if (r == 2) {
+          import scala.jdk.CollectionConverters._
+          stageTimes.asScala.toSeq.sortBy(-_._2._2).take(14).foreach {
+            case (id, (nm, ms, cpu)) =>
+              println(f"  stage $id%4d wall=${ms}%6d ms cpu=${cpu}%6d ms  $nm")
+          }
+        }
       }
     } else if (name == "x2parts") {
       def t(label: String)(f: => Long): Unit = {

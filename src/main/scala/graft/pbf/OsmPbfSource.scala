@@ -172,9 +172,16 @@ class OsmPbfScan(paths: Seq[String], requiredSchema: StructType, kinds: Set[Stri
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
     val blobs = OsmPbfSource.scanBlobs(paths, conf)
-    // Pack consecutive blobs (locality) into ~32 MB compressed splits;
-    // blobs inflate ~2×, so this tracks maxPartitionBytes-ish sizes.
-    val target = 32L * 1024 * 1024
+    // Pack consecutive blobs (locality) into compressed splits. Cap at
+    // ~32 MB (blobs inflate ~2×, tracking maxPartitionBytes-ish sizes at
+    // cluster scale) but ALSO divide small inputs across the available
+    // cores — a 24 MB extract must not become one single-threaded split.
+    val parallelism =
+      try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+      catch { case _: Throwable => 8 }
+    val totalBytes = blobs.map(_.length.toLong).sum
+    val target = math.max(1L << 20,
+      math.min(32L * 1024 * 1024, totalBytes / math.max(1, parallelism) + 1))
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     var cur = scala.collection.mutable.ArrayBuffer.empty[OsmPbfSource.BlobRef]
     var curBytes = 0L
