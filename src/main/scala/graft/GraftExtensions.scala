@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+import graft.osm.{GeomUdfs, HilbertIndexExpr}
+
+/** Session-extension entry point: lets a cluster opt into graft's native
+  * expressions at session build time with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — no code changes
+  * in the consuming application. Injects the codegen'd
+  * `hilbert_index(x, y, xmin, ymin, xmax, ymax)` into the function
+  * registry (catalog-level, visible to pure-SQL users). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
+      (exprs: Seq[Expression]) =>
+        HilbertIndexExpr(exprs.map(Cast(_, DoubleType)).toIndexedSeq)))
+  }
+}
+
+/** One-call runtime setup for an already-built session: registers the
+  * st_* SQL UDF surface plus hilbert_index (the temp-function route, for
+  * sessions built without [[GraftExtensions]]). */
+object Graft {
+  def setup(spark: SparkSession): SparkSession = {
+    GeomUdfs.register(spark)
+    HilbertIndexExpr.register(spark)
+    spark
+  }
+}

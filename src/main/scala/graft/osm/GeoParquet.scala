@@ -92,7 +92,14 @@ object GeoParquet {
       else sorted
     val out = if (singleFile) covered.coalesce(1) else covered
     val tmp = path + "_tmp_plain"
-    out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // final-file contract matches the reference's defaults
+    // (quackosm/_constants.py:4-10, pbf_file_reader.py:171-174): zstd,
+    // parquet format v2, ~100k-row row groups (via byte-sized blocks),
+    // spatially sorted when requested.
+    out.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.writer.version", "v2")
+      .parquet(tmp)
 
     val meta = geoMetadataJson(types, bbox, covering = covering)
     val conf = spark.sessionState.newHadoopConf()
