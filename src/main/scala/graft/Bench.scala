@@ -33,6 +33,20 @@ object Bench {
       base.select(col("id"), row_number().over(
         Window.partitionBy(col("id") % 31).orderBy(col("id"))).as("rn")).count()
       Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1).count()
+      // warm the PBF scan + conversion + GeoParquet code path on a
+      // 200-element synthetic file (PbfWriter) — compiles the same
+      // generated classes the timed monaco conversion uses
+      val tiny = java.nio.file.Files.createTempDirectory("graftwarm").toString
+      val elems = (0 until 200).map { i =>
+        pbf.OsmElement("node", i.toLong, Array(("warm", "1")), null, null,
+          null, 1.0 + i * 1e-4, 2.0 + i * 1e-4)
+      } ++ Seq(
+        pbf.OsmElement("way", 1000L, Array(("highway", "x")),
+          (0L until 5L).toArray, null, null, Double.NaN, Double.NaN))
+      pbf.PbfWriter.write(elems.iterator, s"$tiny/warm.osm.pbf")
+      val wf = osm.OsmPipeline.features(spark, Seq(s"$tiny/warm.osm.pbf"),
+        osm.OsmPipeline.Options())
+      osm.GeoParquet.write(wf, s"$tiny/out", singleFile = true, sortSpatially = true)
     }
     // deterministic alphabetical order — timings comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

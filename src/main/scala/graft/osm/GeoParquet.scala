@@ -45,18 +45,21 @@ object GeoParquet {
     * post-pass. `singleFile=true` reproduces the reference's one-file
     * output (S4); false keeps one file per partition (S3). */
   def write(features: DataFrame, path: String, singleFile: Boolean = true,
-      sortSpatially: Boolean = false, covering: Boolean = false): Unit = {
+      sortSpatially: Boolean = false, covering: Boolean = false,
+      maxRecordsPerFile: Long = 0L): Unit = {
     val spark = features.sparkSession
     // The upstream plan (a full conversion DAG) is consumed two or three
     // times below (stats pass, optional sort, write) — materialize it ONCE.
     val mat = features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try writeMaterialized(spark, mat, path, singleFile, sortSpatially, covering)
+    try writeMaterialized(spark, mat, path, singleFile, sortSpatially, covering,
+      maxRecordsPerFile)
     finally mat.unpersist(blocking = false)
   }
 
   private def writeMaterialized(spark: org.apache.spark.sql.SparkSession,
       features: DataFrame, path: String, singleFile: Boolean,
-      sortSpatially: Boolean, covering: Boolean = false): Unit = {
+      sortSpatially: Boolean, covering: Boolean = false,
+      maxRecordsPerFile: Long = 0L): Unit = {
     val extentUdf = udf(GeomUdfs.extent)
     val typed = features.withColumn("_ext", extentUdf(col("geometry")))
     // one combined stats pass: bbox (4 min/max) + distinct geometry types
@@ -96,10 +99,18 @@ object GeoParquet {
     // (quackosm/_constants.py:4-10, pbf_file_reader.py:171-174): zstd,
     // parquet format v2, ~100k-row row groups (via byte-sized blocks),
     // spatially sorted when requested.
-    out.write.mode(SaveMode.Overwrite)
+    // maxRecordsPerFile bounds output-file size on the multi-file path —
+    // the reference's rows-per-group / file-size ladder
+    // (pbf_file_reader.py:2686-2699,3610-3618) collapsed to the one knob
+    // Spark's writer exposes per-job.
+    val writer0 = out.write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.writer.version", "v2")
-      .parquet(tmp)
+    val writer =
+      if (maxRecordsPerFile > 0 && !singleFile)
+        writer0.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer0
+    writer.parquet(tmp)
 
     val meta = geoMetadataJson(types, bbox, covering = covering)
     val conf = spark.sessionState.newHadoopConf()

@@ -116,6 +116,28 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(q.count() == all.count() && q.count() > 0)
   }
 
+  test("maxRecordsPerFile splits multi-file output at the row bound") {
+    val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/split"
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter =
+        Some(Map("building" -> graft.osm.TagFilters.AnyValue))))
+    GeoParquet.write(f, out, singleFile = false, maxRecordsPerFile = 400L)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4) // 1283 rows / 400-row bound
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1283)
+    // every part carries the geo footer
+    val conf = spark.sessionState.newHadoopConf()
+    files.foreach { p =>
+      val kv = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.getPath), conf))
+        .getFooter.getFileMetaData.getKeyValueMetaData
+      assert(kv.containsKey("geo"))
+    }
+  }
+
   test("WKT sink writes readable text geometries") {
     val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/wkt"
     val f = OsmPipeline.features(spark, Seq(Monaco),
