@@ -16,7 +16,7 @@ object Bench {
     // timed query isn't charged for one-time JIT — standard benchmark
     // practice. Synthetic inputs only; touches none of the queries'
     // cached state.
-    locally {
+    try {
       import org.apache.spark.sql.functions._
       val base = spark.range(0, 200000)
         .select(col("id"), concat(lit("w "), col("id") % 1000, lit(" y")).as("s"))
@@ -47,6 +47,7 @@ object Bench {
       val wf = osm.OsmPipeline.features(spark, Seq(s"$tiny/warm.osm.pbf"),
         osm.OsmPipeline.Options())
       osm.GeoParquet.write(wf, s"$tiny/out", singleFile = true, sortSpatially = true)
+      osm.OsmPipeline.releaseCuts()
       // run every gate query once against a 50-row copy of each input
       // table: identical schemas → identical generated classes → the
       // timed pass measures steady-state execution, not Janino compiles.
@@ -56,13 +57,14 @@ object Bench {
       val warmDir = java.nio.file.Files.createTempDirectory("graftwarmtab").toString
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").limit(50)
+        try spark.read.parquet(s"$sfDir/$t.parquet").limit(50)
           .coalesce(1).write.parquet(s"$warmDir/$t.parquet")
+        catch { case _: Throwable => () } // missing table only skips its queries
       }
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    }
+    } catch { case _: Throwable => () } // warmup must never abort the bench
     // deterministic alphabetical order — timings comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -84,6 +86,7 @@ object Bench {
         try {
           val f = osm.OsmPipeline.features(spark, Seq(monaco), osm.OsmPipeline.Options())
           osm.GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
+          osm.OsmPipeline.releaseCuts()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       } else -1.0

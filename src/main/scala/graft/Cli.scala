@@ -100,6 +100,7 @@ object Cli {
       if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
       else GeoParquet.write(features, output,
         sortSpatially = flags.contains("sort"))
+      OsmPipeline.releaseCuts()
       println(s"graft: wrote $output")
     } finally spark.stop()
   }

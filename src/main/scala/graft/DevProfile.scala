@@ -40,6 +40,7 @@ object DevProfile {
           Seq("/root/reference/tests/test_files/monaco.osm.pbf"),
           osm.OsmPipeline.Options())
         osm.GeoParquet.write(features, out, singleFile = true, sortSpatially = true)
+        osm.OsmPipeline.releaseCuts()
         println(f"convert$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         if (i == reps) {
           import scala.jdk.CollectionConverters._
@@ -114,6 +115,7 @@ object DevProfile {
         val t1 = System.nanoTime()
         val f = osm.OsmPipeline.features(spark, Seq(big), osm.OsmPipeline.Options())
         osm.GeoParquet.write(f, out, singleFile = false, sortSpatially = true)
+        osm.OsmPipeline.releaseCuts()
         val dt = (System.nanoTime() - t1) / 1e9
         val rows = spark.read.parquet(out).count()
         println(f"convert$r: $dt%.1f s ($rows features, ${n / dt}%.0f elem/s)")

@@ -94,15 +94,18 @@ object IvfAnn {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
       val assigned = assignCells(emb, cents)
-      cents = assigned
+      val updated = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("m")))),
-          p => p.getField("m")).as("cv"))
-        .select(col("cell").as("cid"), col("cv"))
+          p => p.getField("m")).as("nv"))
+        .select(col("cell").as("cid"), col("nv"))
+      // empty cells keep their previous centroid (no silent k shrinkage)
+      cents = cents.join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
     }
     cents
   }

@@ -71,28 +71,31 @@ object SimilarityQueries {
   private val shingleSnapshots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
-    val view = s"graft_shingles_${Integer.toHexString(dir.hashCode)}"
-    val key = s"${System.identityHashCode(s)}#$view"
-    val snap = inputSnapshot(s, dir)
-    val stale = snap != shingleSnapshots.get(key)
-    if (stale || !s.catalog.tableExists(view)) {
-      if (s.catalog.tableExists(view)) s.catalog.uncacheTable(view)
-      documents(s, dir)
-        // materialize the words array once per row: lambdas don't CSE, so
-        // referencing split() inside transform would re-run the regex per
-        // shingle — O(words^2) per document
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .select(col("doc_id"),
-          explode(transform(shinglesOf(col("ws")), sh => phash(sh)))
-            .as("shash"))
-        .distinct()
-        .createOrReplaceTempView(view)
-      s.catalog.cacheTable(view)
-      shingleSnapshots.put(key, snap)
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    // serialized: two concurrent queries on the same session must not both
+    // build (or worse, one uncache while the other resolves the view)
+    shingleSnapshots.synchronized {
+      val view = s"graft_shingles_${Integer.toHexString(dir.hashCode)}"
+      val key = s"${System.identityHashCode(s)}#$view"
+      val snap = inputSnapshot(s, dir)
+      val stale = snap != shingleSnapshots.get(key)
+      if (stale || !s.catalog.tableExists(view)) {
+        if (s.catalog.tableExists(view)) s.catalog.uncacheTable(view)
+        documents(s, dir)
+          // materialize the words array once per row: lambdas don't CSE, so
+          // referencing split() inside transform would re-run the regex per
+          // shingle — O(words^2) per document
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            explode(transform(shinglesOf(col("ws")), sh => phash(sh)))
+              .as("shash"))
+          .distinct()
+          .createOrReplaceTempView(view)
+        s.catalog.cacheTable(view)
+        shingleSnapshots.put(key, snap)
+      }
+      s.table(view)
     }
-    s.table(view)
-  }
 
   /** Fingerprint of the documents input: file name + length + mtime. */
   private def inputSnapshot(s: SparkSession, dir: String): String = {

@@ -49,19 +49,22 @@ object GeoParquet {
       maxRecordsPerFile: Long = 0L): Unit = {
     val spark = features.sparkSession
     // The upstream plan (a full conversion DAG) is consumed two or three
-    // times below (stats pass, optional sort, write) — materialize it ONCE.
-    val mat = features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // times below (stats pass, optional sort, write) — materialize it
+    // ONCE, WITH the per-row extent already computed: the WKB parse
+    // (JTS) happens a single time and stats/sort/covering all reuse it.
+    val extentUdf = udf(GeomUdfs.extent)
+    val mat = features.withColumn("_ext", extentUdf(col("geometry")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try writeMaterialized(spark, mat, path, singleFile, sortSpatially, covering,
       maxRecordsPerFile)
     finally mat.unpersist(blocking = false)
   }
 
+  /** `typed` carries a `_ext` (xmin, ymin, xmax, ymax) column. */
   private def writeMaterialized(spark: org.apache.spark.sql.SparkSession,
-      features: DataFrame, path: String, singleFile: Boolean,
+      typed: DataFrame, path: String, singleFile: Boolean,
       sortSpatially: Boolean, covering: Boolean = false,
       maxRecordsPerFile: Long = 0L): Unit = {
-    val extentUdf = udf(GeomUdfs.extent)
-    val typed = features.withColumn("_ext", extentUdf(col("geometry")))
     // one combined stats pass: bbox (4 min/max) + distinct geometry types
     val stats = typed.agg(
       min(col("_ext._1")).as("xmin"), min(col("_ext._2")).as("ymin"),
@@ -78,8 +81,8 @@ object GeoParquet {
     val types = stats.getSeq[String](4)
 
     val sorted =
-      if (sortSpatially) spatialSort(features, bbox)
-      else features
+      if (sortSpatially) spatialSortWithExt(typed, bbox)
+      else typed
     // GeoParquet 1.1 per-row bbox covering column: with the spatial sort,
     // parquet row-group min/max stats on these four doubles prune
     // row groups on bbox reads ([[readCovered]]) — the at-scale spatial
@@ -87,13 +90,12 @@ object GeoParquet {
     // bboxes).
     val covered =
       if (covering) sorted
-        .withColumn("_ext", extentUdf(col("geometry")))
         .withColumn("bbox", struct(
           col("_ext._1").as("xmin"), col("_ext._2").as("ymin"),
           col("_ext._3").as("xmax"), col("_ext._4").as("ymax")))
-        .drop("_ext")
       else sorted
-    val out = if (singleFile) covered.coalesce(1) else covered
+    val plain = covered.drop("_ext")
+    val out = if (singleFile) plain.coalesce(1) else plain
     val tmp = path + "_tmp_plain"
     // final-file contract matches the reference's defaults
     // (quackosm/_constants.py:4-10, pbf_file_reader.py:171-174): zstd,
@@ -188,15 +190,23 @@ object GeoParquet {
     * native codegen'd Catalyst expression ([[HilbertIndexExpr]]), not a
     * Scala UDF — no boxing on the sort hot path. */
   def spatialSort(features: DataFrame, bbox: (Double, Double, Double, Double)): DataFrame = {
-    HilbertIndexExpr.register(features.sparkSession)
     val extentUdf = udf(GeomUdfs.extent)
-    features
-      .withColumn("_ext", extentUdf(col("geometry")))
+    spatialSortWithExt(
+      features.withColumn("_ext", extentUdf(col("geometry"))), bbox)
+      .drop("_ext")
+  }
+
+  /** Same, for inputs that already carry a `_ext` extent column (avoids a
+    * second WKB parse); `_ext` is preserved on the output. */
+  private def spatialSortWithExt(typed: DataFrame,
+      bbox: (Double, Double, Double, Double)): DataFrame = {
+    HilbertIndexExpr.register(typed.sparkSession)
+    typed
       .withColumn("_hilbert", expr(
         s"hilbert_index((_ext._1 + _ext._3) / 2, (_ext._2 + _ext._4) / 2, " +
           s"${bbox._1}d, ${bbox._2}d, ${bbox._3}d, ${bbox._4}d)"))
       .repartitionByRange(col("_hilbert"))
       .sortWithinPartitions(col("_hilbert"))
-      .drop("_ext", "_hilbert")
+      .drop("_hilbert")
   }
 }

@@ -13,9 +13,10 @@ import graft.osm.TagFilters._
   * Where the reference materializes ~20 intermediate Parquet stages and
   * manages memory with retry ladders (SURVEY §4 — not ported), this pipeline
   * is one declarative DAG: Catalyst prunes columns into the PBF scan, the
-  * id-cascade is left_semi/left_anti joins, and the only persisted cuts are
-  * the two relations reused by multiple consumers (node points, way
-  * vertex arrays) — the reference's "7-output prefilter boundary".
+  * id-cascade is left_semi/left_anti joins, and the multiply-consumed cuts
+  * (per-kind views, node points, unnested refs, id closures, vertex
+  * arrays — the reference's materialized prefilter boundary) are persisted
+  * for the duration of the conversion and released with [[releaseCuts]].
   *
   * Scale notes:
   *  - node→way vertex join shuffles on node id; way groupBy shuffles on way
@@ -57,6 +58,31 @@ object OsmPipeline {
   private def isClosed(c: Column): Column =
     element_at(c, 1) === element_at(c, -1)
 
+  /** Persisted intermediate cuts of every `features()` call in this JVM.
+    * Spark's CacheManager holds strong references until session stop, so a
+    * long-lived session converting many extracts must release them:
+    * [[releaseCuts]] after consuming the returned DataFrame (the CLI, the
+    * bench, and the profiler all do). The reference's equivalent is
+    * deleting its tmp_dir parquet stages after a conversion. */
+  private val persistedCuts =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cut(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    persistedCuts.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate cut created by prior `features()` calls.
+    * Safe while nothing is still consuming those plans. */
+  def releaseCuts(): Unit = {
+    var df = persistedCuts.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      df = persistedCuts.poll()
+    }
+  }
+
   /** Full conversion: PBF path(s) → DataFrame(feature_id, tags, geometry WKB).
     * Compact tags mode (reference default, pbf_file_reader.py:3709-3712). */
   def features(spark: SparkSession, pbfPaths: Seq[String],
@@ -74,19 +100,16 @@ object OsmPipeline {
     // (refs unnest, validity closure, tag filter) otherwise re-decodes the
     // PBF blobs. The reference's first act is materializing exactly this
     // split to parquet (nodes_valid_with_tags / ways_* / relations_*).
-    val nodes = elements
+    val nodes = cut(elements
       .filter(col("kind") === "node" && col("lat").isNotNull && col("lon").isNotNull)
-      .select(col("kind"), col("id"), col("tags"), col("lat"), col("lon"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val ways = elements.filter(col("kind") === "way" && size(col("refs")) >= 2)
-      .select(col("kind"), col("id"), col("tags"), col("refs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val relations = elements.filter(col("kind") === "relation" &&
+      .select(col("kind"), col("id"), col("tags"), col("lat"), col("lon")))
+    val ways = cut(elements.filter(col("kind") === "way" && size(col("refs")) >= 2)
+      .select(col("kind"), col("id"), col("tags"), col("refs")))
+    val relations = cut(elements.filter(col("kind") === "relation" &&
       size(col("refs")) > 0 &&
       element_at(col("tags"), "type").isin("boundary", "multipolygon"))
       .select(col("kind"), col("id"), col("tags"), col("refs"),
-        col("ref_types"), col("ref_roles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        col("ref_types"), col("ref_roles")))
 
     // --- user filter clause over raw tags (F2/F5/F6/F9) ---
     def matchClause(df: DataFrame): Column = {
@@ -110,9 +133,8 @@ object OsmPipeline {
     // filter) — the reference materializes it as its nodes_valid_with_tags
     // parquet (pbf_file_reader.py:1546-1573); here it's a persisted
     // 20-byte-per-node columnar cut.
-    val nodePointsAll = nodes.select(col("id"),
-      round(col("lon"), 7).as("x"), round(col("lat"), 7).as("y"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodePointsAll = cut(nodes.select(col("id"),
+      round(col("lon"), 7).as("x"), round(col("lat"), 7).as("y")))
     val intersectingNodeIds: Option[DataFrame] = opts.geometryWkt.map { wkt =>
       val env = new org.locationtech.jts.io.WKTReader().read(wkt).getEnvelopeInternal
       val pig = new PointInGeom(wkt)
@@ -128,24 +150,21 @@ object OsmPipeline {
     // Both unnested-ref cuts feed 3-4 consumers (validity closure,
     // intersection cascade, assembly) — persisted like the reference's
     // ways_required_ids / relations_ids stages (128 MB-file id stages).
-    val wayRefs = ways.select(col("id"),
-      posexplode(col("refs")).as(Seq("ref_idx", "ref")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val relRefs = relations.select(col("id"),
+    val wayRefs = cut(ways.select(col("id"),
+      posexplode(col("refs")).as(Seq("ref_idx", "ref"))))
+    val relRefs = cut(relations.select(col("id"),
       posexplode(arrays_zip(col("refs"), col("ref_types"), col("ref_roles")))
         .as(Seq("ref_idx", "m")))
       .select(col("id"), col("ref_idx"), col("m.refs").as("ref"),
         col("m.ref_types").as("ref_type"), col("m.ref_roles").as("ref_role"))
-      .filter(col("ref_type") === "way")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("ref_type") === "way"))
 
     // --- ref-closure validity (J2, pbf_file_reader.py:2430-2476) ---
     val nodeIds = nodePointsAll.select(col("id").as("ref"))
     val invalidWayIds = wayRefs.join(nodeIds, Seq("ref"), "left_anti")
       .select(col("id")).distinct()
-    val validWayIds = ways.select(col("id"))
-      .join(invalidWayIds, Seq("id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers, ids only
+    val validWayIds = cut(ways.select(col("id"))
+      .join(invalidWayIds, Seq("id"), "left_anti")) // 3 consumers, ids only
     val invalidRelIds = relRefs
       .join(validWayIds.withColumnRenamed("id", "ref"), Seq("ref"), "left_anti")
       .select(col("id")).distinct()
@@ -174,11 +193,10 @@ object OsmPipeline {
           Seq("ref"), "left_semi").select(col("id")).distinct()
       case None => relations.select(col("id"))
     }
-    val relsFiltered = relations.filter(matchClause(relations))
+    val relsFiltered = cut(relations.filter(matchClause(relations))
       .select(col("id"), col("tags"))
       .join(relsIntersected, Seq("id"), "left_semi")
-      .join(validRelIds, Seq("id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK) // member cascade + output join
+      .join(validRelIds, Seq("id"), "left_semi")) // member cascade + output join
 
     // --- required way set: members of kept relations (J1 cascade) ---
     val requiredWayIds = relRefs
@@ -189,15 +207,14 @@ object OsmPipeline {
     // --- way vertex assembly (A1, pbf_file_reader.py:3162-3198) ---
     val waysToBuild = waysFiltered.select(col("id"))
       .union(requiredWayIds).distinct()
-    val wayCoords = wayRefs
+    val wayCoords = cut(wayRefs
       .join(waysToBuild, Seq("id"), "left_semi")
       .join(nodePointsAll.withColumnRenamed("id", "ref"), Seq("ref"))
       .groupBy(col("id"))
       .agg(transform(
         sort_array(collect_list(struct(col("ref_idx"), col("x"), col("y")))),
         p => array(p.getField("x"), p.getField("y")))
-        .as("coords"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused by ways + relations
+        .as("coords"))) // reused by ways + relations
 
     // --- node features (pbf_file_reader.py:2850-2871) ---
     val strippedNonEmpty = size(stripMetadataTags(col("tags"))) > 0
@@ -244,10 +261,9 @@ object OsmPipeline {
     val validRingRels = rings.groupBy(col("id"))
       .agg(min(isClosed(col("ring"))).as("all_closed"))
       .filter(col("all_closed")).select(col("id"))
-    val validRings = rings.join(validRingRels, Seq("id"), "left_semi")
+    val validRings = cut(rings.join(validRingRels, Seq("id"), "left_semi")
       .withColumn("polygon", GeomUdfs.polygon_wkb(col("ring")))
-      .filter(col("polygon").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused 3× below
+      .filter(col("polygon").isNotNull)) // reused 3× below
     val inner = validRings.filter(col("role") === "inner")
       .select(col("id"), col("polygon").as("inner_poly"))
     // ref_role = 'outer' exactly (pbf_file_reader.py:3323): members with

@@ -19,9 +19,18 @@ object PbfWriter {
   val DefaultBlockSize = 8000
 
   def write(elements: Iterator[OsmElement], path: String,
-      blockSize: Int = DefaultBlockSize): Long = {
+      blockSize: Int = DefaultBlockSize): Long =
+    write(elements, path, blockSize, defaultConf())
+
+  private def defaultConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  def write(elements: Iterator[OsmElement], path: String, blockSize: Int,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 20)
     try {
       writeBlob(out, "OSMHeader", headerBlock())
@@ -44,17 +53,44 @@ object PbfWriter {
 
   /** Distributed PBF sink: one self-contained file per partition. Sort or
     * repartition upstream to control file sizes; elements of different
-    * kinds may share a partition (they land in separate groups/blocks). */
+    * kinds may share a partition (they land in separate groups/blocks).
+    *
+    * Task-retry safety: each attempt writes to an attempt-suffixed
+    * in-progress name and renames into place when its stream is closed, so
+    * a retried/speculative attempt never interleaves bytes with a live
+    * one; readers only ever see complete part files. Filesystem comes from
+    * the session's Hadoop conf (hdfs/s3a credentials respected). */
   def sinkPartitioned(elements: org.apache.spark.sql.Dataset[OsmElement],
       dir: String, blockSize: Int = DefaultBlockSize): Long = {
+    val spark = elements.sparkSession
+    val sessionConf = spark.sessionState.newHadoopConf()
+    // Configuration isn't serializable from user code — ship its entries
+    val confEntries = {
+      val it = sessionConf.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val confB = spark.sparkContext.broadcast(confEntries)
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).mkdirs(p)
+    p.getFileSystem(sessionConf).mkdirs(p)
     import elements.sparkSession.implicits._
     elements.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
-        val tid = org.apache.spark.TaskContext.get().partitionId()
-        Iterator.single(write(it, f"$dir/part-$tid%05d.osm.pbf", blockSize))
+        val tc = org.apache.spark.TaskContext.get()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        val finalPath = new org.apache.hadoop.fs.Path(
+          dir, f"part-${tc.partitionId()}%05d.osm.pbf")
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          dir, f".part-${tc.partitionId()}%05d.osm.pbf.${tc.taskAttemptId()}.inprogress")
+        val n = write(it, tmpPath.toString, blockSize, conf)
+        fs.delete(finalPath, false) // last attempt wins
+        if (!fs.rename(tmpPath, finalPath))
+          throw new java.io.IOException(s"pbf sink: rename $tmpPath -> $finalPath failed")
+        Iterator.single(n)
       }
     }.collect().sum
   }
@@ -103,9 +139,14 @@ object PbfWriter {
     val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
     d.setInput(payload)
     d.finish()
-    val buf = new Array[Byte](payload.length + 64)
+    // grow on demand: zlib output can EXCEED the input for
+    // incompressible payloads (bound ≈ len + len/4096 + 13)
+    var buf = new Array[Byte](payload.length + 64)
     var n = 0
-    while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+    while (!d.finished()) {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      n += d.deflate(buf, n, buf.length - n)
+    }
     d.end()
     java.util.Arrays.copyOf(buf, n)
   }

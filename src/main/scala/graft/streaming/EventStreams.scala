@@ -155,18 +155,44 @@ object EventStreams {
     * Blocks until the drain completes; returns rows written this run. */
   def incrementalParquetSink(source: DataFrame, outPath: String,
       checkpoint: String, partitionCol: String): Long = {
+    val spark = source.sparkSession
     val counted = source.observe("ingest", count(lit(1)).as("n"))
-    val q = counted.writeStream
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpoint)
-      .partitionBy(partitionCol)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.recentProgress.map(p =>
-      Option(p.observedMetrics.get("ingest")).map(_.getLong(0)).getOrElse(0L)).sum
+    // row accounting via a listener (recentProgress is a ring buffer capped
+    // at ~100 entries — a large backlog of micro-batches would under-count)
+    // accumulate per query id (events may arrive before start() returns)
+    val totals = new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
+      java.util.concurrent.atomic.AtomicLong]()
+    val terminated = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.util.UUID]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("ingest")
+        if (m != null) totals.computeIfAbsent(e.progress.id,
+          _ => new java.util.concurrent.atomic.AtomicLong(0L)).addAndGet(m.getLong(0))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        terminated.add(e.id)
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = counted.writeStream
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(partitionCol)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener events are async but ordered; the terminated event
+      // flushes all progress for this query — wait for it (bounded)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!terminated.contains(q.id) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Option(totals.get(q.id)).map(_.get()).getOrElse(0L)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** Run a streaming transform to completion against a bounded source and
