@@ -81,8 +81,11 @@ object Cli {
       .orElse(flags.get("geom-filter-geojson-file").map(p =>
         GeometryFilters.parseGeoJson(new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))))
-      .orElse(flags.get("geom-filter-geohash").map(h =>
-        GeometryFilters.geohashesToGeometry(h.split(",").map(_.trim).toSeq)))
+      .orElse(flags.get("geom-filter-geohash")
+        .orElse(flags.get("geom-filter-index-geohash")) // reference flag name
+        .map(h => GeometryFilters.geohashesToGeometry(h.split(",").map(_.trim).toSeq)))
+      .orElse(flags.get("geom-filter-index-s2").map(t =>
+        S2Cells.tokensToGeometry(t.split(",").toSeq)))
     geom.foreach(g => opts = opts.copy(geometryWkt = Some(g.toText)))
 
     val spark = SparkSession.builder()
