@@ -97,14 +97,25 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      var features = OsmPipeline.features(spark, positional, opts)
-      if (flags.contains("explode-tags"))
-        features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
-      if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
-      else GeoParquet.write(features, output,
-        sortSpatially = flags.contains("sort"))
-      OsmPipeline.releaseCuts()
-      println(s"graft: wrote $output")
+      if (flags.contains("working-directory") && !flags.contains("output")) {
+        // reference default mode: deterministic cached result path
+        val out = ResultCache.convert(spark, positional, opts,
+          workDir = flags("working-directory"),
+          explodeTags = flags.contains("explode-tags"),
+          sortResult = flags.contains("sort"),
+          wktResult = flags.contains("wkt-result"),
+          ignoreCache = flags.contains("ignore-cache"))
+        println(s"graft: wrote $out")
+      } else {
+        var features = OsmPipeline.features(spark, positional, opts)
+        if (flags.contains("explode-tags"))
+          features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
+        if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
+        else GeoParquet.write(features, output,
+          sortSpatially = flags.contains("sort"))
+        OsmPipeline.releaseCuts()
+        println(s"graft: wrote $output")
+      }
     } finally spark.stop()
   }
 
@@ -112,7 +123,8 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, String]
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
     var rest = args
-    val boolFlags = Set("keep-all-tags", "explode-tags", "sort", "wkt-result")
+    val boolFlags = Set("keep-all-tags", "explode-tags", "sort", "wkt-result",
+      "ignore-cache")
     while (rest.nonEmpty) {
       rest match {
         case flag :: tail if flag.startsWith("--") =>
