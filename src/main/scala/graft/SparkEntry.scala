@@ -79,6 +79,7 @@ object SparkEntry {
     "x5_ann_buckets" -> (X.x5AnnBuckets _),
     "x6_embedding_near_dup" -> (X.x6EmbeddingNearDup _),
     "x7_ivf_topk" -> (operators.IvfAnn.x7IvfTopK _),
+    "x8_dedup_clusters" -> (X.x8DedupClusters _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -398,6 +399,27 @@ object SparkEntry {
         |FROM cells JOIN qcells ON cells.cell = qcells.cell CROSS JOIN q
         |WHERE cells.vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // connected components over the LSH candidate graph: the recursive
+    // CTE computes min-reachable-id per node — identical semantics to the
+    // engine's label-propagation loop.
+    "x8_dedup_clusters" -> ("WITH RECURSIVE " +
+      MinhashOracleCtes.stripPrefix("WITH ") +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand
+        |), reach(node, m) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+        |)
+        |SELECT node AS doc_id, min(m) AS cluster_id FROM reach
+        |GROUP BY node ORDER BY doc_id""").stripMargin,
   )
 
   /** Shared CTE prefix for the minhash-family oracles: documents → word

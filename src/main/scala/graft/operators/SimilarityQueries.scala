@@ -183,6 +183,45 @@ object SimilarityQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate clusters: connected components over the LSH candidate
+    * graph (est_jaccard ≥ 0.5), labels = component-minimum doc_id.
+    * Label propagation runs as a driver-side loop of DataFrame joins —
+    * each iteration is one shuffle over the EDGE set, which is LSH-bounded
+    * (≪ n²); iterations are bounded by component diameter (near-dup
+    * clusters are tiny), with a hard cap. Output: (doc_id, cluster_id)
+    * for every document that has at least one near-duplicate. */
+  def x8DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(minhashSignatures(s, dir))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 20) {
+      val msgs = und.join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+    und.unpersist(blocking = false)
+    out
+  }
+
   /** SimHash (16-bit, word-hash votes): per bit, sign of the sum of ±1
     * votes from each word's portable hash — assembled with algebraic aggs
     * only. */
