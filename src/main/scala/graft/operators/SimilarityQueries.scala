@@ -185,31 +185,78 @@ object SimilarityQueries {
 
   /** Near-duplicate clusters: connected components over the LSH candidate
     * graph (est_jaccard ≥ 0.5), labels = component-minimum doc_id.
-    * Label propagation runs as a driver-side loop of DataFrame joins —
-    * each iteration is one shuffle over the EDGE set, which is LSH-bounded
-    * (≪ n²); iterations are bounded by component diameter (near-dup
-    * clusters are tiny), with a hard cap. Output: (doc_id, cluster_id)
-    * for every document that has at least one near-duplicate. */
-  def x8DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    * Output: (doc_id, cluster_id) for every document with at least one
+    * near-duplicate.
+    *
+    * The edge set is LSH-bounded (≪ n², and ≪ corpus size): when it fits
+    * the driver comfortably it is collected and solved with union-find in
+    * one pass — the same size-based decision Spark itself makes for
+    * broadcast joins. Past the limit, a distributed min-label-propagation
+    * loop with pointer jumping takes over (O(log diameter) rounds, each
+    * one shuffle over the edges; `localCheckpoint` truncates the logical
+    * plan every round — without it the self-join doubles the plan tree
+    * per iteration and Catalyst analysis time blows up exponentially). */
+  val MaxDriverEdges = 4000000
+
+  def x8DedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir, MaxDriverEdges)
+
+  def dedupClusters(s: SparkSession, dir: String, driverEdgeLimit: Int): DataFrame = {
     val pairs = lshPairs(minhashSignatures(s, dir))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
+    val head =
+      if (driverEdgeLimit > 0) pairs.limit(driverEdgeLimit + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (driverEdgeLimit > 0 && head.length <= driverEdgeLimit)
+      driverUnionFind(s, head.map(r => (r.getLong(0), r.getLong(1))))
+    else distributedClusters(pairs)
+  }
+
+  private def driverUnionFind(s: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import s.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).sortBy(_._1)
+      .toDF("doc_id", "cluster_id")
+  }
+
+  private def distributedClusters(pairs: DataFrame): DataFrame = {
     val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 25) {
+      // neighbor-min step: labels flow along edges
       val msgs = und.join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(msgs, Seq("doc_id"), "left")
+      val step = labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer-jumping: label := label(label), doubling propagation
+      // distance per round
+      val jump = step.select(col("doc_id").as("label"), col("label").as("grand"))
+      val next = step.join(jump, Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("grand"), col("label"))).as("label"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
         .filter(col("label") =!= col("prev")).count()
       labels.unpersist(blocking = false)
