@@ -44,10 +44,10 @@ object Bench {
         pbf.OsmElement("way", 1000L, Array(("highway", "x")),
           (0L until 5L).toArray, null, null, Double.NaN, Double.NaN))
       pbf.PbfWriter.write(elems.iterator, s"$tiny/warm.osm.pbf")
-      val wf = osm.OsmPipeline.features(spark, Seq(s"$tiny/warm.osm.pbf"),
-        osm.OsmPipeline.Options())
+      val (wf, wcuts) = osm.OsmPipeline.featuresWithCuts(spark,
+        Seq(s"$tiny/warm.osm.pbf"), osm.OsmPipeline.Options())
       osm.GeoParquet.write(wf, s"$tiny/out", singleFile = true, sortSpatially = true)
-      osm.OsmPipeline.releaseCuts()
+      wcuts.release()
       // run every gate query once against a 50-row copy of each input
       // table: identical schemas → identical generated classes → the
       // timed pass measures steady-state execution, not Janino compiles.
@@ -84,9 +84,10 @@ object Bench {
           .toString + "/monaco"
         val t0 = System.nanoTime()
         try {
-          val f = osm.OsmPipeline.features(spark, Seq(monaco), osm.OsmPipeline.Options())
+          val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, Seq(monaco),
+            osm.OsmPipeline.Options())
           osm.GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
-          osm.OsmPipeline.releaseCuts()
+          fcuts.release()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       } else -1.0

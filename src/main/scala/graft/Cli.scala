@@ -107,13 +107,13 @@ object Cli {
           ignoreCache = flags.contains("ignore-cache"))
         println(s"graft: wrote $out")
       } else {
-        var features = OsmPipeline.features(spark, positional, opts)
+        var (features, cuts) = OsmPipeline.featuresWithCuts(spark, positional, opts)
         if (flags.contains("explode-tags"))
           features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
         if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
         else GeoParquet.write(features, output,
           sortSpatially = flags.contains("sort"))
-        OsmPipeline.releaseCuts()
+        cuts.release()
         println(s"graft: wrote $output")
       }
     } finally spark.stop()

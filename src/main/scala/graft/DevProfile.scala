@@ -36,11 +36,11 @@ object DevProfile {
       for (i <- 1 to reps) {
         val out = java.nio.file.Files.createTempDirectory("pbfbench").toString + "/out"
         val t0 = System.nanoTime()
-        val features = osm.OsmPipeline.features(spark,
+        val (features, cuts) = osm.OsmPipeline.featuresWithCuts(spark,
           Seq("/root/reference/tests/test_files/monaco.osm.pbf"),
           osm.OsmPipeline.Options())
         osm.GeoParquet.write(features, out, singleFile = true, sortSpatially = true)
-        osm.OsmPipeline.releaseCuts()
+        cuts.release()
         println(f"convert$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         if (i == reps) {
           import scala.jdk.CollectionConverters._
@@ -113,9 +113,10 @@ object DevProfile {
         stageTimes.clear()
         val out = java.nio.file.Files.createTempDirectory("pbfscale").toString + "/out"
         val t1 = System.nanoTime()
-        val f = osm.OsmPipeline.features(spark, Seq(big), osm.OsmPipeline.Options())
+        val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, Seq(big),
+          osm.OsmPipeline.Options())
         osm.GeoParquet.write(f, out, singleFile = false, sortSpatially = true)
-        osm.OsmPipeline.releaseCuts()
+        fcuts.release()
         val dt = (System.nanoTime() - t1) / 1e9
         val rows = spark.read.parquet(out).count()
         println(f"convert$r: $dt%.1f s ($rows features, ${n / dt}%.0f elem/s)")

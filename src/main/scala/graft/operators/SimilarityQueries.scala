@@ -75,7 +75,11 @@ object SimilarityQueries {
     // serialized: two concurrent queries on the same session must not both
     // build (or worse, one uncache while the other resolves the view)
     shingleSnapshots.synchronized {
-      val view = s"graft_shingles_${Integer.toHexString(dir.hashCode)}"
+      // collision-resistant view name: 32-bit hashCode collisions across two
+      // dirs in one session would silently share the cached view
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val view = s"graft_shingles_$digest"
       val key = s"${System.identityHashCode(s)}#$view"
       val snap = inputSnapshot(s, dir)
       val stale = snap != shingleSnapshots.get(key)
@@ -196,41 +200,74 @@ object SimilarityQueries {
     * one shuffle over the edges; `localCheckpoint` truncates the logical
     * plan every round — without it the self-join doubles the plan tree
     * per iteration and Catalyst analysis time blows up exponentially). */
-  val MaxDriverEdges = 4000000
+  /** Driver-side edge budget. 1M edges ≈ 2M vertices worst case; the
+    * primitive-array union-find below costs ~40 bytes/edge — tens of MB on
+    * the driver, safely inside default driver heaps (the previous 4M-edge
+    * limit with boxed maps approached 1-2 GB). */
+  val MaxDriverEdges = 1000000
 
   def x8DedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(s, dir, MaxDriverEdges)
 
   def dedupClusters(s: SparkSession, dir: String, driverEdgeLimit: Int): DataFrame = {
+    import s.implicits._
     val pairs = lshPairs(minhashSignatures(s, dir))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val head =
-      if (driverEdgeLimit > 0) pairs.limit(driverEdgeLimit + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
+    val head = // typed collect: specialized (Long, Long) tuples, no Row boxing
+      if (driverEdgeLimit > 0)
+        pairs.limit(driverEdgeLimit + 1).as[(Long, Long)].collect()
+      else Array.empty[(Long, Long)]
     if (driverEdgeLimit > 0 && head.length <= driverEdgeLimit)
-      driverUnionFind(s, head.map(r => (r.getLong(0), r.getLong(1))))
+      driverUnionFind(s, head)
     else distributedClusters(pairs)
   }
 
+  /** Union-find over primitive arrays: open-addressed long→dense-index
+    * table, int parent array, path compression, min-doc_id root wins (so
+    * the representative IS the component minimum). Zero boxed values. */
   private def driverUnionFind(s: SparkSession,
       edges: Array[(Long, Long)]): DataFrame = {
     import s.implicits._
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
+    val maxIds = math.max(1, edges.length * 2)
+    var cap = 16
+    while (cap < maxIds * 2) cap <<= 1
+    val mask = cap - 1
+    val slotKey = new Array[Long](cap)
+    val slotIdx = new Array[Int](cap)
+    java.util.Arrays.fill(slotIdx, -1)
+    val idOf = new Array[Long](maxIds)
+    val parent = new Array[Int](maxIds)
+    var nIds = 0
+    def indexOf(k: Long): Int = {
+      var h = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
+      var r = -1
+      while (r == -1) {
+        if (slotIdx(h) == -1) {
+          slotKey(h) = k; slotIdx(h) = nIds
+          idOf(nIds) = k; parent(nIds) = nIds; nIds += 1
+          r = slotIdx(h)
+        } else if (slotKey(h) == k) r = slotIdx(h)
+        else h = (h + 1) & mask
+      }
+      r
+    }
+    def find(x: Int): Int = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      while (parent(r) != r) r = parent(r)
       var c = x // path compression
-      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
     edges.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      val ra = find(indexOf(a))
+      val rb = find(indexOf(b))
+      if (ra != rb) {
+        if (idOf(ra) < idOf(rb)) parent(rb) = ra else parent(ra) = rb
+      }
     }
-    parent.keys.toSeq.map(k => (k, find(k))).sortBy(_._1)
-      .toDF("doc_id", "cluster_id")
+    val out = Array.tabulate(nIds)(i => (idOf(i), idOf(find(i)))).sortBy(_._1)
+    s.createDataset(out.toSeq).toDF("doc_id", "cluster_id")
   }
 
   private def distributedClusters(pairs: DataFrame): DataFrame = {

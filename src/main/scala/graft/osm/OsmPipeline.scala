@@ -16,7 +16,9 @@ import graft.osm.TagFilters._
   * id-cascade is left_semi/left_anti joins, and the multiply-consumed cuts
   * (per-kind views, node points, unnested refs, id closures, vertex
   * arrays — the reference's materialized prefilter boundary) are persisted
-  * for the duration of the conversion and released with [[releaseCuts]].
+  * for the duration of the conversion and released through the conversion's
+  * own [[ConversionCuts]] handle ([[featuresWithCuts]]) or, for the legacy
+  * no-handle [[features]] overload, via [[releaseCuts]].
   *
   * Scale notes:
   *  - node→way vertex join shuffles on node id; way groupBy shuffles on way
@@ -58,35 +60,61 @@ object OsmPipeline {
   private def isClosed(c: Column): Column =
     element_at(c, 1) === element_at(c, -1)
 
-  /** Persisted intermediate cuts of every `features()` call in this JVM.
+  /** Handle owning the persisted intermediate cuts of ONE conversion.
     * Spark's CacheManager holds strong references until session stop, so a
-    * long-lived session converting many extracts must release them:
-    * [[releaseCuts]] after consuming the returned DataFrame (the CLI, the
-    * bench, and the profiler all do). The reference's equivalent is
-    * deleting its tmp_dir parquet stages after a conversion. */
-  private val persistedCuts =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  private def cut(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    persistedCuts.add(p)
-    p
-  }
-
-  /** Unpersist every intermediate cut created by prior `features()` calls.
-    * Safe while nothing is still consuming those plans. */
-  def releaseCuts(): Unit = {
-    var df = persistedCuts.poll()
-    while (df != null) {
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
-      df = persistedCuts.poll()
+    * long-lived session converting many extracts must [[ConversionCuts.release]]
+    * after consuming the returned DataFrame. Per-conversion ownership means
+    * two concurrent conversions can never unpersist each other's still-live
+    * cached plans (the reference's equivalent is each conversion deleting
+    * its OWN tmp_dir parquet stages). */
+  final class ConversionCuts private[osm] () {
+    private val dfs = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private[osm] def add(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      dfs.add(p)
+      p
+    }
+    /** Unpersist every cut this conversion created. Idempotent; safe once
+      * nothing is still consuming the conversion's DataFrame. */
+    def release(): Unit = {
+      var df = dfs.poll()
+      while (df != null) {
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        df = dfs.poll()
+      }
     }
   }
 
+  /** Cut handles created via the legacy no-handle [[features]] overload,
+    * released in bulk by [[releaseCuts]] (single-conversion-at-a-time use
+    * only; concurrent callers should use [[featuresWithCuts]]). */
+  private val legacyCuts =
+    new java.util.concurrent.ConcurrentLinkedQueue[ConversionCuts]()
+
+  /** Unpersist cuts of prior no-handle `features()` calls. Safe while
+    * nothing is still consuming those plans. */
+  def releaseCuts(): Unit = {
+    var h = legacyCuts.poll()
+    while (h != null) { h.release(); h = legacyCuts.poll() }
+  }
+
   /** Full conversion: PBF path(s) → DataFrame(feature_id, tags, geometry WKB).
-    * Compact tags mode (reference default, pbf_file_reader.py:3709-3712). */
+    * Compact tags mode (reference default, pbf_file_reader.py:3709-3712).
+    * Cuts are owned by the process-wide [[releaseCuts]]; for concurrent
+    * conversions use [[featuresWithCuts]]. */
   def features(spark: SparkSession, pbfPaths: Seq[String],
       opts: Options = Options()): DataFrame = {
+    val (df, cuts) = featuresWithCuts(spark, pbfPaths, opts)
+    legacyCuts.add(cuts)
+    df
+  }
+
+  /** [[features]] returning the conversion's own cut handle: call
+    * `cuts.release()` once the DataFrame has been consumed. */
+  def featuresWithCuts(spark: SparkSession, pbfPaths: Seq[String],
+      opts: Options = Options()): (DataFrame, ConversionCuts) = {
+    val cuts = new ConversionCuts()
+    def cut(df: DataFrame): DataFrame = cuts.add(df)
     // J3 (pbf_file_reader.py:1126-1139): overlapping extract files carry
     // the same element twice — dedup by (kind, id) before any assembly so
     // duplicate refs can't corrupt vertex sequences. Single-file reads
@@ -294,8 +322,8 @@ object OsmPipeline {
         outTags.as("tags"), col("geometry"))
 
     // --- concatenate + ST_MakeValid (pbf_file_reader.py:3606-3669) ---
-    nodeFeatures.unionByName(wayFeatures).unionByName(relFeatures)
-      .withColumn("geometry", GeomUdfs.make_valid(col("geometry")))
+    (nodeFeatures.unionByName(wayFeatures).unionByName(relFeatures)
+      .withColumn("geometry", GeomUdfs.make_valid(col("geometry"))), cuts)
   }
 
   /** T2: compact-mode tag subsetting (pbf_file_reader.py:3729-3763) —

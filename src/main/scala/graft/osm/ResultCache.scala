@@ -21,7 +21,8 @@ object ResultCache {
       opts: OsmPipeline.Options, explodeTags: Boolean = false,
       sortResult: Boolean = true, wktResult: Boolean = false): String = {
     val stems = pbfPaths.map(p =>
-      new java.io.File(p).getName.stripSuffix(".osm.pbf")).mkString("_")
+      new org.apache.hadoop.fs.Path(p).getName.stripSuffix(".osm.pbf"))
+      .mkString("_")
     val filterPart =
       if (opts.tagsFilter.isEmpty && opts.groupedFilter.isEmpty &&
         opts.customSqlFilter.isEmpty) "nofilter"
@@ -52,16 +53,18 @@ object ResultCache {
       ignoreCache: Boolean = false): String = {
     val out = resultFilePath(workDir, pbfPaths, opts, explodeTags,
       sortResult, wktResult)
-    val marker = new java.io.File(out, "_SUCCESS_GRAFT")
-    if (!ignoreCache && marker.exists()) return out
-    var features = OsmPipeline.features(spark, pbfPaths, opts)
+    // marker through the Hadoop FileSystem, mirroring how GeoParquet.write
+    // resolves paths — caching works for hdfs://, s3a://, … workDirs too
+    val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS_GRAFT")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!ignoreCache && fs.exists(marker)) return out
+    var (features, cuts) = OsmPipeline.featuresWithCuts(spark, pbfPaths, opts)
     if (explodeTags)
       features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
     if (wktResult) GeoParquet.writeWkt(features, out)
     else GeoParquet.write(features, out, sortSpatially = sortResult)
-    OsmPipeline.releaseCuts()
-    marker.getParentFile.mkdirs()
-    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    cuts.release()
+    fs.create(marker, true).close()
     out
   }
 }

@@ -250,7 +250,10 @@ object PbfWriter {
         m.writePackedVarints(8, roles.map(x => st.id(if (x == null) "" else x)))
         m.writePackedDeltaSVarints(9, memids)
         val types = Option(r.refTypes).getOrElse(Array.fill(memids.length)(PbfDecoder.KindNode))
-        m.writePackedVarints(10, types.map(memberTypeId))
+        // unknown/null entries in a user-built refTypes array default to
+        // node, matching the null-array fallback above — never throw after
+        // bytes have already been written to the stream
+        m.writePackedVarints(10, types.map(t => memberTypeId.getOrElse(t, 0L)))
       }
       g.writeMessage(4, m)
     }
