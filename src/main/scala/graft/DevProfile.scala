@@ -137,6 +137,18 @@ object DevProfile {
       t("shingles")(operators.SimilarityQueries.minhashSignatures(spark, sfDir).count())
       t("x2_full")(operators.SimilarityQueries.x2MinhashLsh(spark, sfDir).count())
       t("x2_again")(operators.SimilarityQueries.x2MinhashLsh(spark, sfDir).count())
+    } else if (name == "seq") {
+      // time a comma list of queries in order, `reps` passes — mirrors the
+      // bench's sequential timed pass (cache effects included)
+      val names = args(1).split(",").toSeq
+      for (i <- 1 to reps) {
+        names.foreach { n =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, if (args.length > 2) sys.env.getOrElse(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") else sfDir).count()
+          println(f"pass$i $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
     } else {
       val fn = SparkEntry.queries(name)
       for (i <- 1 to reps) {

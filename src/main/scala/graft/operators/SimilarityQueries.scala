@@ -71,34 +71,50 @@ object SimilarityQueries {
   private val shingleSnapshots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    // serialized: two concurrent queries on the same session must not both
-    // build (or worse, one uncache while the other resolves the view)
+  /** Build-or-reuse a snapshot-keyed cached temp view. Serialized: two
+    * concurrent queries on the same session must not both build (or worse,
+    * one uncache while the other resolves the view). The monitor is
+    * reentrant, so cached views can build on top of each other. */
+  private def cachedView(s: SparkSession, dir: String, prefix: String)(
+      build: => DataFrame): DataFrame =
     shingleSnapshots.synchronized {
       // collision-resistant view name: 32-bit hashCode collisions across two
       // dirs in one session would silently share the cached view
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-      val view = s"graft_shingles_$digest"
+      val view = s"graft_${prefix}_$digest"
       val key = s"${System.identityHashCode(s)}#$view"
       val snap = inputSnapshot(s, dir)
       val stale = snap != shingleSnapshots.get(key)
       if (stale || !s.catalog.tableExists(view)) {
         if (s.catalog.tableExists(view)) s.catalog.uncacheTable(view)
-        documents(s, dir)
-          // materialize the words array once per row: lambdas don't CSE, so
-          // referencing split() inside transform would re-run the regex per
-          // shingle — O(words^2) per document
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .select(col("doc_id"),
-            explode(transform(shinglesOf(col("ws")), sh => phash(sh)))
-              .as("shash"))
-          .distinct()
-          .createOrReplaceTempView(view)
+        build.createOrReplaceTempView(view)
         s.catalog.cacheTable(view)
         shingleSnapshots.put(key, snap)
       }
       s.table(view)
+    }
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "shingles") {
+      documents(s, dir)
+        // materialize the words array once per row: lambdas don't CSE, so
+        // referencing split() inside transform would re-run the regex per
+        // shingle — O(words^2) per document
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          explode(transform(shinglesOf(col("ws")), sh => phash(sh)))
+            .as("shash"))
+        .distinct()
+    }
+
+  /** LSH candidate pairs (unsorted), materialized ONCE per input snapshot —
+    * the shared upstream of x2 (sorted pairs), x4 (exact-Jaccard verify)
+    * and x8 (dedup clustering): the signature build and the band self-join
+    * run once, not once per query. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "lshpairs") {
+      lshPairs(minhashSignaturesFrom(docShingles(s, dir)))
     }
 
   /** Fingerprint of the documents input: file name + length + mtime. */
@@ -139,7 +155,7 @@ object SimilarityQueries {
     * string — at cluster scale hash it back to 8 bytes; kept verbatim here
     * so an external SQL engine reproduces the join exactly.) */
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    lshPairs(minhashSignatures(s, dir))
+    candidatePairs(s, dir).orderBy("doc_a", "doc_b")
 
   private def lshPairs(sigArr: DataFrame): DataFrame = {
     val nBands = NumPerms / BandSize
@@ -160,17 +176,16 @@ object SimilarityQueries {
           (x, y) => x === y), b => b)) / lit(NumPerms.toDouble))
           .as("est_jaccard"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard, computed ONLY on LSH candidate pairs (the
     * scalable verify step: |A∩B| via per-doc hash sets carried through the
     * candidate join, never all-pairs). */
   def x4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // the shared persisted shingle set feeds signatures, candidate
-    // generation, AND the exact verification
+    // the shared cached shingle set feeds the verification; the cached
+    // candidate-pair view feeds the pair list — nothing is recomputed
     val sh = docShingles(s, dir)
-    val cand = lshPairs(minhashSignaturesFrom(sh))
+    val cand = candidatePairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shash")).as("set"))
@@ -211,7 +226,7 @@ object SimilarityQueries {
 
   def dedupClusters(s: SparkSession, dir: String, driverEdgeLimit: Int): DataFrame = {
     import s.implicits._
-    val pairs = lshPairs(minhashSignatures(s, dir))
+    val pairs = candidatePairs(s, dir)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val head = // typed collect: specialized (Long, Long) tuples, no Row boxing
