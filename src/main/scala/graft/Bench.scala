@@ -86,8 +86,10 @@ object Bench {
         try {
           val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, Seq(monaco),
             osm.OsmPipeline.Options())
-          osm.GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
-          fcuts.release()
+          // release in finally: a write failure must not leave the persisted
+          // cuts pinned in the CacheManager while the timed queries run
+          try osm.GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
+          finally fcuts.release()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       } else -1.0

@@ -141,11 +141,13 @@ object DevProfile {
       // time a comma list of queries in order, `reps` passes — mirrors the
       // bench's sequential timed pass (cache effects included)
       val names = args(1).split(",").toSeq
+      // args(1) is the query list here, so sfDir (= args(1) fallback) is not
+      // a usable data dir — resolve it from the env uniformly
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
       for (i <- 1 to reps) {
         names.foreach { n =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, if (args.length > 2) sys.env.getOrElse(
-            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") else sfDir).count()
+          SparkEntry.queries(n)(spark, dir).count()
           println(f"pass$i $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
       }

@@ -71,29 +71,41 @@ object SimilarityQueries {
   private val shingleSnapshots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Build-or-reuse a snapshot-keyed cached temp view. Serialized: two
-    * concurrent queries on the same session must not both build (or worse,
-    * one uncache while the other resolves the view). The monitor is
-    * reentrant, so cached views can build on top of each other. */
+  /** One lock per (session, view) key: concurrent queries on the SAME view
+    * must not both build (or worse, one uncache while the other resolves),
+    * but unrelated sessions/dirs proceed independently. Lock order is
+    * acyclic (candidate-pairs → shingles, never the reverse), so nested
+    * builds cannot deadlock; each ReentrantLock allows same-thread
+    * re-entry. */
+  private val viewLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Build-or-reuse a snapshot-keyed cached temp view, serialized per
+    * (session, view) key. */
   private def cachedView(s: SparkSession, dir: String, prefix: String)(
-      build: => DataFrame): DataFrame =
-    shingleSnapshots.synchronized {
+      build: => DataFrame): DataFrame = {
       // collision-resistant view name: 32-bit hashCode collisions across two
       // dirs in one session would silently share the cached view
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
       val view = s"graft_${prefix}_$digest"
       val key = s"${System.identityHashCode(s)}#$view"
-      val snap = inputSnapshot(s, dir)
-      val stale = snap != shingleSnapshots.get(key)
-      if (stale || !s.catalog.tableExists(view)) {
-        if (s.catalog.tableExists(view)) s.catalog.uncacheTable(view)
-        build.createOrReplaceTempView(view)
-        s.catalog.cacheTable(view)
-        shingleSnapshots.put(key, snap)
-      }
-      s.table(view)
-    }
+      val lock = viewLocks.computeIfAbsent(key,
+        _ => new java.util.concurrent.locks.ReentrantLock())
+      lock.lock()
+      try {
+        val snap = inputSnapshot(s, dir)
+        val stale = snap != shingleSnapshots.get(key)
+        if (stale || !s.catalog.tableExists(view)) {
+          if (s.catalog.tableExists(view)) s.catalog.uncacheTable(view)
+          build.createOrReplaceTempView(view)
+          s.catalog.cacheTable(view)
+          shingleSnapshots.put(key, snap)
+        }
+        s.table(view)
+      } finally lock.unlock()
+  }
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     cachedView(s, dir, "shingles") {

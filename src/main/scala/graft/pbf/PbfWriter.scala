@@ -238,6 +238,16 @@ object PbfWriter {
     val memberTypeId = Map(PbfDecoder.KindNode -> 0L, PbfDecoder.KindWay -> 1L,
       PbfDecoder.KindRelation -> 2L)
     val g = new ProtoWriter(1 << 14)
+    // validate caller-supplied member types BEFORE any bytes are written:
+    // a typo'd kind silently encoded as node would surface as a corrupted
+    // member type far from the caller's bug
+    rs.foreach { r =>
+      Option(r.refTypes).foreach(_.foreach { t =>
+        require(t == null || memberTypeId.contains(t),
+          s"relation ${r.id}: unknown member type '$t' " +
+            s"(expected ${memberTypeId.keys.mkString("/")} or null)")
+      })
+    }
     rs.foreach { r =>
       val m = new ProtoWriter(256)
       m.writeVarintField(1, r.id)
