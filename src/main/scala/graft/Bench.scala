@@ -48,16 +48,20 @@ object Bench {
         Seq(s"$tiny/warm.osm.pbf"), osm.OsmPipeline.Options())
       osm.GeoParquet.write(wf, s"$tiny/out", singleFile = true, sortSpatially = true)
       wcuts.release()
-      // run every gate query once against a 50-row copy of each input
-      // table: identical schemas → identical generated classes → the
-      // timed pass measures steady-state execution, not Janino compiles.
-      // (Different directory, so nothing data-dependent is reused.)
+      // run every gate query once against a 5000-row copy of each input
+      // table: identical schemas → identical generated classes, and enough
+      // rows that the hot generated methods cross the C2 JIT threshold →
+      // the timed pass measures steady-state execution, not Janino
+      // compiles or interpreted-bytecode warmup (a 50-row warmup compiled
+      // the classes but left them interpreted; first timed runs were up to
+      // 30× steady state). Different directory, so nothing data-dependent
+      // (cached views, result caches) leaks into the timed pass.
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => }
       val warmDir = java.nio.file.Files.createTempDirectory("graftwarmtab").toString
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
-        try spark.read.parquet(s"$sfDir/$t.parquet").limit(50)
+        try spark.read.parquet(s"$sfDir/$t.parquet").limit(5000)
           .coalesce(1).write.parquet(s"$warmDir/$t.parquet")
         catch { case _: Throwable => () } // missing table only skips its queries
       }

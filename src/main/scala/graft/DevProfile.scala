@@ -128,6 +128,86 @@ object DevProfile {
           }
         }
       }
+    } else if (name == "x2stages") {
+      // mimic the bench: warm every generated class on a 50-row copy of the
+      // tables, then time x2 sub-stages on the real dir with a stage listener
+      val warmDir = java.nio.file.Files.createTempDirectory("x2warm").toString
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+        .coalesce(1).write.parquet(s"$warmDir/documents.parquet")
+      operators.SimilarityQueries.x2MinhashLsh(spark, warmDir).count()
+      val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          stageTimes.put(si.stageId,
+            (si.name.takeWhile(_ != '\n').take(70), ms, si.taskMetrics.executorRunTime))
+        }
+      })
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      t("shingle_view")(operators.SimilarityQueries.docShingles(spark, sfDir).count())
+      t("signatures")(operators.SimilarityQueries.minhashSignatures(spark, sfDir).count())
+      t("cand_pairs")(operators.SimilarityQueries.candidatePairs(spark, sfDir).count())
+      t("x2_sorted")(operators.SimilarityQueries.x2MinhashLsh(spark, sfDir).count())
+      import scala.jdk.CollectionConverters._
+      stageTimes.asScala.toSeq.sortBy(_._1).foreach { case (id, (nm, ms, cpu)) =>
+        println(f"  stage $id%4d wall=${ms}%6d ms cpu=${cpu}%6d ms  $nm")
+      }
+    } else if (name == "x2micro") {
+      import org.apache.spark.sql.functions._
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      graft.functions.Md5Prefix28Expr.register(spark)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def shingleRaw = docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > 0).as("ws"))
+        .select(col("doc_id"), explode(
+          when(size(col("ws")) < 3, array(concat_ws(" ", col("ws"))))
+            .otherwise(transform(sequence(lit(0), size(col("ws")) - 3),
+              i => concat_ws(" ", slice(col("ws"), i + 1, lit(3)))))).as("sh"))
+        .select(col("doc_id"), call_function("md5_prefix28", col("sh")).as("shash"))
+      for (r <- 1 to 2) {
+        t(s"r$r nocache_32tasks")(shingleRaw.count())
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        val cachedNc = shingleRaw.cache()
+        t(s"r$r cache_nocompress")(cachedNc.count())
+        cachedNc.unpersist(true)
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
+        val cached = shingleRaw.cache()
+        t(s"r$r cache_build")(cached.count())
+        val mins = (0 until 16).map(p =>
+          min((lit(37L) * (lit(p) + 1) * col("shash") + lit(101L) * lit(p) + 7)
+            % 1000000007L).as(s"h$p"))
+        val sigs = cached.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+          .select(col("doc_id"), array((0 until 16).map(p => col(s"h$p")): _*).as("sig"))
+        t(s"r$r sigs_on_cache")(sigs.count())
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => concat_ws(",", transform(slice(col("sig"), b * lit(4) + 1, lit(4)),
+              x => x.cast("string"))))).as(Seq("band", "band_key")))
+        val a = banded.select(col("band"), col("band_key"),
+          col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+        val bb = banded.select(col("band"), col("band_key"),
+          col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        val pairs = a.join(bb, Seq("band", "band_key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(filter(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => x === y), v => v)) / lit(16.0)).as("est_jaccard"))
+          .distinct()
+        t(s"r$r lsh_pairs")(pairs.count())
+        cached.unpersist(true)
+      }
     } else if (name == "x2parts") {
       def t(label: String)(f: => Long): Unit = {
         val t0 = System.nanoTime()

@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
       (exprs: Seq[Expression]) =>
         HilbertIndexExpr(exprs.map(Cast(_, DoubleType)).toIndexedSeq)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix28"),
+      new ExpressionInfo(classOf[graft.functions.Md5Prefix28Expr].getName,
+        "md5_prefix28"),
+      (exprs: Seq[Expression]) => graft.functions.Md5Prefix28Expr(exprs.head)))
   }
 }
 
@@ -29,6 +34,7 @@ object Graft {
   def setup(spark: SparkSession): SparkSession = {
     GeomUdfs.register(spark)
     HilbertIndexExpr.register(spark)
+    graft.functions.Md5Prefix28Expr.register(spark)
     spark
   }
 }

@@ -45,9 +45,14 @@ object SimilarityQueries {
 
   /** Portable 28-bit hash: first 7 hex digits of md5, read as an integer.
     * Identical in any engine with md5 (`('0x' || substr(md5(s),1,7))::BIGINT`
-    * in DuckDB) — the property the correctness oracle relies on. */
+    * in DuckDB) — the property the correctness oracle relies on. Realized
+    * as the custom codegen expression [[graft.functions.Md5Prefix28Expr]]:
+    * the built-in md5() resolves a MessageDigest per row through the
+    * synchronized JCA provider lookup, which serializes all 32 executor
+    * threads on one lock (callers must register the function via
+    * [[graft.functions.Md5Prefix28Expr.register]] first). */
   private def phash(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    call_function("md5_prefix28", c)
 
   /** Affine minhash permutation family over the 28-bit shingle hash.
     * Coefficients stay < 2^40 so the arithmetic never overflows a signed
@@ -57,11 +62,16 @@ object SimilarityQueries {
 
   // -------------------------------------------------- shingle boundary ----
 
-  /** doc_id + distinct shingle hashes, materialized ONCE per input snapshot
-    * as a cached session temp view. Raw shingle strings are hashed MAP-SIDE
-    * before the distinct — at 100 TB the shuffle carries 16 bytes/row
-    * instead of the shingle text; the MinHash family (x2/x3/x4) shares this
-    * boundary the way the reference checkpoints its prefilter outputs.
+  /** doc_id + shingle hashes, materialized ONCE per input snapshot as a
+    * cached session temp view. The input is repartitioned by doc_id BEFORE
+    * shingling: the shuffle then carries the raw text (~300 B/doc) instead
+    * of the exploded hashes (~50 rows × 16 B/doc), and — because hash
+    * partitioning survives projections and generators — every downstream
+    * groupBy(doc_id) (signature build, x4 set build) runs exchange-free on
+    * the cached co-partitioned rows. Duplicate shingles are NOT removed
+    * here: both consumers are duplicate-insensitive (min() for minhash,
+    * collect_set() for exact-Jaccard sets), so a distinct would add a
+    * whole shuffle+agg stage for nothing.
     *
     * Lifecycle: storage is owned by Spark's CacheManager (cleared with the
     * session — nothing pins the SparkSession process-globally), and the
@@ -107,24 +117,28 @@ object SimilarityQueries {
       } finally lock.unlock()
   }
 
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5Prefix28Expr.register(s)
     cachedView(s, dir, "shingles") {
       documents(s, dir)
+        .repartition(col("doc_id"))
         // materialize the words array once per row: lambdas don't CSE, so
         // referencing split() inside transform would re-run the regex per
         // shingle — O(words^2) per document
         .select(col("doc_id"), words(col("text")).as("ws"))
-        .select(col("doc_id"),
-          explode(transform(shinglesOf(col("ws")), sh => phash(sh)))
-            .as("shash"))
-        .distinct()
+        // explode BEFORE hashing: expressions inside higher-order-function
+        // lambdas are interpreted per element; hashing the exploded column
+        // keeps the md5 kernel inside whole-stage codegen
+        .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("sh"))
+        .select(col("doc_id"), phash(col("sh")).as("shash"))
     }
+  }
 
   /** LSH candidate pairs (unsorted), materialized ONCE per input snapshot —
     * the shared upstream of x2 (sorted pairs), x4 (exact-Jaccard verify)
     * and x8 (dedup clustering): the signature build and the band self-join
     * run once, not once per query. */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def candidatePairs(s: SparkSession, dir: String): DataFrame =
     cachedView(s, dir, "lshpairs") {
       lshPairs(minhashSignaturesFrom(docShingles(s, dir)))
     }
@@ -169,7 +183,11 @@ object SimilarityQueries {
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir).orderBy("doc_a", "doc_b")
 
-  private def lshPairs(sigArr: DataFrame): DataFrame = {
+  private def lshPairs(sigArr0: DataFrame): DataFrame = {
+    // materialize signatures once (one short row per doc): the band
+    // self-join below reads its input twice, and without this both sides
+    // re-run the 16-way min aggregation
+    val sigArr = sigArr0.localCheckpoint(true)
     val nBands = NumPerms / BandSize
     val banded = sigArr.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
@@ -337,6 +355,7 @@ object SimilarityQueries {
     * votes from each word's portable hash — assembled with algebraic aggs
     * only. */
   def x3Simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5Prefix28Expr.register(s)
     val wordsDf = documents(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .withColumn("wh", phash(col("w")))
