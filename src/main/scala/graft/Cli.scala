@@ -108,12 +108,13 @@ object Cli {
         println(s"graft: wrote $out")
       } else {
         var (features, cuts) = OsmPipeline.featuresWithCuts(spark, positional, opts)
-        if (flags.contains("explode-tags"))
-          features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
-        if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
-        else GeoParquet.write(features, output,
-          sortSpatially = flags.contains("sort"))
-        cuts.release()
+        try {
+          if (flags.contains("explode-tags"))
+            features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
+          if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
+          else GeoParquet.write(features, output,
+            sortSpatially = flags.contains("sort"))
+        } finally cuts.release()
         println(s"graft: wrote $output")
       }
     } finally spark.stop()

@@ -59,11 +59,12 @@ object ResultCache {
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (!ignoreCache && fs.exists(marker)) return out
     var (features, cuts) = OsmPipeline.featuresWithCuts(spark, pbfPaths, opts)
-    if (explodeTags)
-      features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
-    if (wktResult) GeoParquet.writeWkt(features, out)
-    else GeoParquet.write(features, out, sortSpatially = sortResult)
-    cuts.release()
+    try {
+      if (explodeTags)
+        features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
+      if (wktResult) GeoParquet.writeWkt(features, out)
+      else GeoParquet.write(features, out, sortSpatially = sortResult)
+    } finally cuts.release()
     fs.create(marker, true).close()
     out
   }
