@@ -109,10 +109,58 @@ object OsmPipeline {
     df
   }
 
+  /** Inputs below this size run the conversion with AQE off. The DAG has
+    * ~30 joins; AQE materializes every query stage (and every runtime
+    * broadcast) as its own driver-scheduled job with a fixed ~100-200 ms
+    * cost — ~10 s of pure scheduling on a 3 MB extract (measured: 79
+    * stages / 53 broadcast jobs with AQE vs 32 stages without; 13.2 s vs
+    * 8.3 s warm). Past ~256 MB of compressed PBF the data-proportional
+    * work dwarfs that fixed cost and AQE's runtime re-planning (skew
+    * splits, partition coalescing, SMJ→BHJ) is worth buying — exactly the
+    * regime a 100 TB cluster run is in, so big inputs keep AQE on. */
+  val AqeMinInputBytes: Long = 256L * 1024 * 1024
+
+  /** Total size of the PBF inputs (glob-expanded); -1 if any path is
+    * unresolvable (treated as big → leave the session untouched). */
+  private def inputBytes(spark: SparkSession, pbfPaths: Seq[String]): Long =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      pbfPaths.map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        Option(fs.globStatus(hp)).map(_.map(_.getLen).sum).getOrElse(-1L)
+      }.sum
+    } catch { case _: Throwable => -1L }
+
   /** [[features]] returning the conversion's own cut handle: call
     * `cuts.release()` once the DataFrame has been consumed. */
-  def featuresWithCuts(spark: SparkSession, pbfPaths: Seq[String],
+  def featuresWithCuts(spark0: SparkSession, pbfPaths: Seq[String],
       opts: Options = Options()): (DataFrame, ConversionCuts) = {
+    // Conversion-scoped execution tuning: a cloned session (same
+    // SparkContext, same cache, own SQLConf) turns AQE off for small
+    // inputs without mutating the caller's session or affecting anything
+    // else running in it. The returned DataFrame is bound to the clone, so
+    // every later action on it (stats pass, sort, write, count) inherits
+    // the setting.
+    val spark = {
+      val bytes = inputBytes(spark0, pbfPaths)
+      val aqeOn = spark0.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+      if (aqeOn && bytes >= 0 && bytes < AqeMinInputBytes) {
+        val s = spark0.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        // without AQE's partition coalescing, size the shuffles to the
+        // input instead: ~4 MB of compressed PBF per shuffle partition
+        // (floor 4 for parallelism, never above the caller's setting —
+        // measured 5.4 s vs 7.9 s warm on monaco at 4 vs 32 partitions)
+        val callerParts = try
+          s.conf.get("spark.sql.shuffle.partitions", "200").toLong
+        catch { case _: Throwable => 200L }
+        val parts = math.max(4L,
+          math.min(callerParts, bytes / (4L * 1024 * 1024) + 1))
+        s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        s
+      } else spark0
+    }
     val cuts = new ConversionCuts()
     def cut(df: DataFrame): DataFrame = cuts.add(df)
     // J3 (pbf_file_reader.py:1126-1139): overlapping extract files carry
