@@ -218,4 +218,20 @@ class OsmPipelineSpec extends AnyFunSuite {
       .filter(col("wkt").contains("), ("))
     assert(multi.count() > 0) // monaco has relations with inner rings
   }
+
+  test("small-input conversion runs in a tuned session clone, caller untouched") {
+    val (df, cuts) = OsmPipeline.featuresWithCuts(spark, Seq(Monaco))
+    try {
+      // monaco (3 MB) is far below AqeMinInputBytes: the conversion's own
+      // session has AQE off and input-proportional shuffle partitions...
+      val conv = df.sparkSession
+      assert(conv.conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(conv.conf.get("spark.sql.shuffle.partitions").toInt <= 8)
+      // ...while the caller's session keeps its own settings (no global
+      // conf mutation), and the clone still computes the same result
+      assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == "true")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+      assert(df.count() == features.count())
+    } finally cuts.release()
+  }
 }
