@@ -47,14 +47,30 @@ object IvfAnn {
       .select(col("vec_id"), col("v"), col("cid"),
         cosine(col("v"), col("cv")).as("sim"))
 
-  /** Nearest-centroid cell per vector (rank-1 by sim desc, cid asc — the
-    * tie-break is pinned so any engine reproduces the same assignment). */
+  /** All centroids packed into ONE array-of-structs row (still a DataFrame
+    * — never collected to the driver), broadcast-joined onto every vector.
+    * Centroid norms are precomputed here, once per centroid, not once per
+    * (vector, centroid) pair. */
+  private def packedCentroids(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(
+      struct(col("cid"), col("cv"), norm(col("cv")).as("cn"))).as("cs"))
+
+  /** Nearest-centroid cell per vector (sim desc, cid asc — the tie-break
+    * is pinned so any engine reproduces the same assignment).
+    *
+    * Shape: a map-side argmax over the broadcast packed-centroid array —
+    * struct comparison is lexicographic, so max(struct(sim, -cid)) IS the
+    * pinned rank-1 pick. The naive alternative (explode corpus × K, then
+    * row_number over vec_id) shuffles every embedding vector K times and
+    * sorts; this never shuffles the corpus at all. The vector's own norm
+    * cancels in an argmax over a shared v, so only dot(v, cv)/|cv| is
+    * compared (sign-safe: |v| > 0 scales all candidates equally). */
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
-    centroidSims(emb, cents)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    emb.crossJoin(broadcast(packedCentroids(cents)))
+      .withColumn("best", array_max(transform(col("cs"),
+        c => struct((dot(col("v"), c.getField("cv")) / c.getField("cn")).as("sim"),
+          (-c.getField("cid")).as("ncid")))))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cell"))
 
   /** Gate query: IVF top-10 for the vec_id=0 query with untrained
     * centroids (the first K vectors by id) and NProbe=2. */
