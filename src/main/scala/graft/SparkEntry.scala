@@ -83,6 +83,7 @@ object SparkEntry {
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
+    "m3_resize" -> (M.m3Resize _),
   )
 
   /** DuckDB-runnable oracle per SQL-expressible query (same column names,
@@ -305,6 +306,22 @@ object SparkEntry {
         |  unnest(range(0, (vec_id % 30000) + 1001, 5000)) AS frame_ts_ms
         |  FROM embeddings WHERE vec_id % 3 = 2)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // the resize stub's integer math (w*256 // max(w,h), floor on
+    // positives) is replicated exactly; dims come from the same
+    // synthetic-media mapping as m1
+    "m3_resize" ->
+      """SELECT out_w, out_h, count(*) AS n, min(media_id) AS min_id FROM (
+        |  SELECT media_id,
+        |    CASE WHEN greatest(w, h) <= 256 THEN w
+        |         ELSE CAST(w * 256 // greatest(w, h) AS INTEGER) END AS out_w,
+        |    CASE WHEN greatest(w, h) <= 256 THEN h
+        |         ELSE CAST(h * 256 // greatest(w, h) AS INTEGER) END AS out_h
+        |  FROM (
+        |    SELECT vec_id AS media_id,
+        |      CAST(vec_id % 640 + 32 AS INTEGER) AS w,
+        |      CAST(vec_id % 480 + 32 AS INTEGER) AS h
+        |    FROM embeddings WHERE vec_id % 3 = 0))
+        |GROUP BY out_w, out_h ORDER BY out_w, out_h""".stripMargin,
     "x1_cosine_topk" ->
       """SELECT vec_id,
         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
