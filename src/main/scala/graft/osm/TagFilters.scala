@@ -107,6 +107,42 @@ object TagFilters {
     }
   }
 
+  /** Merge algebra (_osm_tags_filters.py:100-180): key-wise union of
+    * filters, with the reference's conflict rule — a key cannot be both
+    * positive (AnyValue / Values) in one filter and negative (Absent) in
+    * another. AnyValue absorbs value lists; value lists append with
+    * order-preserving dedup. Used to collapse a GroupedFilter (or several
+    * filters) into the single prefilter the loader scans with. */
+  def merge(filters: Iterable[OsmTagsFilter]): OsmTagsFilter = {
+    val result = scala.collection.mutable.LinkedHashMap.empty[String, TagMatch]
+    for (f <- filters; (k, m) <- f) {
+      val merged = (result.get(k), m) match {
+        case (None, _) => m
+        case (Some(Absent), Absent) => Absent
+        case (Some(Absent), _) | (Some(_), Absent) =>
+          throw new IllegalArgumentException(
+            s"OSM tags filter values cannot be merged: conflict on key '$k' " +
+              s"between ${result(k)} and $m (positive vs negative).")
+        case (Some(AnyValue), _) | (Some(_), AnyValue) => AnyValue
+        case (Some(Values(a)), Values(b)) => Values(a ++ b.filterNot(a.contains))
+      }
+      result(k) = merged
+    }
+    result.toMap
+  }
+
+  /** Grouped filter → single flat filter (reference
+    * `merge_osm_tags_filter` on GroupedOsmTagsFilter). Groups merge in
+    * sorted-name order so the result is deterministic. */
+  def mergeGrouped(grouped: GroupedFilter): OsmTagsFilter =
+    merge(grouped.toSeq.sortBy(_._1).map(_._2))
+
+  /** `check_if_any_osm_tags_filter_value_is_positive`
+    * (_osm_tags_filters.py:81-98): does any entry actually SELECT
+    * anything (vs only excluding)? */
+  def anyPositive(filter: OsmTagsFilter): Boolean =
+    filter.values.exists(_ != Absent)
+
   /** F6: explicit `kind/id` filter (pbf_file_reader.py:2633-2648). */
   def osmIdsClause(ids: Seq[String], kind: Column, id: Column): Column =
     ids.groupBy(_.takeWhile(_ != '/')).map { case (k, full) =>
