@@ -81,7 +81,7 @@ object GeoParquet {
     val types = stats.getSeq[String](4)
 
     val sorted =
-      if (sortSpatially) spatialSortWithExt(typed, bbox)
+      if (sortSpatially) spatialSortWithExt(typed, bbox, singleFile)
       else typed
     // GeoParquet 1.1 per-row bbox covering column: with the spatial sort,
     // parquet row-group min/max stats on these four doubles prune
@@ -192,21 +192,29 @@ object GeoParquet {
   def spatialSort(features: DataFrame, bbox: (Double, Double, Double, Double)): DataFrame = {
     val extentUdf = udf(GeomUdfs.extent)
     spatialSortWithExt(
-      features.withColumn("_ext", extentUdf(col("geometry"))), bbox)
+      features.withColumn("_ext", extentUdf(col("geometry"))), bbox,
+      singleOutput = false)
       .drop("_ext")
   }
 
   /** Same, for inputs that already carry a `_ext` extent column (avoids a
-    * second WKB parse); `_ext` is preserved on the output. */
+    * second WKB parse); `_ext` is preserved on the output.
+    *
+    * `singleOutput`: a one-file sink collapses to one task regardless, so
+    * range partitioning would only add a sampling job + a shuffle ahead of
+    * the single-task sort — sort directly inside the coalesced partition
+    * instead. Multi-file output keeps `repartitionByRange` (parallel,
+    * sampled ranges — no single-partition bottleneck at scale). */
   private def spatialSortWithExt(typed: DataFrame,
-      bbox: (Double, Double, Double, Double)): DataFrame = {
+      bbox: (Double, Double, Double, Double),
+      singleOutput: Boolean): DataFrame = {
     HilbertIndexExpr.register(typed.sparkSession)
-    typed
-      .withColumn("_hilbert", expr(
-        s"hilbert_index((_ext._1 + _ext._3) / 2, (_ext._2 + _ext._4) / 2, " +
-          s"${bbox._1}d, ${bbox._2}d, ${bbox._3}d, ${bbox._4}d)"))
-      .repartitionByRange(col("_hilbert"))
-      .sortWithinPartitions(col("_hilbert"))
-      .drop("_hilbert")
+    val indexed = typed.withColumn("_hilbert", expr(
+      s"hilbert_index((_ext._1 + _ext._3) / 2, (_ext._2 + _ext._4) / 2, " +
+        s"${bbox._1}d, ${bbox._2}d, ${bbox._3}d, ${bbox._4}d)"))
+    val parted =
+      if (singleOutput) indexed.coalesce(1)
+      else indexed.repartitionByRange(col("_hilbert"))
+    parted.sortWithinPartitions(col("_hilbert")).drop("_hilbert")
   }
 }
