@@ -24,6 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.Md5Prefix28Expr].getName,
         "md5_prefix28"),
       (exprs: Seq[Expression]) => graft.functions.Md5Prefix28Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.VecDotExpr].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => graft.functions.VecDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[graft.functions.VecNormExpr].getName, "vec_norm"),
+      (exprs: Seq[Expression]) => graft.functions.VecNormExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[graft.functions.VecCosineExpr].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) => graft.functions.VecCosineExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -35,6 +47,7 @@ object Graft {
     GeomUdfs.register(spark)
     HilbertIndexExpr.register(spark)
     graft.functions.Md5Prefix28Expr.register(spark)
+    graft.functions.VectorExprs.register(spark)
     spark
   }
 }

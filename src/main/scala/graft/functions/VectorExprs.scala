@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector kernels for the embedding-similarity family (x1, x5-x7).
+  *
+  * The composable form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — is
+  * correct but slow at scale: Catalyst evaluates higher-order-function
+  * lambdas interpreted, per element, with a freshly allocated intermediate
+  * array per row pair; a per-bucket self-join over 64-dim embeddings spends
+  * most of its CPU inside that lambda machinery. These expressions run the
+  * same left-to-right float math as one fused whole-stage-codegen'd loop
+  * over the raw ArrayData (no intermediate array, no boxing), reading
+  * float32 embeddings directly — the upstream per-element cast-to-double
+  * `transform` disappears too (widening happens inside the loop, exactly).
+  *
+  * Bit-compatibility contract: accumulation is left-to-right from 0.0 with
+  * per-element double widening — the identical sequence of IEEE operations
+  * as the zip_with form and as the DuckDB oracle's list_inner_product /
+  * list_cosine_similarity on DOUBLE[] casts, so hash-verified results are
+  * unchanged. Mismatched lengths use the common prefix; null elements read
+  * as 0 (embeddings carry neither).
+  */
+object VectorKernels {
+
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  def norm(a: ArrayData, aFloat: Boolean): Double =
+    math.sqrt(dot(a, aFloat, a, aFloat))
+
+  /** dot(a,b) / (|a|·|b|) in one pass over both arrays. */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sab = 0.0
+    var saa = 0.0
+    var sbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      sab += x * y
+      saa += x * x
+      sbb += y * y
+      i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+}
+
+object VectorExprs {
+  def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def checkVec(e: Expression, side: String): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$side must be array<float|double>, got ${other.simpleString}")
+    }
+
+  /** Register vec_dot / vec_norm / vec_cosine on the session's function
+    * registry (idempotent; temp-function route — see
+    * [[graft.GraftExtensions]] for the catalog-extension route). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) {
+      reg.createOrReplaceTempFunction("vec_dot",
+        exprs => VecDotExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_norm",
+        exprs => VecNormExpr(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("vec_cosine",
+        exprs => VecCosineExpr(exprs(0), exprs(1)), "built-in")
+    }
+  }
+}
+
+case class VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorExprs.checkVec(left, "left")
+    if (l.isSuccess) VectorExprs.checkVec(right, "right") else l
+  }
+  private lazy val lF = VectorExprs.isFloat(left)
+  private lazy val rF = VectorExprs.isFloat(right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], lF, b.asInstanceOf[ArrayData], rF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dot($a, $lF, $b, $rF)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class VecNormExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprs.checkVec(child, "argument")
+  private lazy val cF = VectorExprs.isFloat(child)
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.norm(a.asInstanceOf[ArrayData], cF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.norm($a, $cF)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class VecCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorExprs.checkVec(left, "left")
+    if (l.isSuccess) VectorExprs.checkVec(right, "right") else l
+  }
+  private lazy val lF = VectorExprs.isFloat(left)
+  private lazy val rF = VectorExprs.isFloat(right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], lF, b.asInstanceOf[ArrayData], rF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosine($a, $lF, $b, $rF)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

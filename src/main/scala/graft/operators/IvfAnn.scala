@@ -30,15 +30,18 @@ object IvfAnn {
   val K = 16
   val NProbe = 2
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Native one-pass codegen kernels ([[graft.functions.VectorKernels]];
+    * bit-identical to the zip_with+aggregate form, float32 read directly —
+    * see SimilarityQueries). Registered by [[vectors]]/entry points. */
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  private def norm(a: Column): Column = call_function("vec_norm", a)
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    call_function("vec_cosine", a, b)
 
-  private def vectors(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+  }
 
   /** (vec_id, v, sim, cid) for every vector × centroid pair; centroids
     * broadcast. */
@@ -65,12 +68,14 @@ object IvfAnn {
     * sorts; this never shuffles the corpus at all. The vector's own norm
     * cancels in an argmax over a shared v, so only dot(v, cv)/|cv| is
     * compared (sign-safe: |v| > 0 scales all candidates equally). */
-  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     emb.crossJoin(broadcast(packedCentroids(cents)))
       .withColumn("best", array_max(transform(col("cs"),
         c => struct((dot(col("v"), c.getField("cv")) / c.getField("cn")).as("sim"),
           (-c.getField("cid")).as("ncid")))))
       .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cell"))
+  }
 
   /** Gate query: IVF top-10 for the vec_id=0 query with untrained
     * centroids (the first K vectors by id) and NProbe=2. */
@@ -83,6 +88,7 @@ object IvfAnn {
 
   /** IVF search against an arbitrary centroid table (cid, cv). */
   def ivfSearch(emb: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val sims = centroidSims(emb, cents)
     val cells = assignCells(emb, cents)
     val qcells = sims.filter(col("vec_id") === 0)
@@ -106,6 +112,7 @@ object IvfAnn {
     * centroid table is tiny, so the loop materializes K×dim doubles per
     * round — the corpus is scanned once per iteration, never collected. */
   def trainCentroids(emb: DataFrame, k: Int = K, iters: Int = 5): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {

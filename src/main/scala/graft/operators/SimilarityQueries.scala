@@ -373,14 +373,18 @@ object SimilarityQueries {
 
   // ------------------------------------------------------- embeddings ----
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
-
-  /** dot(a,b) via zip_with + aggregate — codegen'd higher-order functions,
-    * no UDF. */
+  /** dot / norm via the native one-pass codegen kernels
+    * ([[graft.functions.VectorKernels]] — same left-to-right IEEE sequence
+    * as the zip_with+aggregate form they replaced, so oracle hashes are
+    * unchanged; callers must register via [[vecExprs]] first). The kernels
+    * read float32 embeddings directly — no per-element cast column. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private def norm(a: Column): Column = call_function("vec_norm", a)
+
+  private def vecExprs(s: SparkSession): Unit =
+    graft.functions.VectorExprs.register(s)
 
   /** Deterministic ±1 hyperplane for LSH plane `p` over [[EmbDim]] dims:
     * sign(p,d) = parity of md5("p:d"). Computed ONCE driver-side and baked
@@ -410,8 +414,9 @@ object SimilarityQueries {
     * top-k (no global sort). This is the exact baseline the LSH variant
     * is measured against. */
   def x1CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    vecExprs(s)
     val emb = embeddings(s, dir).select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
+      col("embedding").as("v"))
     val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
@@ -427,8 +432,9 @@ object SimilarityQueries {
     * within. The 100 TB path: bucket id is a shuffle key, each bucket is
     * searched independently. */
   def x5AnnBuckets(s: SparkSession, dir: String): DataFrame = {
+    vecExprs(s)
     val emb = embeddings(s, dir).select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
+      col("embedding").as("v"))
     val bucketed = emb.withColumn("bucket", lshBucket(8))
     val q = bucketed.filter(col("vec_id") === 0)
       .select(col("bucket"), col("v").as("qv"))
@@ -445,8 +451,9 @@ object SimilarityQueries {
     * self-join instead of all-pairs). The norm is materialized once per
     * row BEFORE the join — never recomputed per pair side. */
   def x6EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    vecExprs(s)
     val emb = embeddings(s, dir).select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
+      col("embedding").as("v"))
     val b = emb.withColumn("bucket", lshBucket(6))
       .withColumn("n", norm(col("v")))
     val l = b.select(col("bucket"), col("vec_id").as("id_a"),

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native vector kernels must be BIT-identical to the composable
+  * zip_with + aggregate formulation they replaced (that identity is what
+  * keeps the DuckDB-oracle hashes stable), in both codegen and interpreted
+  * evaluation, over both float32 and float64 arrays.
+  */
+class VectorExprsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    VectorExprs.register(s)
+    s
+  }
+
+  private def vecs(n: Int, dim: Int): Seq[(Long, Array[Float], Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      (i.toLong,
+        Array.fill(dim)(rnd.nextFloat() * 2 - 1),
+        Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }
+  }
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    vecs(200, 64).toDF("id", "a", "b")
+  }
+
+  test("vec_dot / vec_norm / vec_cosine match the zip_with formulation bit-for-bit") {
+    def zipDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(transform(a, _.cast("double")),
+        transform(b, _.cast("double")), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+    val cmp = df.select(
+      call_function("vec_dot", col("a"), col("b")).as("kd"),
+      zipDot(col("a"), col("b")).as("zd"),
+      call_function("vec_norm", col("a")).as("kn"),
+      sqrt(zipDot(col("a"), col("a"))).as("zn"),
+      call_function("vec_cosine", col("a"), col("b")).as("kc"),
+      (zipDot(col("a"), col("b")) /
+        (sqrt(zipDot(col("a"), col("a"))) * sqrt(zipDot(col("b"), col("b")))))
+        .as("zc"))
+    val bad = cmp.filter(col("kd") =!= col("zd") || col("kn") =!= col("zn") ||
+      col("kc") =!= col("zc"))
+    assert(bad.count() == 0) // exact equality, not tolerance
+  }
+
+  test("float and pre-cast double inputs produce identical results") {
+    val viaDouble = df
+      .select(col("id"), transform(col("a"), _.cast("double")).as("ad"),
+        transform(col("b"), _.cast("double")).as("bd"))
+      .select(col("id"), call_function("vec_cosine", col("ad"), col("bd")).as("c"))
+    val viaFloat = df
+      .select(col("id"), call_function("vec_cosine", col("a"), col("b")).as("c"))
+    assert(viaFloat.join(viaDouble.withColumnRenamed("c", "cd"), Seq("id"))
+      .filter(col("c") =!= col("cd")).count() == 0)
+  }
+
+  test("codegen and interpreted evaluation agree") {
+    val s = spark
+    try {
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(call_function("vec_cosine", col("a"), col("b")).as("c"))
+        .collect().map(_.getDouble(0))
+      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = df.select(call_function("vec_cosine", col("a"), col("b")).as("c"))
+        .collect().map(_.getDouble(0))
+      assert(interp.sameElements(gen))
+    } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("null arrays yield null; mismatched lengths use the common prefix") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f, 9.0f)),
+      (2L, null.asInstanceOf[Array[Float]], Array(1.0f))).toDF("id", "a", "b")
+    val rows = d.select(col("id"),
+      call_function("vec_dot", col("a"), col("b")).as("dp")).collect()
+    assert(rows.find(_.getLong(0) == 1L).get.getDouble(1) == 11.0)
+    assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
+  test("non-vector input is rejected at analysis") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1, "x")).toDF("i", "s")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(call_function("vec_dot", col("s"), col("s"))).collect()
+    }
+  }
+}
