@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[graft.functions.VecCosineExpr].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => graft.functions.VecCosineExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("split_words"),
+      new ExpressionInfo(classOf[graft.functions.SplitWordsExpr].getName, "split_words"),
+      (exprs: Seq[Expression]) => graft.functions.SplitWordsExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.WordNgramsExpr].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => graft.functions.WordNgramsExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -48,6 +56,7 @@ object Graft {
     HilbertIndexExpr.register(spark)
     graft.functions.Md5Prefix28Expr.register(spark)
     graft.functions.VectorExprs.register(spark)
+    graft.functions.TextExprs.register(spark)
     spark
   }
 }

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenization kernels for the text/similarity family (x2-x4, x8
+  * shingles; x3 words).
+  *
+  * The composable form — `filter(split(lower(t), "\\s+"), len > 0)` then
+  * `transform(sequence(...), i => concat_ws(" ", slice(ws, i+1, n)))` —
+  * stacks three interpreted higher-order-function lambdas and allocates an
+  * intermediate array per level, per document. These kernels produce the
+  * SAME strings (same lowercase, same `\s+` regex split, same " " joins —
+  * the DuckDB-oracle contract) in one pass per document inside
+  * whole-stage codegen.
+  */
+object TextKernels {
+
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** lower(s) split on `\s+` with empties dropped — bit-identical to
+    * `filter(split(lower(t), "\\s+"), w => length(w) > 0)`. */
+  def splitWords(s: UTF8String): Array[String] = {
+    // UTF8String.toLowerCase (Spark's Lower) — locale-independent; the
+    // regex split then matches Spark's StringSplit semantics (limit -1)
+    val parts = Whitespace.split(s.toLowerCase.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    if (n == parts.length) parts
+    else {
+      val out = new Array[String](n)
+      var j = 0
+      i = 0
+      while (i < parts.length) {
+        if (parts(i).nonEmpty) { out(j) = parts(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  def splitWordsArray(s: UTF8String): ArrayData =
+    new GenericArrayData(
+      splitWords(s).map(w => UTF8String.fromString(w): Any))
+
+  /** Word n-gram shingles joined with " ". Documents with fewer than `n`
+    * words yield ONE shingle: all words joined (possibly the empty string
+    * for an empty document) — the reference contract of
+    * SimilarityQueries.shinglesOf / the oracle's `CASE WHEN len(ws) < n`. */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val ws = splitWords(s)
+    if (ws.length < n)
+      new GenericArrayData(Array[Any](UTF8String.fromString(ws.mkString(" "))))
+    else {
+      val out = new Array[Any](ws.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + n <= ws.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+object TextExprs {
+  /** Register split_words / word_ngrams on the session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("split_words"))) {
+      reg.createOrReplaceTempFunction("split_words",
+        exprs => SplitWordsExpr(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("word_ngrams",
+        exprs => WordNgramsExpr(exprs(0), exprs(1)), "built-in")
+    }
+  }
+}
+
+case class SplitWordsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"argument must be string, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.splitWordsArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.splitWordsArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** word_ngrams(text, n) — n must be a foldable positive integer. */
+case class WordNgramsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private lazy val n: Int = right.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"word_ngrams: n must be a literal integer, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.foldable, right.dataType) match {
+      case (StringType, true, IntegerType | LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (StringType, _, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "n must be an integer literal")
+      case (other, _, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"argument must be string, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any, nv: Any): Any =
+    TextKernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, _) =>
+      s"graft.functions.TextKernels.wordNgrams($c, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -33,15 +33,17 @@ object SimilarityQueries {
   val HashPrime = 1000000007L
   val EmbDim = 64      // embeddings table contract (TESTDATA.md)
 
-  /** words(text): whitespace-split, lowercased, empties dropped. */
-  private def words(t: Column): Column =
-    filter(split(lower(t), "\\s+"), w => length(w) > 0)
+  /** words(text): whitespace-split, lowercased, empties dropped — the
+    * native one-pass kernel ([[graft.functions.TextKernels]]; bit-identical
+    * to `filter(split(lower(t), "\\s+"), w => length(w) > 0)`, which
+    * stacked interpreted HOF lambdas per document). */
+  private def words(t: Column): Column = call_function("split_words", t)
 
-  /** Word 3-gram shingles from a PRE-MATERIALIZED words-array column. */
-  private def shinglesOf(ws: Column): Column =
-    when(size(ws) < 3, array(concat_ws(" ", ws)))
-      .otherwise(transform(sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", slice(ws, i + 1, lit(3)))))
+  /** Word 3-gram shingles straight from the text column (one kernel pass:
+    * split + sliding join — replaces the words-array materialization plus
+    * the transform/sequence/slice/concat_ws lambda stack). */
+  private def shingles(t: Column): Column =
+    call_function("word_ngrams", t, lit(3))
 
   /** Portable 28-bit hash: first 7 hex digits of md5, read as an integer.
     * Identical in any engine with md5 (`('0x' || substr(md5(s),1,7))::BIGINT`
@@ -119,17 +121,14 @@ object SimilarityQueries {
 
   private[graft] def docShingles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
     cachedView(s, dir, "shingles") {
       documents(s, dir)
         .repartition(col("doc_id"))
-        // materialize the words array once per row: lambdas don't CSE, so
-        // referencing split() inside transform would re-run the regex per
-        // shingle — O(words^2) per document
-        .select(col("doc_id"), words(col("text")).as("ws"))
         // explode BEFORE hashing: expressions inside higher-order-function
         // lambdas are interpreted per element; hashing the exploded column
         // keeps the md5 kernel inside whole-stage codegen
-        .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("sh"))
+        .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
         .select(col("doc_id"), phash(col("sh")).as("shash"))
     }
   }
@@ -356,6 +355,7 @@ object SimilarityQueries {
     * only. */
   def x3Simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
     val wordsDf = documents(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .withColumn("wh", phash(col("w")))

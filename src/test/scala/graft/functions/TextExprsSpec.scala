@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native tokenization kernels must be BIT-identical to the composable
+  * HOF formulation they replaced — that identity keeps the minhash-family
+  * DuckDB-oracle hashes stable.
+  */
+class TextExprsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    TextExprs.register(s)
+    s
+  }
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "The quick Brown fox JUMPS over the lazy dog"),
+      (2L, "one two"),
+      (3L, "single"),
+      (4L, ""),
+      (5L, "   leading and  trailing   "),
+      (6L, "tabs\tand\nnewlines\r\nmixed   in"),
+      (7L, "a b c d e f g h i j k l m n o p"),
+      (8L, "Ünïcödé WÖRDS Straße ÀÉÎ")).toDF("doc_id", "text")
+  }
+
+  private def wordsHof(t: org.apache.spark.sql.Column) =
+    filter(split(lower(t), "\\s+"), w => length(w) > 0)
+
+  private def shinglesHof(ws: org.apache.spark.sql.Column) =
+    when(size(ws) < 3, array(concat_ws(" ", ws)))
+      .otherwise(transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", slice(ws, i + 1, lit(3)))))
+
+  test("split_words matches the filter/split/lower HOF form exactly") {
+    val bad = docs.select(
+      call_function("split_words", col("text")).as("k"),
+      wordsHof(col("text")).as("h"))
+      .filter(not(col("k") <=> col("h")))
+    assert(bad.count() == 0)
+  }
+
+  test("word_ngrams(3) matches the transform/slice/concat_ws HOF form exactly") {
+    val bad = docs.select(
+      call_function("word_ngrams", col("text"), lit(3)).as("k"),
+      shinglesHof(wordsHof(col("text"))).as("h"))
+      .filter(not(col("k") <=> col("h")))
+    assert(bad.count() == 0)
+  }
+
+  test("edge semantics: empty doc yields one empty shingle, short docs join all words") {
+    val m = docs.select(col("doc_id"),
+      call_function("word_ngrams", col("text"), lit(3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(4L) == Seq(""))
+    assert(m(2L) == Seq("one two"))
+    assert(m(3L) == Seq("single"))
+    assert(m(1L).head == "the quick brown")
+    assert(m(1L).size == 7) // 9 words -> 7 trigrams
+  }
+
+  test("null text yields null (not a row explosion)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(d.select(call_function("word_ngrams", col("text"), lit(3)))
+      .head().isNullAt(0))
+  }
+
+  test("codegen and interpreted evaluation agree") {
+    val s = spark
+    try {
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = docs.select(call_function("word_ngrams", col("text"), lit(3)))
+        .collect().map(_.getSeq[String](0))
+      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = docs.select(call_function("word_ngrams", col("text"), lit(3)))
+        .collect().map(_.getSeq[String](0))
+      assert(interp.zip(gen).forall { case (a, b) => a == b })
+    } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+}
