@@ -139,7 +139,18 @@ object SimilarityQueries {
     * run once, not once per query. */
   private[graft] def candidatePairs(s: SparkSession, dir: String): DataFrame =
     cachedView(s, dir, "lshpairs") {
-      lshPairs(minhashSignaturesFrom(docShingles(s, dir)))
+      lshPairs(cachedSignatures(s, dir))
+    }
+
+  /** Signatures as their own snapshot-keyed cached view: the band
+    * self-join reads its input twice, and the 16-min aggregation must not
+    * run once per side (one corpus pass, not two). Cached — not an eager
+    * localCheckpoint — so lifecycle stays with the session's CacheManager
+    * like every other cut here (lock order pairs → sigs → shingles,
+    * acyclic). */
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "sigs") {
+      minhashSignaturesFrom(docShingles(s, dir))
     }
 
   /** Fingerprint of the documents input: file name + length + mtime. */
@@ -182,11 +193,7 @@ object SimilarityQueries {
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir).orderBy("doc_a", "doc_b")
 
-  private def lshPairs(sigArr0: DataFrame): DataFrame = {
-    // materialize signatures once (one short row per doc): the band
-    // self-join below reads its input twice, and without this both sides
-    // re-run the 16-way min aggregation
-    val sigArr = sigArr0.localCheckpoint(true)
+  private def lshPairs(sigArr: DataFrame): DataFrame = {
     val nBands = NumPerms / BandSize
     val banded = sigArr.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
