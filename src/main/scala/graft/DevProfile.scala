@@ -128,6 +128,37 @@ object DevProfile {
           }
         }
       }
+    } else if (name == "docscale") {
+      // replicate documents `reps` times (offset doc_ids; per-replica
+      // Caesar-rotate the text so replica corpora are mutually disjoint in
+      // shingle space — pair counts then grow linearly with the corpus)
+      // and time the minhash-LSH family end-to-end: the similarity
+      // analogue of pbfscale. reps ≤ 26 keeps rotations distinct.
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nBase = base.count()
+      val out = java.nio.file.Files.createTempDirectory("docscale").toString
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val big = (0 until reps).map { i =>
+        val r = i % 26
+        val rot = lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r)
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          translate(col("text"), lower + upper, rot).as("text"),
+          col("lang"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      big.coalesce(4).write.parquet(s"$out/documents.parquet")
+      println(s"corpus: ${nBase * reps} docs (${reps}x)")
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val nPairs = operators.SimilarityQueries.x2MinhashLsh(spark, out).count()
+        val t1 = System.nanoTime()
+        val nClusters = operators.SimilarityQueries.x8DedupClusters(spark, out)
+          .select("cluster_id").distinct().count()
+        val t2 = System.nanoTime()
+        println(f"pass$r: x2=${(t1 - t0) / 1e9}%.2f s ($nPairs pairs) " +
+          f"x8=${(t2 - t1) / 1e9}%.2f s ($nClusters clusters)")
+      }
     } else if (name == "x2stages") {
       // mimic the bench: warm every generated class on a 50-row copy of the
       // tables, then time x2 sub-stages on the real dir with a stage listener
