@@ -9,6 +9,29 @@ import org.locationtech.jts.geom.Geometry
   */
 object ExtractCover {
 
+  /** §3.2 end-to-end: cover the query geometry with extracts, fetch each
+    * (caller-supplied `fetch` — a local path lookup, an HTTP download via
+    * [[GeoParquet.downloadPbf]], whatever the deployment offers; the
+    * network layer stays out of the engine), then run the multi-file
+    * conversion with the geometry filter applied and cross-extract
+    * feature dedup (J3) built in. Returns the features plus the
+    * conversion's cut handle (release after consuming).
+    *
+    * Mirrors `convert_geometry_to_parquet`
+    * (/root/reference/quackosm/functions.py:1039 →
+    * pbf_file_reader.py:635,446-534). */
+  def convertGeometry(spark: org.apache.spark.sql.SparkSession,
+      queryWkt: String, index: Seq[Extract], fetch: Extract => String,
+      opts: OsmPipeline.Options = OsmPipeline.Options(),
+      iouThreshold: Double = 0.01)
+      : (org.apache.spark.sql.DataFrame, OsmPipeline.ConversionCuts) = {
+    val query = new org.locationtech.jts.io.WKTReader().read(queryWkt)
+    val chosen = cover(query, index, iouThreshold)
+    val paths = chosen.map(fetch)
+    OsmPipeline.featuresWithCuts(spark, paths,
+      opts.copy(geometryWkt = Some(queryWkt)))
+  }
+
   /** One row of an extract index (extract.py:77 expected columns). */
   final case class Extract(id: String, name: String, fileName: String,
       parent: String, area: Double, url: String, geometry: Geometry)

@@ -51,4 +51,50 @@ class ExtractCoverSpec extends AnyFunSuite {
     val dup = ex("padded", -0.5, -0.5, 1.5, 1.5)
     assert(cover(q, Seq(dup, small)).map(_.id) == Seq("exact"))
   }
+
+  test("convertGeometry: cover -> fetch -> multi-file conversion == single-file") {
+    // Split monaco into two overlapping synthetic extracts (nodes split by
+    // longitude, ways/relations duplicated into both — every element is in
+    // at least one extract, like real neighboring extracts), index them by
+    // bbox, and let the §3.2 path pick BOTH for a query spanning the seam.
+    // The result must match converting the original single file with the
+    // same geometry filter.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+    val dir = java.nio.file.Files.createTempDirectory("extracts").toString
+    val rows = spark.read.format("osmpbf").load(monaco)
+    val elems = graft.pbf.PbfWriter.fromRows(rows).collect()
+    val splitLon = 7.424 // roughly mid-monaco
+    def writeHalf(name: String, keepNode: graft.pbf.OsmElement => Boolean): String = {
+      val path = s"$dir/$name.osm.pbf"
+      graft.pbf.PbfWriter.write(
+        elems.iterator.filter(e => e.kind != "node" || keepNode(e)), path)
+      path
+    }
+    val west = writeHalf("west", _.lon <= splitLon + 0.001) // overlap margin
+    val east = writeHalf("east", _.lon >= splitLon - 0.001)
+    val paths = Map("west" -> west, "east" -> east)
+    val index = Seq(
+      Extract("west", "west", "west.osm.pbf", "monaco",
+        bbox(7.40, 43.72, splitLon, 43.76).getArea, "local",
+        bbox(7.40, 43.72, splitLon, 43.76)),
+      Extract("east", "east", "east.osm.pbf", "monaco",
+        bbox(splitLon, 43.72, 7.44, 43.76).getArea, "local",
+        bbox(splitLon, 43.72, 7.44, 43.76)))
+    val queryWkt = bbox(7.421, 43.732, 7.428, 43.737).toText // spans the seam
+    val (covered, cuts) = ExtractCover.convertGeometry(
+      spark, queryWkt, index, e => paths(e.id))
+    val (direct, cuts2) = OsmPipeline.featuresWithCuts(spark, Seq(monaco),
+      OsmPipeline.Options(geometryWkt = Some(queryWkt)))
+    try {
+      val a = covered.select("feature_id").collect().map(_.getString(0)).toSet
+      val b = direct.select("feature_id").collect().map(_.getString(0)).toSet
+      assert(a.nonEmpty)
+      assert(a == b)
+    } finally { cuts.release(); cuts2.release() }
+  }
 }
