@@ -46,6 +46,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(buildings == 1256L)
   }
 
+  test("CREATE TABLE ... USING osmpbf works as SQL DDL") {
+    spark.sql("DROP TABLE IF EXISTS monaco_sql")
+    spark.sql(
+      """CREATE TABLE monaco_sql USING osmpbf
+        |OPTIONS (path '/root/reference/tests/test_files/monaco.osm.pbf')""".stripMargin)
+    try {
+      val n = spark.sql(
+        "SELECT count(*) FROM monaco_sql WHERE kind = 'node'").head().getLong(0)
+      assert(n > 30000L)
+    } finally spark.sql("DROP TABLE IF EXISTS monaco_sql")
+  }
+
+  test("native kernels (vec_*, split_words, word_ngrams, md5_prefix28) from SQL") {
+    Graft.setup(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       split_words('  Hello   World ') AS w,
+        |       word_ngrams('a b c d', 3) AS g,
+        |       md5_prefix28('x') AS h""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getSeq[String](2) == Seq("hello", "world"))
+    assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+    assert(r.getLong(4) ==
+      java.lang.Long.parseLong("9dd4e46", 16)) // md5('x') = 9dd4e461...
+  }
+
   test("testdata views answer SQL with the same results as the DataFrame API") {
     Tables.lineitem(spark, "/root/testdata/sf0.001")
       .createOrReplaceTempView("lineitem")
