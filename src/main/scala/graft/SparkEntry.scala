@@ -52,6 +52,7 @@ object SparkEntry {
     "w3_qualify_dedup" -> (R.w3QualifyDedup _),
     "wx_running_sum" -> (R.wxRunningSum _),
     "wx_lag_gap" -> (R.wxLagGap _),
+    "wx_asof_join" -> (R.wxAsofJoin _),
     "e1_window_batch" -> (R.e1WindowBatch _),
     // sorts / top-k
     "o1_order_by" -> (R.o1OrderBy _),
@@ -223,6 +224,19 @@ object SparkEntry {
       """SELECT user_id, event_id,
         |date_diff('second', lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
         |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the engine's union-tag +
+    // window composition
+    "wx_asof_join" ->
+      """SELECT l.user_id, l.event_id,
+        |strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |round(r.v, 4) AS asof_v
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(value) AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL
+        |  GROUP BY user_id, ts) r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
     "o1_order_by" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
     "o2_topk" ->

@@ -111,11 +111,15 @@ case class SplitWordsExpr(child: Expression) extends UnaryExpression {
 /** word_ngrams(text, n) — n must be a foldable positive integer. */
 case class WordNgramsExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  private lazy val n: Int = right.eval(null) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"word_ngrams: n must be a literal integer, got $other")
+  private lazy val n: Int = {
+    val v = right.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"word_ngrams: n must be a literal integer, got $other")
+    }
+    require(v >= 1, s"word_ngrams: n must be >= 1, got $v")
+    v
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

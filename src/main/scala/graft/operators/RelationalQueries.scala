@@ -331,6 +331,40 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Beyond-reference: AS-OF join — for each left event, the latest right
+    * value at or before its timestamp. Spark has no native as-of join;
+    * the scalable composition is union-tag + one partitioned window:
+    * tag right rows side=0 / left side=1, sort (ts, side) within each key
+    * partition, and carry the last non-null right value forward
+    * (`last(ignoreNulls)` over unbounded-preceding). ONE shuffle of
+    * left+right on the join key — no range join, no per-row probe — and
+    * ties resolve inclusively (right sorts before left at equal ts).
+    * Right-side (key, ts) duplicates are pre-aggregated so the pick is
+    * deterministic. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def wxAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val left = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val right = ev.filter(col("event_type") === "view" && col("value").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("v"))
+    val tagged = left
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("double").as("v"))
+      .unionByName(right.select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("v")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_v", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        round(col("asof_v"), 4).as("asof_v"))
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------- sorts / topk --
 
   /** O1: deterministic full ordering (ref: pbf_file_reader.py:2343). */
