@@ -35,6 +35,7 @@ object SparkEntry {
     "j4_inner_join" -> (R.j4InnerJoin _),
     "j5_three_way_join" -> (R.j5ThreeWayJoin _),
     "j8_anti_two_key" -> (R.j8AntiTwoKey _),
+    "jx_range_join" -> (R.jxRangeJoin _),
     // aggregations
     "q1_agg" -> (R.q1Agg _),
     "a1_ordered_list_agg" -> (R.a1OrderedListAgg _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "d6_lang_id" -> (T.d6LangId _),
     "d7_fingerprint" -> (T.d7Fingerprint _),
     "d8_token_count" -> (T.d8TokenCount _),
+    "d9_stratified_sample" -> (T.d9StratifiedSample _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -267,6 +269,21 @@ object SparkEntry {
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
     "d2_dedup_survivors" ->
       "SELECT count(*) AS n_unique FROM (SELECT md5(text) AS h FROM documents GROUP BY h)",
+    // oracle is the naive inequality join; the engine runs the bucketed
+    // equi-join decomposition — results must be identical
+    "jx_range_join" ->
+      """SELECT e.event_id AS err_id, c.event_id AS click_id,
+        |CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(c.ts) AS BIGINT) AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        | AND abs(CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(c.ts) AS BIGINT)) <= 60
+        |ORDER BY err_id, click_id""".stripMargin,
+    "d9_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 7))::BIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+        |ORDER BY doc_id""".stripMargin,
     "d3_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
         |CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words

@@ -365,6 +365,34 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Beyond-reference: RANGE (interval) join — pair each error event with
+    * the same user's clicks within ±60 s. The naive form is an inequality
+    * join (quadratic per user); the scalable decomposition buckets time
+    * into window-sized cells, explodes each left row into its 3 candidate
+    * buckets, equi-joins on (key, bucket) — hash join, shuffle on a
+    * high-cardinality composite key — and applies the exact |Δt| ≤ 60
+    * filter on the bounded candidate set. Oracle: DuckDB's inequality
+    * join. */
+  def jxRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val win = 60L
+    def epoch(c: org.apache.spark.sql.Column) = unix_timestamp(c)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"), floor(epoch(col("ts")) / win).as("b"))
+      .select(col("user_id"), col("err_id"), col("err_ts"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bucket"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"),
+        floor(epoch(col("ts")) / win).as("bucket"))
+    errors.join(clicks, Seq("user_id", "bucket"))
+      .withColumn("gap_s", epoch(col("err_ts")) - epoch(col("click_ts")))
+      .filter(abs(col("gap_s")) <= win)
+      .select(col("err_id"), col("click_id"), col("gap_s"))
+      .orderBy("err_id", "click_id")
+  }
+
   // -------------------------------------------------------- sorts / topk --
 
   /** O1: deterministic full ordering (ref: pbf_file_reader.py:2343). */

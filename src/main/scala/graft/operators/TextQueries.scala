@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Training-data-pipeline text operators over the `documents` table
   * (doc_id, text, lang, source, n_chars).
@@ -101,4 +102,19 @@ object TextQueries {
           length(expr("replace(text, ' ', '')")) + 1).cast("long").as("n_words"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_est"))
       .orderBy("doc_id")
+
+  /** Deterministic stratified sampling — per-stratum quotas by content
+    * hash, the training-data downsampling primitive. Unlike
+    * `df.sample`/`sampleBy` (RNG-seeded, partitioning-dependent), the
+    * keep-decision is a pure function of the row: portable 28-bit md5
+    * prefix mod 100 under a per-language rate. Reproducible across runs,
+    * cluster sizes, AND engines (the rate table is plain SQL). */
+  def d9StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5Prefix28Expr.register(s)
+    val rate: Column = when(col("lang") === "en", 20).otherwise(5)
+    documents(s, dir)
+      .filter(pmod(call_function("md5_prefix28", col("text")), lit(100L)) < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
 }
