@@ -135,6 +135,7 @@ object DevProfile {
       // and time the minhash-LSH family end-to-end: the similarity
       // analogue of pbfscale. reps ≤ 26 keeps rotations distinct.
       import org.apache.spark.sql.functions._
+      require(reps <= 26, s"docscale: max 26 replicas (distinct rotations), got $reps")
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
       val nBase = base.count()
       val out = java.nio.file.Files.createTempDirectory("docscale").toString

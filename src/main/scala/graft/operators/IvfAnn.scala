@@ -51,12 +51,9 @@ object IvfAnn {
         cosine(col("v"), col("cv")).as("sim"))
 
   /** All centroids packed into ONE array-of-structs row (still a DataFrame
-    * — never collected to the driver), broadcast-joined onto every vector.
-    * Centroid norms are precomputed here, once per centroid, not once per
-    * (vector, centroid) pair. */
+    * — never collected to the driver), broadcast-joined onto every vector. */
   private def packedCentroids(cents: DataFrame): DataFrame =
-    cents.agg(collect_list(
-      struct(col("cid"), col("cv"), norm(col("cv")).as("cn"))).as("cs"))
+    cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
 
   /** Nearest-centroid cell per vector (sim desc, cid asc — the tie-break
     * is pinned so any engine reproduces the same assignment).
@@ -65,14 +62,15 @@ object IvfAnn {
     * struct comparison is lexicographic, so max(struct(sim, -cid)) IS the
     * pinned rank-1 pick. The naive alternative (explode corpus × K, then
     * row_number over vec_id) shuffles every embedding vector K times and
-    * sorts; this never shuffles the corpus at all. The vector's own norm
-    * cancels in an argmax over a shared v, so only dot(v, cv)/|cv| is
-    * compared (sign-safe: |v| > 0 scales all candidates equally). */
+    * sorts; this never shuffles the corpus at all. The metric is the FULL
+    * cosine (not the algebraically-equivalent dot/|cv|): the oracle and
+    * qcells rank by cosine, and only the identical IEEE computation
+    * guarantees identical tie-breaks on near-equal centroids. */
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     emb.crossJoin(broadcast(packedCentroids(cents)))
       .withColumn("best", array_max(transform(col("cs"),
-        c => struct((dot(col("v"), c.getField("cv")) / c.getField("cn")).as("sim"),
+        c => struct(cosine(col("v"), c.getField("cv")).as("sim"),
           (-c.getField("cid")).as("ncid")))))
       .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cell"))
   }

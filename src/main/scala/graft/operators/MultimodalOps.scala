@@ -85,41 +85,45 @@ object MultimodalOps {
       .orderBy("kind")
   }
 
-  case class ResizedMedia(media_id: Long, kind: String, out_w: Int, out_h: Int,
-      payload: Array[Byte])
+  case class ResizedMedia(media_id: Long, kind: String, out_w: Option[Int],
+      out_h: Option[Int], payload: Array[Byte])
 
   /** STUB resize: fit media into a `box`×`box` bounding box preserving
     * aspect ratio. Integer-exact math (w·box / max(w,h)) so an independent
     * SQL engine reproduces the dimensions bit-for-bit; the payload
     * transform is the stubbed codec step (real impl: decode → scale →
-    * re-encode per partition-initialized codec). */
+    * re-encode per partition-initialized codec). Null dimensions
+    * ([[mediaSchema]] declares them nullable — e.g. audio) pass through
+    * as null. */
   private def resizeBatch(box: Int)(
       rows: Iterator[org.apache.spark.sql.Row]): Iterator[ResizedMedia] = {
     // per-partition codec init would happen HERE, once
     rows.map { r =>
       val id = r.getLong(0)
       val kind = r.getString(1)
-      val w = r.getInt(2)
-      val h = r.getInt(3)
       val payload = r.getAs[Array[Byte]]("payload")
-      val m = math.max(w, h)
-      val (ow, oh) =
-        if (m <= box) (w, h)
-        else ((w.toLong * box / m).toInt, (h.toLong * box / m).toInt)
-      ResizedMedia(id, kind, ow, oh, payload)
+      if (r.isNullAt(2) || r.isNullAt(3))
+        ResizedMedia(id, kind, None, None, payload)
+      else {
+        val w = r.getInt(2)
+        val h = r.getInt(3)
+        val m = math.max(w, h)
+        val (ow, oh) =
+          if (m <= box) (w, h)
+          else ((w.toLong * box / m).toInt, (h.toLong * box / m).toInt)
+        ResizedMedia(id, kind, Some(ow), Some(oh), payload)
+      }
     }
   }
 
   /** Resize step over media payloads: partition-wise batch transform (the
     * mapInPandas analogue; same shape as [[extractFeatures]]). */
-  def resize(media: DataFrame, box: Int = 256): DataFrame = {
-    val s = media.sparkSession
+  def resize(media: DataFrame, box: Int = 256): DataFrame =
     media.select(col("media_id"), col("kind"), col("width"), col("height"),
         col("payload"))
       .mapPartitions(resizeBatch(box))(
         org.apache.spark.sql.Encoders.product[ResizedMedia])
       .toDF()
-  }
 
   /** Media-pipeline query: resize images into a 256-box, report the
     * dimension histogram (exercises the resize plumbing end-to-end;

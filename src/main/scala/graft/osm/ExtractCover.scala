@@ -44,6 +44,27 @@ object ExtractCover {
       iouThreshold: Double = 0.01,
       coverageTolerance: Double = 1e-9): Seq[Extract] = {
     require(!query.isEmpty, "empty query geometry")
+    // zero-area query (POINT / LINESTRING filters are legal in the
+    // reference): the IoU loop below would terminate immediately with an
+    // empty cover — greedily take the smallest intersecting extract until
+    // the geometry is exhausted instead (one extract for a point, several
+    // for a line crossing extract boundaries)
+    if (query.getArea <= coverageTolerance) {
+      var remaining = query
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Extract]
+      val available = scala.collection.mutable.ArrayBuffer(index: _*)
+      while (!remaining.isEmpty) {
+        val hits = available.filter(_.geometry.intersects(remaining))
+        if (hits.isEmpty)
+          throw new IllegalStateException(
+            "geometry not coverable by available extracts")
+        val best = hits.minBy(_.area)
+        chosen += best
+        available -= best
+        remaining = remaining.difference(best.geometry)
+      }
+      return chosen.toSeq
+    }
     var remaining = query
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Extract]
     val available = scala.collection.mutable.ArrayBuffer(index: _*)

@@ -120,17 +120,34 @@ object OsmPipeline {
     * regime a 100 TB cluster run is in, so big inputs keep AQE on. */
   val AqeMinInputBytes: Long = 256L * 1024 * 1024
 
-  /** Total size of the PBF inputs (glob-expanded); -1 if any path is
-    * unresolvable (treated as big → leave the session untouched). */
+  /** Total size of the PBF inputs (glob-expanded); -1 if ANY path is
+    * unresolvable or matches no files (treated as big → leave the session
+    * untouched; the scan itself will then report the real error). */
   private def inputBytes(spark: SparkSession, pbfPaths: Seq[String]): Long =
     try {
       val conf = spark.sessionState.newHadoopConf()
-      pbfPaths.map { p =>
+      val perPath = pbfPaths.map { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(conf)
-        Option(fs.globStatus(hp)).map(_.map(_.getLen).sum).getOrElse(-1L)
-      }.sum
+        Option(fs.globStatus(hp)).filter(_.nonEmpty)
+          .map(_.map(_.getLen).sum).getOrElse(-1L)
+      }
+      if (perPath.exists(_ < 0)) -1L else perPath.sum
     } catch { case _: Throwable => -1L }
+
+  /** True clone of the session (same SparkContext and cache, OWN copy of
+    * the session state: runtime SQL confs, temp views, registered
+    * functions all carry over) — `newSession()` would silently drop them
+    * and make conversion semantics depend on input size (e.g. a
+    * customSqlFilter using a caller-registered UDF). `cloneSession` is
+    * `private[spark]`, which compiles to a public JVM method; if the
+    * reflective call ever breaks, fall back to NOT tuning (correctness
+    * over the optimization). */
+  private def cloneSession(spark: SparkSession): Option[SparkSession] =
+    try {
+      val m = spark.getClass.getMethod("cloneSession")
+      Some(m.invoke(spark).asInstanceOf[SparkSession])
+    } catch { case _: Throwable => None }
 
   /** [[features]] returning the conversion's own cut handle: call
     * `cuts.release()` once the DataFrame has been consumed. */
@@ -146,19 +163,21 @@ object OsmPipeline {
       val bytes = inputBytes(spark0, pbfPaths)
       val aqeOn = spark0.conf.get("spark.sql.adaptive.enabled", "true") == "true"
       if (aqeOn && bytes >= 0 && bytes < AqeMinInputBytes) {
-        val s = spark0.newSession()
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        // without AQE's partition coalescing, size the shuffles to the
-        // input instead: ~4 MB of compressed PBF per shuffle partition
-        // (floor 4 for parallelism, never above the caller's setting —
-        // measured 5.4 s vs 7.9 s warm on monaco at 4 vs 32 partitions)
-        val callerParts = try
-          s.conf.get("spark.sql.shuffle.partitions", "200").toLong
-        catch { case _: Throwable => 200L }
-        val parts = math.max(4L,
-          math.min(callerParts, bytes / (4L * 1024 * 1024) + 1))
-        s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        s
+        cloneSession(spark0).map { s =>
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          // without AQE's partition coalescing, size the shuffles to the
+          // input instead: ~4 MB of compressed PBF per shuffle partition
+          // (floor 4 for parallelism, never above the caller's runtime
+          // setting, which the clone carries — measured 5.4 s vs 7.9 s
+          // warm on monaco at 4 vs 32 partitions)
+          val callerParts = try
+            s.conf.get("spark.sql.shuffle.partitions", "200").toLong
+          catch { case _: Throwable => 200L }
+          val parts = math.max(4L,
+            math.min(callerParts, bytes / (4L * 1024 * 1024) + 1))
+          s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+          s
+        }.getOrElse(spark0)
       } else spark0
     }
     val cuts = new ConversionCuts()

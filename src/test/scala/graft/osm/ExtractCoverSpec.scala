@@ -45,6 +45,22 @@ class ExtractCoverSpec extends AnyFunSuite {
     assertThrows[IllegalStateException](cover(q, index))
   }
 
+  test("zero-area queries (point / line) pick containing extracts") {
+    val index = Seq(
+      ex("world", -180, -90, 180, 90),
+      ex("left", 0, 0, 1, 2), ex("right", 1, 0, 2, 2))
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val point = gf.createPoint(new org.locationtech.jts.geom.Coordinate(0.5, 1.0))
+    assert(cover(point, index).map(_.id) == Seq("left")) // smallest containing
+    val line = gf.createLineString(Array(
+      new org.locationtech.jts.geom.Coordinate(0.5, 1.0),
+      new org.locationtech.jts.geom.Coordinate(1.5, 1.0)))
+    assert(cover(line, index).map(_.id).toSet == Set("left", "right"))
+    val farPoint = gf.createPoint(new org.locationtech.jts.geom.Coordinate(200, 0))
+    assertThrows[IllegalStateException](
+      cover(farPoint, Seq(ex("small", 0, 0, 1, 1))))
+  }
+
   test("smaller area wins IoU ties") {
     val q = bbox(0, 0, 1, 1)
     val small = ex("exact", 0, 0, 1, 1)
