@@ -64,6 +64,7 @@ object SparkEntry {
     // derived columns / scalar functions
     "t3_case_chain" -> (R.t3CaseChain _),
     "fx_scalar_funcs" -> (R.fxScalarFuncs _),
+    "fx_json_extract" -> (R.fxJsonExtract _),
     // text / dedup pipeline
     "d1_exact_dedup" -> (T.d1ExactDedup _),
     "d2_dedup_survivors" -> (T.d2DedupSurvivors _),
@@ -264,6 +265,12 @@ object SparkEntry {
         |FROM part
         |WHERE p_name LIKE '%green%' OR starts_with(p_type, 'STANDARD')
         |ORDER BY p_partkey""".stripMargin,
+    "fx_json_extract" ->
+      """SELECT event_type,
+        |count(*) FILTER (WHERE k >= 50) AS high_k,
+        |round(avg(k), 4) AS avg_k
+        |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,

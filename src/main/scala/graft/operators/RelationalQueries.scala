@@ -467,6 +467,19 @@ object RelationalQueries {
         col("c_mktsegment"))
       .orderBy("feature_id")
 
+  /** Beyond-reference: semi-structured extraction — pull typed values out
+    * of a JSON string column (`get_json_object` is codegen'd path
+    * evaluation; no UDF, no full JSON parse into a struct). The shape
+    * every event/props pipeline needs before it can aggregate. */
+  def fxJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("k") >= 50, 1)).as("high_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy("event_type")
+
   /** Scalar-function surface: round (the 7-decimal coordinate contract,
     * ref: pbf_file_reader.py:2859), floor, LIKE, starts_with, length. */
   def fxScalarFuncs(s: SparkSession, dir: String): DataFrame =
