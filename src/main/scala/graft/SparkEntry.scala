@@ -277,14 +277,17 @@ object SparkEntry {
     "d2_dedup_survivors" ->
       "SELECT count(*) AS n_unique FROM (SELECT md5(text) AS h FROM documents GROUP BY h)",
     // oracle is the naive inequality join; the engine runs the bucketed
-    // equi-join decomposition — results must be identical
+    // equi-join decomposition — results must be identical. floor(epoch())
+    // NOT CAST(epoch() AS BIGINT): the cast ROUNDS fractional seconds
+    // where Spark's unix_timestamp truncates (off-by-one on sub-second
+    // timestamps)
     "jx_range_join" ->
       """SELECT e.event_id AS err_id, c.event_id AS click_id,
-        |CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(c.ts) AS BIGINT) AS gap_s
+        |CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id
-        | AND abs(CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(c.ts) AS BIGINT)) <= 60
+        | AND abs(CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 60
         |ORDER BY err_id, click_id""".stripMargin,
     "d9_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
