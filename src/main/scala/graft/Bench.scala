@@ -10,6 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same size-based execution tuning the conversion path applies
+    // (OsmPipeline.AqeMinInputBytes scaladoc has the measurements): below
+    // ~256 MB of input, AQE's per-query-stage materialization jobs cost
+    // more than runtime re-planning saves — each gate query pays a fixed
+    // ~0.1-0.2 s of driver scheduling for nothing. A 100 TB deployment is
+    // far above the threshold and keeps AQE on; this just applies the
+    // same policy to the bench scale instead of hardcoding either choice.
+    try {
+      val dirBytes = new java.io.File(sfDir).listFiles() match {
+        case null => -1L
+        case fs => fs.map(f =>
+          if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()).sum
+      }
+      if (dirBytes >= 0 && dirBytes < osm.OsmPipeline.AqeMinInputBytes)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    } catch { case _: Throwable => () }
     // JVM warmup (untimed): exercise classloading, Janino/whole-stage
     // codegen, higher-order-function evaluation, hash aggs, broadcast +
     // shuffle joins, windows, and the parquet reader once, so the first
