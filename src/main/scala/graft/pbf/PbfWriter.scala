@@ -166,16 +166,27 @@ object PbfWriter {
   private def quantize(deg: Double): Long = Math.round(deg * 1e7)
 
   private final class StringTable {
-    private val idx = new java.util.LinkedHashMap[String, Integer]()
-    idx.put("", 0) // index 0 must be the empty string per the spec
-    def id(s: String): Long = {
-      val existing = idx.get(s)
-      if (existing != null) existing.longValue()
-      else { val i = idx.size(); idx.put(s, i); i.toLong }
-    }
+    // index 0 must be the empty string per the spec AND doubles as the
+    // DenseNodes key/value stream delimiter — so a REAL empty string (a
+    // tag key/value or role that is "") must get its own index > 0, or it
+    // would terminate the node's kv list and corrupt the framing of every
+    // node after it
+    private val table = new scala.collection.mutable.ArrayBuffer[String]()
+    private val idx = new java.util.HashMap[String, Integer]()
+    table += ""
+    private var emptyIdx = -1
+    def id(s: String): Long =
+      if (s.isEmpty) {
+        if (emptyIdx == -1) { emptyIdx = table.length; table += "" }
+        emptyIdx.toLong
+      } else {
+        val existing = idx.get(s)
+        if (existing != null) existing.longValue()
+        else { val i = table.length; idx.put(s, i); table += s; i.toLong }
+      }
     def bytes: Array[Byte] = {
       val w = new ProtoWriter(1 << 12)
-      idx.keySet().forEach(s => w.writeString(1, s))
+      table.foreach(s => w.writeString(1, s))
       w.toBytes
     }
   }
