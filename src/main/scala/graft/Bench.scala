@@ -18,12 +18,12 @@ object Bench {
     // far above the threshold and keeps AQE on; this just applies the
     // same policy to the bench scale instead of hardcoding either choice.
     try {
-      val dirBytes = new java.io.File(sfDir).listFiles() match {
-        case null => -1L
-        case fs => fs.map(f =>
-          if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()).sum
-      }
-      if (dirBytes >= 0 && dirBytes < osm.OsmPipeline.AqeMinInputBytes)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+      val dirBytes =
+        try walk.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally walk.close()
+      if (dirBytes < osm.OsmPipeline.AqeMinInputBytes)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     } catch { case _: Throwable => () }
     // JVM warmup (untimed): exercise classloading, Janino/whole-stage

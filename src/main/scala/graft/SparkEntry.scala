@@ -287,7 +287,7 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id
-        | AND abs(CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 60
+        | AND abs(CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 3600
         |ORDER BY err_id, click_id""".stripMargin,
     "d9_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -366,16 +366,17 @@ object RelationalQueries {
   }
 
   /** Beyond-reference: RANGE (interval) join — pair each error event with
-    * the same user's clicks within ±60 s. The naive form is an inequality
-    * join (quadratic per user); the scalable decomposition buckets time
-    * into window-sized cells, explodes each left row into its 3 candidate
-    * buckets, equi-joins on (key, bucket) — hash join, shuffle on a
-    * high-cardinality composite key — and applies the exact |Δt| ≤ 60
-    * filter on the bounded candidate set. Oracle: DuckDB's inequality
-    * join. */
+    * the same user's clicks within ±1 h (wide enough that the gate query
+    * has matches at every test scale — a 0-row gate verifies nothing).
+    * The naive form is an inequality join (quadratic per user); the
+    * scalable decomposition buckets time into window-sized cells, explodes
+    * each left row into its 3 candidate buckets, equi-joins on
+    * (key, bucket) — hash join, shuffle on a high-cardinality composite
+    * key — and applies the exact |Δt| ≤ win filter on the bounded
+    * candidate set. Oracle: DuckDB's inequality join. */
   def jxRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-    val win = 60L
+    val win = 3600L
     def epoch(c: org.apache.spark.sql.Column) = unix_timestamp(c)
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("err_id"),

@@ -48,7 +48,11 @@ class PbfRoundTripSpec extends AnyFunSuite {
   private val elemsGen: Gen[List[OsmElement]] =
     Gen.chooseNum(1, 120).flatMap { n =>
       Gen.sequence[List[OsmElement], OsmElement]((0 until n).map { i =>
-        Gen.oneOf(nodeGen(i * 3L), wayGen(i * 3L + 1), relGen(i * 3L + 2))
+        // every 4th id negative: OSM uses negative ids for proposed/local
+        // elements and they exercise the zigzag sign path of the id deltas
+        val sign = if (i % 4 == 0) -1L else 1L
+        Gen.oneOf(nodeGen(sign * (i * 3L + 1)), wayGen(sign * (i * 3L + 2)),
+          relGen(sign * (i * 3L + 3)))
       })
     }
 
