@@ -272,25 +272,27 @@ object OsmPipeline {
       case Some(ids) => nodesFiltered0.join(ids, Seq("id"), "left_semi")
       case None => nodesFiltered0
     }
-    val waysIntersected = intersectingNodeIds match {
-      case Some(ids) =>
-        wayRefs.join(ids.withColumnRenamed("id", "ref"), Seq("ref"), "left_semi")
-          .select(col("id")).distinct()
-      case None => ways.select(col("id"))
+    // Intersection cascade only exists when a geometry filter does — with
+    // None these semi joins would be full-identity (every id passes) yet
+    // still shuffle both sides; the reference's no-filter fast path skips
+    // the stages entirely (pbf_file_reader.py:2170-2428), and so do we.
+    val waysIntersected: Option[DataFrame] = intersectingNodeIds.map { ids =>
+      wayRefs.join(ids.withColumnRenamed("id", "ref"), Seq("ref"), "left_semi")
+        .select(col("id")).distinct()
     }
-    val waysFiltered = ways.filter(matchClause(ways))
+    val waysFiltered0 = ways.filter(matchClause(ways))
       .select(col("id"), col("tags"))
-      .join(waysIntersected, Seq("id"), "left_semi")
+    val waysFiltered = waysIntersected.fold(waysFiltered0)(ids =>
+        waysFiltered0.join(ids, Seq("id"), "left_semi"))
       .join(validWayIds, Seq("id"), "left_semi")
-    val relsIntersected = intersectingNodeIds match {
-      case Some(_) =>
-        relRefs.join(waysIntersected.withColumnRenamed("id", "ref"),
-          Seq("ref"), "left_semi").select(col("id")).distinct()
-      case None => relations.select(col("id"))
+    val relsIntersected: Option[DataFrame] = waysIntersected.map { wids =>
+      relRefs.join(wids.withColumnRenamed("id", "ref"),
+        Seq("ref"), "left_semi").select(col("id")).distinct()
     }
-    val relsFiltered = cut(relations.filter(matchClause(relations))
+    val relsFiltered0 = relations.filter(matchClause(relations))
       .select(col("id"), col("tags"))
-      .join(relsIntersected, Seq("id"), "left_semi")
+    val relsFiltered = cut(relsIntersected.fold(relsFiltered0)(ids =>
+        relsFiltered0.join(ids, Seq("id"), "left_semi"))
       .join(validRelIds, Seq("id"), "left_semi")) // member cascade + output join
 
     // --- required way set: members of kept relations (J1 cascade) ---
