@@ -29,7 +29,7 @@ object Cli {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     val root = new ObjectMapper().readTree(json)
     def flat(n: JsonNode): OsmTagsFilter = {
-      val it = n.fields()
+      val it = n.properties().iterator()
       val out = scala.collection.mutable.Map.empty[String, TagMatch]
       while (it.hasNext) {
         val e = it.next()
@@ -44,12 +44,12 @@ object Cli {
       }
       out.toMap
     }
-    val isGrouped = root.fields().hasNext && {
-      val first = root.fields().next().getValue
+    val isGrouped = root.properties().iterator().hasNext && {
+      val first = root.properties().iterator().next().getValue
       first.isObject
     }
     if (isGrouped) {
-      val it = root.fields()
+      val it = root.properties().iterator()
       val out = scala.collection.mutable.Map.empty[String, OsmTagsFilter]
       while (it.hasNext) {
         val e = it.next()

@@ -420,11 +420,11 @@ object OsmPipeline {
     else {
       val counts = df.agg(
         count(when(col(candidates.head).isNotNull, 1)).as(candidates.head),
-        candidates.tail.map(c => count(when(col(c).isNotNull, 1)).as(c)): _*)
+        candidates.tail.toIndexedSeq.map(c => count(when(col(c).isNotNull, 1)).as(c)): _*)
         .head()
       val empty = candidates.zipWithIndex
         .filter { case (_, i) => counts.getLong(i) == 0L }.map(_._1)
-      df.drop(empty: _*)
+      df.drop(empty.toIndexedSeq: _*)
     }
   }
 
