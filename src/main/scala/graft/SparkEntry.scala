@@ -45,6 +45,7 @@ object SparkEntry {
     "a8_distinct" -> (R.a8Distinct _),
     "a9_count_if" -> (R.a9CountIf _),
     "ax_rollup" -> (R.axRollup _),
+    "ax_pivot" -> (R.axPivot _),
     "ax_percentiles" -> (R.axPercentiles _),
     "ax_approx_distinct" -> (R.axApproxDistinct _),
     // windows
@@ -197,6 +198,20 @@ object SparkEntry {
         |round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "ax_pivot" ->
+      """SELECT lang,
+        |count(*) FILTER (WHERE q = 'ok') AS n_ok,
+        |count(*) FILTER (WHERE q = 'punct_heavy') AS n_punct_heavy,
+        |count(*) FILTER (WHERE q = 'short') AS n_short
+        |FROM (
+        |  SELECT lang, CASE WHEN length(text) < 100 THEN 'short'
+        |    WHEN ((length(text) - length(replace(text, '.', '')))
+        |        + (length(text) - length(replace(text, ',', '')))
+        |        + (length(text) - length(replace(text, '!', '')))
+        |        + (length(text) - length(replace(text, '?', '')))) * 20 > length(text)
+        |    THEN 'punct_heavy' ELSE 'ok' END AS q
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "ax_percentiles" ->
       """SELECT l_returnflag,
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

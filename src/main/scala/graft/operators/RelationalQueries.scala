@@ -258,6 +258,29 @@ object RelationalQueries {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Beyond-reference: PIVOT — long-to-wide reshaping (the relational
+    * core of the reference's T1 explode-tags-to-columns). Spark's
+    * `pivot(col, values)` with explicit values stays a single pass
+    * (no driver-side distinct-collect); counts are coalesced to 0 so the
+    * output matches the SQL FILTER formulation exactly. */
+  def axPivot(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val punct = Seq("\\.", ",", "!", "\\?").map(p =>
+      length(t) - length(regexp_replace(t, p, ""))).reduce(_ + _)
+    val classified = documents(s, dir).select(col("lang"),
+      when(length(t) < 100, "short")
+        .when(punct * 20 > length(t), "punct_heavy")
+        .otherwise("ok").as("q"))
+    classified.groupBy(col("lang"))
+      .pivot("q", Seq("ok", "punct_heavy", "short"))
+      .count()
+      .select(col("lang"),
+        coalesce(col("ok"), lit(0L)).as("n_ok"),
+        coalesce(col("punct_heavy"), lit(0L)).as("n_punct_heavy"),
+        coalesce(col("short"), lit(0L)).as("n_short"))
+      .orderBy("lang")
+  }
+
   // -------------------------------------------------------------- windows --
 
   /** W1: global row_number chunking into bounded groups
