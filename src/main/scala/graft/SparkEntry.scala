@@ -55,6 +55,7 @@ object SparkEntry {
     "wx_running_sum" -> (R.wxRunningSum _),
     "wx_lag_gap" -> (R.wxLagGap _),
     "wx_asof_join" -> (R.wxAsofJoin _),
+    "wx_sessionize" -> (R.wxSessionize _),
     "e1_window_batch" -> (R.e1WindowBatch _),
     // sorts / top-k
     "o1_order_by" -> (R.o1OrderBy _),
@@ -255,6 +256,21 @@ object SparkEntry {
         |  GROUP BY user_id, ts) r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+    // floor(epoch()) for the same truncation-vs-rounding reason as
+    // jx_range_join; 30-min gap threshold
+    "wx_sessionize" ->
+      """SELECT user_id, event_id,
+        |CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(lag(ts, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        |  FROM events WHERE user_id < 50)
+        |ORDER BY user_id, event_id""".stripMargin,
     "o1_order_by" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
     "o2_topk" ->

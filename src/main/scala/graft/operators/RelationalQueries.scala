@@ -332,6 +332,24 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Beyond-reference: batch sessionization — gap-based session ids, the
+    * batch twin of the streaming sessionizer
+    * (EventStreams.flatMapGroupsWithState). One window pass: a new-session
+    * flag where the gap to the previous event exceeds 30 min (or no
+    * previous event), then a running sum of flags numbers the sessions.
+    * ONE shuffle on user_id; both window functions share the same sort. */
+  def wxSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+    events(s, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("is_new", when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Batch tumbling-window aggregation via window() — the batch twin of
     * the streaming surface (graft.streaming.EventStreams.tumblingCounts). */
   def e1WindowBatch(s: SparkSession, dir: String): DataFrame =
