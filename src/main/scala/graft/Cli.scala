@@ -44,9 +44,9 @@ object Cli {
       }
       out.toMap
     }
-    val isGrouped = root.properties().iterator().hasNext && {
-      val first = root.properties().iterator().next().getValue
-      first.isObject
+    val isGrouped = {
+      val it = root.properties().iterator()
+      it.hasNext && it.next().getValue.isObject
     }
     if (isGrouped) {
       val it = root.properties().iterator()

@@ -264,13 +264,8 @@ object RelationalQueries {
     * (no driver-side distinct-collect); counts are coalesced to 0 so the
     * output matches the SQL FILTER formulation exactly. */
   def axPivot(s: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val punct = Seq("\\.", ",", "!", "\\?").map(p =>
-      length(t) - length(regexp_replace(t, p, ""))).reduce(_ + _)
     val classified = documents(s, dir).select(col("lang"),
-      when(length(t) < 100, "short")
-        .when(punct * 20 > length(t), "punct_heavy")
-        .otherwise("ok").as("q"))
+      TextQueries.qualityBucket.as("q"))
     classified.groupBy(col("lang"))
       .pivot("q", Seq("ok", "punct_heavy", "short"))
       .count()

@@ -52,23 +52,32 @@ object TextQueries {
         max(col("n_chars")).as("max_chars"))
       .orderBy("lang")
 
-  /** Quality score: punctuation-ish ratio from portable replace() counts,
-    * bucketed. (Java regex vs DuckDB regex classes differ, so only literal
-    * replaces are used — portability is part of the contract here.) */
-  def d5QualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** Punctuation count over `text` from portable literal replace() counts.
+    * (Java regex vs DuckDB regex classes differ, so only literal replaces
+    * are used — portability is part of the contract here.) */
+  private[operators] def punctCount: Column = {
     val t = col("text")
-    val punct = (length(t) - length(expr("replace(text, '.', '')"))) +
+    (length(t) - length(expr("replace(text, '.', '')"))) +
       (length(t) - length(expr("replace(text, ',', '')"))) +
       (length(t) - length(expr("replace(text, '!', '')"))) +
       (length(t) - length(expr("replace(text, '?', '')")))
+  }
+
+  /** The shared quality classifier over `text`: short / punct_heavy / ok
+    * (consumed by d5 and ax_pivot — ONE definition so the two gates and
+    * their oracles cannot drift apart). */
+  private[operators] def qualityBucket: Column =
+    when(length(col("text")) < 100, "short")
+      .when(punctCount * 20 > length(col("text")), "punct_heavy")
+      .otherwise("ok")
+
+  /** Quality score: punctuation-ish ratio, bucketed. */
+  def d5QualityScore(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"),
-        punct.cast("long").as("n_punct"),
-        when(length(t) < 100, "short")
-          .when(punct * 20 > length(t), "punct_heavy")
-          .otherwise("ok").as("quality"))
+        punctCount.cast("long").as("n_punct"),
+        qualityBucket.as("quality"))
       .orderBy("doc_id")
-  }
 
   /** Language-ID heuristic from stopword hits (LIKE-based so the DuckDB
     * oracle is exact); compared against the labeled lang column. */
