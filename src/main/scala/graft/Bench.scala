@@ -25,7 +25,7 @@ object Bench {
         finally walk.close()
       if (dirBytes < osm.OsmPipeline.AqeMinInputBytes)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // JVM warmup (untimed): exercise classloading, Janino/whole-stage
     // codegen, higher-order-function evaluation, hash aggs, broadcast +
     // shuffle joins, windows, and the parquet reader once, so the first
@@ -73,22 +73,22 @@ object Bench {
       // 30× steady state). Different directory, so nothing data-dependent
       // (cached views, result caches) leaks into the timed pass.
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(_) => }
       val warmDir = java.nio.file.Files.createTempDirectory("graftwarmtab").toString
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
         try spark.read.parquet(s"$sfDir/$t.parquet").limit(5000)
           .coalesce(1).write.parquet(s"$warmDir/$t.parquet")
-        catch { case _: Throwable => () } // missing table only skips its queries
+        catch { case scala.util.control.NonFatal(_) => () } // missing table only skips its queries
       }
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
       }
-    } catch { case _: Throwable => () } // warmup must never abort the bench
+    } catch { case scala.util.control.NonFatal(_) => () } // warmup must never abort the bench
     // deterministic alphabetical order — timings comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case scala.util.control.NonFatal(_) => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -111,7 +111,7 @@ object Bench {
           try osm.GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
           finally fcuts.release()
           (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
+        } catch { case scala.util.control.NonFatal(_) => -1.0 }
       } else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pbf_monaco_convert_sec":$pbfSec,"sf":"$sfDir"}""")

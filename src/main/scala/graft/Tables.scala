@@ -25,7 +25,7 @@ object Tables {
     * TimestampType (micros) so downstream ops are engine-portable. */
   def events(s: SparkSession, dir: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => }
+    catch { case scala.util.control.NonFatal(_) => }
     val df = table(s, dir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -122,10 +122,25 @@ case class WordNgramsExpr(left: Expression, right: Expression)
     v
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // validate the foldable n eagerly so a bad literal (null, 0, negative)
+  // is an analysis-time TypeCheckFailure, not an executor-side crash on
+  // first eval — matching how built-ins report bad foldable args
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.foldable, right.dataType) match {
       case (StringType, true, IntegerType | LongType) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        right.eval(null) match {
+          case null =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              "n must not be null")
+          case i: Int if i < 1 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"n must be >= 1, got $i")
+          case l: Long if l < 1 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"n must be >= 1, got $l")
+          case _ =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        }
       case (StringType, _, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           "n must be an integer literal")

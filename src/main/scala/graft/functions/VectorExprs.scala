@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   * per-element double widening — the identical sequence of IEEE operations
   * as the zip_with form and as the DuckDB oracle's list_inner_product /
   * list_cosine_similarity on DOUBLE[] casts, so hash-verified results are
-  * unchanged. Mismatched lengths use the common prefix; null elements read
-  * as 0 (embeddings carry neither).
+  * unchanged. Mismatched lengths return NULL at the expression layer (the
+  * zip_with form nulls out too — ragged input is a data error, not a
+  * truncation); null elements read as 0 (embeddings carry neither).
   */
 object VectorKernels {
 
@@ -97,17 +98,26 @@ object VectorExprs {
 case class VecDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // ragged inputs yield null (below), independent of child nullability
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val l = VectorExprs.checkVec(left, "left")
     if (l.isSuccess) VectorExprs.checkVec(right, "right") else l
   }
   private lazy val lF = VectorExprs.isFloat(left)
   private lazy val rF = VectorExprs.isFloat(right)
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(a.asInstanceOf[ArrayData], lF, b.asInstanceOf[ArrayData], rF)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else VectorKernels.dot(x, lF, y, rF)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorKernels.dot($a, $lF, $b, $rF)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.dot($a, $lF, $b, $rF);
+      }""")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -129,17 +139,26 @@ case class VecNormExpr(child: Expression) extends UnaryExpression {
 case class VecCosineExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // ragged inputs yield null (below), independent of child nullability
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val l = VectorExprs.checkVec(left, "left")
     if (l.isSuccess) VectorExprs.checkVec(right, "right") else l
   }
   private lazy val lF = VectorExprs.isFloat(left)
   private lazy val rF = VectorExprs.isFloat(right)
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosine(a.asInstanceOf[ArrayData], lF, b.asInstanceOf[ArrayData], rF)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else VectorKernels.cosine(x, lF, y, rF)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorKernels.cosine($a, $lF, $b, $rF)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.cosine($a, $lF, $b, $rF);
+      }""")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
@@ -69,6 +68,10 @@ object IvfAnn {
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     emb.crossJoin(broadcast(packedCentroids(cents)))
+      // an EMPTY centroid table packs to one empty-array row; without this
+      // guard array_max(empty) = null would emit every vector with a null
+      // cell instead of the zero rows the argmax semantics imply
+      .filter(size(col("cs")) > 0)
       .withColumn("best", array_max(transform(col("cs"),
         c => struct(cosine(col("v"), c.getField("cv")).as("sim"),
           (-c.getField("cid")).as("ncid")))))
@@ -89,10 +92,12 @@ object IvfAnn {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val sims = centroidSims(emb, cents)
     val cells = assignCells(emb, cents)
+    // top-NProbe over K rows: orderBy+limit plans as TakeOrderedAndProject
+    // (parallel partial top-k, no Window, no single-partition Exchange);
+    // the (sim desc, cid asc) tie-break is total because cid is unique
     val qcells = sims.filter(col("vec_id") === 0)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("sim").desc, col("cid").asc)))
-      .filter(col("rn") <= NProbe)
+      .orderBy(col("sim").desc, col("cid").asc)
+      .limit(NProbe)
       .select(col("cid").as("cell"))
     val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
     cells.filter(col("vec_id") =!= 0)

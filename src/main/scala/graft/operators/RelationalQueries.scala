@@ -279,13 +279,15 @@ object RelationalQueries {
   // -------------------------------------------------------------- windows --
 
   /** W1: global row_number chunking into bounded groups
-    * (ref: pbf_file_reader.py:3037-3045). At 100 TB this exact global
-    * numbering is replaced by per-partition offsets (zipWithIndex-style);
-    * group membership is not semantically relevant, only bounded size. */
+    * (ref: pbf_file_reader.py:3037-3045). Scale-safe: NO global Window —
+    * [[ScaleUtils.withGlobalIndex]] range-partitions + sorts in-partition
+    * (a total order across partitions) and numbers with per-partition
+    * offsets (zipWithIndex), so every stage is fully parallel. Output is
+    * identical to `floor((row_number() over (order by o_orderkey) - 1)
+    * / 1000)` because o_orderkey is unique. */
   def w1GlobalChunk(s: SparkSession, dir: String): DataFrame =
-    orders(s, dir)
-      .withColumn("grp",
-        floor((row_number().over(Window.orderBy(col("o_orderkey"))) - 1) / 1000))
+    ScaleUtils.withGlobalIndex(orders(s, dir), Seq(col("o_orderkey")))
+      .withColumn("grp", floor(col("_gidx") / 1000))
       .groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))

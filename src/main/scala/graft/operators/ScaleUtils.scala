@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale techniques used across the engine, exposed as utilities:
   * bucketed co-located joins (shuffle-free at read time) and salted joins
@@ -18,6 +19,29 @@ object ScaleUtils {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Scale-safe global row numbering (0-based), the distributed replacement
+    * for `row_number().over(Window.orderBy(...))` — which funnels the whole
+    * table through ONE task. Here: `repartitionByRange` gives disjoint,
+    * ordered key ranges per partition; an in-partition sort makes the order
+    * total; `RDD.zipWithIndex` then assigns global indexes with one counting
+    * pass + one numbering pass, both fully parallel. No single-partition
+    * Exchange, no Window (ref semantics: pbf_file_reader.py:3037-3045 —
+    * only bounded chunk size matters, so per-partition offsets are exact).
+    *
+    * The sort key must be a deterministic total order (unique, or with ties
+    * broken by additional columns) so the two zipWithIndex passes agree. */
+  def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
+      idxName: String = "_gidx"): DataFrame = {
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idxName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
 
   /** Salted equi-join for skewed LEFT keys: the left side gets a random
     * salt in [0, salts); the right side is replicated `salts` times with

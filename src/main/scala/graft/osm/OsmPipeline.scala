@@ -30,14 +30,23 @@ import graft.osm.TagFilters._
 object OsmPipeline {
 
   /** Exact point-in-geometry test (F8, _intersection.py:15-55): the filter
-    * geometry travels as WKT in the closure; each executor JVM parses and
-    * prepares it once (broadcast-equivalent for a driver-side constant). */
+    * geometry travels as WKT in the closure; each TASK THREAD parses and
+    * prepares its own copy (ThreadLocal), because JTS PreparedGeometry lazily
+    * builds internal indexes on first use and is not safe for concurrent
+    * queries. Preparation cost is paid once per thread per executor — zero
+    * contention on the row-level hot path (the reference parallelizes this
+    * exact step across processes, _parquet_multiprocessing.py:82-130). */
   private class PointInGeom(wkt: String) extends Serializable {
-    @transient private lazy val prepared =
-      org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
-        new org.locationtech.jts.io.WKTReader().read(wkt))
-    @transient private lazy val gf = new org.locationtech.jts.geom.GeometryFactory()
-    def contains(x: Double, y: Double): Boolean = this.synchronized {
+    @transient private lazy val local =
+      new ThreadLocal[(org.locationtech.jts.geom.prep.PreparedGeometry,
+          org.locationtech.jts.geom.GeometryFactory)] {
+        override def initialValue() =
+          (org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
+            new org.locationtech.jts.io.WKTReader().read(wkt)),
+            new org.locationtech.jts.geom.GeometryFactory())
+      }
+    def contains(x: Double, y: Double): Boolean = {
+      val (prepared, gf) = local.get()
       prepared.intersects(gf.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
     }
   }
@@ -79,7 +88,7 @@ object OsmPipeline {
     def release(): Unit = {
       var df = dfs.poll()
       while (df != null) {
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        try df.unpersist(blocking = false) catch { case scala.util.control.NonFatal(_) => () }
         df = dfs.poll()
       }
     }
@@ -133,7 +142,7 @@ object OsmPipeline {
           .map(_.map(_.getLen).sum).getOrElse(-1L)
       }
       if (perPath.exists(_ < 0)) -1L else perPath.sum
-    } catch { case _: Throwable => -1L }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** True clone of the session (same SparkContext and cache, OWN copy of
     * the session state: runtime SQL confs, temp views, registered
@@ -147,7 +156,7 @@ object OsmPipeline {
     try {
       val m = spark.getClass.getMethod("cloneSession")
       Some(m.invoke(spark).asInstanceOf[SparkSession])
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** [[features]] returning the conversion's own cut handle: call
     * `cuts.release()` once the DataFrame has been consumed. */
@@ -172,7 +181,7 @@ object OsmPipeline {
           // warm on monaco at 4 vs 32 partitions)
           val callerParts = try
             s.conf.get("spark.sql.shuffle.partitions", "200").toLong
-          catch { case _: Throwable => 200L }
+          catch { case scala.util.control.NonFatal(_) => 200L }
           val parts = math.max(4L,
             math.min(callerParts, bytes / (4L * 1024 * 1024) + 1))
           s.conf.set("spark.sql.shuffle.partitions", parts.toString)

@@ -178,7 +178,7 @@ class OsmPbfScan(paths: Seq[String], requiredSchema: StructType, kinds: Set[Stri
     // cores — a 24 MB extract must not become one single-threaded split.
     val parallelism =
       try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
-      catch { case _: Throwable => 8 }
+      catch { case scala.util.control.NonFatal(_) => 8 }
     val totalBytes = blobs.map(_.length.toLong).sum
     val target = math.max(1L << 20,
       math.min(32L * 1024 * 1024, totalBytes / math.max(1, parallelism) + 1))

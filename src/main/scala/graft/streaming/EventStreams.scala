@@ -19,7 +19,7 @@ object EventStreams {
     * Handles the TIMESTAMP(NANOS) encoding (see graft.Tables.events). */
   def fileSource(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => }
+    catch { case scala.util.control.NonFatal(_) => }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),

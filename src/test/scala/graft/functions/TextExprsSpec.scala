@@ -77,6 +77,17 @@ class TextExprsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("bad n is an analysis error, not an executor-side crash") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    for (badN <- Seq(lit(0), lit(-2), lit(null).cast("int"))) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        d.select(call_function("word_ngrams", col("text"), badN)).collect()
+      }
+    }
+  }
+
   test("codegen and interpreted evaluation agree") {
     val s = spark
     try {

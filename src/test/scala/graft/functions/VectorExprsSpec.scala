@@ -79,16 +79,26 @@ class VectorExprsSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
-  test("null arrays yield null; mismatched lengths use the common prefix") {
+  test("null arrays and mismatched lengths yield null (matches zip_with form)") {
     val s = spark
     import s.implicits._
     val d = Seq(
       (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f, 9.0f)),
-      (2L, null.asInstanceOf[Array[Float]], Array(1.0f))).toDF("id", "a", "b")
-    val rows = d.select(col("id"),
-      call_function("vec_dot", col("a"), col("b")).as("dp")).collect()
-    assert(rows.find(_.getLong(0) == 1L).get.getDouble(1) == 11.0)
-    assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
+      (2L, null.asInstanceOf[Array[Float]], Array(1.0f)),
+      (3L, Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("id", "a", "b")
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val rows = d.select(col("id"),
+          call_function("vec_dot", col("a"), col("b")).as("dp"),
+          call_function("vec_cosine", col("a"), col("b")).as("cs")).collect()
+        // ragged input is a data error → null, like the zip_with+aggregate form
+        assert(rows.find(_.getLong(0) == 1L).get.isNullAt(1), mode)
+        assert(rows.find(_.getLong(0) == 1L).get.isNullAt(2), mode)
+        assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1), mode)
+        assert(rows.find(_.getLong(0) == 3L).get.getDouble(1) == 11.0, mode)
+      } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("non-vector input is rejected at analysis") {

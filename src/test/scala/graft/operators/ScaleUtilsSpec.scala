@@ -45,6 +45,29 @@ class ScaleUtilsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("withGlobalIndex matches the global window and never single-partitions") {
+    val dir = "/root/testdata/sf0.001"
+    val ord = graft.Tables.orders(spark, dir)
+    // oracle: the single-partition window formulation this replaces
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
+    val expected = ord
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+      .select(col("o_orderkey"), col("idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val indexed = ScaleUtils.withGlobalIndex(ord, Seq(col("o_orderkey")))
+    val got = indexed.select(col("o_orderkey"), col("_gidx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    // the sorted stage feeding zipWithIndex must be range-partitioned, not
+    // funneled through one task
+    val sortedPlan = ord.repartitionByRange(col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(sortedPlan.contains("Exchange rangepartitioning"), sortedPlan)
+    assert(!sortedPlan.contains("SinglePartition"), sortedPlan)
+    assert(!sortedPlan.contains("Window"), sortedPlan)
+  }
+
   test("salted join returns exactly the same result as a plain join") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.Tables.lineitem(spark, dir)
