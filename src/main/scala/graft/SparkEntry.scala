@@ -86,6 +86,7 @@ object SparkEntry {
     "x6_embedding_near_dup" -> (X.x6EmbeddingNearDup _),
     "x7_ivf_topk" -> (operators.IvfAnn.x7IvfTopK _),
     "x8_dedup_clusters" -> (X.x8DedupClusters _),
+    "x9_dedup_corpus" -> (X.x9DedupCorpus _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -509,6 +510,31 @@ object SparkEntry {
         |)
         |SELECT node AS doc_id, min(m) AS cluster_id FROM reach
         |GROUP BY node ORDER BY doc_id""").stripMargin,
+    // end-to-end dedup: the x8 clusters joined back to the corpus — every
+    // cluster keeps its minimum doc_id, the rest are anti-joined away
+    "x9_dedup_corpus" -> ("WITH RECURSIVE " +
+      MinhashOracleCtes.stripPrefix("WITH ") +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand
+        |), reach(node, m) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+        |), clusters AS (
+        |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        |)
+        |SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS text_len
+        |FROM documents d
+        |ANTI JOIN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id) x
+        |  ON d.doc_id = x.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
   )
 
   /** Shared CTE prefix for the minhash-family oracles: documents → word
@@ -533,7 +559,8 @@ object SparkEntry {
       |), sig AS (
       |  SELECT doc_id, list(h ORDER BY perm) AS sig FROM mh GROUP BY doc_id
       |), banded AS (
-      |  SELECT doc_id, sig, band, array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS band_key
+      |  SELECT doc_id, sig, band,
+      |    ('0x' || substr(md5(array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')), 1, 7))::BIGINT AS band_key
       |  FROM sig, range(0, 4) AS b(band)
       |)""".stripMargin
 }

@@ -187,9 +187,13 @@ object SimilarityQueries {
 
   /** LSH candidate pairs: equal band key in any band. Output one row per
     * candidate pair with the estimated Jaccard from full signature
-    * agreement. (The band join key is the 4-value slice rendered as a
-    * string — at cluster scale hash it back to 8 bytes; kept verbatim here
-    * so an external SQL engine reproduces the join exactly.) */
+    * agreement. The band join key is the 4-value slice rendered as a
+    * string and hashed back to a LONG with the portable md5 prefix — the
+    * shuffle carries 8 bytes per row instead of a ~40-char string, and the
+    * oracle reproduces the identical hash. (A 28-bit key can collide
+    * across distinct bands at scale; a collision only ADDS a candidate
+    * pair, which the est_jaccard / exact-verify stages filter — LSH
+    * candidates are a superset by construction.) */
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir).orderBy("doc_a", "doc_b")
 
@@ -201,6 +205,9 @@ object SimilarityQueries {
           transform(slice(col("sig"), b * lit(BandSize) + 1, lit(BandSize)),
             x => x.cast("string")))))
         .as(Seq("band", "band_key")))
+      // hash AFTER the explode so the md5 kernel stays in whole-stage
+      // codegen (inside the transform lambda it would run interpreted)
+      .withColumn("band_key", phash(col("band_key")))
     val a = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"),
@@ -355,6 +362,25 @@ object SimilarityQueries {
       .orderBy("doc_id")
     und.unpersist(blocking = false)
     out
+  }
+
+  /** End-to-end near-dup deduplication — the operation a training pipeline
+    * actually runs: keep each cluster's minimum doc_id (== the cluster_id
+    * label by construction), drop every other member, pass through all
+    * documents with no near-duplicate. Shape: the drop list is tiny
+    * relative to the corpus (it IS the duplicates), so the left_anti join
+    * broadcasts; the corpus never shuffles. Output = the surviving corpus
+    * with provenance (survivors of a cluster keep their cluster_id;
+    * singletons get their own id). */
+  def x9DedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir, MaxDriverEdges)
+    val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    documents(s, dir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
   }
 
   /** SimHash (16-bit, word-hash votes): per bit, sign of the sum of ±1
