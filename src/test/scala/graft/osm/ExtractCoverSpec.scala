@@ -68,6 +68,83 @@ class ExtractCoverSpec extends AnyFunSuite {
     assert(cover(q, Seq(dup, small)).map(_.id) == Seq("exact"))
   }
 
+  test("GeoJSON index loader mirrors the reference's property mapping") {
+    val path = getClass.getResource("/extract_index_fixture.geojson").getPath
+    val index = ExtractIndex.loadGeoJson(path)
+    // the update-only feature (no urls.pbf) is skipped
+    assert(index.size == 4)
+    // ids source-prefixed, names slash-flattened
+    assert(index.map(_.id).toSet == Set("Geofabrik_europe", "Geofabrik_france",
+      "Geofabrik_monaco", "Geofabrik_us/california"))
+    assert(index.find(_.id == "Geofabrik_us/california").get.name ==
+      "us_california")
+    // parent chain: explicit parent prefixed, missing parent = source,
+    // us subtree reparented under us
+    assert(index.find(_.id == "Geofabrik_europe").get.parent == "Geofabrik")
+    assert(index.find(_.id == "Geofabrik_monaco").get.parent == "Geofabrik_europe")
+    assert(index.find(_.id == "Geofabrik_us/california").get.parent ==
+      "Geofabrik_us")
+    // file names walk the parent chain root-to-leaf
+    assert(index.find(_.id == "Geofabrik_monaco").get.fileName ==
+      "geofabrik_europe_monaco.osm.pbf")
+    assert(index.find(_.id == "Geofabrik_france").get.fileName ==
+      "geofabrik_europe_france.osm.pbf")
+    // sorted ascending by geodetic area (california's 11°×10° box at ~37°N
+    // is slightly smaller than france's 14°×9.5° at ~47°N)
+    assert(index.map(_.name) ==
+      Seq("monaco", "us_california", "france", "europe"))
+    assert(index.map(_.area) == index.map(_.area).sorted)
+    // sanity: spherical-excess area of the monaco box ≈ 37 km² (±10%)
+    val monacoArea = index.find(_.id == "Geofabrik_monaco").get.area
+    assert(monacoArea > 30 && monacoArea < 45, monacoArea.toString)
+  }
+
+  test("parquet index cache round-trips and rejects outdated structure") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val path = getClass.getResource("/extract_index_fixture.geojson").getPath
+    val index = ExtractIndex.loadGeoJson(path)
+    val writer = new org.locationtech.jts.io.WKBWriter()
+    val cache = java.nio.file.Files.createTempDirectory("idx").toString + "/index.parquet"
+    index.map(e => (e.id, e.name, e.fileName, e.parent, writer.write(e.geometry),
+        e.area, e.url))
+      .toDF("id", "name", "file_name", "parent", "geometry", "area", "url")
+      .write.parquet(cache)
+    val back = ExtractIndex.loadParquet(spark, cache)
+      .sortBy(e => (e.area, e.id))
+    assert(back.map(e => (e.id, e.name, e.fileName, e.parent, e.area, e.url)) ==
+      index.map(e => (e.id, e.name, e.fileName, e.parent, e.area, e.url)))
+    assert(back.zip(index).forall { case (b, a) => b.geometry.equalsExact(a.geometry) })
+    // outdated structure (missing columns) is a hard error, not silence
+    val bad = java.nio.file.Files.createTempDirectory("idx").toString + "/bad.parquet"
+    index.map(e => (e.id, e.url)).toDF("id", "url").write.parquet(bad)
+    assertThrows[IllegalArgumentException](ExtractIndex.loadParquet(spark, bad))
+  }
+
+  test("convertGeometryFromIndex: fixture index covers monaco end-to-end") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+    val idxPath = getClass.getResource("/extract_index_fixture.geojson").getPath
+    val queryWkt = bbox(7.41, 43.725, 7.43, 43.74).toText
+    val fetched = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (features, cuts) = ExtractCover.convertGeometryFromIndex(
+      spark, queryWkt, idxPath,
+      e => { fetched += e.id; monaco })
+    try {
+      // the cover picks ONLY the monaco extract (best IoU), never europe
+      assert(fetched.toSeq == Seq("Geofabrik_monaco"))
+      assert(features.count() > 0)
+    } finally cuts.release()
+  }
+
   test("convertGeometry: cover -> fetch -> multi-file conversion == single-file") {
     // Split monaco into two overlapping synthetic extracts (nodes split by
     // longitude, ways/relations duplicated into both — every element is in

@@ -146,6 +146,27 @@ class OsmPipelineSpec extends AnyFunSuite {
     assert(exploded.filter(col("building").isNotNull).count() > 1000)
   }
 
+  test("explode_tags caps a wide synthetic tag vocabulary at maxColumns") {
+    val s = spark
+    import s.implicits._
+    // 150 distinct keys spread over 30 synthetic features
+    val wide = (0 until 30).map { i =>
+      val tags = (0 until 5).map(j => (f"k${(i * 5 + j) % 150}%03d", "v"))
+      (s"node/$i", tags.toMap, Array.empty[Byte])
+    }.toDF("feature_id", "tags", "geometry")
+    val full = OsmPipeline.explodeTags(wide)
+    assert(full.columns.length == 150 + 2) // feature_id + geometry
+    val capped = OsmPipeline.explodeTags(wide, maxColumns = 40)
+    assert(capped.columns.length == 40 + 2)
+    // cap keeps the FIRST keys in sorted order — deterministic schema
+    assert(capped.columns.toSeq.slice(1, 41) ==
+      (0 until 40).map(i => f"k$i%03d"))
+    assert(capped.count() == 30)
+    intercept[IllegalArgumentException] {
+      OsmPipeline.explodeTags(wide, maxColumns = 0)
+    }
+  }
+
   test("grouped tag columns: exploded CASE-chain and compact map modes") {
     val grouped: GroupedFilter = Map(
       "buildings" -> Map("building" -> AnyValue),
