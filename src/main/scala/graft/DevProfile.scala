@@ -128,6 +128,54 @@ object DevProfile {
           }
         }
       }
+    } else if (name == "gpqscale") {
+      // drive the DISTRIBUTED GeoParquet sink under load: replicate monaco
+      // `reps` times (lon-shifted), convert, write MULTI-FILE covering
+      // output (no coalesce(1) anywhere), then time bbox probes through
+      // readCovered — the at-scale write/read path (file+row-group pruning
+      // via the covering bbox column's min/max stats).
+      val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+      val base = pbf.PbfWriter.fromRows(
+        spark.read.format("osmpbf").load(monaco)).collect()
+      val tmp = java.nio.file.Files.createTempDirectory("gpqscale").toString
+      val big = s"$tmp/big.osm.pbf"
+      val n = pbf.PbfWriter.write((0 until reps).iterator.flatMap { i =>
+        val off = i.toLong * 100000000000L
+        base.iterator.map { e =>
+          e.copy(id = e.id + off,
+            refs = if (e.refs == null) null else e.refs.map(_ + off),
+            lon = if (e.lon.isNaN) e.lon else e.lon + 0.2 * i)
+        }
+      }, big)
+      println(s"input: $n elements (${reps}x monaco)")
+      val out = s"$tmp/gpq"
+      val t0 = System.nanoTime()
+      val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, Seq(big),
+        osm.OsmPipeline.Options())
+      osm.GeoParquet.write(f, out, singleFile = false, sortSpatially = true,
+        covering = true, maxRecordsPerFile = 20000)
+      fcuts.release()
+      val files = new java.io.File(out).listFiles
+        .count(_.getName.endsWith(".parquet"))
+      println(f"multi-file covering write: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"($files files)")
+      val total = spark.read.parquet(out).count()
+      // identical bbox probe, with vs without parquet stats pruning: the
+      // covering column's row-group min/max stats are the only difference
+      val shift = 0.2 * (reps / 2)
+      def probe(): Long = osm.GeoParquet.readCovered(spark, out,
+        7.42 + shift, 43.73, 7.43 + shift, 43.74).count()
+      probe() // warm the read path + codegen
+      spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+      val tb0 = System.nanoTime()
+      probe()
+      val noPruneSec = (System.nanoTime() - tb0) / 1e9
+      spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+      val tp0 = System.nanoTime()
+      val hit = probe()
+      val probeSec = (System.nanoTime() - tp0) / 1e9
+      println(f"probe: $hit of $total rows — pruned $probeSec%.2f s vs " +
+        f"unpruned $noPruneSec%.2f s (covering bbox row-group stats)")
     } else if (name == "docscale") {
       // replicate documents `reps` times (offset doc_ids; per-replica
       // Caesar-rotate the text so replica corpora are mutually disjoint in

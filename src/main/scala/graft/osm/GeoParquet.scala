@@ -43,10 +43,14 @@ object GeoParquet {
   /** Write features (… geometry: WKB binary) as GeoParquet: stats pass
     * (A7 extent agg + A10 distinct geometry types), parquet write, footer
     * post-pass. `singleFile=true` reproduces the reference's one-file
-    * output (S4); false keeps one file per partition (S3). */
+    * output (S4); false keeps one file per partition (S3).
+    * `sortAlgorithm`: `"str"` (Sort-Tile-Recursive packing — the
+    * reference's DEFAULT, pbf_file_reader.py:347-376) or `"hilbert"`. */
   def write(features: DataFrame, path: String, singleFile: Boolean = true,
       sortSpatially: Boolean = false, covering: Boolean = false,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L, sortAlgorithm: String = "str"): Unit = {
+    require(Set("str", "hilbert")(sortAlgorithm),
+      s"sortAlgorithm must be str|hilbert, got $sortAlgorithm")
     val spark = features.sparkSession
     // The upstream plan (a full conversion DAG) is consumed two or three
     // times below (stats pass, optional sort, write) — materialize it
@@ -56,7 +60,7 @@ object GeoParquet {
     val mat = features.withColumn("_ext", extentUdf(col("geometry")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try writeMaterialized(spark, mat, path, singleFile, sortSpatially, covering,
-      maxRecordsPerFile)
+      maxRecordsPerFile, sortAlgorithm)
     finally mat.unpersist(blocking = false)
   }
 
@@ -64,12 +68,14 @@ object GeoParquet {
   private def writeMaterialized(spark: org.apache.spark.sql.SparkSession,
       typed: DataFrame, path: String, singleFile: Boolean,
       sortSpatially: Boolean, covering: Boolean = false,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L, sortAlgorithm: String = "str"): Unit = {
     // one combined stats pass: bbox (4 min/max) + distinct geometry types
+    // + row count (STR needs it for its slice count)
     val stats = typed.agg(
       min(col("_ext._1")).as("xmin"), min(col("_ext._2")).as("ymin"),
       max(col("_ext._3")).as("xmax"), max(col("_ext._4")).as("ymax"),
-      collect_set(udf(GeomUdfs.geomType).apply(col("geometry"))).as("types"))
+      collect_set(udf(GeomUdfs.geomType).apply(col("geometry"))).as("types"),
+      count(lit(1)).as("n"))
       .head()
     // Empty input: min/max come back null — still write the file (with a
     // degenerate bbox and no geometry types), matching the reference's
@@ -79,10 +85,13 @@ object GeoParquet {
       else (stats.getDouble(0), stats.getDouble(1),
         stats.getDouble(2), stats.getDouble(3))
     val types = stats.getSeq[String](4)
+    val n = stats.getLong(5)
 
     val sorted =
-      if (sortSpatially) spatialSortWithExt(typed, bbox, singleFile)
-      else typed
+      if (!sortSpatially) typed
+      else if (sortAlgorithm == "hilbert")
+        spatialSortWithExt(typed, bbox, singleFile)
+      else strSortWithExt(typed, n, StrLeafRows, singleFile)
     // GeoParquet 1.1 per-row bbox covering column: with the spatial sort,
     // parquet row-group min/max stats on these four doubles prune
     // row groups on bbox reads ([[readCovered]]) — the at-scale spatial
@@ -216,5 +225,72 @@ object GeoParquet {
       if (singleOutput) indexed.coalesce(1)
       else indexed.repartitionByRange(col("_hilbert"))
     parted.sortWithinPartitions(col("_hilbert")).drop("_hilbert")
+  }
+
+  /** Rows per STR leaf tile — the ~100k-row row-group contract
+    * (pbf_file_reader.py:171-174), so one leaf ≈ one row group and the
+    * covering bbox stats prune at row-group granularity. */
+  val StrLeafRows: Int = 100000
+
+  /** Sort-Tile-Recursive packing order — the reference's DEFAULT spatial
+    * sort (`sort_algorithm="str"`, pbf_file_reader.py:347-376,4021-4043;
+    * algorithm: Leutenegger et al., "STR: A Simple and Efficient Algorithm
+    * for R-Tree Packing"): order envelopes by center-x, cut into
+    * S = ceil(sqrt(P)) equal-count vertical slices (P = leaf count), sort
+    * each slice by center-y. Rows then stream out leaf by leaf.
+    *
+    * Distributed shape: the equal-count x-slicing IS
+    * `repartitionByRange(S, cx)` (sampled range boundaries, fully
+    * parallel), and the in-slice y-sort IS `sortWithinPartitions(cy)` —
+    * one narrow shuffle, no global sort, no single-partition stage. The
+    * single-output path computes the same slice boundaries explicitly
+    * (approxQuantile — the sampling primitive range partitioning uses) and
+    * sorts by (slice, cy) inside the one coalesced partition. */
+  def strSort(features: DataFrame, leafRows: Int = StrLeafRows,
+      singleOutput: Boolean = false): DataFrame = {
+    val extentUdf = udf(GeomUdfs.extent)
+    val typed = features.withColumn("_ext", extentUdf(col("geometry")))
+    strSortWithExt(typed, typed.count(), leafRows, singleOutput).drop("_ext")
+  }
+
+  private def strSortWithExt(typed: DataFrame, n: Long, leafRows: Int,
+      singleOutput: Boolean): DataFrame = {
+    val canonical = math.max(1,
+      math.ceil(math.sqrt(n.toDouble / leafRows)).toInt)
+    // Multi-file output: never let the canonical slice count UNDERshoot the
+    // cluster's parallelism — finer x-slicing is still STR (smaller
+    // leaves), but a single range partition would funnel the whole write
+    // through one task. Bounded below by ~10k rows per slice so tiny
+    // inputs don't shatter into empty files.
+    val slices =
+      if (singleOutput) canonical
+      else {
+        val parallel = typed.sparkSession.sparkContext.defaultParallelism
+        math.max(1L, math.min(
+          math.max(canonical.toLong, parallel.toLong),
+          n / 10000L)).toInt
+      }
+    val cxed = typed
+      .withColumn("_cx", (col("_ext._1") + col("_ext._3")) / 2)
+      .withColumn("_cy", (col("_ext._2") + col("_ext._4")) / 2)
+    val parted =
+      if (slices == 1)
+        (if (singleOutput) cxed.coalesce(1) else cxed.repartitionByRange(1, col("_cx")))
+          .sortWithinPartitions(col("_cy"))
+      else if (!singleOutput)
+        cxed.repartitionByRange(slices, col("_cx"))
+          .sortWithinPartitions(col("_cy"))
+      else {
+        val cuts = cxed.stat.approxQuantile("_cx",
+          (1 until slices).map(_.toDouble / slices).toArray, 0.01)
+        val slice = cuts.zipWithIndex.foldLeft(lit(0)) {
+          case (acc, (cut, i)) => when(col("_cx") > cut, i + 1).otherwise(acc)
+        }
+        cxed.withColumn("_slice", slice)
+          .coalesce(1)
+          .sortWithinPartitions(col("_slice"), col("_cy"))
+          .drop("_slice")
+      }
+    parted.drop("_cx", "_cy")
   }
 }

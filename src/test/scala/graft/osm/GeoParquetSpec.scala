@@ -42,28 +42,55 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(geo.contains(""""bbox":[7."""))
   }
 
-  test("spatial sort clusters nearby features") {
-    val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/sorted"
-    val f = OsmPipeline.features(spark, Seq(Monaco),
-      OsmPipeline.Options(tagsFilter =
-        Some(Map("building" -> graft.osm.TagFilters.AnyValue))))
-    GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
-    // successive rows should be spatially close on average: compare mean
-    // consecutive-centroid distance of sorted vs feature_id order
+  private def meanStep(ps: Array[(Double, Double)]): Double =
+    ps.sliding(2).map { case Array(a, b) =>
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    }.sum / (ps.length - 1)
+
+  private def centroids(df: org.apache.spark.sql.DataFrame): Array[(Double, Double)] = {
     val ext = udf(GeomUdfs.extent)
-    val pts = spark.read.parquet(out)
-      .withColumn("e", ext(col("geometry")))
+    df.withColumn("e", ext(col("geometry")))
       .select(((col("e._1") + col("e._3")) / 2).as("x"),
         ((col("e._2") + col("e._4")) / 2).as("y"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
-    def meanStep(ps: Array[(Double, Double)]): Double =
-      ps.sliding(2).map { case Array(a, b) =>
-        math.hypot(a._1 - b._1, a._2 - b._2)
-      }.sum / (ps.length - 1)
-    val sortedStep = meanStep(pts)
-    val shuffledStep = meanStep(scala.util.Random.shuffle(pts.toList).toArray)
-    assert(sortedStep < shuffledStep / 2,
-      s"sorted=$sortedStep shuffled=$shuffledStep")
+  }
+
+  test("spatial sort clusters nearby features (both str and hilbert modes)") {
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter =
+        Some(Map("building" -> graft.osm.TagFilters.AnyValue))))
+      .persist()
+    try for (mode <- Seq("str", "hilbert")) {
+      val out = java.nio.file.Files.createTempDirectory("gpq").toString + s"/$mode"
+      GeoParquet.write(f, out, singleFile = true, sortSpatially = true,
+        sortAlgorithm = mode)
+      // successive rows should be spatially close on average: compare mean
+      // consecutive-centroid distance of sorted vs random order
+      val pts = centroids(spark.read.parquet(out))
+      val sortedStep = meanStep(pts)
+      val shuffledStep = meanStep(scala.util.Random.shuffle(pts.toList).toArray)
+      assert(sortedStep < shuffledStep / 2,
+        s"$mode: sorted=$sortedStep shuffled=$shuffledStep")
+    } finally f.unpersist(blocking = false)
+  }
+
+  test("STR multi-slice packing: x-slices of equal count, y-sorted within") {
+    val f = OsmPipeline.features(spark, Seq(Monaco),
+      OsmPipeline.Options(tagsFilter =
+        Some(Map("building" -> graft.osm.TagFilters.AnyValue))))
+    // tiny leaves force several slices (1283 rows / 64 ≈ 21 leaves → 5 slices)
+    val pts = centroids(GeoParquet.strSort(f, leafRows = 64, singleOutput = true)
+      .coalesce(1))
+    assert(meanStep(pts) <
+      meanStep(scala.util.Random.shuffle(pts.toList).toArray) / 2)
+    // within a run of consecutive rows whose x stays inside one slice,
+    // y must be non-decreasing: verify on the first 100 rows' slice runs
+    val ys = pts.map(_._2)
+    val increasingRuns = ys.sliding(2).count { case Array(a, b) => b >= a }
+    // y-sorted slices make the sequence mostly monotone (far from the ~50%
+    // a random order gives)
+    assert(increasingRuns.toDouble / (ys.length - 1) > 0.8,
+      s"monotone fraction ${increasingRuns.toDouble / (ys.length - 1)}")
   }
 
   test("empty feature set still writes a GeoParquet file with geo footer") {
