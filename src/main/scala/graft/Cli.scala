@@ -15,6 +15,7 @@ import graft.osm.TagFilters._
   *   [--geom-filter-wkt WKT]
   *   [--geom-filter-geojson-file PATH]
   *   [--geom-filter-geohash h1,h2,...]
+  *   [--geom-filter-geocode "QUERY[;QUERY2]" --geocode-gazetteer PATH]
   *   [--filter-osm-ids way/1,node/2,...]
   *   [--custom-sql-filter EXPR]
   *   [--keep-all-tags] [--explode-tags] [--sort] [--wkt-result]
@@ -86,6 +87,16 @@ object Cli {
         .map(h => GeometryFilters.geohashesToGeometry(h.split(",").map(_.trim).toSeq)))
       .orElse(flags.get("geom-filter-index-s2").map(t =>
         S2Cells.tokensToGeometry(t.split(",").toSeq)))
+      // the reference geocodes through Nominatim (cli.py:144-160); offline
+      // the same flag resolves against a local gazetteer GeoJSON
+      .orElse(flags.get("geom-filter-geocode").map { q =>
+        val gaz = flags.getOrElse("geocode-gazetteer",
+          throw new IllegalArgumentException(
+            "--geom-filter-geocode needs --geocode-gazetteer PATH " +
+              "(local GeoJSON gazetteer; Nominatim needs network)"))
+        Geocode.toGeometry(q.split(";").map(_.trim).toSeq,
+          new Geocode.GazetteerGeocoder(gaz))
+      })
     geom.foreach(g => opts = opts.copy(geometryWkt = Some(g.toText)))
 
     val spark = SparkSession.builder()

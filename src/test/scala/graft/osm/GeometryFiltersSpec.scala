@@ -11,6 +11,24 @@ class GeometryFiltersSpec extends AnyFunSuite {
     assert(g.isValid)
   }
 
+  test("gazetteer geocoder resolves names, unions queries, rejects unknowns") {
+    val gaz = new Geocode.GazetteerGeocoder(
+      getClass.getResource("/gazetteer_fixture.geojson").getPath)
+    // exact (case-insensitive) display_name match
+    val monaco = gaz.geometry("monaco, monaco-ville, monaco")
+    assert(monaco.getEnvelopeInternal.getMinX == 7.38)
+    // unique substring match falls back
+    val fontvieille = gaz.geometry("Fontvieille")
+    assert(fontvieille.getArea < monaco.getArea)
+    // multi-query union covers both neighbourhoods
+    val both = Geocode.toGeometry(Seq("Fontvieille", "Monte Carlo"), gaz)
+    assert(both.contains(fontvieille))
+    assert(both.getArea > fontvieille.getArea)
+    // unknown and ambiguous queries fail loudly
+    assertThrows[IllegalArgumentException](gaz.geometry("atlantis"))
+    assertThrows[IllegalArgumentException](gaz.geometry("mon"))
+  }
+
   test("wkt parser round-trips") {
     val g = GeometryFilters.parseWkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
     assert(g.getArea == 1.0)
