@@ -37,6 +37,30 @@ class CliSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("feature_id", "tags", "geometry"))
   }
 
+  test("geocode geometry filter resolves through the local gazetteer") {
+    val out = java.nio.file.Files.createTempDirectory("cli").toString + "/geocoded"
+    val gaz = getClass.getResource("/gazetteer_fixture.geojson").getPath
+    Cli.main(Array(
+      Monaco,
+      "--output", out,
+      "--osm-tags-filter", """{"building": true}""",
+      "--geom-filter-geocode", "Fontvieille",
+      "--geocode-gazetteer", gaz))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val back = spark.read.parquet(out)
+    val n = back.count()
+    assert(n > 0)
+    // Fontvieille is a strict subset of monaco: fewer buildings than the
+    // full-extract 1283
+    assert(n < 1283, n.toString)
+    // without a gazetteer the flag fails loudly
+    assertThrows[IllegalArgumentException] {
+      Cli.main(Array(Monaco, "--output", out + "2",
+        "--geom-filter-geocode", "Fontvieille"))
+    }
+  }
+
   test("exploded CLI output has per-key columns") {
     val out = java.nio.file.Files.createTempDirectory("cli").toString + "/expl"
     Cli.main(Array(
