@@ -77,6 +77,7 @@ object SparkEntry {
     "d7_fingerprint" -> (T.d7Fingerprint _),
     "d8_token_count" -> (T.d8TokenCount _),
     "d9_stratified_sample" -> (T.d9StratifiedSample _),
+    "d10_decontaminate" -> (T.d10Decontaminate _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -510,6 +511,15 @@ object SparkEntry {
         |)
         |SELECT node AS doc_id, min(m) AS cluster_id FROM reach
         |GROUP BY node ORDER BY doc_id""").stripMargin,
+    // decontamination: corpus docs sharing any word 3-gram with the
+    // synthetic benchmark set (doc_id % 97 == 0); only the shash CTE of
+    // the shared prefix is referenced (DuckDB inlines CTEs lazily)
+    "d10_decontaminate" -> (MinhashOracleCtes +
+      """
+        |SELECT DISTINCT c.doc_id FROM shash c
+        |JOIN (SELECT DISTINCT shash FROM shash WHERE doc_id % 97 = 0) b USING (shash)
+        |WHERE c.doc_id % 97 <> 0
+        |ORDER BY doc_id""").stripMargin,
     // end-to-end dedup: the x8 clusters joined back to the corpus — every
     // cluster keeps its minimum doc_id, the rest are anti-joined away
     "x9_dedup_corpus" -> ("WITH RECURSIVE " +

@@ -126,4 +126,27 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
   }
+
+  /** d10: test-set decontamination — flag corpus documents that share ANY
+    * word n-gram with a benchmark set (the standard pre-training hygiene
+    * check; GPT-3 appendix C runs it with 13-grams, 3-grams here to suit
+    * the tiny synthetic docs). The synthetic "benchmark" is doc_id % 97
+    * == 0.
+    *
+    * Shape for 100 TB: the benchmark n-gram set is tiny relative to the
+    * corpus (benchmarks are a few thousand documents) → `broadcast`
+    * left_semi join against the corpus' shingle hashes, which come
+    * map-side from the snapshot-cached shingle view
+    * ([[SimilarityQueries.docShingles]]) shared with the x2/x4/x8/x9
+    * family — the corpus text is shingled once per snapshot, never per
+    * query, and never shuffles here at all. */
+  def d10Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = SimilarityQueries.docShingles(s, dir)
+    val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(col("shash")).distinct()
+    sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      .join(broadcast(bench), Seq("shash"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .orderBy("doc_id")
+  }
 }
