@@ -367,17 +367,17 @@ object SimilarityQueries {
   /** End-to-end near-dup deduplication — the operation a training pipeline
     * actually runs: keep each cluster's minimum doc_id (== the cluster_id
     * label by construction), drop every other member, pass through all
-    * documents with no near-duplicate. Shape: the drop list is tiny
-    * relative to the corpus (it IS the duplicates), so the left_anti join
-    * broadcasts; the corpus never shuffles. Output = the surviving corpus
-    * with provenance (survivors of a cluster keep their cluster_id;
-    * singletons get their own id). */
+    * documents with no near-duplicate. Shape: left_anti on the
+    * high-cardinality doc_id; NO broadcast hint — the drop list is
+    * data-proportional (a heavily duplicated corpus can shed a third of
+    * itself), so the safe default is a shuffle anti-join and AQE upgrades
+    * it to broadcast whenever the list is actually small. */
   def x9DedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val clusters = dedupClusters(s, dir, MaxDriverEdges)
     val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     documents(s, dir)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("text_len"))
       .orderBy("doc_id")
