@@ -68,6 +68,25 @@ class ScaleUtilsSpec extends AnyFunSuite {
     assert(!sortedPlan.contains("Window"), sortedPlan)
   }
 
+  test("withGlobalIndex handles empty input and tie-broken duplicate keys") {
+    val s = spark
+    import s.implicits._
+    // empty input → empty output, schema intact
+    val empty = ScaleUtils.withGlobalIndex(
+      Seq.empty[(Long, String)].toDF("k", "v"), Seq(col("k")))
+    assert(empty.columns.toSeq == Seq("k", "v", "_gidx"))
+    assert(empty.count() == 0)
+    // duplicate primary keys with a tie-break column: the composite key is
+    // unique, so the numbering is the deterministic lexicographic order
+    val dup = Seq((1L, "b"), (1L, "a"), (0L, "z"), (2L, "a"), (1L, "a2"))
+      .toDF("k", "v")
+    val got = ScaleUtils.withGlobalIndex(dup, Seq(col("k"), col("v")))
+      .select("k", "v", "_gidx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "z", 0L), (1L, "a", 1L), (1L, "a2", 2L),
+      (1L, "b", 3L), (2L, "a", 4L)))
+  }
+
   test("salted join returns exactly the same result as a plain join") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.Tables.lineitem(spark, dir)

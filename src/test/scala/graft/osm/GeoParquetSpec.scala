@@ -95,11 +95,12 @@ class GeoParquetSpec extends AnyFunSuite {
 
   test("empty feature set still writes a GeoParquet file with geo footer") {
     val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/empty"
-    // a tag filter matching nothing → zero features, degenerate bbox
+    // a tag filter matching nothing → zero features, degenerate bbox;
+    // sortSpatially exercises the STR path's n=0 branch
     val features = OsmPipeline.features(spark, Seq(Monaco),
       OsmPipeline.Options(tagsFilter =
         Some(Map("no_such_tag_key_xyz" -> graft.osm.TagFilters.AnyValue))))
-    GeoParquet.write(features, out, singleFile = true)
+    GeoParquet.write(features, out, singleFile = true, sortSpatially = true)
     val back = spark.read.parquet(out)
     assert(back.count() == 0)
     val conf = spark.sessionState.newHadoopConf()
