@@ -112,6 +112,17 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(kv.get("geo").contains(""""bbox":[0.0,0.0,0.0,0.0]"""))
   }
 
+  test("S7 URL source downloads and converts (file:// URL, zero-egress)") {
+    val dest = java.nio.file.Files.createTempDirectory("dl").toString + "/monaco.osm.pbf"
+    val got = GeoParquet.downloadPbf(s"file://$Monaco", dest)
+    assert(got == dest)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(dest)) ==
+      java.nio.file.Files.size(java.nio.file.Paths.get(Monaco)))
+    // the downloaded copy converts like the original
+    assert(spark.read.format("osmpbf").load(dest).count() ==
+      spark.read.format("osmpbf").load(Monaco).count())
+  }
+
   test("covering bbox column enables pushed-down spatial reads") {
     val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/cov"
     val f = OsmPipeline.features(spark, Seq(Monaco),
