@@ -15,15 +15,17 @@ object DevProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SHUFFLE_PARTS").foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n))
+    sys.env.get("NO_AQE").foreach(_ =>
+      spark.conf.set("spark.sql.adaptive.enabled", "false"))
+    sys.env.get("AQE").foreach(_ =>
+      spark.conf.set("spark.sql.adaptive.enabled", "true"))
     if (name == "pbf") {
       if (sys.env.contains("NO_BROADCAST")) {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       }
-      sys.env.get("SHUFFLE_PARTS").foreach(n =>
-        spark.conf.set("spark.sql.shuffle.partitions", n))
-      sys.env.get("NO_AQE").foreach(_ =>
-        spark.conf.set("spark.sql.adaptive.enabled", "false"))
       val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(

@@ -44,6 +44,19 @@ object ExtractCover {
     convertGeometry(spark, queryWkt, ExtractIndex.load(spark, indexPath),
       fetch, opts, iouThreshold)
 
+  /** Convert one NAMED extract resolved against the index — the
+    * reference's `convert_osm_extract_to_parquet` (functions.py; query
+    * resolution in `osm_extracts/__init__.py:283-380` via
+    * [[ExtractIndex.findByQuery]]). */
+  def convertNamedExtract(spark: org.apache.spark.sql.SparkSession,
+      query: String, index: Seq[Extract], fetch: Extract => String,
+      opts: OsmPipeline.Options = OsmPipeline.Options(),
+      selectFirstMatch: Boolean = true)
+      : (org.apache.spark.sql.DataFrame, OsmPipeline.ConversionCuts) = {
+    val extract = ExtractIndex.findByQuery(index, query, selectFirstMatch)
+    OsmPipeline.featuresWithCuts(spark, Seq(fetch(extract)), opts)
+  }
+
   /** One row of an extract index (extract.py:77 expected columns). */
   final case class Extract(id: String, name: String, fileName: String,
       parent: String, area: Double, url: String, geometry: Geometry)

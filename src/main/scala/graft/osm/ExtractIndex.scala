@@ -120,8 +120,61 @@ object ExtractIndex {
         case Some(row) => parts += slugify(row.name); current = row.parent
         case None => parts += slugify(current); done = true
       }
-      e.copy(fileName = s"${parts.reverse.mkString("_")}.osm.pbf")
+      // NO extension — the reference's file_name column is the bare slug
+      // chain (extract.py:330-342); `.osm.pbf` is appended at download time
+      e.copy(fileName = parts.reverse.mkString("_"))
     }
+  }
+
+  /** Find one extract by free-text query — the resolution behind the
+    * reference's `convert_osm_extract_to_parquet`
+    * (`osm_extracts/__init__.py:283-380`): exact full-file-name match
+    * first, then exact name match (both case-insensitive with `_`↔space
+    * equivalence); several name matches pick the smallest (area, id) when
+    * `selectFirstMatch` (else error, listing the matching full names);
+    * zero matches error with close-match suggestions. */
+  def findByQuery(index: Seq[Extract], query: String,
+      selectFirstMatch: Boolean = true): Extract = {
+    def norm(s: String) = s.trim.toLowerCase
+    def normSp(s: String) = norm(s).replace('_', ' ')
+    val q = norm(query)
+    val qSp = normSp(query)
+    val byFile = index.filter(e =>
+      norm(e.fileName) == q || normSp(e.fileName) == qSp)
+    if (byFile.size == 1) return byFile.head
+    val byName = index.filter(e =>
+      norm(e.name) == q || normSp(e.name) == qSp)
+    byName match {
+      case Seq(one) => one
+      case Seq() =>
+        val close = index.map(_.name.toLowerCase).distinct
+          .map(n => (n, similarity(q, n))).filter(_._2 >= 0.7)
+          .sortBy(-_._2).take(5).map(_._1)
+        val suggestions =
+          if (close.isEmpty) "Zero close matches have been found."
+          else "Found names close to query: " + close.mkString(", ") + "."
+        throw new NoSuchElementException(
+          s"""Zero extracts matched by query "$query". $suggestions""")
+      case many if selectFirstMatch =>
+        many.minBy(e => (e.area, e.id))
+      case many =>
+        throw new IllegalArgumentException(
+          s"""Multiple extracts matched by query "$query": """ +
+            many.map(_.fileName).sorted.mkString(", "))
+    }
+  }
+
+  /** Normalized similarity for zero-match suggestions (difflib-ratio
+    * stand-in): 1 - levenshtein/maxLen. Only feeds error-message hints. */
+  private def similarity(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    1.0 - d(a.length)(b.length).toDouble / math.max(a.length, b.length)
   }
 
   /** WGS84 authalic radius (m) — the sphere with the ellipsoid's area. */

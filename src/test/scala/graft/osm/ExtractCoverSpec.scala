@@ -84,11 +84,12 @@ class ExtractCoverSpec extends AnyFunSuite {
     assert(index.find(_.id == "Geofabrik_monaco").get.parent == "Geofabrik_europe")
     assert(index.find(_.id == "Geofabrik_us/california").get.parent ==
       "Geofabrik_us")
-    // file names walk the parent chain root-to-leaf
+    // file names walk the parent chain root-to-leaf (bare slug chain, no
+    // extension — the reference appends .osm.pbf at download time)
     assert(index.find(_.id == "Geofabrik_monaco").get.fileName ==
-      "geofabrik_europe_monaco.osm.pbf")
+      "geofabrik_europe_monaco")
     assert(index.find(_.id == "Geofabrik_france").get.fileName ==
-      "geofabrik_europe_france.osm.pbf")
+      "geofabrik_europe_france")
     // sorted ascending by geodetic area (california's 11°×10° box at ~37°N
     // is slightly smaller than france's 14°×9.5° at ~47°N)
     assert(index.map(_.name) ==
@@ -97,6 +98,44 @@ class ExtractCoverSpec extends AnyFunSuite {
     // sanity: spherical-excess area of the monaco box ≈ 37 km² (±10%)
     val monacoArea = index.find(_.id == "Geofabrik_monaco").get.area
     assert(monacoArea > 30 && monacoArea < 45, monacoArea.toString)
+  }
+
+  test("findByQuery: file-name and name matches, tie-breaks, suggestions") {
+    val path = getClass.getResource("/extract_index_fixture.geojson").getPath
+    val index = ExtractIndex.loadGeoJson(path)
+    // exact name match, case-insensitive
+    assert(ExtractIndex.findByQuery(index, "Monaco").id == "Geofabrik_monaco")
+    // full file-name match, with _ <-> space equivalence
+    assert(ExtractIndex.findByQuery(index, "geofabrik europe monaco").id ==
+      "Geofabrik_monaco")
+    // several extracts with the SAME name: first match = smallest (area, id)
+    val dup = index ++ Seq(index.find(_.name == "monaco").get
+      .copy(id = "BBBike_monaco", parent = "BBBike",
+        fileName = "bbbike_monaco", area = 1e9))
+    assert(ExtractIndex.findByQuery(dup, "monaco").id == "Geofabrik_monaco")
+    assertThrows[IllegalArgumentException](
+      ExtractIndex.findByQuery(dup, "monaco", selectFirstMatch = false))
+    // zero matches: loud error with close-match suggestions
+    val e = intercept[NoSuchElementException](
+      ExtractIndex.findByQuery(index, "monacco"))
+    assert(e.getMessage.contains("monaco"), e.getMessage)
+  }
+
+  test("convertNamedExtract: query -> fetch -> conversion") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+    val idxPath = getClass.getResource("/extract_index_fixture.geojson").getPath
+    val index = ExtractIndex.loadGeoJson(idxPath)
+    val (features, cuts) = ExtractCover.convertNamedExtract(
+      spark, "Monaco", index, _ => monaco,
+      OsmPipeline.Options(tagsFilter =
+        Some(Map("building" -> graft.osm.TagFilters.AnyValue))))
+    try assert(features.count() == 1283) // the documented monaco building count
+    finally cuts.release()
   }
 
   test("parquet index cache round-trips and rejects outdated structure") {
