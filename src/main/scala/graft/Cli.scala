@@ -18,7 +18,8 @@ import graft.osm.TagFilters._
   *   [--geom-filter-geocode "QUERY[;QUERY2]" --geocode-gazetteer PATH]
   *   [--filter-osm-ids way/1,node/2,...]
   *   [--custom-sql-filter EXPR]
-  *   [--keep-all-tags] [--explode-tags] [--sort] [--wkt-result]
+  *   [--keep-all-tags] [--explode-tags] [--sort] [--sort-algorithm str|hilbert]
+  *   [--wkt-result]
   * }}}
   */
 object Cli {
@@ -108,6 +109,10 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // reference default "str"; validated like cli.py:803-808
+      val sortAlgorithm = flags.getOrElse("sort-algorithm", "str")
+      require(Set("str", "hilbert")(sortAlgorithm),
+        s"incompatible sort-algorithm ($sortAlgorithm): str|hilbert")
       if (flags.contains("working-directory") && !flags.contains("output")) {
         // reference default mode: deterministic cached result path
         val out = ResultCache.convert(spark, positional, opts,
@@ -115,7 +120,8 @@ object Cli {
           explodeTags = flags.contains("explode-tags"),
           sortResult = flags.contains("sort"),
           wktResult = flags.contains("wkt-result"),
-          ignoreCache = flags.contains("ignore-cache"))
+          ignoreCache = flags.contains("ignore-cache"),
+          sortAlgorithm = sortAlgorithm)
         println(s"graft: wrote $out")
       } else {
         var (features, cuts) = OsmPipeline.featuresWithCuts(spark, positional, opts)
@@ -124,7 +130,8 @@ object Cli {
             features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
           if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
           else GeoParquet.write(features, output,
-            sortSpatially = flags.contains("sort"))
+            sortSpatially = flags.contains("sort"),
+            sortAlgorithm = sortAlgorithm)
         } finally cuts.release()
         println(s"graft: wrote $output")
       }

@@ -50,20 +50,24 @@ object ResultCache {
       opts: OsmPipeline.Options = OsmPipeline.Options(),
       workDir: String = "files", explodeTags: Boolean = false,
       sortResult: Boolean = true, wktResult: Boolean = false,
-      ignoreCache: Boolean = false): String = {
+      ignoreCache: Boolean = false, sortAlgorithm: String = "str"): String = {
     val out = resultFilePath(workDir, pbfPaths, opts, explodeTags,
       sortResult, wktResult)
     // marker through the Hadoop FileSystem, mirroring how GeoParquet.write
     // resolves paths — caching works for hdfs://, s3a://, … workDirs too
     val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS_GRAFT")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    // reference parity: the path encodes WHETHER the result is sorted, not
+    // the algorithm — a warm cache serves whichever algorithm wrote it,
+    // exactly like the reference (pbf_file_reader.py:1294-1340)
     if (!ignoreCache && fs.exists(marker)) return out
     var (features, cuts) = OsmPipeline.featuresWithCuts(spark, pbfPaths, opts)
     try {
       if (explodeTags)
         features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
       if (wktResult) GeoParquet.writeWkt(features, out)
-      else GeoParquet.write(features, out, sortSpatially = sortResult)
+      else GeoParquet.write(features, out, sortSpatially = sortResult,
+        sortAlgorithm = sortAlgorithm)
     } finally cuts.release()
     fs.create(marker, true).close()
     out
