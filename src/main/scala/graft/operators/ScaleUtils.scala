@@ -29,19 +29,18 @@ object ScaleUtils {
     * Exchange, no Window (ref semantics: pbf_file_reader.py:3037-3045 —
     * only bounded chunk size matters, so per-partition offsets are exact).
     *
+    * The zip runs on `InternalRow`s via
+    * [[org.apache.spark.sql.graft.InternalRowOps]] — the public
+    * `df.rdd`/`createDataFrame` route would box every row to a generic
+    * `Row` and re-encode it, per row, off the codegen path.
+    *
     * The sort key must be a deterministic total order (unique, or with ties
     * broken by additional columns) so the two zipWithIndex passes agree. */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
-      idxName: String = "_gidx"): DataFrame = {
-    val sorted = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(idxName, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    sorted.sparkSession.createDataFrame(rdd, schema)
-  }
+      idxName: String = "_gidx"): DataFrame =
+    org.apache.spark.sql.graft.InternalRowOps.zipWithGlobalIndex(
+      df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*),
+      idxName)
 
   /** Salted equi-join for skewed LEFT keys: the left side gets a random
     * salt in [0, salts); the right side is replicated `salts` times with
