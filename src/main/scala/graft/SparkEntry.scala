@@ -78,6 +78,8 @@ object SparkEntry {
     "d8_token_count" -> (T.d8TokenCount _),
     "d9_stratified_sample" -> (T.d9StratifiedSample _),
     "d10_decontaminate" -> (T.d10Decontaminate _),
+    "d11_repetition_quality" -> (T.d11RepetitionQuality _),
+    "d12_boilerplate_ngrams" -> (T.d12BoilerplateNgrams _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -520,6 +522,32 @@ object SparkEntry {
         |JOIN (SELECT DISTINCT shash FROM shash WHERE doc_id % 97 = 0) b USING (shash)
         |WHERE c.doc_id % 97 <> 0
         |ORDER BY doc_id""").stripMargin,
+    // within-doc repetition: words hashed with the same portable 28-bit
+    // md5 prefix the engine uses map-side (collisions identical per engine)
+    "d11_repetition_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 7))::BIGINT AS wh FROM w
+        |), cnt AS (
+        |  SELECT doc_id, wh, count(*) AS c FROM wh GROUP BY doc_id, wh
+        |), per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct, max(c) AS top_cnt
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_words, n_distinct,
+        |  round(top_cnt / n_words, 6) AS top_word_share,
+        |  top_cnt * 10 >= n_words AS repetitive
+        |FROM per ORDER BY doc_id""".stripMargin,
+    // corpus boilerplate: doc frequency of 3-gram shingle hashes; only the
+    // shash CTE of the shared prefix is referenced
+    "d12_boilerplate_ngrams" -> (MinhashOracleCtes +
+      """
+        |SELECT shash, count(*) AS n_docs FROM shash GROUP BY shash
+        |ORDER BY n_docs DESC, shash LIMIT 20""").stripMargin,
     // end-to-end dedup: the x8 clusters joined back to the corpus — every
     // cluster keeps its minimum doc_id, the rest are anti-joined away
     "x9_dedup_corpus" -> ("WITH RECURSIVE " +

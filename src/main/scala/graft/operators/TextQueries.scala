@@ -149,4 +149,53 @@ object TextQueries {
       .select(col("doc_id")).distinct()
       .orderBy("doc_id")
   }
+
+  /** d11: within-document repetition quality (the Gopher-rules shape:
+    * "fraction of characters in the most common n-gram" — here the most
+    * common WORD's share of the document, plus lexical diversity). Docs
+    * whose top word covers >= 10% of all words are flagged repetitive —
+    * the boilerplate/keyword-stuffing filter every pre-training pipeline
+    * runs (Gopher §A1.1, Dolma).
+    *
+    * Scale shape: words are 28-bit-hashed MAP-SIDE before the shuffle —
+    * the groupBy carries (doc_id, 8-byte hash), never word strings; the
+    * per-(doc,word) counts then collapse doc-locally. Two partial-agg
+    * shuffles on fixed-width keys, no raw text movement (hash collisions
+    * are deterministic and identical in the oracle, which mirrors the
+    * same md5-prefix hash). */
+  def d11RepetitionQuality(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
+    documents(s, dir)
+      .select(col("doc_id"),
+        explode(call_function("split_words", col("text"))).as("w"))
+      .select(col("doc_id"), call_function("md5_prefix28", col("w")).as("wh"))
+      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("top_cnt") / col("n_words"), 6).as("top_word_share"),
+        (col("top_cnt") * 10 >= col("n_words")).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** d12: corpus-level boilerplate n-grams — the word 3-grams present in
+    * the most documents (CCNet/C4-style boilerplate discovery: headers,
+    * disclaimers, navigation text recur across unrelated pages; their
+    * document frequency is the signal). Top 20 by document count,
+    * tie-broken by hash for a total order.
+    *
+    * Scale shape: reuses the snapshot-cached shingle view shared with
+    * x2/x4/x8/x9/d10 (the corpus is shingled once, not per query); the
+    * per-doc dedup and the doc-frequency count are partial-agg shuffles
+    * on the 8-byte shingle hash; the top-20 is a TakeOrdered, not a
+    * global sort. */
+  def d12BoilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    SimilarityQueries.docShingles(s, dir)
+      .distinct()
+      .groupBy(col("shash")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("shash"))
+      .limit(20)
 }
