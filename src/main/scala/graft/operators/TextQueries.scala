@@ -157,16 +157,19 @@ object TextQueries {
     * the boilerplate/keyword-stuffing filter every pre-training pipeline
     * runs (Gopher §A1.1, Dolma).
     *
-    * Scale shape: words are 28-bit-hashed MAP-SIDE before the shuffle —
-    * the groupBy carries (doc_id, 8-byte hash), never word strings; the
-    * per-(doc,word) counts then collapse doc-locally. Two partial-agg
-    * shuffles on fixed-width keys, no raw text movement (hash collisions
-    * are deterministic and identical in the oracle, which mirrors the
-    * same md5-prefix hash). */
+    * Scale shape: ONE shuffle — the corpus repartitions on doc_id (same
+    * move as [[SimilarityQueries.docShingles]]); hash-partitioning on
+    * doc_id satisfies ClusteredDistribution for BOTH downstream groupBys
+    * ((doc_id, wh) and (doc_id)), so the explode, the per-word counts and
+    * the per-doc rollup all run map-local behind it. Words are
+    * 28-bit-hashed post-explode inside codegen (collisions deterministic
+    * and identical in the oracle, which mirrors the same md5-prefix
+    * hash). */
   def d11RepetitionQuality(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Md5Prefix28Expr.register(s)
     graft.functions.TextExprs.register(s)
     documents(s, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("split_words", col("text"))).as("w"))
       .select(col("doc_id"), call_function("md5_prefix28", col("w")).as("wh"))
