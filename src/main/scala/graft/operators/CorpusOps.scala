@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-generic corpus-hygiene API — the surface a library user calls
+  * on their OWN tables. The `SparkEntry` gate queries bind these same DAGs
+  * to the driver's testdata layout (fixed `documents` schema, snapshot-keyed
+  * cached views, oracle-stable output projections); this object exposes them
+  * for any `(id, text)` frame with caller-chosen column names.
+  *
+  * Contract: `idCol` must be unique per document and castable to LONG
+  * (cluster labels are component-minimum ids, so ids must be orderable).
+  * Input caching is the CALLER's choice — pipelines chaining several of
+  * these over one corpus should `docs.persist()` first; only the minhash
+  * signatures (consumed twice by the LSH self-join) are persisted
+  * internally, with lifecycle left to Spark's session CacheManager.
+  *
+  * Scale shapes are identical to the gate queries (SURVEY §7.1 module 8):
+  * one corpus repartition on the id, fixed-width hash keys on every
+  * shuffle, banded LSH instead of all-pairs, cluster solve via driver
+  * union-find under [[SimilarityQueries.MaxDriverEdges]] edges and
+  * distributed label propagation past it.
+  */
+object CorpusOps {
+
+  /** Word 3-gram shingle hashes: (doc_id LONG, shash LONG), repartitioned
+    * by doc_id so every downstream per-doc groupBy runs exchange-free. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("word_ngrams", col("text"), lit(3))).as("sh"))
+      .select(col("doc_id"), call_function("md5_prefix28", col("sh")).as("shash"))
+  }
+
+  /** MinHash signature per document: (doc_id, sig ARRAY<LONG>[16]). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    SimilarityQueries.minhashSignaturesFrom(shingleHashes(docs, idCol, textCol))
+
+  /** LSH near-duplicate candidate pairs: (doc_a, doc_b, est_jaccard).
+    * Signatures are persisted for the self-join (one corpus pass, not
+    * two); Spark's CacheManager owns the blocks from there. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    SimilarityQueries.lshPairs(
+      minhashSignatures(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Near-duplicate clusters: (doc_id, cluster_id) for every doc with at
+    * least one near-duplicate (estimated Jaccard >= 0.5); the label is the
+    * component-minimum id. */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+      driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges): DataFrame =
+    SimilarityQueries.clustersFromPairs(docs.sparkSession,
+      candidatePairs(docs, idCol, textCol), driverEdgeLimit)
+
+  /** End-to-end near-dedup: the input minus every non-representative
+    * cluster member (cluster-minimum id survives), original schema
+    * untouched. No broadcast hint on the drop list — it is
+    * data-proportional, and AQE upgrades the anti-join to broadcast
+    * whenever it is actually small. */
+  def deduplicate(docs: DataFrame, idCol: String, textCol: String,
+      driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges): DataFrame = {
+    val drop = dedupClusters(docs, idCol, textCol, driverEdgeLimit)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").cast("long").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Exact content dedup: keep the minimum-id row per distinct text
+    * (md5-keyed — the shuffle carries 16-byte digests, not text). */
+  def exactDeduplicate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs
+      .select(md5(col(textCol)).as("_h"), col(idCol).cast("long").as(idCol))
+      .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Within-doc repetition stats (the d11 Gopher-rules shape):
+    * (idCol, n_words, n_distinct, top_word_share, repetitive). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
+    docs.select(col(idCol).cast("long").as(idCol), col(textCol).as("text"))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(call_function("split_words", col("text"))).as("w"))
+      .select(col(idCol), call_function("md5_prefix28", col("w")).as("wh"))
+      .groupBy(col(idCol), col("wh")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        round(col("top_cnt") / col("n_words"), 6).as("top_word_share"),
+        (col("top_cnt") * 10 >= col("n_words")).as("repetitive"))
+  }
+
+  /** Corpus boilerplate n-grams by document frequency, with the n-gram
+    * TEXT (unlike the hash-keyed d12 gate form): (ngram, n_docs), top-K.
+    * The per-doc dedup groups on (doc_id, 8-byte hash); only the distinct
+    * survivors' gram strings reach the frequency count. */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("word_ngrams", col("text"), lit(3))).as("ngram"))
+      // doc-local dedup keyed on the hash (map-local behind the
+      // repartition), carrying one representative string per group
+      .groupBy(col("doc_id"), call_function("md5_prefix28", col("ngram")).as("nh"))
+      .agg(first(col("ngram")).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram"))
+      .limit(topK)
+  }
+
+  /** Test-set decontamination: the corpus minus every document sharing at
+    * least one word 3-gram with `benchmark` (both frames in their own
+    * column names). The benchmark shingle set is broadcast — benchmarks
+    * are tiny next to a training corpus. */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchmarkText: String): DataFrame = {
+    graft.functions.Md5Prefix28Expr.register(corpus.sparkSession)
+    graft.functions.TextExprs.register(corpus.sparkSession)
+    val benchGrams = benchmark
+      .select(explode(call_function("word_ngrams",
+        col(benchmarkText), lit(3))).as("sh"))
+      .select(call_function("md5_prefix28", col("sh")).as("shash"))
+      .distinct()
+    val contaminated = shingleHashes(corpus, corpusId, corpusText)
+      .join(broadcast(benchGrams), Seq("shash"), "left_semi")
+      .select(col("doc_id").as(corpusId)).distinct()
+    corpus.join(contaminated, Seq(corpusId), "left_anti")
+  }
+}

@@ -176,7 +176,7 @@ object SimilarityQueries {
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     minhashSignaturesFrom(docShingles(s, dir))
 
-  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+  private[operators] def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val mins = (0 until NumPerms).map(p =>
       min(permHash(lit(p), col("shash"))).as(s"h$p"))
     sh.groupBy(col("doc_id"))
@@ -197,7 +197,7 @@ object SimilarityQueries {
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir).orderBy("doc_a", "doc_b")
 
-  private def lshPairs(sigArr: DataFrame): DataFrame = {
+  private[operators] def lshPairs(sigArr: DataFrame): DataFrame = {
     val nBands = NumPerms / BandSize
     val banded = sigArr.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
@@ -267,9 +267,15 @@ object SimilarityQueries {
   def x8DedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(s, dir, MaxDriverEdges)
 
-  def dedupClusters(s: SparkSession, dir: String, driverEdgeLimit: Int): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String, driverEdgeLimit: Int): DataFrame =
+    clustersFromPairs(s, candidatePairs(s, dir), driverEdgeLimit)
+
+  /** Cluster step over an arbitrary (doc_a, doc_b, est_jaccard) candidate
+    * frame — shared by the gate query and [[CorpusOps]]. */
+  private[operators] def clustersFromPairs(s: SparkSession, cand: DataFrame,
+      driverEdgeLimit: Int): DataFrame = {
     import s.implicits._
-    val pairs = candidatePairs(s, dir)
+    val pairs = cand
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val head = // typed collect: specialized (Long, Long) tuples, no Row boxing

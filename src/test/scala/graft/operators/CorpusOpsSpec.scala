@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataFrame-generic corpus API must agree with the gate queries when
+  * pointed at the same data — exercised through RENAMED columns so any
+  * hidden dependence on the testdata schema fails loudly. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val renamed = graft.Tables.documents(spark, Sf)
+    .select(col("doc_id").as("item"), col("text").as("body"),
+      col("lang"), col("source"), col("n_chars"))
+
+  test("candidatePairs and dedupClusters match the gate queries") {
+    val gatePairs = SimilarityQueries.x2MinhashLsh(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val apiPairs = CorpusOps.candidatePairs(renamed, "item", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(apiPairs == gatePairs && apiPairs.nonEmpty)
+    val gateClusters = SimilarityQueries.x8DedupClusters(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val apiClusters = CorpusOps.dedupClusters(renamed, "item", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(apiClusters == gateClusters)
+  }
+
+  test("deduplicate keeps cluster minima and the original schema") {
+    val out = CorpusOps.deduplicate(renamed, "item", "body")
+    assert(out.columns.toSeq == renamed.columns.toSeq)
+    val survivors = out.select("item").collect().map(_.getLong(0)).toSet
+    val clusters = CorpusOps.dedupClusters(renamed, "item", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    clusters.foreach { case (doc, cl) =>
+      assert(survivors.contains(doc) == (doc == cl),
+        s"doc $doc (cluster $cl) survivor status wrong")
+    }
+    assert(out.count() ==
+      renamed.count() - clusters.count { case (d, c) => d != c })
+  }
+
+  test("exactDeduplicate keeps one row per distinct text") {
+    val out = CorpusOps.exactDeduplicate(renamed, "item", "body")
+    assert(out.count() ==
+      renamed.select("body").distinct().count())
+    // kept id is the minimum per content group
+    val minPerText = renamed.groupBy("body").agg(min("item").as("m"))
+      .select("m").collect().map(_.getLong(0)).toSet
+    assert(out.select("item").collect().map(_.getLong(0)).toSet == minPerText)
+  }
+
+  test("repetitionStats matches d11 on renamed columns") {
+    val gate = TextQueries.d11RepetitionQuality(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val api = CorpusOps.repetitionStats(renamed, "item", "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(api == gate && api.nonEmpty)
+  }
+
+  test("boilerplateNgrams returns real text grams consistent with d12") {
+    val api = CorpusOps.boilerplateNgrams(renamed, "item", "body", topK = 5)
+      .collect()
+    assert(api.nonEmpty && api.length <= 5)
+    api.foreach(r => assert(r.getString(0).split(" ").length == 3))
+    val gateTop = TextQueries.d12BoilerplateNgrams(spark, Sf)
+      .head().getLong(1)
+    assert(api.head.getLong(1) == gateTop)
+  }
+
+  test("decontaminate removes exactly the d10-flagged documents") {
+    val corpus = renamed.filter(pmod(col("item"), lit(97L)) =!= 0)
+    val bench = renamed.filter(pmod(col("item"), lit(97L)) === 0)
+      .select(col("body").as("question"))
+    val clean = CorpusOps.decontaminate(corpus, "item", "body",
+      bench, "question")
+    val flagged = TextQueries.d10Decontaminate(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val cleanIds = clean.select("item").collect().map(_.getLong(0)).toSet
+    assert(cleanIds.intersect(flagged).isEmpty)
+    assert(cleanIds.size == corpus.count() - flagged.size)
+  }
+}
