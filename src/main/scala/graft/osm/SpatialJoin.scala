@@ -94,6 +94,10 @@ object SpatialJoin {
     val polys = polygons
       .filter(col(wkbCol).isNotNull)
       .withColumn("_ext", extent)
+      // empty geometries have an inverted JTS envelope (min > max), which
+      // would make sequence() throw — they can't contain a point, drop them
+      .filter(col("_ext._1") <= col("_ext._3") &&
+        col("_ext._2") <= col("_ext._4"))
       .withColumn("_cx", explode(sequence(
         floor(col("_ext._1") / cellDeg).cast("long"),
         floor(col("_ext._3") / cellDeg).cast("long"))))

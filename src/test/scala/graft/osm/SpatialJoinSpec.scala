@@ -59,6 +59,18 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("empty geometries are dropped instead of crashing sequence()") {
+    import spark.implicits._
+    val empty = new WKBWriter().write(gf.createPolygon())
+    val polys = Seq((1L, empty),
+      (2L, poly((7.40, 43.70), (7.41, 43.70), (7.41, 43.71), (7.40, 43.71))))
+      .toDF("poly_id", "wkb")
+    val pts = Seq((1L, 7.405, 43.705)).toDF("pt_id", "x", "y")
+    val got = SpatialJoin.pointInPolygon(pts, "x", "y", polys, "wkb")
+      .select("poly_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+  }
+
   test("no pair duplication when a polygon spans many cells") {
     import spark.implicits._
     val big = Seq((1L, poly((7.40, 43.70), (7.46, 43.70), (7.46, 43.74), (7.40, 43.74))))
