@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `idCol` must be unique per document and castable to LONG
   * (cluster labels are component-minimum ids, so ids must be orderable).
+  * Internal working columns are `_g_`-prefixed (user frames must not carry
+  * `_g_*` names); outputs use the documented names per method.
   * Input caching is the CALLER's choice — pipelines chaining several of
   * these over one corpus should `docs.persist()` first; only the minhash
   * signatures (consumed twice by the LSH self-join) are persisted
@@ -30,11 +32,12 @@ object CorpusOps {
     val s = docs.sparkSession
     graft.functions.Md5Prefix28Expr.register(s)
     graft.functions.TextExprs.register(s)
-    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_g_text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(call_function("word_ngrams", col("text"), lit(3))).as("sh"))
-      .select(col("doc_id"), call_function("md5_prefix28", col("sh")).as("shash"))
+        explode(call_function("word_ngrams", col("_g_text"), lit(3))).as("_g_sh"))
+      .select(col("doc_id"),
+        call_function("md5_prefix28", col("_g_sh")).as("shash"))
   }
 
   /** MinHash signature per document: (doc_id, sig ARRAY<LONG>[16]). */
@@ -86,15 +89,17 @@ object CorpusOps {
     val s = docs.sparkSession
     graft.functions.Md5Prefix28Expr.register(s)
     graft.functions.TextExprs.register(s)
-    docs.select(col(idCol).cast("long").as(idCol), col(textCol).as("text"))
+    // internal names are _g_-prefixed so user columns named "w"/"c"/...
+    // can never make a reference ambiguous; the id keeps its caller name
+    docs.select(col(idCol).cast("long").as(idCol), col(textCol).as("_g_text"))
       .repartition(col(idCol))
       .select(col(idCol),
-        explode(call_function("split_words", col("text"))).as("w"))
-      .select(col(idCol), call_function("md5_prefix28", col("w")).as("wh"))
-      .groupBy(col(idCol), col("wh")).agg(count(lit(1)).as("c"))
+        explode(call_function("split_words", col("_g_text"))).as("_g_w"))
+      .select(col(idCol), call_function("md5_prefix28", col("_g_w")).as("_g_wh"))
+      .groupBy(col(idCol), col("_g_wh")).agg(count(lit(1)).as("_g_c"))
       .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_cnt"))
+      .agg(sum(col("_g_c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("_g_c")).as("top_cnt"))
       .select(col(idCol), col("n_words"), col("n_distinct"),
         round(col("top_cnt") / col("n_words"), 6).as("top_word_share"),
         (col("top_cnt") * 10 >= col("n_words")).as("repetitive"))
@@ -109,13 +114,14 @@ object CorpusOps {
     val s = docs.sparkSession
     graft.functions.Md5Prefix28Expr.register(s)
     graft.functions.TextExprs.register(s)
-    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_g_text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(call_function("word_ngrams", col("text"), lit(3))).as("ngram"))
+        explode(call_function("word_ngrams", col("_g_text"), lit(3))).as("ngram"))
       // doc-local dedup keyed on the hash (map-local behind the
       // repartition), carrying one representative string per group
-      .groupBy(col("doc_id"), call_function("md5_prefix28", col("ngram")).as("nh"))
+      .groupBy(col("doc_id"),
+        call_function("md5_prefix28", col("ngram")).as("_g_nh"))
       .agg(first(col("ngram")).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("ngram"))
@@ -132,8 +138,8 @@ object CorpusOps {
     graft.functions.TextExprs.register(corpus.sparkSession)
     val benchGrams = benchmark
       .select(explode(call_function("word_ngrams",
-        col(benchmarkText), lit(3))).as("sh"))
-      .select(call_function("md5_prefix28", col("sh")).as("shash"))
+        col(benchmarkText), lit(3))).as("_g_sh"))
+      .select(call_function("md5_prefix28", col("_g_sh")).as("shash"))
       .distinct()
     val contaminated = shingleHashes(corpus, corpusId, corpusText)
       .join(broadcast(benchGrams), Seq("shash"), "left_semi")
