@@ -144,6 +144,44 @@ object EventStreams {
       }
   }
 
+  /** [[runningUserTotals]] on the Spark 4 arbitrary-state v2 API
+    * (`transformWithState`): per-variable typed state
+    * (`ValueState`/`ListState`/`MapState`), native TTL and timers, and a
+    * state layout the RocksDB provider stores per variable instead of as
+    * one opaque blob — at scale that means point updates instead of
+    * whole-struct rewrites and state that survives processor evolution.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); semantics are
+    * identical to the v1 twin and the spec asserts the two agree. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTotal] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("totals",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      val prev = if (state.exists()) state.get() else SessionState(0L, 0.0, 0L)
+      var n = prev.nEvents
+      var sum = prev.sumValue
+      rows.foreach { e => n += 1; sum += e.value }
+      state.update(SessionState(n, sum, prev.lastTs))
+      Iterator.single(UserTotal(key, n, sum))
+    }
+  }
+
+  def runningUserTotalsV2(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Incremental exactly-once ingestion: drain whatever is currently
     * available from a file source into a partitioned parquet sink and
     * stop (Trigger.AvailableNow). Re-running after new input files arrive

@@ -77,6 +77,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(mismatched == 0)
   }
 
+  test("transformWithState (v2 API) totals match batch and the v1 twin") {
+    import spark.implicits._
+    // the arbitrary-state v2 API requires the RocksDB state store; scope
+    // the setting to this query's session clone via a fresh session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = EventStreams.fileSource(s2, s"$Dir/events.parquet")
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[EventStreams.Event]
+    val totals = EventStreams.runningUserTotalsV2(stream)
+    val q = totals.writeStream.outputMode("update")
+      .format("memory").queryName("user_totals_v2").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table("user_totals_v2")
+      .groupBy("user_id").agg(max(col("n_events")).as("n_events"),
+        max(col("sum_value")).as("sum_value"))
+    val expected = graft.Tables.events(s2, Dir).filter(col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum(col("value")).as("s"))
+    assert(got.count() == expected.count() && got.count() > 0)
+    val mismatched = got.join(expected, Seq("user_id"))
+      .filter(col("n_events") =!= col("n") ||
+        abs(col("sum_value") - col("s")) > 1e-9).count()
+    assert(mismatched == 0)
+  }
+
   test("stream-static enrichment joins dimension values onto each batch") {
     val stream = EventStreams.fileSource(spark, s"$Dir/events.parquet")
     val dim = spark.range(1000).select(col("id").as("user_id"),
