@@ -101,4 +101,33 @@ class ScaleUtilsSpec extends AnyFunSuite {
       .head()
     assert(plain == salted)
   }
+
+  test("AQE skew-join splits the hot partition at runtime") {
+    import spark.implicits._
+    // scoped session clone: AQE on with thresholds low enough that the
+    // synthetic hot key (100k rows on one key vs ~10 elsewhere) is seen
+    // as skew at test scale
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    import org.apache.spark.sql.functions.{col => c}
+    val left = s2.range(0, 110000)
+      .select(when(c("id") < 100000, 7L).otherwise(pmod(c("id"), lit(1000L)))
+        .as("k"), c("id").as("v"))
+    val right = s2.range(0, 1000).select(c("id").as("k"), (c("id") * 2).as("w"))
+    val joined = left.join(right, Seq("k"))
+    // execute THIS QueryExecution (count() would plan a new one and leave
+    // this plan un-finalized), then read the adaptive final plan
+    assert(joined.collect().length == 110000) // every left row matches one
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true") &&
+      finalPlan.contains("AQEShuffleRead skewed"),
+      s"AQE must split the hot partition:\n${finalPlan.take(800)}")
+  }
 }
