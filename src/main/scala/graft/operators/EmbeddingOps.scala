@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-generic embedding similarity API — the [[CorpusOps]] analogue
+  * for vector columns: a library user points these at their own
+  * `(id, Array[Float|Double])` frame with a DRIVER-HELD query vector (the
+  * realistic serving shape — the query comes from outside the corpus, so it
+  * enters the plan as a literal, not a joined row).
+  *
+  * The gate queries (x1/x5/x6/x7) bind the same plan shapes to the
+  * testdata `embeddings` table with the query drawn from vec_id=0; the
+  * specs assert both surfaces rank identically.
+  *
+  * Scale shapes: exact = map-side cosine + TakeOrdered (no global sort,
+  * corpus never shuffles); ANN = sign-LSH bucket as a pre-computed literal
+  * filter (the query's bucket is known driver-side, so the corpus is
+  * FILTERED, not joined); IVF = broadcast-argmax cell assignment + literal
+  * probe-cell filter. Cosines are returned at full precision (the gates
+  * round only for oracle hashing).
+  */
+object EmbeddingOps {
+
+  private def cosine(a: Column, b: Column): Column =
+    call_function("vec_cosine", a, b)
+
+  /** Normalize to the internal (vec_id LONG, v) shape. */
+  private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+  }
+
+  private def qlit(query: Seq[Double]): Column = typedLit(query)
+
+  private def dotD(a: Seq[Double], b: Array[Double]): Double =
+    a.lazyZip(b).map(_ * _).sum
+
+  /** Exact brute-force cosine top-k: (idCol, cosine). */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10): DataFrame =
+    vecs(df, idCol, vecCol)
+      .select(col("vec_id").as(idCol),
+        cosine(col("v"), qlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Sign-LSH ANN top-k: the query's bucket is computed driver-side from
+    * the same baked hyperplanes the corpus uses, so candidates are a
+    * FILTER on the bucket column — no join, no shuffle; then exact cosine
+    * on the survivors. Recall/latency trade via `planes` (more planes →
+    * smaller buckets). */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, planes: Int = 8): DataFrame = {
+    val qBucket = (0 until planes).map { p =>
+      if (dotD(query, SimilarityQueries.planeSigns(p)) > 0) 1L << p else 0L
+    }.sum
+    vecs(df, idCol, vecCol)
+      .withColumn("_g_bucket", SimilarityQueries.lshBucket(planes))
+      .filter(col("_g_bucket") === lit(qBucket))
+      .select(col("vec_id").as(idCol),
+        cosine(col("v"), qlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF ANN top-k: k-means centroids trained on the corpus
+    * ([[IvfAnn.trainCentroids]], pure DataFrame Lloyd's), corpus assigned
+    * to cells map-side (broadcast argmax — the corpus never shuffles),
+    * query probed against the `nprobe` nearest cells. The centroid table
+    * is tiny by construction, so ranking the query's cells driver-side is
+    * the broadcast-side of the same decision Spark makes for small joins. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, cells: Int = IvfAnn.K,
+      nprobe: Int = IvfAnn.NProbe, iters: Int = 3): DataFrame = {
+    val emb = vecs(df, idCol, vecCol)
+    val cents = IvfAnn.trainCentroids(emb, cells, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qCells = cents.collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        val sim = dotD(cv, query.toArray) /
+          (math.sqrt(cv.map(x => x * x).sum) *
+            math.sqrt(query.map(x => x * x).sum))
+        (r.getLong(0), sim)
+      }
+      .sortBy { case (cid, sim) => (-sim, cid) }
+      .take(nprobe).map(_._1)
+    IvfAnn.assignCells(emb, cents)
+      .filter(col("cell").isin(qCells: _*))
+      .select(col("vec_id").as(idCol),
+        cosine(col("v"), qlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, candidates
+    * from sign-LSH buckets (per-bucket self-join, never all-pairs):
+    * (id_a, id_b, cosine). A vector has exactly one bucket, so a pair
+    * meets at most once. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 6): DataFrame = {
+    val b = vecs(df, idCol, vecCol)
+      .withColumn("_g_bucket", SimilarityQueries.lshBucket(planes))
+    val l = b.select(col("_g_bucket"), col("vec_id").as("id_a"),
+      col("v").as("_g_va"))
+    val r = b.select(col("_g_bucket"), col("vec_id").as("id_b"),
+      col("v").as("_g_vb"))
+    l.join(r, Seq("_g_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("_g_va"), col("_g_vb")).as("cosine"))
+      .filter(col("cosine") > threshold)
+  }
+}

@@ -116,7 +116,10 @@ object IvfAnn {
     * round — the corpus is scanned once per iteration, never collected. */
   def trainCentroids(emb: DataFrame, k: Int = K, iters: Int = 5): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
-    var cents = emb.filter(col("vec_id") < k)
+    // init = the k smallest-id vectors: deterministic AND id-value-agnostic
+    // (frames whose ids don't start at 0 — e.g. via EmbeddingOps — train
+    // identically to the contiguous-id testdata)
+    var cents = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
       val assigned = assignCells(emb, cents)

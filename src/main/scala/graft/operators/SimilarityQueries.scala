@@ -444,7 +444,7 @@ object SimilarityQueries {
   private def signProjection(p: Int): Column =
     dot(col("v"), typedLit(planeSigns(p).toSeq))
 
-  private def lshBucket(nPlanes: Int): Column =
+  private[operators] def lshBucket(nPlanes: Int): Column =
     (0 until nPlanes).map(p =>
       when(signProjection(p) > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
 
