@@ -73,6 +73,10 @@ object EmbeddingOps {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int = 10, cells: Int = IvfAnn.K,
       nprobe: Int = IvfAnn.NProbe, iters: Int = 3): DataFrame = {
+    // >= 1 Lloyd's round also guarantees the centroid vectors are DOUBLE
+    // arrays (the update averages promote float inputs), which the
+    // driver-side cell ranking below reads as such
+    require(iters >= 1, s"ivfTopK needs at least one k-means round, got $iters")
     val emb = vecs(df, idCol, vecCol)
     val cents = IvfAnn.trainCentroids(emb, cells, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
