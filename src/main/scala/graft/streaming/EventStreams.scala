@@ -182,6 +182,102 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class SessionStart(start: Long, nEvents: Long, sumValue: Double,
+      lastTs: Long)
+
+  /** Event-time sessionization on the v2 API — the construction the API's
+    * typed state was designed for, and the semantics of the built-in
+    * `session_window` aggregate reproduced with explicit state:
+    *
+    *  - `handleInputRows` sorts the batch's events by EVENT time and
+    *    splits on data-observed gaps: sessions that end inside the batch
+    *    move to a `ListState` of pending sessions (NOT emitted yet — a
+    *    late event inside the watermark could still extend them); the
+    *    trailing open session stays in a `ValueState`.
+    *  - every session arms an EVENT-TIME timer at lastTs + gap; timers
+    *    fire when the WATERMARK passes them, and only then are sessions
+    *    emitted (and their state dropped) — exactly-once session rows,
+    *    deterministic on replay, robust to out-of-order input within the
+    *    watermark delay. Stale timers (re-armed sessions) fire and no-op.
+    *
+    * Contrast [[customSessions]] (v1): processing-time timeouts tie
+    * session closure to wall-clock batch scheduling; this one closes
+    * sessions on the data's own clock. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserSession] {
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[SessionStart] = _
+    @transient private var pending:
+        org.apache.spark.sql.streaming.ListState[SessionStart] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getValueState[SessionStart]("open",
+        org.apache.spark.sql.Encoders.product[SessionStart],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pending = getHandle.getListState[SessionStart]("pending",
+        org.apache.spark.sql.Encoders.product[SessionStart],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSession] = {
+      val evs = rows.toArray.sortBy(_.ts.getTime)
+      var cur = if (open.exists()) open.get() else null
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        if (cur == null) cur = SessionStart(t, 1L, e.value, t)
+        else if (t > cur.lastTs + gapMs) {
+          // gap observed in the data: session closed, park it until the
+          // watermark confirms (timer below)
+          pending.appendValue(cur)
+          getHandle.registerTimer(cur.lastTs + gapMs)
+          cur = SessionStart(t, 1L, e.value, t)
+        } else cur = SessionStart(cur.start, cur.nEvents + 1,
+          cur.sumValue + e.value, math.max(cur.lastTs, t))
+      }
+      if (cur != null) {
+        open.update(cur)
+        getHandle.registerTimer(cur.lastTs + gapMs)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserSession] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      if (pending.exists()) {
+        val keep = pending.get().toArray.filter { s =>
+          val due = s.lastTs + gapMs <= wm
+          if (due) out += UserSession(key, s.nEvents, s.sumValue)
+          !due
+        }
+        pending.clear()
+        keep.foreach(pending.appendValue)
+      }
+      if (open.exists()) {
+        val s = open.get()
+        if (s.lastTs + gapMs <= wm) {
+          out += UserSession(key, s.nEvents, s.sumValue)
+          open.clear()
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Input must carry `withWatermark("ts", ...)` — event-time timers fire
+    * off the watermark. */
+  def timerSessionsV2(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Incremental exactly-once ingestion: drain whatever is currently
     * available from a file source into a partitioned parquet sink and
     * stop (Trigger.AvailableNow). Re-running after new input files arrive

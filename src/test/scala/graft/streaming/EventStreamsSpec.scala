@@ -106,6 +106,63 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(mismatched == 0)
   }
 
+  test("v2 event-time timer sessions match batch session windows") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // slice the (time-sorted) input into 8 files with increasing mtimes:
+    // the file source + maxFilesPerTrigger=1 then replays it as 8
+    // micro-batches whose watermark advances through event time, so
+    // sessions form incrementally and close via event-time timers
+    val srcDir = java.nio.file.Files.createTempDirectory("tws_src").toString
+    val raw = s2.read.parquet(s"$Dir/events.parquet")
+      .filter(col("user_id") < 10).sort("ts")
+    val rows = raw.collect().toSeq
+    val slice = math.max(1, math.ceil(rows.size / 8.0).toInt)
+    rows.grouped(slice).zipWithIndex.foreach { case (chunk, i) =>
+      s2.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(chunk).asJava),
+        raw.schema)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100) // distinct mtimes pin the replay order
+    }
+    val gapMs = 6L * 3600 * 1000
+    val stream = s2.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[EventStreams.Event]
+    val q = EventStreams.timerSessionsV2(stream, gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timer_sessions").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table("timer_sessions")
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 4).as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ground truth: the built-in session_window aggregate, same gap
+    val expected = graft.Tables.events(s2, Dir).filter(col("user_id") < 10)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("s")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expectedSet = expected.groupBy(identity).view.mapValues(_.size)
+    val gotSet = got.groupBy(identity).view.mapValues(_.size)
+    // every emitted session is a true batch session (with multiplicity);
+    // only tail sessions the final watermark never passed may be missing
+    gotSet.foreach { case (k, n) =>
+      assert(expectedSet.getOrElse(k, 0) >= n, s"session $k not in batch")
+    }
+    assert(got.length > expected.length / 2,
+      s"most sessions must close: ${got.length} of ${expected.length}")
+  }
+
   test("stream-static enrichment joins dimension values onto each batch") {
     val stream = EventStreams.fileSource(spark, s"$Dir/events.parquet")
     val dim = spark.range(1000).select(col("id").as("user_id"),
