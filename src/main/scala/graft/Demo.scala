@@ -43,6 +43,39 @@ object Demo {
         spark.sessionState.newHadoopConf()))
       .getFooter.getFileMetaData.getKeyValueMetaData
     println("geo footer: " + kv.get("geo").take(120) + "...")
+
+    println("=== distributed spatial join (grid-bucketed, exact-verified) ===")
+    // probe grid over the extract vs its polygon features — no equi key,
+    // both sides distributed
+    import spark.implicits._
+    val polys = back
+      .filter(udf(graft.osm.GeomUdfs.geomType).apply(col("geometry")) === "Polygon")
+      .select(col("feature_id"), col("geometry"))
+    val probes = (for { i <- 0 until 50; j <- 0 until 40 }
+      yield (i * 40L + j, 7.40 + i * 0.001, 43.72 + j * 0.0005))
+      .toDF("pt_id", "x", "y")
+    val hits = graft.osm.SpatialJoin.pointInPolygon(
+      probes, "x", "y", polys, "geometry", cellDeg = 0.002)
+    println(s"probe points inside polygon features: ${hits.count()}")
+
+    val sfDir = sys.env.get("SPARK_GRAFT_SF_DIR")
+    sfDir.foreach { dir =>
+      println("=== corpus hygiene over documents (generic CorpusOps) ===")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val afterNearDup = operators.CorpusOps.deduplicate(docs, "doc_id", "text")
+      println(s"near-dedup: $n -> ${afterNearDup.count()} docs")
+      println("top boilerplate 3-grams:")
+      operators.CorpusOps.boilerplateNgrams(docs, "doc_id", "text", topK = 5).show(false)
+
+      println("=== embedding search (generic EmbeddingOps) ===")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      println("exact top-3 neighbors of vec 0:")
+      operators.EmbeddingOps.cosineTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 3).show()
+    }
     spark.stop()
   }
 }
