@@ -26,39 +26,59 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** Word 3-gram shingle hashes: (doc_id LONG, shash LONG), repartitioned
+  /** Word n-gram shingle hashes: (doc_id LONG, shash LONG), repartitioned
     * by doc_id so every downstream per-doc groupBy runs exchange-free. */
-  def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
     val s = docs.sparkSession
     graft.functions.Md5Prefix28Expr.register(s)
     graft.functions.TextExprs.register(s)
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_g_text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(call_function("word_ngrams", col("_g_text"), lit(3))).as("_g_sh"))
+        explode(call_function("word_ngrams", col("_g_text"), lit(ngram)))
+          .as("_g_sh"))
       .select(col("doc_id"),
         call_function("md5_prefix28", col("_g_sh")).as("shash"))
   }
 
-  /** MinHash signature per document: (doc_id, sig ARRAY<LONG>[16]). */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    SimilarityQueries.minhashSignaturesFrom(shingleHashes(docs, idCol, textCol))
+  /** MinHash signature per document: (doc_id, sig ARRAY<LONG>[numPerms]).
+    * More permutations → tighter Jaccard estimates; `numPerms` must be a
+    * multiple of the band size used downstream. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3,
+      numPerms: Int = SimilarityQueries.NumPerms): DataFrame =
+    SimilarityQueries.minhashSignaturesFrom(
+      shingleHashes(docs, idCol, textCol, ngram), numPerms)
 
   /** LSH near-duplicate candidate pairs: (doc_a, doc_b, est_jaccard).
-    * Signatures are persisted for the self-join (one corpus pass, not
-    * two); Spark's CacheManager owns the blocks from there. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * Band geometry tunes recall: nBands = numPerms/bandSize buckets per
+    * doc, candidate probability ≈ 1-(1-j^bandSize)^nBands. Signatures are
+    * persisted for the self-join (one corpus pass, not two); Spark's
+    * CacheManager owns the blocks from there. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, numPerms: Int = SimilarityQueries.NumPerms,
+      bandSize: Int = SimilarityQueries.BandSize): DataFrame = {
+    require(numPerms % bandSize == 0,
+      s"numPerms ($numPerms) must be a multiple of bandSize ($bandSize)")
     SimilarityQueries.lshPairs(
-      minhashSignatures(docs, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      minhashSignatures(docs, idCol, textCol, ngram, numPerms)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      numPerms, bandSize)
+  }
 
   /** Near-duplicate clusters: (doc_id, cluster_id) for every doc with at
-    * least one near-duplicate (estimated Jaccard >= 0.5); the label is the
-    * component-minimum id. */
+    * least one near-duplicate (estimated Jaccard >= `threshold`); the
+    * label is the component-minimum id. */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
-      driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges): DataFrame =
+      driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges,
+      threshold: Double = 0.5, ngram: Int = 3,
+      numPerms: Int = SimilarityQueries.NumPerms,
+      bandSize: Int = SimilarityQueries.BandSize): DataFrame =
     SimilarityQueries.clustersFromPairs(docs.sparkSession,
-      candidatePairs(docs, idCol, textCol), driverEdgeLimit)
+      candidatePairs(docs, idCol, textCol, ngram, numPerms, bandSize),
+      driverEdgeLimit, threshold)
 
   /** End-to-end near-dedup: the input minus every non-representative
     * cluster member (cluster-minimum id survives), original schema
@@ -66,8 +86,12 @@ object CorpusOps {
     * data-proportional, and AQE upgrades the anti-join to broadcast
     * whenever it is actually small. */
   def deduplicate(docs: DataFrame, idCol: String, textCol: String,
-      driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges): DataFrame = {
-    val drop = dedupClusters(docs, idCol, textCol, driverEdgeLimit)
+      driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges,
+      threshold: Double = 0.5, ngram: Int = 3,
+      numPerms: Int = SimilarityQueries.NumPerms,
+      bandSize: Int = SimilarityQueries.BandSize): DataFrame = {
+    val drop = dedupClusters(docs, idCol, textCol, driverEdgeLimit,
+      threshold, ngram, numPerms, bandSize)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").cast("long").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
@@ -133,15 +157,16 @@ object CorpusOps {
     * column names). The benchmark shingle set is broadcast — benchmarks
     * are tiny next to a training corpus. */
   def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
-      benchmark: DataFrame, benchmarkText: String): DataFrame = {
+      benchmark: DataFrame, benchmarkText: String,
+      ngram: Int = 3): DataFrame = {
     graft.functions.Md5Prefix28Expr.register(corpus.sparkSession)
     graft.functions.TextExprs.register(corpus.sparkSession)
     val benchGrams = benchmark
       .select(explode(call_function("word_ngrams",
-        col(benchmarkText), lit(3))).as("_g_sh"))
+        col(benchmarkText), lit(ngram))).as("_g_sh"))
       .select(call_function("md5_prefix28", col("_g_sh")).as("shash"))
       .distinct()
-    val contaminated = shingleHashes(corpus, corpusId, corpusText)
+    val contaminated = shingleHashes(corpus, corpusId, corpusText, ngram)
       .join(broadcast(benchGrams), Seq("shash"), "left_semi")
       .select(col("doc_id").as(corpusId)).distinct()
     corpus.join(contaminated, Seq(corpusId), "left_anti")

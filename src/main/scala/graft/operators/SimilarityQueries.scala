@@ -176,13 +176,14 @@ object SimilarityQueries {
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     minhashSignaturesFrom(docShingles(s, dir))
 
-  private[operators] def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumPerms).map(p =>
+  private[operators] def minhashSignaturesFrom(sh: DataFrame,
+      numPerms: Int = NumPerms): DataFrame = {
+    val mins = (0 until numPerms).map(p =>
       min(permHash(lit(p), col("shash"))).as(s"h$p"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        array((0 until NumPerms).map(p => col(s"h$p")): _*).as("sig"))
+        array((0 until numPerms).map(p => col(s"h$p")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: equal band key in any band. Output one row per
@@ -197,12 +198,13 @@ object SimilarityQueries {
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir).orderBy("doc_a", "doc_b")
 
-  private[operators] def lshPairs(sigArr: DataFrame): DataFrame = {
-    val nBands = NumPerms / BandSize
+  private[operators] def lshPairs(sigArr: DataFrame,
+      numPerms: Int = NumPerms, bandSize: Int = BandSize): DataFrame = {
+    val nBands = numPerms / bandSize
     val banded = sigArr.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => concat_ws(",",
-          transform(slice(col("sig"), b * lit(BandSize) + 1, lit(BandSize)),
+          transform(slice(col("sig"), b * lit(bandSize) + 1, lit(bandSize)),
             x => x.cast("string")))))
         .as(Seq("band", "band_key")))
       // hash AFTER the explode so the md5 kernel stays in whole-stage
@@ -216,7 +218,7 @@ object SimilarityQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)) / lit(NumPerms.toDouble))
+          (x, y) => x === y), b => b)) / lit(numPerms.toDouble))
           .as("est_jaccard"))
       .distinct()
   }
@@ -273,10 +275,10 @@ object SimilarityQueries {
   /** Cluster step over an arbitrary (doc_a, doc_b, est_jaccard) candidate
     * frame — shared by the gate query and [[CorpusOps]]. */
   private[operators] def clustersFromPairs(s: SparkSession, cand: DataFrame,
-      driverEdgeLimit: Int): DataFrame = {
+      driverEdgeLimit: Int, threshold: Double = 0.5): DataFrame = {
     import s.implicits._
     val pairs = cand
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
     val head = // typed collect: specialized (Long, Long) tuples, no Row boxing
       if (driverEdgeLimit > 0)

@@ -77,6 +77,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(api.head.getLong(1) == gateTop)
   }
 
+  test("tuned LSH geometry (2-grams, 32 perms, 8-band) works end to end") {
+    val pairs = CorpusOps.candidatePairs(renamed, "item", "body",
+      ngram = 2, numPerms = 32, bandSize = 8)
+    val est = pairs.collect()
+    assert(est.nonEmpty)
+    est.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // signatures really are 32 wide
+    val sig = CorpusOps.minhashSignatures(renamed, "item", "body",
+      ngram = 2, numPerms = 32).head()
+    assert(sig.getSeq[Long](1).size == 32)
+    val out = CorpusOps.deduplicate(renamed, "item", "body",
+      threshold = 0.8, ngram = 2, numPerms = 32, bandSize = 8)
+    assert(out.columns.toSeq == renamed.columns.toSeq)
+    val n = renamed.count()
+    val kept = out.count()
+    assert(kept > 0 && kept <= n)
+    // invalid geometry is rejected loudly
+    intercept[IllegalArgumentException] {
+      CorpusOps.candidatePairs(renamed, "item", "body", numPerms = 10,
+        bandSize = 4)
+    }
+  }
+
   test("decontaminate removes exactly the d10-flagged documents") {
     val corpus = renamed.filter(pmod(col("item"), lit(97L)) =!= 0)
     val bench = renamed.filter(pmod(col("item"), lit(97L)) === 0)
