@@ -266,6 +266,49 @@ object EventStreams {
     }
   }
 
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts on `MapState` — the third v2
+    * state shape (Value/List/Map). The map key is the event type, so one
+    * user's counters update POINT-WISE: the RocksDB layout stores each
+    * (user, type) entry as its own key, and a batch touching one type
+    * reads/writes only that entry — with a ValueState holding a whole
+    * Map[String, Long] every update would rewrite the full struct (the
+    * exact pattern MapState exists to avoid). Emits the updated counters
+    * for the types seen in each batch. */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TypeCount] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  def typeCountsV2(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Input must carry `withWatermark("ts", ...)` — event-time timers fire
     * off the watermark. */
   def timerSessionsV2(events: Dataset[Event],

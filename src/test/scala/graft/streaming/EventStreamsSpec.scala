@@ -106,6 +106,29 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(mismatched == 0)
   }
 
+  test("MapState per-type counters match the batch group-by") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = EventStreams.fileSource(s2, s"$Dir/events.parquet")
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[EventStreams.Event]
+    val q = EventStreams.typeCountsV2(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("type_counts").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table("type_counts")
+      .groupBy("user_id", "event_type").agg(max(col("n")).as("n"))
+    val expected = graft.Tables.events(s2, Dir).filter(col("user_id") < 20)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    assert(got.count() == expected.count() && got.count() > 0)
+    assert(got.join(expected, Seq("user_id", "event_type", "n")).count()
+      == got.count())
+  }
+
   test("v2 event-time timer sessions match batch session windows") {
     import spark.implicits._
     val s2 = spark.newSession()
