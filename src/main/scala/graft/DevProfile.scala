@@ -117,7 +117,8 @@ object DevProfile {
         val t1 = System.nanoTime()
         val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, Seq(big),
           osm.OsmPipeline.Options())
-        osm.GeoParquet.write(f, out, singleFile = false, sortSpatially = true)
+        osm.GeoParquet.write(f, out, singleFile = false, sortSpatially = true,
+          sortAlgorithm = sys.env.getOrElse("SORT_ALGO", "str"))
         fcuts.release()
         val dt = (System.nanoTime() - t1) / 1e9
         val rows = spark.read.parquet(out).count()
