@@ -90,6 +90,7 @@ object SparkEntry {
     "x7_ivf_topk" -> (operators.IvfAnn.x7IvfTopK _),
     "x8_dedup_clusters" -> (X.x8DedupClusters _),
     "x9_dedup_corpus" -> (X.x9DedupCorpus _),
+    "x10_simhash_near_dup" -> (X.x10SimhashNearDup _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -429,6 +430,32 @@ object SparkEntry {
         |)
         |SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // simhash near-dup: k+1-band Hamming LSH (lossless for distance <= 1)
+    // over the same portable word-hash simhash as x3
+    "x10_simhash_near_dup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 7))::BIGINT AS wh FROM w
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN 1 << b ELSE 0 END AS bit
+        |  FROM wh, range(0, 16) AS r(b) GROUP BY doc_id, b
+        |), sh AS (
+        |  SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS byte
+        |  FROM sh, range(0, 2) AS bb(band)
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x4_ngram_jaccard" -> (MinhashOracleCtes +
       """,
         |pairs AS (

@@ -394,7 +394,12 @@ object SimilarityQueries {
   /** SimHash (16-bit, word-hash votes): per bit, sign of the sum of ±1
     * votes from each word's portable hash — assembled with algebraic aggs
     * only. */
-  def x3Simhash(s: SparkSession, dir: String): DataFrame = {
+  def x3Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashes(s, dir).orderBy("doc_id")
+
+  /** (doc_id, simhash) unordered — shared by x3 (sorted output) and x10
+    * (near-dup banding; an upstream sort there would be wasted work). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Md5Prefix28Expr.register(s)
     graft.functions.TextExprs.register(s)
     val wordsDf = documents(s, dir)
@@ -409,7 +414,38 @@ object SimilarityQueries {
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     perDoc.select(col("doc_id"), sim.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** x10: SimHash near-duplicate pairs at Hamming distance <= 1 — the
+    * Google-style simhash dedup (Manku et al., WWW'07): split the
+    * fingerprint into k+1 bands so any pair within distance k shares at
+    * least one band EXACTLY (pigeonhole — the banding is lossless, unlike
+    * minhash LSH's probabilistic recall); bucket-join on (band, byte),
+    * verify with a popcount on the XOR. For 16-bit fingerprints and k=1:
+    * two 8-bit bands.
+    *
+    * Scale shape: the fingerprint build is x3's algebraic one-shuffle agg;
+    * the candidate join shuffles 2 rows of (band, byte, 8-byte hash) per
+    * doc; buckets are independent — no all-pairs stage anywhere. The
+    * Hamming verify (xor + bit_count) is codegen arithmetic. */
+  def x10SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashes(s, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 2).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*))
+        .as(Seq("band", "byte")))
+    val a = banded.select(col("band"), col("byte"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("byte"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "byte"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------------- embeddings ----
