@@ -107,6 +107,56 @@ object CorpusOps {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** SimHash near-duplicate pairs at Hamming distance <= `maxHamming`
+    * over a 16-bit word-vote fingerprint: (id_a, id_b, hamming). Banding
+    * is LOSSLESS — the fingerprint splits into maxHamming+1 bands, so any
+    * pair within the radius shares at least one band exactly (pigeonhole);
+    * the xor+popcount verify then filters false bucket-mates. Shuffle
+    * carries (band, bandBits, 8-byte fingerprint) per doc per band. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 1): DataFrame = {
+    val Bits = 16
+    require(maxHamming >= 0 && maxHamming < Bits,
+      s"maxHamming must be in [0, $Bits), got $maxHamming")
+    val s = docs.sparkSession
+    graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
+    val bitAggs = (0 until Bits).map { b =>
+      sum(when(shiftright(col("_g_wh"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"_g_b$b")
+    }
+    val fingerprint = (0 until Bits).map { b =>
+      when(col(s"_g_b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val sh = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_g_text"))
+      .select(col("doc_id"),
+        explode(call_function("split_words", col("_g_text"))).as("_g_w"))
+      .select(col("doc_id"), call_function("md5_prefix28", col("_g_w")).as("_g_wh"))
+      .groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), fingerprint.as("_g_sh"))
+    // maxHamming+1 bands; the last band absorbs the remainder bits
+    val nBands = maxHamming + 1
+    val bandBits = Bits / nBands
+    val banded = sh.select(col("doc_id"), col("_g_sh"),
+      posexplode(array((0 until nBands).map { b =>
+        val width = if (b == nBands - 1) Bits - b * bandBits else bandBits
+        shiftright(col("_g_sh"), b * bandBits)
+          .bitwiseAND((1L << width) - 1)
+      }: _*)).as(Seq("_g_band", "_g_key")))
+    val a = banded.select(col("_g_band"), col("_g_key"),
+      col("doc_id").as("id_a"), col("_g_sh").as("_g_sha"))
+    val b = banded.select(col("_g_band"), col("_g_key"),
+      col("doc_id").as("id_b"), col("_g_sh").as("_g_shb"))
+    a.join(b, Seq("_g_band", "_g_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_g_sha").bitwiseXOR(col("_g_shb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Within-doc repetition stats (the d11 Gopher-rules shape):
     * (idCol, n_words, n_distinct, top_word_share, repetitive). */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -100,6 +100,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashNearDup matches the x10 gate at radius 1 and brute force at 3") {
+    val api = CorpusOps.simhashNearDup(renamed, "item", "body", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gate = SimilarityQueries.x10SimhashNearDup(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api == gate && api.nonEmpty)
+    // radius 3 (4 bands of 4 bits): banding must still be lossless —
+    // compare against an all-pairs popcount on the collected fingerprints
+    val api3 = CorpusOps.simhashNearDup(renamed, "item", "body", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = SimilarityQueries.x3Simhash(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    assert(api3 == brute)
+  }
+
   test("decontaminate removes exactly the d10-flagged documents") {
     val corpus = renamed.filter(pmod(col("item"), lit(97L)) =!= 0)
     val bench = renamed.filter(pmod(col("item"), lit(97L)) === 0)
