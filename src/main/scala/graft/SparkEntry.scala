@@ -22,6 +22,7 @@ object SparkEntry {
     "s2_scan_union_by_name" -> (R.s2ScanUnionByName _),
     "u1_union_distinct" -> (R.u1UnionDistinct _),
     "u2_union_all" -> (R.u2UnionAll _),
+    "u4_intersect_except" -> (R.u4IntersectExcept _),
     // filters
     "f1_validity_split" -> (R.f1ValiditySplit _),
     "f2_predicate_compile" -> (R.f2PredicateCompile _),
@@ -117,6 +118,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'large' AS bucket FROM lineitem WHERE l_quantity > 45)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "u4_intersect_except" ->
+      """SELECT custkey, 'both' AS tag FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT custkey, 'high_only' AS tag FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY custkey, tag""".stripMargin,
     "f1_validity_split" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |round(value, 4) AS value_r FROM events

@@ -471,6 +471,21 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** Beyond-reference: INTERSECT / EXCEPT as real operators (the reference
+    * emulates both with anti joins, SURVEY §2.7). Spark plans them as
+    * semi/anti hash joins over distinct inputs — same scale shape as the
+    * emulation, declared declaratively. Customers with a high-value order
+    * split by whether they ALSO placed an urgent one. */
+  def u4IntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val high = orders(s, dir).filter(col("o_totalprice") > 250000)
+      .select(col("o_custkey").as("custkey"))
+    val urgent = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    high.intersect(urgent).withColumn("tag", lit("both"))
+      .unionByName(high.except(urgent).withColumn("tag", lit("high_only")))
+      .orderBy("custkey", "tag")
+  }
+
   // -------------------------------------------------------------- unnest --
 
   /** G1: positional unnest of parallel arrays → rows with index
