@@ -398,8 +398,13 @@ object SimilarityQueries {
     simhashes(s, dir).orderBy("doc_id")
 
   /** (doc_id, simhash) unordered — shared by x3 (sorted output) and x10
-    * (near-dup banding; an upstream sort there would be wasted work). */
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    * (near-dup banding, which reads it TWICE for the self-join; the
+    * snapshot-keyed cache makes that one corpus pass, same as the
+    * minhash-signature cut). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "simhash")(simhashesUncached(s, dir))
+
+  private def simhashesUncached(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Md5Prefix28Expr.register(s)
     graft.functions.TextExprs.register(s)
     val wordsDf = documents(s, dir)
@@ -424,10 +429,14 @@ object SimilarityQueries {
     * verify with a popcount on the XOR. For 16-bit fingerprints and k=1:
     * two 8-bit bands.
     *
-    * Scale shape: the fingerprint build is x3's algebraic one-shuffle agg;
+    * Scale shape: the fingerprint build is x3's algebraic one-shuffle agg
+    * (snapshot-cached — the self-join costs one corpus pass, not two);
     * the candidate join shuffles 2 rows of (band, byte, 8-byte hash) per
     * doc; buckets are independent — no all-pairs stage anywhere. The
-    * Hamming verify (xor + bit_count) is codegen arithmetic. */
+    * Hamming verify (xor + bit_count) is codegen arithmetic. Note the
+    * 16-bit fingerprint caps join-key cardinality at 2×256 buckets — at
+    * cluster scale widen the fingerprint (64-bit) so bucket count, and
+    * with it shuffle parallelism, grows; the banding math is unchanged. */
   def x10SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val sh = simhashes(s, dir)
     val banded = sh.select(col("doc_id"), col("simhash"),
