@@ -52,6 +52,11 @@ object EmbeddingOps {
     * smaller buckets). */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int = 10, planes: Int = 8): DataFrame = {
+    // the hyperplanes are EmbDim-sized; a shorter/longer query would
+    // silently project against a truncated plane (driver side) while the
+    // corpus side nulls out — reject loudly instead
+    require(query.size == SimilarityQueries.EmbDim,
+      s"query must have ${SimilarityQueries.EmbDim} dims, got ${query.size}")
     val qBucket = (0 until planes).map { p =>
       if (dotD(query, SimilarityQueries.planeSigns(p)) > 0) 1L << p else 0L
     }.sum
@@ -83,6 +88,8 @@ object EmbeddingOps {
     val qCells = cents.collect()
       .map { r =>
         val cv = r.getSeq[Double](1)
+        require(cv.size == query.size,
+          s"query has ${query.size} dims but the corpus has ${cv.size}")
         val sim = dotD(cv, query.toArray) /
           (math.sqrt(cv.map(x => x * x).sum) *
             math.sqrt(query.map(x => x * x).sum))

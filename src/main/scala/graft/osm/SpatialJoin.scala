@@ -86,7 +86,9 @@ object SpatialJoin {
   def pointInPolygon(points: DataFrame, xCol: String, yCol: String,
       polygons: DataFrame, wkbCol: String,
       cellDeg: Double = 0.01): DataFrame = {
-    require(cellDeg > 0, s"cellDeg must be positive, got $cellDeg")
+    // floor: below ~1e-6° (≈0.1 m) lon/lat cell indexes would leave the
+    // ±2^21 encoding range and overflow the packed cell id
+    require(cellDeg >= 1e-6, s"cellDeg must be >= 1e-6 degrees, got $cellDeg")
     val pts = points.withColumn("_cell",
       cellOf(floor(col(xCol) / cellDeg).cast("long"),
         floor(col(yCol) / cellDeg).cast("long")))

@@ -56,6 +56,16 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(got == gate && got.nonEmpty)
   }
 
+  test("dimension mismatches are rejected loudly, not truncated") {
+    intercept[IllegalArgumentException] {
+      EmbeddingOps.annTopK(renamed, "item", "emb", Seq(1.0, 2.0), k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      EmbeddingOps.ivfTopK(renamed, "item", "emb", Seq(1.0, 2.0), k = 3)
+        .collect()
+    }
+  }
+
   test("nearDupPairs matches the x6 gate pairs") {
     val got = EmbeddingOps.nearDupPairs(renamed, "item", "emb",
       threshold = 0.4, planes = 6)
