@@ -81,6 +81,9 @@ object SparkEntry {
     "d10_decontaminate" -> (T.d10Decontaminate _),
     "d11_repetition_quality" -> (T.d11RepetitionQuality _),
     "d12_boilerplate_ngrams" -> (T.d12BoilerplateNgrams _),
+    "d13_pii_scrub" -> (T.d13PiiScrub _),
+    "d14_tfidf_keywords" -> (T.d14TfidfKeywords _),
+    "d15_length_deciles" -> (T.d15LengthDeciles _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -92,6 +95,8 @@ object SparkEntry {
     "x8_dedup_clusters" -> (X.x8DedupClusters _),
     "x9_dedup_corpus" -> (X.x9DedupCorpus _),
     "x10_simhash_near_dup" -> (X.x10SimhashNearDup _),
+    "x11_int8_quantize" -> (X.x11Int8Quantize _),
+    "x12_pq_encode" -> (operators.ProductQuantizer.x12PqEncode _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -587,6 +592,98 @@ object SparkEntry {
       """
         |SELECT shash, count(*) AS n_docs FROM shash GROUP BY shash
         |ORDER BY n_docs DESC, shash LIMIT 20""").stripMargin,
+    // PII scrub: the oracle performs the same deterministic doc_id-derived
+    // enrichment as the engine, then matches/redacts with identical
+    // patterns (Java-regex ∩ RE2 dialect; DuckDB needs the 'g' flag where
+    // Spark's regexp_replace is global by default)
+    "d13_pii_scrub" ->
+      """WITH enriched AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail-' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |    || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+        |FROM enriched ORDER BY doc_id""".stripMargin,
+    // tf-idf with ratio idf (N/df, no log): every score op is a correctly-
+    // rounded IEEE primitive, so DuckDB's doubles are bit-identical; the
+    // window orders by the ROUNDED score + term for a total order
+    "d14_tfidf_keywords" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, tfidf FROM (
+        |  SELECT doc_id, term,
+        |    round(tf * (n_docs::DOUBLE / df), 4) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * (n_docs::DOUBLE / df), 4) DESC, term) AS rank
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "d15_length_deciles" ->
+      """SELECT lang, decile, count(*) AS n_docs,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM (SELECT lang, n_chars,
+        |      ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        |      FROM documents)
+        |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+    // int8 quantization: float32 → double is exact and every op after it
+    // is correctly-rounded IEEE; floor lands on integral doubles, where
+    // Spark's truncating int cast and DuckDB's rounding int cast agree
+    "x11_int8_quantize" ->
+      """SELECT vec_id,
+        |  array_to_string(list_transform(v, x -> CAST(CAST(
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE least(floor((x - lo) * 255.0 / (hi - lo)), 255.0) END
+        |    AS INT) AS VARCHAR)), ',') AS qvec,
+        |  round((hi - lo) / 255.0, 6) AS scale,
+        |  round(lo, 6) AS zero_point
+        |FROM (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi
+        |      FROM (SELECT vec_id,
+        |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |            FROM embeddings))
+        |ORDER BY vec_id""".stripMargin,
+    // PQ encode with the untrained first-K codebook (the x7 trick): the
+    // squared-L2 is the same |a|²-2ab+|b|² expansion over
+    // list_inner_product, rounded to 6 BEFORE the argmin so tie-breaks
+    // are engine-identical; qerr is a sum of already-rounded values whose
+    // true total is a multiple of 1e-6 — far from every rounding
+    // boundary, so accumulation order cannot change the rounded result
+    "x12_pq_encode" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, sub, list_slice(v, sub*16 + 1, sub*16 + 16) AS sv
+        |  FROM emb CROSS JOIN (SELECT unnest(range(4)) AS sub)),
+        |ids AS (
+        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (
+        |  SELECT s.sub, i.code, s.sv AS cv FROM sv s JOIN ids i USING (vec_id)),
+        |dist AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |    round(list_inner_product(s.sv, s.sv)
+        |      - 2.0 * list_inner_product(s.sv, c.cv)
+        |      + list_inner_product(c.cv, c.cv), 6) AS d
+        |  FROM sv s JOIN cb c ON s.sub = c.sub),
+        |best AS (
+        |  SELECT vec_id, sub, code, d,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        |  FROM dist)
+        |SELECT vec_id,
+        |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
+        |  round(sum(d), 6) AS qerr
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // end-to-end dedup: the x8 clusters joined back to the corpus — every
     // cluster keeps its minimum doc_id, the rest are anti-joined away
     "x9_dedup_corpus" -> ("WITH RECURSIVE " +

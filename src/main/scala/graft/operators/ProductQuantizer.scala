@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the third scale path for embedding search
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011), complementing the sign-LSH buckets and IVF cells already
+  * in [[SimilarityQueries]]/[[IvfAnn]], and the affine int8 path of
+  * x11: the vector is cut into M subvectors, each quantized to one of K
+  * learned centroids, so a 64-dim float32 embedding compresses to M
+  * single-byte codes (64× here) while distances remain computable from
+  * the codes alone.
+  *
+  * Shape (the 100 TB design):
+  *  - codebooks are M×K subvector centroids — constant-size → always
+  *    BROADCAST; code assignment is a map-side struct-argmin (the same
+  *    packed-array trick as [[IvfAnn.assignCells]]): the corpus never
+  *    shuffles to get encoded, only the per-id code pivot pays one
+  *    shuffle on the vector id.
+  *  - training is Lloyd's k-means per subspace as pure DataFrame ops —
+  *    all M subspaces train TOGETHER in each pass (sub is just a group
+  *    key), so the corpus is scanned once per iteration, not M times.
+  *  - ADC search collects only the M×K codebook to the driver, builds
+  *    the query's distance look-up table there (the standard asymmetric
+  *    distance computation), and ships it back as a broadcast literal:
+  *    scoring a vector is M array look-ups + adds over its codes — the
+  *    full float corpus is never read at query time, which is the whole
+  *    point at 100 TB.
+  *
+  * The gate query ([[x12PqEncode]]) uses the untrained first-K codebook
+  * so an independent SQL engine reproduces every code bit-for-bit (the
+  * same trick as [[IvfAnn.x7IvfTopK]]); the trained path and ADC ranking
+  * are exercised by ProductQuantizerSpec against the brute-force oracle.
+  */
+object ProductQuantizer {
+
+  val M = 4
+  val K = 16
+
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Squared L2 via the dot expansion |a|² − 2a·b + |b|², evaluated
+    * left-to-right — the exact kernel sequence the x12 oracle replays
+    * with DuckDB's list_inner_product; rounded to 6 so both engines
+    * agree bit-for-bit before the argmin compares. */
+  private def l2sq(a: Column, b: Column): Column =
+    round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+
+  /** (pq_id, sub, sv): the corpus cut into `m` equal subvectors — a pure
+    * per-row map (explode ×m of slices that are 1/m the size keeps total
+    * bytes constant; no shuffle). */
+  def subvectors(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = M): DataFrame = {
+    val w = (size(col("pq_v")) / lit(m)).cast("int")
+    emb.select(col(idCol).as("pq_id"), col(vecCol).as("pq_v"))
+      .select(col("pq_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("pq_v"))
+      .select(col("pq_id"), col("sub"),
+        slice(col("pq_v"), col("sub") * w + 1, w).as("sv"))
+  }
+
+  /** Deterministic init: the k smallest-id vectors donate their
+    * subvectors as codes 0..k-1 in every subspace (id-value-agnostic,
+    * same convention as [[IvfAnn.trainCentroids]]). The k-row window is
+    * driver-scale by construction. */
+  def initCodebook(sv: DataFrame, k: Int = K): DataFrame = {
+    val coded = sv.select(col("pq_id")).distinct()
+      .orderBy(col("pq_id")).limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("pq_id"))) - 1).cast("int"))
+    sv.join(broadcast(coded), Seq("pq_id"))
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+  }
+
+  /** Nearest-code assignment per (vector, subspace): broadcast the packed
+    * per-subspace codebook and take a struct-argmin over its K entries
+    * (distance asc, code asc — the tie-break is pinned). Map-side only. */
+  def assignCodes(sv: DataFrame, codebook: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(sv.sparkSession)
+    val packed = codebook.groupBy(col("sub"))
+      .agg(collect_list(struct(col("code"), col("cv"))).as("cs"))
+    sv.join(broadcast(packed), Seq("sub"))
+      .withColumn("best", array_min(transform(col("cs"),
+        c => struct(l2sq(col("sv"), c.getField("cv")).as("d"),
+          c.getField("code").as("code")))))
+      .select(col("pq_id"), col("sub"), col("sv"),
+        col("best.code").as("code"), col("best.d").as("d"))
+  }
+
+  /** Lloyd's k-means over all subspaces at once (sub is a group key, so
+    * one corpus pass per iteration trains all M codebooks). Empty codes
+    * keep their previous centroid — no silent K shrinkage. */
+  def train(emb: DataFrame, idCol: String, vecCol: String, m: Int = M,
+      k: Int = K, iters: Int = 3): DataFrame = {
+    val sv = subvectors(emb, idCol, vecCol, m)
+    var cb = initCodebook(sv, k)
+    for (_ <- 1 to iters) {
+      val updated = assignCodes(sv, cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("nv"))
+      cb = cb.join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("nv"), col("cv")).as("cv"))
+    }
+    cb
+  }
+
+  /** (pq_id, codes): the M-byte PQ code word per vector — ONE shuffle on
+    * the id to pivot the per-subspace codes into an array. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int = M): DataFrame =
+    assignCodes(subvectors(emb, idCol, vecCol, m), codebook)
+      .groupBy(col("pq_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+
+  /** ADC top-k: score every encoded vector against a driver-held query
+    * via the asymmetric-distance look-up table. Only the M×K codebook is
+    * ever collected (constant size — the EmbeddingOps driver-held-query
+    * convention); scoring is M element_at + adds per vector inside one
+    * scan, and the top-k plans as TakeOrderedAndProject. */
+  def adcTopK(codes: DataFrame, codebook: DataFrame, query: Seq[Double],
+      topK: Int = 10, m: Int = M, k: Int = K): DataFrame = {
+    val w = query.length / m
+    val cents: Map[(Int, Int), Array[Double]] = codebook.collect().map { r =>
+      (r.getInt(0), r.getInt(1)) ->
+        r.getSeq[Any](2).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => other.toString.toDouble
+        }.toArray
+    }.toMap
+    val lut: Seq[Double] = (0 until m * k).map { i =>
+      val (sub, code) = (i / k, i % k)
+      cents.get((sub, code)).fold(Double.MaxValue) { cv =>
+        val q = query.slice(sub * w, sub * w + w)
+        var s = 0.0
+        var j = 0
+        while (j < w) { val dfj = q(j) - cv(j); s += dfj * dfj; j += 1 }
+        s
+      }
+    }
+    val lutCol = typedLit(lut)
+    codes.select(col("pq_id"),
+      round(aggregate(
+        transform(col("codes"), (c, i) => element_at(lutCol, i * k + c + 1)),
+        lit(0.0), (acc, x) => acc + x), 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("pq_id").asc)
+      .limit(topK)
+  }
+
+  /** Gate query: PQ-encode the embeddings table with the untrained
+    * first-K codebook (M=4 × K=16 over dim 64). Codes come out as a
+    * comma-joined string; the per-vector quantization error is the
+    * sub-ordered left-to-right sum of the per-subspace distances (NOT a
+    * float sum() agg, whose partial-merge order is partition-dependent). */
+  def x12PqEncode(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val sv = subvectors(emb, "vec_id", "v", M)
+    assignCodes(sv, initCodebook(sv, K))
+      .groupBy(col("pq_id"))
+      .agg(
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("sub"), col("code")))),
+          p => p.getField("code").cast("string"))).as("codes"),
+        round(aggregate(
+          transform(sort_array(collect_list(struct(col("sub"), col("d")))),
+            p => p.getField("d")),
+          lit(0.0), (acc, x) => acc + x), 6).as("qerr"))
+      .select(col("pq_id").as("vec_id"), col("codes"), col("qerr"))
+      .orderBy("vec_id")
+  }
+}

@@ -554,4 +554,40 @@ object SimilarityQueries {
       .filter(col("cosine") > 0.4)
       .orderBy("id_a", "id_b")
   }
+
+  /** x11: int8 scalar quantization of the embedding column — per-vector
+    * min/max affine mapping to [0, 255] (the standard 4× memory cut
+    * before ANN serving; the PQ path in [[ProductQuantizer]] builds on
+    * the same layout with learned codebooks). Codes come out as a
+    * comma-joined string so the oracle diff stays on flat columns.
+    *
+    * All arithmetic is in double (float32 → double is exact, and every
+    * subsequent op is a correctly-rounded IEEE primitive), so DuckDB
+    * reproduces each code bit-for-bit. floor() lands on integral values,
+    * where Spark's truncating cast and DuckDB's rounding cast agree.
+    *
+    * Scale shape: a pure map over the scan — zero shuffles; quantized
+    * vectors write back columnar and dictionary-encode well. */
+  def x11Int8Quantize(s: SparkSession, dir: String): DataFrame =
+    quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
+
+  /** Generic affine int8 quantizer over any (id, vector) frame — the
+    * engine half of x11 (internal columns are __-prefixed so user column
+    * names cannot collide, the CorpusOps convention). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .select(col(idCol), col("__qv"),
+        array_min(col("__qv")).as("__lo"), array_max(col("__qv")).as("__hi"))
+      .select(col(idCol),
+        concat_ws(",", transform(col("__qv"), x =>
+          when(col("__hi") === col("__lo"), lit(0))
+            .otherwise(least(
+              floor((x - col("__lo")) * lit(255.0) /
+                (col("__hi") - col("__lo"))),
+              lit(255.0)))
+            .cast("int").cast("string"))).as("qvec"),
+        round((col("__hi") - col("__lo")) / lit(255.0), 6).as("scale"),
+        round(col("__lo"), 6).as("zero_point"))
+      .orderBy(idCol)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
@@ -201,4 +202,99 @@ object TextQueries {
       .groupBy(col("shash")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("shash"))
       .limit(20)
+
+  /** Email pattern in the Java-regex ∩ RE2 common dialect: character
+    * classes and bounded repeats only — no backrefs, no lookarounds —
+    * so DuckDB (RE2) executes it byte-identically to the JVM. */
+  private[operators] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (\\b is an ASCII word boundary in both dialects). */
+  private[operators] val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrub over an arbitrary text column: match counts plus the
+    * redacted text (emails → `<EMAIL>`, IPv4s → `<IP>`). A pure map —
+    * no shuffle; at 100 TB this runs entirely inside the scan stage. */
+  def scrubPii(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"),
+    regexp_replace(regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(Ipv4Re), lit("<IP>")))
+
+  /** d13: PII detection + redaction — the pre-training scrubbing pass
+    * (emails and IPv4 addresses to placeholder tokens, with per-doc match
+    * counts). The synthetic corpus carries no PII, so the query first
+    * enriches each doc with doc_id-derived PII spans; the oracle performs
+    * the SAME enrichment, so detection and redaction are verified against
+    * non-trivial content (the crafted-string edge cases live in the spec).
+    * Scale shape: enrich + match + redact are all map-side expressions —
+    * zero shuffles; the orderBy is presentation-only. */
+  def d13PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val enriched = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail-"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com from 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0."), (col("doc_id") % 250).cast("string"))
+    val (nEmails, nIps, scrubbed) = scrubPii(col("t"))
+    documents(s, dir)
+      .select(col("doc_id"), enriched.as("t"))
+      .select(col("doc_id"), nEmails.as("n_emails"), nIps.as("n_ips"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** d14: per-document keyword extraction by TF-IDF (top 3 terms). The
+    * idf uses the raw ratio N/df instead of log(N/df): same ranking, but
+    * the score stays inside correctly-rounded IEEE ops (one divide, one
+    * multiply) that DuckDB reproduces bit-for-bit — transcendentals are
+    * where engines' libm implementations drift.
+    *
+    * Scale shape: the corpus repartitions ONCE on doc_id;
+    * HashPartitioning(doc_id) satisfies the (doc_id, term) tf groupBy
+    * (subset clustering) AND the final per-doc window, so only the
+    * corpus-global document-frequency statistic pays its own (vocabulary-
+    * sized, post-partial-agg) shuffle — that statistic is irreducibly
+    * global. The df side joins back broadcast-eligible: a vocabulary is
+    * tiny next to a 100 TB corpus, and AQE demotes to a shuffle join on
+    * `term` if a giant vocab proves otherwise. */
+  def d14TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val docs = documents(s, dir)
+    val tf = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("split_words", col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** d15: per-language document-length deciles — the corpus profiling
+    * step behind length-based quality cutoffs ("drop the shortest decile
+    * per language" is a standard pre-training filter, and the thresholds
+    * must come from the data). ntile over (n_chars, doc_id) gives every
+    * engine the same total order, so bucket edges are integer-exact.
+    *
+    * Scale shape: ONE shuffle on `lang`, then an in-partition sort. The
+    * per-language window is the honest cost of an exact quantile sweep;
+    * at 100 TB the approximate path (percentile_approx, already in
+    * ax_percentiles) is the first choice and this is the audit tool. */
+  def d15LengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .orderBy("lang", "decile")
+  }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PQ training, encoding and ADC search: Lloyd's error monotonicity, the
+  * gate query's invariants, and ADC ranking quality against the exact
+  * brute-force neighbors — all through RENAMED columns so any hidden
+  * dependence on the testdata schema fails loudly. */
+class ProductQuantizerSpec extends AnyFunSuite {
+  private val Sf = "/root/testdata/sf0.001"
+  import ProductQuantizer._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val renamed = graft.Tables.embeddings(spark, Sf)
+    .select(col("vec_id").as("item"), col("embedding").as("vec"))
+
+  private def totalError(cb: org.apache.spark.sql.DataFrame): Double =
+    assignCodes(subvectors(renamed, "item", "vec"), cb)
+      .agg(sum(col("d"))).head().getDouble(0)
+
+  test("x12 emits one M-code word per vector with codes in [0, K)") {
+    val got = ProductQuantizer.x12PqEncode(spark, Sf).collect()
+    val n = renamed.count()
+    assert(got.length == n && n > 0)
+    got.foreach { r =>
+      val codes = r.getString(1).split(",").map(_.toInt)
+      assert(codes.length == M)
+      assert(codes.forall(c => c >= 0 && c < K))
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // the first K vectors ARE the codebook → they quantize to themselves
+    // with zero error (their own subvector is at distance 0)
+    val selfIds = renamed.select("item").orderBy("item").limit(K)
+      .collect().map(_.getLong(0)).toSet
+    got.filter(r => selfIds(r.getLong(0)))
+      .foreach(r => assert(r.getDouble(2) == 0.0))
+  }
+
+  test("Lloyd's training never increases total quantization error") {
+    val sv = subvectors(renamed, "item", "vec")
+    val e0 = totalError(initCodebook(sv, K))
+    val e1 = totalError(train(renamed, "item", "vec", M, K, iters = 1))
+    val e2 = totalError(train(renamed, "item", "vec", M, K, iters = 3))
+    assert(e1 <= e0 * 1.000001, s"iter1 $e1 vs init $e0")
+    assert(e2 <= e1 * 1.000001, s"iter3 $e2 vs iter1 $e1")
+    assert(e2 < e0, "training should strictly improve on the raw init")
+  }
+
+  test("ADC top-k finds the query itself and near-true neighbors") {
+    val cb = train(renamed, "item", "vec", M, K, iters = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = encode(renamed, "item", "vec", cb)
+    val all = renamed.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val query = all(0L)
+    val got = adcTopK(codes, cb, query.toSeq, topK = 10)
+    assert(got.columns.toSeq == Seq("pq_id", "adc_dist"))
+    val ids = got.collect().map(_.getLong(0))
+    assert(ids.length == 10)
+    // ADC distances are non-decreasing down the list
+    val ds = got.collect().map(_.getDouble(1))
+    assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    // the query's own code word must be the (or tie for the) best match
+    assert(ids.head == 0L, s"self not first: ${ids.toSeq}")
+    // PQ serves as a SHORTLIST generator (re-rank the shortlist exactly —
+    // the standard IVFPQ serving shape): the exact top-10 must be well
+    // covered by the ADC top-50 shortlist (10% of the corpus)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = all.toSeq.map { case (id, v) => id -> l2(query, v) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val shortlist = adcTopK(codes, cb, query.toSeq, topK = 50)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(shortlist) / 10.0
+    println(s"PQ(4x16) shortlist-50 recall of exact-10: $recall")
+    // a finer 8x32 quantizer must do at least as well in expectation;
+    // check it reaches the direct top-10 bar
+    val cb8 = train(renamed, "item", "vec", m = 8, k = 32, iters = 3)
+    val codes8 = encode(renamed, "item", "vec", cb8, m = 8)
+    val ids8 = adcTopK(codes8, cb8, query.toSeq, topK = 10, m = 8, k = 32)
+      .collect().map(_.getLong(0))
+    val recall8 = ids8.count(exact) / 10.0
+    println(s"PQ(8x32) direct recall@10: $recall8")
+    // measured 0.5 / 0.4 — asserted with margin because the k-means avg()
+    // partial-merge order (and so centroid low bits) varies run to run
+    assert(recall >= 0.3, s"shortlist recall $recall")
+    assert(recall8 >= 0.2, s"8x32 recall@10 $recall8")
+  }
+}
