@@ -94,8 +94,8 @@ object SimilarityQueries {
       String, java.util.concurrent.locks.ReentrantLock]()
 
   /** Build-or-reuse a snapshot-keyed cached temp view, serialized per
-    * (session, view) key. */
-  private def cachedView(s: SparkSession, dir: String, prefix: String)(
+    * (session, view) key (shared with [[TextQueries]]' tf view). */
+  private[operators] def cachedView(s: SparkSession, dir: String, prefix: String)(
       build: => DataFrame): DataFrame = {
       // collision-resistant view name: 32-bit hashCode collisions across two
       // dirs in one session would silently share the cached view

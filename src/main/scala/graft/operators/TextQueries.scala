@@ -249,23 +249,19 @@ object TextQueries {
     * multiply) that DuckDB reproduces bit-for-bit — transcendentals are
     * where engines' libm implementations drift.
     *
-    * Scale shape: the corpus repartitions ONCE on doc_id;
-    * HashPartitioning(doc_id) satisfies the (doc_id, term) tf groupBy
-    * (subset clustering) AND the final per-doc window, so only the
-    * corpus-global document-frequency statistic pays its own (vocabulary-
-    * sized, post-partial-agg) shuffle — that statistic is irreducibly
-    * global. The df side joins back broadcast-eligible: a vocabulary is
-    * tiny next to a 100 TB corpus, and AQE demotes to a shuffle join on
-    * `term` if a giant vocab proves otherwise. */
+    * Scale shape: the corpus repartitions ONCE on doc_id into the
+    * snapshot-cached tf view ([[docTermFreqs]] — both consumers read the
+    * materialized tf, not the corpus). The document-frequency statistic
+    * pays a vocabulary-sized post-partial-agg shuffle (irreducibly
+    * global) and joins back broadcast-eligible — AQE demotes to a
+    * shuffle join on `term` if a giant vocab proves otherwise. The final
+    * per-doc window shuffles only WindowGroupLimit survivors: the rank
+    * <= 3 filter is pushed below the exchange, so at most 3 rows per
+    * (doc, partition) travel, not the tf relation. */
   def d14TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.TextExprs.register(s)
-    val docs = documents(s, dir)
-    val tf = docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(call_function("split_words", col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = docTermFreqs(s, dir)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
@@ -275,6 +271,24 @@ object TextQueries {
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), col("tfidf"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** Per-doc term frequencies, materialized ONCE per input snapshot: the
+    * tf relation feeds both d14's score join and its document-frequency
+    * statistic, and Spark does not reuse common subplans — uncached, the
+    * corpus would be scanned and exploded twice. Same snapshot-keyed
+    * cached-view mechanism as the shingle family; the cache preserves the
+    * hash(doc_id) partitioning, so the downstream per-doc window needs no
+    * further exchange. */
+  private def docTermFreqs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    SimilarityQueries.cachedView(s, dir, "tf") {
+      documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(call_function("split_words", col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
   }
 
   /** d15: per-language document-length deciles — the corpus profiling
