@@ -202,6 +202,104 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** Near-duplicate pairs ACROSS two corpora — the decontamination /
+    * incremental-crawl primitive (is a new document a near-copy of
+    * anything in the existing corpus / benchmark set?). Returns
+    * (doc_id from corpus, ref_id from reference, est_jaccard); ids live
+    * in separate namespaces, so no doc_a < doc_b ordering applies.
+    *
+    * Scale shape: both sides shuffle once into band buckets keyed on the
+    * 8-byte band hash; buckets join independently — the A×B pair space
+    * never materializes. A benchmark-sized reference side becomes a
+    * broadcast join under AQE without any hint. */
+  def nearDupAgainst(corpus: DataFrame, corpusId: String, corpusText: String,
+      reference: DataFrame, refId: String, refText: String,
+      ngram: Int = 3, numPerms: Int = SimilarityQueries.NumPerms,
+      bandSize: Int = SimilarityQueries.BandSize): DataFrame = {
+    require(numPerms % bandSize == 0,
+      s"numPerms ($numPerms) must be a multiple of bandSize ($bandSize)")
+    SimilarityQueries.lshPairsAcross(
+      minhashSignatures(corpus, corpusId, corpusText, ngram, numPerms),
+      minhashSignatures(reference, refId, refText, ngram, numPerms),
+      numPerms, bandSize)
+      .withColumnRenamed("doc_a", "doc_id")
+      .withColumnRenamed("doc_b", "ref_id")
+  }
+
+  /** Near-dup decontamination: the corpus minus every document whose
+    * estimated Jaccard against ANY reference document reaches
+    * `threshold` — the near-duplicate upgrade of [[decontaminate]]'s
+    * exact n-gram-overlap rule (GPT-3 appendix C uses exact overlap;
+    * near-dup catches lightly edited benchmark copies). */
+  def decontaminateNearDup(corpus: DataFrame, corpusId: String,
+      corpusText: String, reference: DataFrame, refId: String,
+      refText: String, threshold: Double = 0.5, ngram: Int = 3,
+      numPerms: Int = SimilarityQueries.NumPerms,
+      bandSize: Int = SimilarityQueries.BandSize): DataFrame = {
+    val hits = nearDupAgainst(corpus, corpusId, corpusText,
+      reference, refId, refText, ngram, numPerms, bandSize)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id").cast("long").as(corpusId)).distinct()
+    corpus.join(hits, Seq(corpusId), "left_anti")
+  }
+
+  /** Per-document tf-idf keywords (the d14 shape, frame-generic):
+    * (idCol, rank, term, tfidf), top `topK` terms per document with the
+    * ratio idf N/df and the (score desc, term asc) total order. The tf
+    * relation is persisted internally — it feeds both the score join and
+    * the document-frequency statistic (the [[candidatePairs]] signature
+    * convention; Spark's CacheManager owns the blocks). */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val tf = docs
+      .select(col(idCol).cast("long").as(idCol), col(textCol).as("_g_text"))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(call_function("split_words", col("_g_text"))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_g_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
+    val n = docs.agg(count(lit(1)).as("_g_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("_g_tf") * (col("_g_n").cast("double") / col("_g_df")), 4)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
+  }
+
+  /** PII scrub in place: `textCol` redacted (emails → `<EMAIL>`, IPv4s →
+    * `<IP>`) with per-row match counts appended as n_emails/n_ips. A pure
+    * map — zero shuffles ([[TextQueries.scrubPii]] is the column form). */
+  def scrubPii(docs: DataFrame, textCol: String): DataFrame = {
+    val (ne, ni, red) = TextQueries.scrubPii(col(textCol))
+    docs.withColumn("n_emails", ne)
+      .withColumn("n_ips", ni)
+      .withColumn(textCol, red)
+  }
+
+  /** Per-group text-length deciles (the d15 shape, frame-generic):
+    * (groupCol, decile, n_docs, lo, hi) over length(textCol), with the
+    * (length, id) total order pinning every engine to the same buckets. */
+  def lengthDeciles(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_g_len"), col(idCol))
+    docs.select(col(groupCol), col(idCol),
+        length(col(textCol)).cast("long").as("_g_len"))
+      .select(col(groupCol), col("_g_len"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .groupBy(col(groupCol), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("_g_len")).as("lo"), max(col("_g_len")).as("hi"))
+  }
+
   /** Test-set decontamination: the corpus minus every document sharing at
     * least one word 3-gram with `benchmark` (both frames in their own
     * column names). The benchmark shingle set is broadcast — benchmarks

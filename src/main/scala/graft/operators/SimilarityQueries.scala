@@ -198,10 +198,14 @@ object SimilarityQueries {
   def x2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir).orderBy("doc_a", "doc_b")
 
-  private[operators] def lshPairs(sigArr: DataFrame,
+  /** (doc_id, sig, band, band_key): one row per (doc, band) with the
+    * band's signature slice hashed to an 8-byte join key. Shared by the
+    * self-join ([[lshPairs]]) and the cross-corpus join
+    * ([[lshPairsAcross]]). */
+  private[operators] def bandedSigs(sigArr: DataFrame,
       numPerms: Int = NumPerms, bandSize: Int = BandSize): DataFrame = {
     val nBands = numPerms / bandSize
-    val banded = sigArr.select(col("doc_id"), col("sig"),
+    sigArr.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => concat_ws(",",
           transform(slice(col("sig"), b * lit(bandSize) + 1, lit(bandSize)),
@@ -210,6 +214,15 @@ object SimilarityQueries {
       // hash AFTER the explode so the md5 kernel stays in whole-stage
       // codegen (inside the transform lambda it would run interpreted)
       .withColumn("band_key", phash(col("band_key")))
+  }
+
+  private def sigAgreement(a: Column, b: Column, numPerms: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v)) /
+      lit(numPerms.toDouble)
+
+  private[operators] def lshPairs(sigArr: DataFrame,
+      numPerms: Int = NumPerms, bandSize: Int = BandSize): DataFrame = {
+    val banded = bandedSigs(sigArr, numPerms, bandSize)
     val a = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"),
@@ -217,9 +230,25 @@ object SimilarityQueries {
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)) / lit(numPerms.toDouble))
-          .as("est_jaccard"))
+        sigAgreement(col("sig_a"), col("sig_b"), numPerms).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** LSH candidates ACROSS two corpora (no doc_a < doc_b filter — the
+    * sides are distinct namespaces): (doc_a from A, doc_b from B,
+    * est_jaccard). Per-band buckets stay independent; when one side is
+    * benchmark-sized AQE turns the bucket join into a broadcast. */
+  private[operators] def lshPairsAcross(sigA: DataFrame, sigB: DataFrame,
+      numPerms: Int = NumPerms, bandSize: Int = BandSize): DataFrame = {
+    val a = bandedSigs(sigA, numPerms, bandSize)
+      .select(col("band"), col("band_key"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bandedSigs(sigB, numPerms, bandSize)
+      .select(col("band"), col("band_key"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .select(col("doc_a"), col("doc_b"),
+        sigAgreement(col("sig_a"), col("sig_b"), numPerms).as("est_jaccard"))
       .distinct()
   }
 

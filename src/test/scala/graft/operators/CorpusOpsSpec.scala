@@ -131,4 +131,73 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cleanIds.intersect(flagged).isEmpty)
     assert(cleanIds.size == corpus.count() - flagged.size)
   }
+
+  test("nearDupAgainst finds every planted cross-corpus copy") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val corpus = docs.select(col("doc_id").as("cid"), col("text").as("body"))
+    val reference = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+      .select((col("doc_id") + 100000L).as("rid"), col("text").as("rbody"))
+    val hits = CorpusOps.nearDupAgainst(corpus, "cid", "body",
+      reference, "rid", "rbody")
+      .filter(col("est_jaccard") === 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(hits),
+      s"missing ${planted.diff(hits).take(5)}")
+  }
+
+  test("decontaminateNearDup drops exactly the above-threshold hits") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val corpus = docs.select(col("doc_id").as("cid"), col("text").as("body"))
+    val reference = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+      .select((col("doc_id") + 100000L).as("rid"), col("text").as("rbody"))
+    val out = CorpusOps.decontaminateNearDup(corpus, "cid", "body",
+      reference, "rid", "rbody", threshold = 1.0)
+    assert(out.columns.toSeq == corpus.columns.toSeq)
+    val expectedDrops = CorpusOps.nearDupAgainst(corpus, "cid", "body",
+      reference, "rid", "rbody")
+      .filter(col("est_jaccard") >= 1.0)
+      .select("doc_id").distinct().count()
+    assert(corpus.count() - out.count() == expectedDrops && expectedDrops > 0)
+  }
+
+  test("tfidfKeywords matches the d14 gate twin") {
+    val gate = TextQueries.d14TfidfKeywords(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val api = CorpusOps.tfidfKeywords(renamed, "item", "body")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(api == gate && api.nonEmpty)
+  }
+
+  test("scrubPii redacts in place and preserves the schema shape") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a@b.co on 1.2.3.4"), (2L, "clean row"))
+      .toDF("id", "body")
+    val out = CorpusOps.scrubPii(df, "body")
+    assert(out.columns.toSeq == Seq("id", "body", "n_emails", "n_ips"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getString(1) == "mail <EMAIL> on <IP>")
+    assert(rows(0).getLong(2) == 1 && rows(0).getLong(3) == 1)
+    assert(rows(1).getString(1) == "clean row")
+    assert(rows(1).getLong(2) == 0 && rows(1).getLong(3) == 0)
+  }
+
+  test("lengthDeciles matches the d15 gate twin") {
+    // valid because testdata guarantees n_chars == length(text)
+    val gate = TextQueries.d15LengthDeciles(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val api = CorpusOps.lengthDeciles(renamed, "item", "body", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(api == gate && api.nonEmpty)
+  }
 }
