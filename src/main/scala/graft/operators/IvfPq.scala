@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** IVF-PQ — the composed billion-scale ANN index (Jégou et al., TPAMI
+  * 2011 §V, the Faiss `IVFx,PQy` architecture): a coarse inverted-file
+  * quantizer routes each vector to a cell, and product quantization
+  * encodes the RESIDUAL v − centroid(cell). Residuals have far less
+  * variance than raw vectors, so the same M×K code budget quantizes them
+  * much more tightly, and a query only scans the NProbe nearest cells.
+  *
+  * Shape (the 100 TB design):
+  *  - the index build reuses [[IvfAnn]]'s broadcast-argmax cell
+  *    assignment and [[ProductQuantizer]]'s one-pass-per-iteration
+  *    subspace k-means: the corpus never shuffles except the single
+  *    per-id code pivot in encode.
+  *  - `codes` is (id, cell, M bytes) — at serving time this is the ONLY
+  *    relation read; partitioning it by `cell` makes a probe a partition-
+  *    pruned scan.
+  *  - a query costs: coarse centroid ranking on the driver (nCells rows,
+  *    constant), one ADC look-up table per probed cell (the residual
+  *    q − centroid differs per cell — Jégou §V-A), then per-cell scans
+  *    unioned into one TakeOrdered. No join touches the float corpus.
+  */
+object IvfPq {
+
+  /** The built index: `cents` (cid, cv) coarse centroids, `codebook`
+    * (sub, code, cv) shared residual codebooks, `codes` (pq_id, cell,
+    * codes) — the compressed serving relation. */
+  final case class IvfPqIndex(cents: DataFrame, codebook: DataFrame,
+      codes: DataFrame, m: Int, k: Int)
+
+  /** Build the index over any (id, vector) frame. Intermediates that are
+    * consumed more than once (centroids, residuals, codebook) are
+    * persisted; Spark's CacheManager owns the blocks. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = IvfAnn.K, m: Int = ProductQuantizer.M,
+      k: Int = ProductQuantizer.K, coarseIters: Int = 3,
+      pqIters: Int = 3): IvfPqIndex = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val emb = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    val cents = IvfAnn.trainCentroids(emb, nCells, coarseIters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val residuals = IvfAnn.assignCells(emb, cents)
+      .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val codebook = ProductQuantizer
+      .train(residuals, "vec_id", "r", m, k, pqIters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val codes = ProductQuantizer.encode(residuals, "vec_id", "r", codebook, m)
+      .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
+        Seq("pq_id"))
+    IvfPqIndex(cents, codebook, codes, m, k)
+  }
+
+  private def l2(a: Seq[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** ADC top-k for a driver-held query: rank cells on the driver, build
+    * one residual look-up table per probed cell, scan only those cells. */
+  def topK(index: IvfPqIndex, query: Seq[Double], topK: Int = 10,
+      nProbe: Int = IvfAnn.NProbe): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cents: Seq[(Long, Array[Double])] = index.cents.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => other.toString.toDouble
+      }.toArray
+    }.toSeq
+    val probed = cents.map { case (cid, cv) => (cid, cv, l2(query, cv)) }
+      .sortBy { case (cid, _, d) => (d, cid) }
+      .take(nProbe)
+    val cb = ProductQuantizer.collectCodebook(index.codebook)
+    probed.map { case (cid, cv, _) =>
+      val qres = query.zip(cv).map { case (q, c) => q - c }
+      ProductQuantizer.adcScores(
+        index.codes.filter(col("cell") === cid), cb, qres, index.m, index.k)
+    }.reduce(_ unionAll _)
+      .orderBy(col("adc_dist").asc, col("pq_id").asc)
+      .limit(topK)
+  }
+}

@@ -128,9 +128,16 @@ object ProductQuantizer {
     * convention); scoring is M element_at + adds per vector inside one
     * scan, and the top-k plans as TakeOrderedAndProject. */
   def adcTopK(codes: DataFrame, codebook: DataFrame, query: Seq[Double],
-      topK: Int = 10, m: Int = M, k: Int = K): DataFrame = {
-    val w = query.length / m
-    val cents: Map[(Int, Int), Array[Double]] = codebook.collect().map { r =>
+      topK: Int = 10, m: Int = M, k: Int = K): DataFrame =
+    adcScores(codes, collectCodebook(codebook), query, m, k)
+      .orderBy(col("adc_dist").asc, col("pq_id").asc)
+      .limit(topK)
+
+  /** The M×K codebook pulled to the driver (constant size by
+    * construction) — reused across ADC calls, e.g. one LUT per probed
+    * IVF cell in [[IvfPq]]. */
+  def collectCodebook(codebook: DataFrame): Map[(Int, Int), Array[Double]] =
+    codebook.collect().map { r =>
       (r.getInt(0), r.getInt(1)) ->
         r.getSeq[Any](2).map {
           case f: Float => f.toDouble
@@ -138,6 +145,11 @@ object ProductQuantizer {
           case other => other.toString.toDouble
         }.toArray
     }.toMap
+
+  /** (pq_id, adc_dist) for every code word — the un-limited ADC scan. */
+  def adcScores(codes: DataFrame, cents: Map[(Int, Int), Array[Double]],
+      query: Seq[Double], m: Int = M, k: Int = K): DataFrame = {
+    val w = query.length / m
     val lut: Seq[Double] = (0 until m * k).map { i =>
       val (sub, code) = (i / k, i % k)
       cents.get((sub, code)).fold(Double.MaxValue) { cv =>
@@ -153,8 +165,6 @@ object ProductQuantizer {
       round(aggregate(
         transform(col("codes"), (c, i) => element_at(lutCol, i * k + c + 1)),
         lit(0.0), (acc, x) => acc + x), 6).as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("pq_id").asc)
-      .limit(topK)
   }
 
   /** Gate query: PQ-encode the embeddings table with the untrained

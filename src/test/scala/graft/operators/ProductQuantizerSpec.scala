@@ -94,4 +94,33 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"shortlist recall $recall")
     assert(recall8 >= 0.2, s"8x32 recall@10 $recall8")
   }
+
+  test("IVF-PQ probes a corpus subset yet outranks raw-vector PQ") {
+    val idx = IvfPq.build(renamed, "item", "vec")
+    val all = renamed.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val query = all(0L)
+    val got = IvfPq.topK(idx, query.toSeq, topK = 10, nProbe = 4).collect()
+    assert(got.length == 10)
+    assert(got.head.getLong(0) == 0L, "self must rank first")
+    val ds = got.map(_.getDouble(1))
+    assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    // the probe must actually restrict the scan: 4 of 16 cells
+    val probedSize = idx.codes
+      .groupBy("cell").count().orderBy(col("count").desc)
+      .limit(4).collect().map(_.getLong(1)).sum
+    assert(probedSize < idx.codes.count(),
+      "probing may not touch the whole corpus")
+    def l2d(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = all.toSeq.map { case (id, v) => id -> l2d(query, v) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val recall = got.map(_.getLong(0)).count(exact) / 10.0
+    println(s"IVFPQ(16 cells, nProbe=4, PQ4x16 residual) recall@10: $recall")
+    // residual quantization at the same M×K budget must clearly beat the
+    // 0.1 raw-vector direct recall measured above; margin for run-to-run
+    // centroid jitter
+    assert(recall >= 0.3, s"IVFPQ recall@10 $recall")
+  }
 }
