@@ -84,6 +84,7 @@ object SparkEntry {
     "d13_pii_scrub" -> (T.d13PiiScrub _),
     "d14_tfidf_keywords" -> (T.d14TfidfKeywords _),
     "d15_length_deciles" -> (T.d15LengthDeciles _),
+    "d16_domain_profile" -> (T.d16DomainProfile _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -628,6 +629,21 @@ object SparkEntry {
         |      ORDER BY round(tf * (n_docs::DOUBLE / df), 4) DESC, term) AS rank
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // domain profile: enrichment + group-1 regex extraction mirrored in
+    // RE2; the blocked flag is a literal-prefix LIKE on both sides
+    "d16_domain_profile" ->
+      """WITH enriched AS (
+        |  SELECT doc_id, text || ' see https://site-' || CAST(doc_id % 13 AS VARCHAR)
+        |    || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+        |    || ' and http://www.ref-' || CAST(doc_id % 5 AS VARCHAR) || '.net/x' AS t
+        |  FROM documents),
+        |doms AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        |  FROM enriched)
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_urls, domain LIKE 'www.ref-%' AS blocked
+        |FROM doms GROUP BY domain ORDER BY domain""".stripMargin,
     "d15_length_deciles" ->
       """SELECT lang, decile, count(*) AS n_docs,
         |  min(n_chars) AS lo, max(n_chars) AS hi

@@ -273,6 +273,36 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** d16: URL/domain profiling with blocklist flags — the C4-style
+    * domain filter runs off per-domain corpus counts, so the profile is
+    * the first step of URL-level curation. The synthetic corpus carries
+    * no URLs, so the query enriches each doc with two doc_id-derived
+    * URLs (same oracle-mirrored enrichment trick as d13); the capture
+    * group in `https?://([A-Za-z0-9.-]+)` keeps extraction inside the
+    * Java-regex ∩ RE2 dialect.
+    *
+    * Scale shape: extract + explode are map-side; ONE partial-agg shuffle
+    * on the domain (cardinality = distinct domains, tiny next to the
+    * corpus). A real blocklist joins here broadcast; the flag rule stands
+    * in for it so the gate stays self-contained. */
+  def d16DomainProfile(s: SparkSession, dir: String): DataFrame = {
+    val enriched = concat(col("text"),
+      lit(" see https://site-"), (col("doc_id") % 13).cast("string"),
+      lit(".example.org/page/"), col("doc_id").cast("string"),
+      lit(" and http://www.ref-"), (col("doc_id") % 5).cast("string"),
+      lit(".net/x"))
+    documents(s, dir)
+      .select(col("doc_id"), enriched.as("t"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("t"),
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+      .withColumn("blocked", col("domain").startsWith("www.ref-"))
+      .orderBy("domain")
+  }
+
   /** Per-doc term frequencies, materialized ONCE per input snapshot: the
     * tf relation feeds both d14's score join and its document-frequency
     * statistic, and Spark does not reuse common subplans — uncached, the

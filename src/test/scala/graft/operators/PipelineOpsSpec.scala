@@ -104,6 +104,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 profiles the injected domains completely") {
+    val got = TextQueries.d16DomainProfile(spark, Sf).collect()
+    val nDocs = graft.Tables.documents(spark, Sf).count()
+    // 13 site- domains + 5 www.ref- domains, every doc contributing 2 URLs
+    assert(got.length == math.min(13, nDocs) + math.min(5, nDocs))
+    assert(got.map(_.getLong(2)).sum == 2 * nDocs)
+    got.foreach { r =>
+      val blocked = r.getString(0).startsWith("www.ref-")
+      assert(r.getBoolean(3) == blocked)
+      assert(r.getLong(1) <= r.getLong(2)) // n_docs <= n_urls
+    }
+    assert(got.count(_.getBoolean(3)) == math.min(5, nDocs))
+  }
+
   test("quantizeInt8 maps crafted vectors to exact codes") {
     import spark.implicits._
     val df = Seq(
