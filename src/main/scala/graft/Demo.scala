@@ -75,6 +75,29 @@ object Demo {
       println("exact top-3 neighbors of vec 0:")
       operators.EmbeddingOps.cosineTopK(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 3).show()
+
+      println("=== PII scrub + keywords + domain-ready profile ===")
+      operators.CorpusOps.scrubPii(docs, "text")
+        .agg(sum("n_emails").as("emails"), sum("n_ips").as("ips")).show()
+      println("tf-idf keywords of the first 3 docs:")
+      operators.CorpusOps.tfidfKeywords(docs, "doc_id", "text")
+        .filter(col("doc_id") < 3).orderBy("doc_id", "rank").show(false)
+      println("per-language length deciles (1st and 10th):")
+      operators.CorpusOps.lengthDeciles(docs, "doc_id", "text", "lang")
+        .filter(col("decile").isin(1, 10)).orderBy("lang", "decile").show()
+
+      println("=== decontamination vs a planted reference corpus ===")
+      val reference = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 900000L).as("rid"), col("text").as("rtext"))
+      val clean = operators.CorpusOps.decontaminateNearDup(
+        docs, "doc_id", "text", reference, "rid", "rtext", threshold = 0.9)
+      println(s"near-dup decontamination: $n -> ${clean.count()} docs " +
+        s"(reference: ${reference.count()} planted near-copies)")
+
+      println("=== compressed vector search (IVF-PQ) ===")
+      val idx = operators.IvfPq.build(emb, "vec_id", "embedding")
+      println("ADC top-5 for vec 0 over M-byte codes (4 of 16 cells probed):")
+      operators.IvfPq.topK(idx, q, topK = 5, nProbe = 4).show()
     }
     spark.stop()
   }
