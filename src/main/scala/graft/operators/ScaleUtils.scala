@@ -54,4 +54,41 @@ object ScaleUtils {
       .withColumn("_salt", col("_salt").cast("int"))
     saltedLeft.join(saltedRight, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** The fact side filtered through a Bloom sketch of `ids(key)`: keeps
+    * every true match (one-sided error) plus an `fpp` residue of false
+    * positives. The regime: the id set is too big to broadcast exactly,
+    * but a semi join would shuffle the far bigger fact side — a ~1 MB/M-id
+    * sketch probes map-side inside the scan stage instead, so only
+    * survivors reach any shuffle. This is Spark's own runtime-filter
+    * machinery ([[graft.functions.BloomExprs]]) driven explicitly — the
+    * optimizer's InjectRuntimeFilter only fires inside a joined plan,
+    * not across separately-built pipeline stages like these. The sketch
+    * is built DISTRIBUTED (partial blooms OR-merged) and only the final
+    * bytes land on the driver. */
+  def bloomPrefilter(fact: DataFrame, ids: DataFrame, key: String,
+      expectedIds: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedIds > 0, s"expectedIds must be positive, got $expectedIds")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    graft.functions.BloomExprs.register(fact.sparkSession)
+    // standard sizing: m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L, math.ceil(
+      -expectedIds * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloom = ids
+      .select(call_function("bloom_filter_agg",
+        xxhash64(col(key)), lit(expectedIds), lit(numBits)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    if (bloom == null) fact.limit(0) // empty id set keeps nothing
+    else fact.filter(call_function("bloom_might_contain",
+      lit(bloom), xxhash64(col(key))))
+  }
+
+  /** Exact semi join with the bloom prefilter in front: the sketch drops
+    * non-matching fact rows map-side, the semi join then removes the fpp
+    * residue — bit-identical results to a plain left_semi, with the
+    * shuffle paying only for survivors. */
+  def bloomPrefilteredSemiJoin(fact: DataFrame, ids: DataFrame, key: String,
+      expectedIds: Long, fpp: Double = 0.01): DataFrame =
+    bloomPrefilter(fact, ids, key, expectedIds, fpp)
+      .join(ids.select(col(key)).distinct(), Seq(key), "left_semi")
 }

@@ -102,6 +102,35 @@ class ScaleUtilsSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("bloom-prefiltered semi join is exact and actually prefilters") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, dir)
+    // a selective id set: ~1/10 of the orders
+    val ids = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val exact = li.join(ids, Seq("l_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = ScaleUtils.bloomPrefilteredSemiJoin(li, ids, "l_orderkey",
+      expectedIds = 1000)
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == exact && got.nonEmpty)
+    // the prefilter alone must keep every true match (no false negatives)
+    // while dropping most of the fact table
+    val pre = ScaleUtils.bloomPrefilter(li, ids, "l_orderkey",
+      expectedIds = 1000)
+    val preKeys = pre.select("l_orderkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.map(_._1).subsetOf(preKeys))
+    assert(pre.count() < li.count() / 2,
+      "bloom should drop the bulk of the non-matching fact side")
+    // empty id set → empty result, not a crash
+    assert(ScaleUtils.bloomPrefilter(li, ids.limit(0), "l_orderkey",
+      expectedIds = 10).count() == 0)
+  }
+
   test("AQE skew-join splits the hot partition at runtime") {
     import spark.implicits._
     // scoped session clone: AQE on with thresholds low enough that the
