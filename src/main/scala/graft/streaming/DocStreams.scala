@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface over the `documents` corpus shape —
+  * the continuous-ingest half of the text pipeline: a crawl feed is
+  * scrubbed, deduplicated and profiled AS IT ARRIVES instead of in
+  * nightly batch sweeps, with watermarks bounding every piece of state.
+  *
+  * The batch operators these mirror are [[graft.operators.TextQueries]]
+  * (d1/d13/d4/d10); the specs hold each stream twin to its batch
+  * result — the only oracle a green-field streaming surface has.
+  *
+  * Event time: a production feed carries its own ingest timestamp
+  * (Kafka timestamp, crawl fetch time). The driver's documents table has
+  * none, so [[fileSource]] synthesizes a deterministic one from doc_id
+  * (one document per second from a fixed epoch) — the watermark
+  * semantics under test are identical either way. */
+object DocStreams {
+
+  /** The documents parquet as a bounded stream with a synthetic
+    * per-document ingest timestamp (see the object scaladoc). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val p = new java.io.File(dir)
+    val (base, glob) =
+      if (p.isFile) (p.getParent, p.getName) else (dir, "*.parquet")
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(base)
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+  }
+
+  /** Stateless PII scrub: text redacted in place, match counts appended —
+    * a pure map, so it adds no streaming state at all. */
+  def scrubbed(docs: DataFrame): DataFrame =
+    graft.operators.CorpusOps.scrubPii(docs, "text")
+
+  /** Exact content dedup within the watermark: the md5 digest is the
+    * dedup key (16 bytes of state per distinct document, expired by
+    * event time — the streaming twin of d1/d2). */
+  def dedupedDocs(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_h", md5(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_h")
+
+  /** Windowed per-language ingest profile (the streaming twin of d4):
+    * arrival counts + size stats per tumbling window. Append mode emits
+    * a window only once the watermark passes its end — size the
+    * watermark to the feed's real lateness, not longer. */
+  def langProfile(docs: DataFrame, window_ : String = "2 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), window_), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** Contamination flags as documents arrive: explode the stream's word
+    * n-grams, stream-static semi join against the (broadcast-sized)
+    * benchmark shingle set, and emit each contaminated doc once (the
+    * per-doc dedup is watermark-bounded state keyed by doc_id). The
+    * streaming twin of d10. */
+  def contaminationFlags(docs: DataFrame, benchGrams: DataFrame,
+      ngram: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
+    docs
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(call_function("word_ngrams", col("text"), lit(ngram)))
+          .as("_g_sh"))
+      .select(col("doc_id"), col("ingest_ts"),
+        call_function("md5_prefix28", col("_g_sh")).as("shash"))
+      .join(broadcast(benchGrams), Seq("shash"), "left_semi")
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ingest_ts"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming corpus pipeline held to its batch twins on the same
+  * bounded data (the EventStreamsSpec convention). sf0.001's synthetic
+  * ingest timeline spans ~500 s, inside every watermark used here, so
+  * the streaming results must match batch EXACTLY. */
+class DocStreamsSpec extends AnyFunSuite {
+  private val Dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def batchDocs = graft.Tables.documents(spark, Dir)
+  private def stream = DocStreams.fileSource(spark, s"$Dir/documents.parquet")
+
+  test("streaming PII scrub matches the batch scrub row for row") {
+    val got = EventStreams.runToCompletion(
+      DocStreams.scrubbed(stream).select("doc_id", "text", "n_emails", "n_ips"),
+      "doc_scrub")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = graft.operators.CorpusOps.scrubPii(batchDocs, "text")
+      .select("doc_id", "text", "n_emails", "n_ips")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("streaming dedup of a self-unioned feed keeps d2's unique count") {
+    val doubled = stream.union(stream)
+    val got = EventStreams.runToCompletion(
+      DocStreams.dedupedDocs(doubled), "doc_dedup")
+    val nUnique = graft.operators.TextQueries.d2DedupSurvivors(spark, Dir)
+      .head().getLong(0)
+    assert(got.count() == nUnique)
+    assert(got.groupBy("content_h").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("windowed language profile matches the batch window aggregation") {
+    // the synthetic timeline spans only ~500 s, so a 10-minute watermark
+    // would close no window at all in append mode — use 1 minute
+    val got = EventStreams.runToCompletion(
+      DocStreams.langProfile(stream, watermark = "1 minute"), "doc_lang")
+    val expected = batchDocs
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .groupBy(window(col("ingest_ts"), "2 minutes"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+    assert(got.count() > 0)
+    assert(got.join(expected,
+      Seq("window", "lang", "n_docs", "total_chars", "max_chars"),
+      "inner").count() == got.count())
+  }
+
+  test("streaming contamination flags equal the d10 batch decontamination") {
+    graft.functions.Md5Prefix28Expr.register(spark)
+    graft.functions.TextExprs.register(spark)
+    // the d10 split: benchmark = doc_id % 97 == 0, corpus = the rest
+    val benchGrams = batchDocs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(explode(call_function("word_ngrams", col("text"), lit(3)))
+        .as("g"))
+      .select(call_function("md5_prefix28", col("g")).as("shash"))
+      .distinct()
+    val corpusStream = stream.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+    val got = EventStreams.runToCompletion(
+      DocStreams.contaminationFlags(corpusStream, benchGrams), "doc_contam")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = graft.operators.TextQueries.d10Decontaminate(spark, Dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+}
