@@ -98,6 +98,7 @@ object SparkEntry {
     "x10_simhash_near_dup" -> (X.x10SimhashNearDup _),
     "x11_int8_quantize" -> (X.x11Int8Quantize _),
     "x12_pq_encode" -> (operators.ProductQuantizer.x12PqEncode _),
+    "x13_fingerprint_overlap" -> (X.x13FingerprintOverlap _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -667,6 +668,27 @@ object SparkEntry {
         |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |            FROM embeddings))
         |ORDER BY vec_id""".stripMargin,
+    // substring-fingerprint overlap: char 24-grams, deterministic h%8
+    // sample, boilerplate cap, >=3 shared — every rule is plain SQL over
+    // the portable 28-bit hash, so the oracle replays it exactly
+    "x13_fingerprint_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(range(1, length(text) - 24 + 2)) AS pos, text
+        |  FROM documents WHERE length(text) >= 24),
+        |fp AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(substr(text, pos, 24)), 1, 7))::BIGINT AS h
+        |  FROM g
+        |  WHERE ('0x' || substr(md5(substr(text, pos, 24)), 1, 7))::BIGINT % 8 = 0),
+        |kept AS (
+        |  SELECT doc_id, h FROM fp
+        |  WHERE h IN (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared FROM pairs
+        |WHERE shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // PQ encode with the untrained first-K codebook (the x7 trick): the
     // squared-L2 is the same |a|²-2ab+|b|² expansion over
     // list_inner_product, rounded to 6 BEFORE the argmin so tie-breaks

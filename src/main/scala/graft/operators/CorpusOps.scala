@@ -300,6 +300,58 @@ object CorpusOps {
         min(col("_g_len")).as("lo"), max(col("_g_len")).as("hi"))
   }
 
+  /** Partial-overlap (substring-level) near-duplicate pairs via sampled
+    * character n-gram fingerprints — the MOSS/winnowing family (Manber
+    * 1994; Schleimer et al. 2003): whole-document MinHash misses a page
+    * that EMBEDS a copied paragraph inside otherwise-novel text; shared
+    * substring fingerprints catch it. Every k-char gram is hashed, the
+    * deterministic `h % modP == 0` sample keeps ~1/modP of them
+    * (portable across engines, unlike winnowing's position-dependent
+    * window minima), grams appearing in more than `maxDocFreq` docs are
+    * dropped as boilerplate (the MOSS common-fingerprint rule — also the
+    * bucket-size bound for the self-join), and pairs sharing at least
+    * `minShared` surviving fingerprints are emitted with the count.
+    *
+    * Scale shape: the gram explode is a map-side ×k blowup cut back
+    * ~modP× by the hash filter BEFORE anything shuffles; the per-doc
+    * distinct and the frequency count are partial-agg shuffles on the
+    * 8-byte hash; buckets in the self-join are capped at `maxDocFreq`
+    * docs, so the pair space is bounded per fingerprint. The sampled
+    * fingerprint set is persisted — it feeds the frequency count and
+    * both join sides (CacheManager dedupes identical plans, so repeated
+    * calls share the entry). */
+  def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, modP: Int = 8, maxDocFreq: Int = 50,
+      minShared: Int = 3): DataFrame = {
+    require(k >= 4, s"gram length k must be >= 4, got $k")
+    require(modP >= 1 && maxDocFreq >= 2 && minShared >= 1,
+      s"bad parameters (modP=$modP, maxDocFreq=$maxDocFreq, minShared=$minShared)")
+    val s = docs.sparkSession
+    graft.functions.Md5Prefix28Expr.register(s)
+    val fp = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_g_text"))
+      .filter(length(col("_g_text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("_g_text")) - (k - 1))).as("_g_pos"),
+        col("_g_text"))
+      .select(col("doc_id"),
+        call_function("md5_prefix28",
+          expr(s"substr(_g_text, _g_pos, $k)")).as("h"))
+      .filter(pmod(col("h"), lit(modP.toLong)) === 0)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = fp.join(
+      fp.groupBy(col("h")).agg(count(lit(1)).as("_g_c"))
+        .filter(col("_g_c") <= maxDocFreq).select(col("h")),
+      Seq("h"), "left_semi")
+    val a = kept.select(col("h"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("h"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Test-set decontamination: the corpus minus every document sharing at
     * least one word 3-gram with `benchmark` (both frames in their own
     * column names). The benchmark shingle set is broadcast — benchmarks

@@ -600,6 +600,14 @@ object SimilarityQueries {
   def x11Int8Quantize(s: SparkSession, dir: String): DataFrame =
     quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
 
+  /** x13: substring-level near-dup pairs over the documents table —
+    * [[CorpusOps.fingerprintOverlap]] at k=24 chars, 1/8 sampling,
+    * boilerplate cap 50, 3 shared fingerprints minimum (all mirrored
+    * exactly by the DuckDB oracle via the portable 28-bit hash). */
+  def x13FingerprintOverlap(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.fingerprintOverlap(documents(s, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
   /** Generic affine int8 quantizer over any (id, vector) frame — the
     * engine half of x11 (internal columns are __-prefixed so user column
     * names cannot collide, the CorpusOps convention). */

@@ -163,6 +163,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(corpus.count() - out.count() == expectedDrops && expectedDrops > 0)
   }
 
+  test("fingerprintOverlap catches an embedded copied paragraph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    // word-shaped noise so the whole-document MinHash comparison below
+    // sees a rich, distinct shingle set per doc
+    def noise(nWords: Int): String =
+      Seq.fill(nWords)(
+        Seq.fill(2 + rng.nextInt(6))(('a' + rng.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    val paragraph = " the quick brown fox jumps over the lazy dog while " +
+      "seventeen zebras watch from behind the old stone wall near the river "
+    val footer = " all rights reserved contact legal department for details"
+    // docs 1 and 2 embed the same paragraph inside different noise; the
+    // footer is on EVERY doc (boilerplate) and must not create pairs on
+    // its own under the doc-frequency cap
+    val docs = (Seq(
+      (1L, noise(40) + paragraph + noise(40) + footer),
+      (2L, noise(40) + paragraph + noise(40) + footer)) ++
+      (3L to 12L).map(i => (i, noise(80) + footer))).toDF("id", "body")
+    val got = CorpusOps.fingerprintOverlap(docs, "id", "body",
+      maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)), s"planted overlap missed: $got")
+    assert(got((1L, 2L)) >= 3)
+    // no footer-only pair may survive the boilerplate cap
+    assert(got.keySet == Set((1L, 2L)), s"boilerplate leaked pairs: $got")
+    // whole-document MinHash must MISS this pair (the paragraph is a
+    // minority of each doc) — the reason this operator exists
+    val minhashPairs = CorpusOps.candidatePairs(docs, "id", "body")
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!minhashPairs.contains((1L, 2L)))
+  }
+
+  test("x13 gate query returns capped, thresholded, ordered pairs") {
+    val got = SimilarityQueries.x13FingerprintOverlap(spark, Sf).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 3)
+    }
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == pairs.toSeq.sorted)
+    // exact duplicate texts (d1 shows the corpus has them) must appear
+    val dups = TextQueries.d1ExactDedup(spark, Sf)
+      .filter(col("n_copies") > 1).count()
+    if (dups > 0) assert(got.nonEmpty)
+  }
+
   test("tfidfKeywords matches the d14 gate twin") {
     val gate = TextQueries.d14TfidfKeywords(spark, Sf)
       .collect()
