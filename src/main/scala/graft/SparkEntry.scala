@@ -85,6 +85,8 @@ object SparkEntry {
     "d14_tfidf_keywords" -> (T.d14TfidfKeywords _),
     "d15_length_deciles" -> (T.d15LengthDeciles _),
     "d16_domain_profile" -> (T.d16DomainProfile _),
+    "d17_chunk_documents" -> (T.d17ChunkDocuments _),
+    "d18_pack_sequences" -> (T.d18PackSequences _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -668,6 +670,34 @@ object SparkEntry {
         |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |            FROM embeddings))
         |ORDER BY vec_id""".stripMargin,
+    // context-window chunking: 64-word windows, stride 48; the md5 of
+    // each chunk's exact text makes the oracle verify content
+    "d17_chunk_documents" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ww AS (SELECT doc_id, w, len(w) AS nw FROM w WHERE len(w) > 0),
+        |ch AS (SELECT doc_id, w, nw, unnest(range(0, nw, 48)) AS start FROM ww)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(least(64, nw - start) AS BIGINT) AS n_chunk_words,
+        |  md5(array_to_string(list_slice(w, start + 1, start + 64), ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // concat-and-chunk packing: shard-local (lang) running token count,
+    // bin = where the doc STARTS; all-integer arithmetic
+    "d18_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, CAST(floor((cum - toks) / 2048) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     // substring-fingerprint overlap: char 24-grams, deterministic h%8
     // sample, boilerplate cap, >=3 shared — every rule is plain SQL over
     // the portable 28-bit hash, so the oracle replays it exactly

@@ -303,6 +303,61 @@ object TextQueries {
       .orderBy("domain")
   }
 
+  /** d17: context-window chunking — split each document into overlapping
+    * word windows (64 words, stride 48) the way pretraining prep cuts
+    * long documents to the model's context length. Each chunk carries an
+    * md5 of its exact text so the oracle verifies CONTENT, not just
+    * counts.
+    *
+    * Scale shape: one-pass kernel tokenization, then a map-side
+    * sequence-explode + slice — no shuffle at all beyond the
+    * presentation sort; chunk rows inherit the corpus partitioning. */
+  def d17ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val Win = 64
+    val Stride = 48
+    documents(s, dir)
+      .select(col("doc_id"),
+        call_function("split_words", col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), col("w"), col("nw"),
+        explode(sequence(lit(0), col("nw") - 1, lit(Stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / Stride).cast("long").as("chunk_idx"),
+        least(lit(Win), col("nw") - col("start")).cast("long")
+          .as("n_chunk_words"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(Win))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** d18: sequence packing by shard-local running token count — the
+    * concat-and-chunk packing GPT-style pipelines use (documents are
+    * concatenated in order and cut every `budget` tokens; a document
+    * belongs to the bin where it STARTS). Shards = the lang column here;
+    * in production the shard is whatever unit a single writer owns, so a
+    * global order is never required — that is what makes packing scale.
+    *
+    * Scale shape: ONE shuffle on the shard key, an in-partition running
+    * sum, then a map-local rollup per (shard, bin). All-integer
+    * arithmetic → engine-exact. */
+  def d18PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 2048L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .select(col("lang"), col("doc_id"), col("toks"),
+        floor((col("cum") - col("toks")) / Budget).cast("long").as("bin"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang", "bin")
+  }
+
   /** Per-doc term frequencies, materialized ONCE per input snapshot: the
     * tf relation feeds both d14's score join and its document-frequency
     * statistic, and Spark does not reuse common subplans — uncached, the

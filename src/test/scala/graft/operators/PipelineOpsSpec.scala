@@ -118,6 +118,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.count(_.getBoolean(3)) == math.min(5, nDocs))
   }
 
+  test("d17 chunks cover every word with the right overlap") {
+    val got = TextQueries.d17ChunkDocuments(spark, Sf).collect()
+    val wordCounts = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > 0)).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perDoc = got.groupBy(_.getLong(0))
+    assert(perDoc.keySet == wordCounts.filter(_._2 > 0).keySet)
+    perDoc.foreach { case (id, chunks) =>
+      val nw = wordCounts(id)
+      val expectChunks = (nw + 47) / 48 // ceil(nw/48): starts 0,48,.. < nw
+      assert(chunks.length == expectChunks, s"doc $id: ${chunks.length}")
+      val sorted = chunks.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until expectChunks).toSeq)
+      // every chunk except possibly the tail holds the full window or
+      // the remaining words
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(2) == math.min(64, nw - i * 48))
+      }
+    }
+  }
+
+  test("d18 packs every doc exactly once with bounded bins") {
+    val got = TextQueries.d18PackSequences(spark, Sf).collect()
+    val totals = graft.Tables.documents(spark, Sf)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(ceil(length(col("text")) / lit(4.0)).cast("long")).as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perLang = got.groupBy(_.getString(0))
+    assert(perLang.keySet == totals.keySet)
+    perLang.foreach { case (lang, bins) =>
+      val (nDocs, toks) = totals(lang)
+      assert(bins.map(_.getLong(2)).sum == nDocs)
+      assert(bins.map(_.getLong(3)).sum == toks)
+      // bins are contiguous from 0 (concat-and-chunk leaves no gaps)
+      val ids = bins.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq)
+      // a bin never holds more than budget + one overflowing doc
+      bins.foreach(b => assert(b.getLong(3) <= 2048 + 600,
+        s"$lang bin ${b.getLong(1)}: ${b.getLong(3)} tokens"))
+    }
+  }
+
   test("quantizeInt8 maps crafted vectors to exact codes") {
     import spark.implicits._
     val df = Seq(
