@@ -80,6 +80,27 @@ object DevProfile {
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
+    } else if (name == "warmbench") {
+      // true warm-vs-warm engine timing: run every gate query twice in one
+      // JVM and report the second pass (snapshot caches and JIT hot) —
+      // the apples-to-apples number against a warm DuckDB loop over the
+      // same oracle workload (PLANS.md comparison section)
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      names.foreach(n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          println(s"WARMFAIL $n: ${e.getMessage.take(80)}") })
+      var total = 0.0
+      val times = names.map { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        total += dt
+        n -> dt
+      }
+      println(f"warm total over ${names.size} queries: $total%.1f s")
+      times.sortBy(-_._2).take(8).foreach { case (n, dt) =>
+        println(f"  $n%-28s $dt%.2f s") }
     } else if (name == "pbfscale") {
       // replicate monaco `reps` times (offset ids/refs, shift lon) into one
       // big PBF, then time the full no-filter conversion on it
