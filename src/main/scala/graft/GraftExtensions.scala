@@ -57,6 +57,7 @@ object Graft {
     graft.functions.Md5Prefix28Expr.register(spark)
     graft.functions.VectorExprs.register(spark)
     graft.functions.TextExprs.register(spark)
+    graft.functions.BloomExprs.register(spark)
     spark
   }
 }

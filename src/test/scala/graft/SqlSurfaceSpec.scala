@@ -74,6 +74,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       java.lang.Long.parseLong("9dd4e46", 16)) // md5('x') = 9dd4e461...
   }
 
+  test("bloom filter agg + probe work from pure SQL") {
+    Graft.setup(spark)
+    spark.range(0, 1000).createOrReplaceTempView("bloom_ids")
+    // build the sketch over even ids, probe all ids: every even id must
+    // hit (no false negatives); odd hits are the fpp residue
+    val hits = spark.sql(
+      """SELECT id, bloom_might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(id), 500L, 8000L) FROM bloom_ids
+        |   WHERE id % 2 = 0),
+        |  xxhash64(id)) AS hit
+        |FROM bloom_ids""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 1000L by 2).forall(hits(_)), "false negative")
+    val falsePos = (1L until 1000L by 2).count(hits(_))
+    assert(falsePos < 250, s"implausible fp count $falsePos")
+  }
+
   test("testdata views answer SQL with the same results as the DataFrame API") {
     Tables.lineitem(spark, "/root/testdata/sf0.001")
       .createOrReplaceTempView("lineitem")
