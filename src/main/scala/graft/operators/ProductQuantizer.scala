@@ -51,7 +51,10 @@ object ProductQuantizer {
 
   /** (pq_id, sub, sv): the corpus cut into `m` equal subvectors — a pure
     * per-row map (explode ×m of slices that are 1/m the size keeps total
-    * bytes constant; no shuffle). */
+    * bytes constant; no shuffle). Contract: the vector dimension must be
+    * divisible by `m` — trailing dims of a non-divisible vector would be
+    * silently dropped by the integer subvector width ([[IvfPq.build]]
+    * validates this against the data before training). */
   def subvectors(emb: DataFrame, idCol: String, vecCol: String,
       m: Int = M): DataFrame = {
     val w = (size(col("pq_v")) / lit(m)).cast("int")
@@ -146,9 +149,16 @@ object ProductQuantizer {
         }.toArray
     }.toMap
 
-  /** (pq_id, adc_dist) for every code word — the un-limited ADC scan. */
+  /** (pq_id, adc_dist) for every code word — the un-limited ADC scan.
+    * The query dimension must split evenly into the M subspaces and
+    * match the codebook's subvector width — silently truncating either
+    * would score against the wrong LUT entries. */
   def adcScores(codes: DataFrame, cents: Map[(Int, Int), Array[Double]],
       query: Seq[Double], m: Int = M, k: Int = K): DataFrame = {
+    require(query.length % m == 0,
+      s"query dim ${query.length} must be divisible by m=$m")
+    cents.values.headOption.foreach(cv => require(cv.length == query.length / m,
+      s"query subvector width ${query.length / m} != codebook width ${cv.length}"))
     val w = query.length / m
     val lut: Seq[Double] = (0 until m * k).map { i =>
       val (sub, code) = (i / k, i % k)

@@ -123,4 +123,36 @@ class ProductQuantizerSpec extends AnyFunSuite {
     // centroid jitter
     assert(recall >= 0.3, s"IVFPQ recall@10 $recall")
   }
+
+  test("IVF-PQ index round-trips through cell-partitioned parquet") {
+    val idx = IvfPq.build(renamed, "item", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    IvfPq.writeIndex(idx, dir)
+    val loaded = IvfPq.loadIndex(spark, dir)
+    val query = renamed.filter(col("item") === 0L)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val a = IvfPq.topK(idx, query, topK = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = IvfPq.topK(loaded, query, topK = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, s"loaded index must score identically\n$a\n$b")
+    // the serving claim: probing one cell is a partition-pruned scan
+    val cell = loaded.codes.select("cell").head().get(0)
+    val plan = loaded.codes.filter(col("cell") === cell)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune partitions:\n${plan.take(500)}")
+  }
+
+  test("dimension mismatches fail loudly instead of truncating") {
+    val idx = IvfPq.build(renamed, "item", "vec")
+    intercept[IllegalArgumentException] {
+      IvfPq.topK(idx, Seq(1.0, 2.0, 3.0), topK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      IvfPq.build(renamed
+        .select(col("item"), slice(col("vec"), 1, 63).as("vec")),
+        "item", "vec") // 63 dims not divisible by M=4
+    }
+  }
 }
