@@ -300,6 +300,30 @@ object CorpusOps {
         min(col("_g_len")).as("lo"), max(col("_g_len")).as("hi"))
   }
 
+  /** Incremental corpus maintenance: the subset of `newDocs` worth
+    * adding to `existing` — drops exact content duplicates (md5 anti
+    * join against the existing corpus' digests) and near-duplicates of
+    * existing documents (cross-corpus banded LSH at `threshold`). The
+    * daily-crawl-increment shape: the existing corpus is only ever read
+    * as 16-byte digests + minhash signatures, never rewritten, and the
+    * increment — tiny next to the corpus — drives all join sides that
+    * AQE would broadcast. Within-increment duplicates are left for a
+    * subsequent [[deduplicate]] over the merged corpus (or
+    * [[exactDeduplicate]] on the increment) — this op's contract is
+    * purely "new vs existing". */
+  def dedupeIncrement(existing: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      ngram: Int = 3): DataFrame = {
+    val existingHashes = existing
+      .select(md5(col(textCol)).as("_g_h")).distinct()
+    val exactNew = newDocs
+      .withColumn("_g_h", md5(col(textCol)))
+      .join(existingHashes, Seq("_g_h"), "left_anti")
+      .drop("_g_h")
+    decontaminateNearDup(exactNew, idCol, textCol,
+      existing, idCol, textCol, threshold, ngram)
+  }
+
   /** Partial-overlap (substring-level) near-duplicate pairs via sampled
     * character n-gram fingerprints — the MOSS/winnowing family (Manber
     * 1994; Schleimer et al. 2003): whole-document MinHash misses a page

@@ -163,6 +163,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(corpus.count() - out.count() == expectedDrops && expectedDrops > 0)
   }
 
+  test("dedupeIncrement admits only genuinely new documents") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def noise(nWords: Int): String =
+      Seq.fill(nWords)(
+        Seq.fill(3 + rng.nextInt(5))(('a' + rng.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    val existing = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id").as("item"), col("text").as("body"))
+    val base = existing.filter(col("item") < 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val increment = (
+      base.take(3).map { case (id, t) => (id + 1000000L, t) } ++ // exact copies
+      base.drop(3).map { case (id, t) =>
+        (id + 2000000L, t + " zz1 zz2") } ++ // near-copies
+      (1L to 3L).map(i => (3000000L + i, noise(50))) // novel
+    ).toSeq.toDF("item", "body")
+    val kept = CorpusOps.dedupeIncrement(existing, increment, "item", "body")
+      .select("item").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3000001L, 3000002L, 3000003L),
+      s"unexpected survivors: $kept")
+  }
+
   test("fingerprintOverlap catches an embedded copied paragraph") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
