@@ -105,6 +105,69 @@ object EmbeddingOps {
       .limit(k)
   }
 
+  /** Normalize a query TABLE to (qid LONG, qv). */
+  private def qvecs(queries: DataFrame, qIdCol: String,
+      qVecCol: String): DataFrame = {
+    graft.functions.VectorExprs.register(queries.sparkSession)
+    queries.select(col(qIdCol).cast("long").as("qid"), col(qVecCol).as("qv"))
+  }
+
+  private def topKPerQuery(scored: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("cosine"))
+  }
+
+  /** Batch exact top-k for a QUERY TABLE — the serving shape when
+    * queries arrive in batches: one (query_id, rank, idCol, cosine) row
+    * per neighbor. The query batch broadcasts (it is small next to the
+    * corpus), scoring is map-side, and the rank-window's `rank <= k`
+    * filter plans as a partial WindowGroupLimit BELOW the qid exchange —
+    * the shuffle carries at most k rows per (query, partition), never
+    * the Q×N scored relation. */
+  def cosineTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 10): DataFrame = {
+    val scored = vecs(df, idCol, vecCol)
+      .crossJoin(broadcast(qvecs(queries, qIdCol, qVecCol)))
+      .select(col("qid"), col("vec_id").as(idCol),
+        cosine(col("v"), col("qv")).as("cosine"))
+    topKPerQuery(scored, idCol, k)
+  }
+
+  /** Batch IVF top-k: centroids train once on the corpus, every query
+    * ranks its `nprobe` cells through the same broadcast centroid table
+    * (a Q×cells relation — tiny), and the corpus joins the probe list on
+    * `cell` so each query scans only its probed cells. Total scored rows
+    * ≈ Q × N × nprobe/cells — the IVF saving, batched. */
+  def ivfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 10, cells: Int = IvfAnn.K, nprobe: Int = IvfAnn.NProbe,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"needs at least one k-means round, got $iters")
+    val emb = vecs(df, idCol, vecCol)
+    val cents = IvfAnn.trainCentroids(emb, cells, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val probes = qvecs(queries, qIdCol, qVecCol)
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val scored = IvfAnn.assignCells(emb, cents)
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("vec_id").as(idCol),
+        cosine(col("v"), col("qv")).as("cosine"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, candidates
     * from sign-LSH buckets (per-bucket self-join, never all-pairs):
     * (id_a, id_b, cosine). A vector has exactly one bucket, so a pair

@@ -66,6 +66,50 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineTopKBatch matches per-query single-shot results") {
+    val qids = Seq(0L, 5L, 9L)
+    val queries = graft.Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q"), col("embedding").as("qv"))
+    val batch = EmbeddingOps.cosineTopKBatch(
+      renamed, "item", "emb", queries, "q", "qv", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), math.round(r.getDouble(3) * 1e6))).toSeq)
+      .toMap
+    qids.foreach { qid =>
+      val qv = graft.Tables.embeddings(spark, Sf)
+        .filter(col("vec_id") === qid).head().getSeq[Float](1).map(_.toDouble)
+      val single = EmbeddingOps.cosineTopK(renamed, "item", "emb", qv, k = 5)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+        .toSeq
+      assert(batch(qid) == single, s"query $qid diverges")
+    }
+  }
+
+  test("ivfTopKBatch retrieves each query first and near-true neighbors") {
+    val qids = Seq(0L, 5L, 9L)
+    val queries = graft.Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q"), col("embedding").as("qv"))
+    val got = EmbeddingOps.ivfTopKBatch(
+      renamed, "item", "emb", queries, "q", "qv", k = 10, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+    assert(got.keySet == qids.toSet)
+    got.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.length <= 10 && sorted.nonEmpty)
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      // queries drawn from the corpus must retrieve themselves first
+      assert(sorted.head.getLong(2) == qid, s"query $qid not self-first")
+      // cosines non-increasing down the ranking
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
   test("nearDupPairs matches the x6 gate pairs") {
     val got = EmbeddingOps.nearDupPairs(renamed, "item", "emb",
       threshold = 0.4, planes = 6)
