@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call corpus curation — the composed pipeline a training-data team
+  * runs end to end, built from the individually-oracled operators:
+  * PII scrub → quality gates (length + Gopher repetition) → exact dedup
+  * → near dedup → benchmark decontamination.
+  *
+  * Instead of filtering stage by stage (which would cost one action per
+  * stage to account for), [[curate]] ANNOTATES every document with the
+  * first stage that rejects it (`reject_reason`, null = kept). The
+  * curated corpus is one filter away, and the per-stage report is ONE
+  * aggregation over the same annotated frame — no per-stage counting
+  * passes. Rejection priority (first match wins): too_short < too_long
+  * < repetitive < exact_dup < near_dup < contaminated.
+  *
+  * Scale notes: the quality gates are map-side expressions plus the d11
+  * one-shuffle repetition stats; the dedup stages reuse
+  * [[CorpusOps.exactDeduplicate]]'s digest groupBy and
+  * [[CorpusOps.dedupClusters]]'s banded LSH (never all-pairs); the
+  * benchmark shingle set broadcasts. The input is read by several
+  * stages — persist it first for one-pass economics (the caller owns
+  * that choice, per the CorpusOps contract). */
+object TextPipeline {
+
+  final case class Config(
+      scrubPii: Boolean = true,
+      minChars: Int = 100,
+      maxChars: Int = 1 << 20,
+      maxTopWordShare: Double = 0.2,
+      nearDupThreshold: Double = 0.5,
+      ngram: Int = 3)
+
+  /** The input with `reject_reason` (null = kept) appended — plus
+    * n_emails/n_ips when scrubbing is on (text redacted in place). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      config: Config = Config(),
+      benchmark: Option[(DataFrame, String)] = None): DataFrame = {
+    val base = if (config.scrubPii) CorpusOps.scrubPii(docs, textCol) else docs
+
+    // quality gates: pure column predicates + the d11 repetition stats
+    val rep = CorpusOps.repetitionStats(base, idCol, textCol)
+      .select(col(idCol), col("top_word_share"))
+    val qualityReason =
+      when(length(col(textCol)) < config.minChars, "too_short")
+        .when(length(col(textCol)) > config.maxChars, "too_long")
+        .when(col("top_word_share") > config.maxTopWordShare, "repetitive")
+
+    // exact dedup: the minimum id per content digest survives
+    val keepers = base
+      .select(md5(col(textCol)).as("_g_h"), col(idCol).cast("long").as("_g_kid"))
+      .groupBy(col("_g_h")).agg(min(col("_g_kid")).as("_g_keeper"))
+    val exactReason = when(col(idCol) =!= col("_g_keeper"), "exact_dup")
+
+    // near dedup: non-representative cluster members (cluster min wins)
+    val nearDrops = CorpusOps.dedupClusters(base, idCol, textCol,
+      threshold = config.nearDupThreshold, ngram = config.ngram)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").cast("long").as(idCol),
+        lit("near_dup").as("_g_near"))
+
+    // decontamination: any shared word n-gram with the benchmark
+    val contam = benchmark.map { case (bench, benchTextCol) =>
+      val benchGrams = {
+        val s = docs.sparkSession
+        graft.functions.Md5Prefix28Expr.register(s)
+        graft.functions.TextExprs.register(s)
+        bench.select(explode(call_function("word_ngrams",
+            col(benchTextCol), lit(config.ngram))).as("_g_g"))
+          .select(call_function("md5_prefix28", col("_g_g")).as("shash"))
+          .distinct()
+      }
+      CorpusOps.shingleHashes(base, idCol, textCol, config.ngram)
+        .join(broadcast(benchGrams), Seq("shash"), "left_semi")
+        .select(col("doc_id").cast("long").as(idCol),
+          lit("contaminated").as("_g_contam"))
+        .distinct()
+    }
+
+    val annotated = base
+      .withColumn("_g_md5", md5(col(textCol)))
+      .join(rep, Seq(idCol), "left")
+      .join(keepers.withColumnRenamed("_g_h", "_g_md5"), Seq("_g_md5"), "left")
+      .join(nearDrops, Seq(idCol), "left")
+    val withContam = contam.fold(
+      annotated.withColumn("_g_contam", lit(null: String)))(c =>
+      annotated.join(c, Seq(idCol), "left"))
+    withContam
+      .withColumn("reject_reason",
+        coalesce(qualityReason, exactReason, col("_g_near"), col("_g_contam")))
+      .drop("_g_md5", "_g_keeper", "_g_near", "_g_contam", "top_word_share")
+  }
+
+  /** The kept documents, annotation columns removed. */
+  def curated(annotated: DataFrame): DataFrame =
+    annotated.filter(col("reject_reason").isNull).drop("reject_reason")
+
+  /** Per-stage accounting in ONE aggregation: (reason, n_docs) with the
+    * survivors under 'kept'. */
+  def report(annotated: DataFrame): DataFrame =
+    annotated
+      .groupBy(coalesce(col("reject_reason"), lit("kept")).as("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("stage")
+}

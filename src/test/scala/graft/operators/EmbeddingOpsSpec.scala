@@ -86,6 +86,12 @@ class EmbeddingOpsSpec extends AnyFunSuite {
         .toSeq
       assert(batch(qid) == single, s"query $qid diverges")
     }
+    // the scale claim: the rank <= k filter plans as a WindowGroupLimit
+    // below the qid exchange, so the shuffle never carries Q×N rows
+    val plan = EmbeddingOps.cosineTopKBatch(
+      renamed, "item", "emb", queries, "q", "qv", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
   test("ivfTopKBatch retrieves each query first and near-true neighbors") {
