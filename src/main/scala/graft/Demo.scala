@@ -98,6 +98,12 @@ object Demo {
       val idx = operators.IvfPq.build(emb, "vec_id", "embedding")
       println("ADC top-5 for vec 0 over M-byte codes (4 of 16 cells probed):")
       operators.IvfPq.topK(idx, q, topK = 5, nProbe = 4).show()
+
+      println("=== one-call curation pipeline ===")
+      val annotated = operators.TextPipeline.curate(
+        docs, "doc_id", "text",
+        benchmark = Some((reference.select(col("rtext")), "rtext")))
+      operators.TextPipeline.report(annotated).show()
     }
     spark.stop()
   }
