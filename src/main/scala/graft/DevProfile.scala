@@ -93,7 +93,9 @@ object DevProfile {
       var total = 0.0
       val times = names.map { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        // a query that failed warmup must not abort the whole measurement
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
         val dt = (System.nanoTime() - t0) / 1e9
         total += dt
         n -> dt

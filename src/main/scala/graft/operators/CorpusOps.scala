@@ -260,11 +260,19 @@ object CorpusOps {
         explode(call_function("split_words", col("_g_text"))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_g_tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tfidfFromTf(tf, idCol, docs.agg(count(lit(1)).as("_g_n")), topK)
+  }
+
+  /** The scoring half of tf-idf over a prepared (idCol, term, _g_tf)
+    * relation — shared by [[tfidfKeywords]] (internally persisted tf)
+    * and the d14 gate query (snapshot-cached tf), so the two surfaces
+    * cannot drift. `nDocs` is a 1-row (_g_n) frame. */
+  private[operators] def tfidfFromTf(tf: DataFrame, idCol: String,
+      nDocs: DataFrame, topK: Int): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
-    val n = docs.agg(count(lit(1)).as("_g_n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
       .select(col(idCol), col("term"),
         round(col("_g_tf") * (col("_g_n").cast("double") / col("_g_df")), 4)
           .as("tfidf"))

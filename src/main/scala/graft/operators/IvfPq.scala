@@ -57,39 +57,61 @@ object IvfPq {
     val codebook = ProductQuantizer
       .train(residuals, "vec_id", "r", m, k, pqIters)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // codes is THE serving relation, read once per probed cell — persist
+    // it like every other multiply-consumed frame here
     val codes = ProductQuantizer.encode(residuals, "vec_id", "r", codebook, m)
       .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
         Seq("pq_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     IvfPqIndex(cents, codebook, codes, m, k)
   }
 
-  private def l2(a: Seq[Double], b: Array[Double]): Double =
-    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+  /** Cosine — the probe ranking must use the SAME metric
+    * [[IvfAnn.assignCells]] used to route vectors into cells; ranking
+    * probes by L2 against cosine-assigned cells can skip the very cell
+    * holding the true neighbors when centroid norms differ. */
+  private def cosineD(a: Seq[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
   /** Persist the index with `codes` hive-partitioned by cell — the
     * serving layout: a probe of NProbe cells becomes a partition-pruned
     * scan that never opens the other cells' files (the 100 TB claim in
     * the object scaladoc, made concrete; the spec asserts the
-    * PartitionFilters in the probe plan). */
+    * PartitionFilters in the probe plan). The PQ geometry (m, k) rides
+    * along so a load cannot decode codes against the wrong LUT shape. */
   def writeIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.cents.sparkSession
+    import spark.implicits._
+    Seq((index.m, index.k)).toDF("m", "k")
+      .write.mode("overwrite").parquet(s"$path/meta")
     index.cents.write.mode("overwrite").parquet(s"$path/cents")
     index.codebook.write.mode("overwrite").parquet(s"$path/codebook")
     index.codes.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
   }
 
-  /** Load a persisted index. `cell` comes back as a hive partition
+  /** Load a persisted index; the geometry comes from the stored meta,
+    * never from caller guesses. `cell` comes back as a hive partition
     * column; probes compare it with an equality literal, so the
     * inferred narrower integer type is harmless. */
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      m: Int = ProductQuantizer.M, k: Int = ProductQuantizer.K): IvfPqIndex =
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
     IvfPqIndex(
       spark.read.parquet(s"$path/cents"),
       spark.read.parquet(s"$path/codebook"),
-      spark.read.parquet(s"$path/codes"), m, k)
+      spark.read.parquet(s"$path/codes"),
+      meta.getInt(0), meta.getInt(1))
+  }
 
-  /** ADC top-k for a driver-held query: rank cells on the driver, build
-    * one residual look-up table per probed cell, scan only those cells. */
+  /** ADC top-k for a driver-held query: rank cells on the driver (by
+    * cosine, matching the assignment metric), build one residual
+    * look-up table per probed cell, scan only those cells. */
   def topK(index: IvfPqIndex, query: Seq[Double], topK: Int = 10,
       nProbe: Int = IvfAnn.NProbe): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
@@ -100,11 +122,12 @@ object IvfPq {
         case other => other.toString.toDouble
       }.toArray
     }.toSeq
-    cents.headOption.foreach { case (_, cv) =>
+    require(cents.nonEmpty, "index has no centroids — built over an empty corpus?")
+    cents.foreach { case (_, cv) =>
       require(cv.length == query.length,
         s"query dim ${query.length} != index dim ${cv.length}") }
-    val probed = cents.map { case (cid, cv) => (cid, cv, l2(query, cv)) }
-      .sortBy { case (cid, _, d) => (d, cid) }
+    val probed = cents.map { case (cid, cv) => (cid, cv, cosineD(query, cv)) }
+      .sortBy { case (cid, _, s) => (-s, cid) }
       .take(nProbe)
     val cb = ProductQuantizer.collectCodebook(index.codebook)
     probed.map { case (cid, cv, _) =>

@@ -74,9 +74,15 @@ object ScaleUtils {
     // standard sizing: m = -n ln(p) / (ln 2)^2
     val numBits = math.max(64L, math.ceil(
       -expectedIds * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // xxhash64 is TYPE-sensitive (hash(5:int) != hash(5:bigint)); hash the
+    // id side through the fact side's key type, the same coercion a plain
+    // semi join would apply — otherwise a type mismatch silently drops
+    // every true match
+    val keyType = fact.schema(key).dataType
     val bloom = ids
       .select(call_function("bloom_filter_agg",
-        xxhash64(col(key)), lit(expectedIds), lit(numBits)).as("b"))
+        xxhash64(col(key).cast(keyType)), lit(expectedIds), lit(numBits))
+        .as("b"))
       .head().getAs[Array[Byte]](0)
     if (bloom == null) fact.limit(0) // empty id set keeps nothing
     else fact.filter(call_function("bloom_might_contain",

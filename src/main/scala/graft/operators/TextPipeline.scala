@@ -47,21 +47,38 @@ object TextPipeline {
       when(length(col(textCol)) < config.minChars, "too_short")
         .when(length(col(textCol)) > config.maxChars, "too_long")
         .when(col("top_word_share") > config.maxTopWordShare, "repetitive")
+    val qualified = base.join(rep, Seq(idCol), "left")
+      .withColumn("_g_quality", qualityReason)
 
-    // exact dedup: the minimum id per content digest survives
-    val keepers = base
+    // STAGES SEE ONLY PRIOR SURVIVORS — exactly what running the stages
+    // as sequential filters would do. Otherwise a near-dup cluster whose
+    // representative is itself quality-rejected would drop its members
+    // too, silently losing the content entirely.
+    val qualityPass = qualified.filter(col("_g_quality").isNull)
+
+    // exact dedup among quality survivors: minimum id per digest wins
+    val keepers = qualityPass
       .select(md5(col(textCol)).as("_g_h"), col(idCol).cast("long").as("_g_kid"))
       .groupBy(col("_g_h")).agg(min(col("_g_kid")).as("_g_keeper"))
-    val exactReason = when(col(idCol) =!= col("_g_keeper"), "exact_dup")
+    val exactReason =
+      when(col("_g_keeper").isNotNull && col(idCol) =!= col("_g_keeper"),
+        "exact_dup")
+    val exactPass = qualityPass
+      .withColumn("_g_h", md5(col(textCol)))
+      .join(keepers, Seq("_g_h"))
+      .filter(col(idCol) === col("_g_keeper"))
+      .drop("_g_h", "_g_keeper")
 
-    // near dedup: non-representative cluster members (cluster min wins)
-    val nearDrops = CorpusOps.dedupClusters(base, idCol, textCol,
+    // near dedup among exact survivors (cluster min wins)
+    val nearDrops = CorpusOps.dedupClusters(exactPass, idCol, textCol,
       threshold = config.nearDupThreshold, ngram = config.ngram)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").cast("long").as(idCol),
         lit("near_dup").as("_g_near"))
 
-    // decontamination: any shared word n-gram with the benchmark
+    // decontamination: any shared word n-gram with the benchmark (checked
+    // for all docs — contamination is a property of the text, and running
+    // it last in a sequential pipeline flags the same survivors)
     val contam = benchmark.map { case (bench, benchTextCol) =>
       val benchGrams = {
         val s = docs.sparkSession
@@ -79,9 +96,8 @@ object TextPipeline {
         .distinct()
     }
 
-    val annotated = base
+    val annotated = qualified
       .withColumn("_g_md5", md5(col(textCol)))
-      .join(rep, Seq(idCol), "left")
       .join(keepers.withColumnRenamed("_g_h", "_g_md5"), Seq("_g_md5"), "left")
       .join(nearDrops, Seq(idCol), "left")
     val withContam = contam.fold(
@@ -89,8 +105,10 @@ object TextPipeline {
       annotated.join(c, Seq(idCol), "left"))
     withContam
       .withColumn("reject_reason",
-        coalesce(qualityReason, exactReason, col("_g_near"), col("_g_contam")))
-      .drop("_g_md5", "_g_keeper", "_g_near", "_g_contam", "top_word_share")
+        coalesce(col("_g_quality"), exactReason, col("_g_near"),
+          col("_g_contam")))
+      .drop("_g_md5", "_g_keeper", "_g_near", "_g_contam",
+        "_g_quality", "top_word_share")
   }
 
   /** The kept documents, annotation columns removed. */

@@ -258,20 +258,12 @@ object TextQueries {
     * per-doc window shuffles only WindowGroupLimit survivors: the rank
     * <= 3 filter is pushed below the exchange, so at most 3 rows per
     * (doc, partition) travel, not the tf relation. */
-  def d14TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
-    val tf = docTermFreqs(s, dir)
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("term"),
-        round(col("tf") * (col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("doc_id"), col("rank").cast("long").as("rank"),
-        col("term"), col("tfidf"))
+  def d14TfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.tfidfFromTf(
+      docTermFreqs(s, dir).withColumnRenamed("tf", "_g_tf"),
+      "doc_id",
+      documents(s, dir).agg(count(lit(1)).as("_g_n")), topK = 3)
       .orderBy("doc_id", "rank")
-  }
 
   /** d16: URL/domain profiling with blocklist flags — the C4-style
     * domain filter runs off per-domain corpus counts, so the profile is
@@ -387,6 +379,10 @@ object TextQueries {
     * at 100 TB the approximate path (percentile_approx, already in
     * ax_percentiles) is the first choice and this is the audit tool. */
   def d15LengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    // NOT delegated to CorpusOps.lengthDeciles: the generic API derives
+    // length(textCol), while this gate (and its oracle) read the table's
+    // pre-computed n_chars column — delegating would silently depend on
+    // the testdata invariant n_chars == length(text)
     val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
     documents(s, dir)
       .select(col("lang"), col("n_chars"),

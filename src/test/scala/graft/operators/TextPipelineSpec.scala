@@ -75,6 +75,28 @@ class TextPipelineSpec extends AnyFunSuite {
       "exact_dup" -> 1L, "near_dup" -> 1L, "contaminated" -> 1L), s"$rep")
   }
 
+  test("a member of a cluster whose representative failed quality survives") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    def words(n: Int): String =
+      Seq.fill(n)(
+        Seq.fill(3 + rng.nextInt(5))(('a' + rng.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    val base = words(40)
+    // doc 1 (the would-be cluster minimum) is rejected as repetitive;
+    // doc 2 shares its content — sequential semantics must KEEP doc 2,
+    // not drop it as a near-dup of an already-rejected representative
+    val docs = Seq(
+      (1L, base + (" spam" * 80)),
+      (2L, base)).toDF("id", "body")
+    val reasons = TextPipeline.curate(docs, "id", "body")
+      .select("id", "reject_reason")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(reasons(1L).contains("repetitive"))
+    assert(reasons(2L).isEmpty,
+      s"surviving content lost to a rejected representative: $reasons")
+  }
+
   test("without a benchmark and with scrubbing off, the input passes through") {
     import spark.implicits._
     val (docs, _) = mkCorpus
