@@ -87,6 +87,7 @@ object SparkEntry {
     "d16_domain_profile" -> (T.d16DomainProfile _),
     "d17_chunk_documents" -> (T.d17ChunkDocuments _),
     "d18_pack_sequences" -> (T.d18PackSequences _),
+    "d19_dup_passages" -> (T.d19DupPassages _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "x11_int8_quantize" -> (X.x11Int8Quantize _),
     "x12_pq_encode" -> (operators.ProductQuantizer.x12PqEncode _),
     "x13_fingerprint_overlap" -> (X.x13FingerprintOverlap _),
+    "x14_semdedup" -> (operators.IvfAnn.x14SemDedup _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -698,6 +700,29 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    // duplicate-passage spans: word 16-grams hashed with full md5, dup =
+    // seen in 2+ distinct docs, consecutive dup positions merge via
+    // gaps-and-islands; a doc with < 16 words shingles to ONE whole-doc
+    // gram (the word_ngrams kernel contract), hence the CASE and the
+    // least(...) span clamp
+    "d19_dup_passages" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(w) AS nw, CAST(p AS BIGINT) AS pos,
+        |    md5(CASE WHEN len(w) < 16 THEN array_to_string(w, ' ')
+        |        ELSE array_to_string(list_slice(w, p + 1, p + 16), ' ') END) AS gh
+        |  FROM w, unnest(range(0, greatest(len(w) - 15, 1))) t(p)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) < max(doc_id)),
+        |d AS (SELECT g.doc_id, g.nw, g.pos FROM g JOIN dup USING (gh)),
+        |i AS (SELECT doc_id, nw, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |      FROM d)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(least(max(pos) + 16, min(nw)) - min(pos) AS BIGINT) AS span_words
+        |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
     // substring-fingerprint overlap: char 24-grams, deterministic h%8
     // sample, boilerplate cap, >=3 shared — every rule is plain SQL over
     // the portable 28-bit hash, so the oracle replays it exactly
@@ -719,6 +744,28 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, shared FROM pairs
         |WHERE shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // SemDeDup drops: nearest of the first-16 centroids (x7's cells CTE,
+    // same sim-desc/cid-asc tie-break), pairwise cosine ONLY within a
+    // cell, rounded to 6 before the tau comparison (the x6 convention);
+    // a vector is dropped when a smaller same-cell id exceeds tau
+    "x14_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+        |  FROM e CROSS JOIN c),
+        |cells AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT b.vec_id, b.cell,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT vec_id, cell, CAST(count(*) AS BIGINT) AS n_similar,
+        |  max(cos) AS max_cos
+        |FROM pr WHERE cos > 0.4 GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin,
     // PQ encode with the untrained first-K codebook (the x7 trick): the
     // squared-L2 is the same |a|²-2ab+|b|² expansion over
     // list_inner_product, rounded to 6 BEFORE the argmin so tie-breaks

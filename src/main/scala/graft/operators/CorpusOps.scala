@@ -403,4 +403,55 @@ object CorpusOps {
       .select(col("doc_id").as(corpusId)).distinct()
     corpus.join(contaminated, Seq(corpusId), "left_anti")
   }
+
+  /** Exhaustive duplicate-passage detection — the word-n-gram realization
+    * of exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): any word n-gram occurring in
+    * 2+ DISTINCT documents marks its start position, and maximal runs of
+    * consecutive marked positions merge into removable spans
+    * (gaps-and-islands). Complements [[fingerprintOverlap]]: that samples
+    * fingerprints to rank document PAIRS; this is exhaustive and returns
+    * the exact word intervals to cut.
+    *
+    * Output: one row per span — (doc_id LONG, span_start LONG — 0-based
+    * word offset, span_words LONG). A document shorter than `n` words
+    * shingles to one whole-document gram ([[graft.functions.TextKernels]]
+    * contract), so two short duplicates yield full-document spans.
+    *
+    * Scale shape: the gram relation is persisted (consumed by both the
+    * dup-gram aggregation and the position semi join); every shuffle after
+    * the corpus scan carries (16-byte digest, LONG) pairs, never text. The
+    * per-document window runs after the semi join, i.e. over marked
+    * positions only — corpus-sized only in the degenerate all-duplicate
+    * corpus. At 100 TB the digest groupBy is the honest cost (one wide
+    * shuffle of n_grams rows); Bloom-prefiltering the second pass with
+    * [[ScaleUtils.bloomPrefilter]] drops the semi-join shuffle too. */
+  def dupPassages(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 16): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val s = docs.sparkSession
+    graft.functions.TextExprs.register(s)
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(call_function("split_words", col(textCol))).as("_g_nw"),
+        posexplode(call_function("word_ngrams", col(textCol), lit(n)))
+          .as(Seq("_g_pos", "_g_gram")))
+      .select(col("doc_id"), col("_g_nw"), col("_g_pos"),
+        md5(col("_g_gram")).as("_g_gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupGrams = grams.groupBy(col("_g_gh"))
+      .agg(min(col("doc_id")).as("_g_mn"), max(col("doc_id")).as("_g_mx"))
+      .filter(col("_g_mn") < col("_g_mx"))
+      .select(col("_g_gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("_g_pos")
+    grams.join(dupGrams, Seq("_g_gh"), "left_semi")
+      .withColumn("_g_isl", col("_g_pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_g_isl"))
+      .agg(min(col("_g_pos")).as("_g_s"), max(col("_g_pos")).as("_g_e"),
+        min(col("_g_nw")).as("_g_w"))
+      .select(col("doc_id"), col("_g_s").cast("long").as("span_start"),
+        (least(col("_g_e") + n, col("_g_w")) - col("_g_s")).cast("long")
+          .as("span_words"))
+  }
 }

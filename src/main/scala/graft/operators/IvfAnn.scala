@@ -146,4 +146,45 @@ object IvfAnn {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ivfSearch(emb, cents)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * removal with the quadratic cost bounded by clustering. Every vector
+    * joins its nearest-centroid cell; cosine is compared ONLY within a
+    * cell; a vector is dropped when some SMALLER id in its cell exceeds
+    * `tau` (keep-the-minimum, the same deterministic survivor rule as the
+    * exact/LSH dedup family).
+    *
+    * Output: one row per DROPPED vector — (vec_id, cell, n_similar LONG,
+    * max_cos). Callers anti-join it against the corpus.
+    *
+    * Scale shape: centroids broadcast, assignment map-side (the corpus
+    * never shuffles to find its cell), then ONE shuffle by cell for the
+    * self-join — each cell compares n/K vectors pairwise independently, so
+    * K tunes the quadratic term: at 100 TB, K ≈ corpus/√target keeps every
+    * cell's pair count constant. Cells are persisted (both join sides). */
+  def semDedup(emb: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val cells = assignCells(emb, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lhs = cells.select(col("cell"), col("vec_id").as("_g_ia"),
+      col("v").as("_g_va"))
+    val rhs = cells.select(col("cell"), col("vec_id"), col("v").as("_g_vb"))
+    lhs.join(rhs, Seq("cell"))
+      .filter(col("_g_ia") < col("vec_id"))
+      .select(col("vec_id"), col("cell"),
+        round(cosine(col("_g_va"), col("_g_vb")), 6).as("_g_cos"))
+      .filter(col("_g_cos") > tau)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(count(lit(1)).as("n_similar"), max(col("_g_cos")).as("max_cos"))
+  }
+
+  /** Gate query: SemDeDup drops over the embeddings table with untrained
+    * first-K centroids (oracle-reproducible) at the x6 threshold. */
+  def x14SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = vectors(s, dir)
+    val cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    semDedup(emb, cents, tau = 0.4).orderBy("vec_id")
+  }
 }

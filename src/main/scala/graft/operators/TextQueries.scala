@@ -350,6 +350,16 @@ object TextQueries {
       .orderBy("lang", "bin")
   }
 
+  /** d19: exhaustive duplicate-passage spans over the corpus — the exact
+    * word intervals shared (as 16-gram runs) between 2+ documents, merged
+    * gaps-and-islands style. [[graft.operators.CorpusOps.dupPassages]] is
+    * the frame-generic implementation; here it binds to the documents
+    * table. Distinct from x13 (sampled fingerprints ranking document
+    * pairs) and d1 (whole-document digests): this returns cuttable spans. */
+  def d19DupPassages(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.dupPassages(documents(s, dir), "doc_id", "text", n = 16)
+      .orderBy("doc_id", "span_start")
+
   /** Per-doc term frequencies, materialized ONCE per input snapshot: the
     * tf relation feeds both d14's score join and its document-frequency
     * statistic, and Spark does not reuse common subplans — uncached, the

@@ -271,4 +271,33 @@ class CorpusOpsSpec extends AnyFunSuite {
         r.getLong(4))).toSet
     assert(api == gate && api.nonEmpty)
   }
+
+  test("dupPassages merges shared 16-gram runs into exact word spans") {
+    import spark.implicits._
+    def ws(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = ws("s", 20) // a 20-word run present in docs 1 and 2
+    val docs = Seq(
+      (1L, ws("a", 10) + " " + shared + " " + ws("b", 10)),
+      (2L, ws("c", 5) + " " + shared + " " + ws("d", 7)),
+      (3L, ws("e", 30))).toDF("item", "body")
+    val spans = CorpusOps.dupPassages(docs, "item", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // grams fully inside the shared run start at [10,14] in doc 1 and
+    // [5,9] in doc 2 -> one span each covering exactly the 20 words
+    assert(spans == Set((1L, 10L, 20L), (2L, 5L, 20L)), s"$spans")
+  }
+
+  test("dupPassages flags short whole-doc duplicates and clamps the span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny shared five word doc"),
+      (2L, "tiny shared five word doc"),
+      (3L, "an unrelated short doc")).toDF("item", "body")
+    val spans = CorpusOps.dupPassages(docs, "item", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // < 16 words => ONE whole-doc shingle; the span must clamp to the
+    // real word count, not pos + 16
+    assert(spans == Set((1L, 0L, 5L), (2L, 0L, 5L)), s"$spans")
+  }
 }

@@ -51,4 +51,29 @@ class IvfAnnSpec extends AnyFunSuite {
       assert(cv.length == 64 && cv.exists(_ != 0.0))
     }
   }
+
+  test("semDedup drops the higher id of a similar pair, only within a cell") {
+    import spark.implicits._
+    // two orthogonal centroids; vectors 10/11 nearly parallel in cell 0,
+    // vector 12 lives in cell 1 and must never be compared against them
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0)
+    val near1 = Array(0.999, 0.01, 0.0, 0.0)
+    val emb = Seq(
+      (0L, e1), (1L, e2),
+      (10L, near1), (11L, Array(0.998, 0.02, 0.0, 0.0)),
+      (12L, Array(0.02, 0.998, 0.0, 0.0))).toDF("vec_id", "v")
+    val cents = Seq((0L, e1), (1L, e2)).toDF("cid", "cv")
+    val drops = IvfAnn.semDedup(emb, cents, tau = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 10 and 11 drop in cell 0 (both nearly parallel to smaller id 0;
+    // 11 also to 10, hence n_similar = 2); 12 drops in cell 1 against 1.
+    // Nothing crosses cells: 12's only similars live in cell 0's pair set
+    // if the cell bound were broken, and 0/1 themselves must survive.
+    assert(drops.keySet == Set(10L, 11L, 12L), s"$drops")
+    assert(drops(10L) == ((0L, 1L)), s"$drops")
+    assert(drops(11L) == ((0L, 2L)), s"$drops")
+    assert(drops(12L) == ((1L, 1L)), s"$drops")
+  }
 }
