@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) — the third scale path for embedding search
@@ -67,13 +66,17 @@ object ProductQuantizer {
 
   /** Deterministic init: the k smallest-id vectors donate their
     * subvectors as codes 0..k-1 in every subspace (id-value-agnostic,
-    * same convention as [[IvfAnn.trainCentroids]]). The k-row window is
-    * driver-scale by construction. */
+    * same convention as [[IvfAnn.trainCentroids]]). The k-row rank is
+    * assigned on the DRIVER: a partition-less row_number() window would
+    * plan a single-partition WindowExec even over this already-limit(k)
+    * input, and the k ids are driver-scale by construction anyway. */
   def initCodebook(sv: DataFrame, k: Int = K): DataFrame = {
-    val coded = sv.select(col("pq_id")).distinct()
+    val s = sv.sparkSession
+    import s.implicits._
+    val ids = sv.select(col("pq_id").cast("long")).distinct()
       .orderBy(col("pq_id")).limit(k)
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col("pq_id"))) - 1).cast("int"))
+      .collect().map(_.getLong(0))
+    val coded = ids.zipWithIndex.toSeq.toDF("pq_id", "code")
     sv.join(broadcast(coded), Seq("pq_id"))
       .select(col("sub"), col("code"), col("sv").as("cv"))
   }
