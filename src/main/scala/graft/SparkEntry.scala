@@ -88,6 +88,10 @@ object SparkEntry {
     "d17_chunk_documents" -> (T.d17ChunkDocuments _),
     "d18_pack_sequences" -> (T.d18PackSequences _),
     "d19_dup_passages" -> (T.d19DupPassages _),
+    "d20_cut_passages" -> (T.d20CutPassages _),
+    "d21_domain_mix" -> (T.d21DomainMix _),
+    "d22_token_budget" -> (T.d22TokenBudget _),
+    "d23_quality_classifier" -> (T.d23QualityClassifier _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -723,6 +727,87 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(least(max(pos) + 16, min(nw)) - min(pos) AS BIGINT) AS span_words
         |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+    // cut-passages: d19's span CTEs, then an indexed list_filter drops
+    // every word position covered by a span (DuckDB lambda index is
+    // 1-based, hence i - 1); output text is the split_words-normalized
+    // rejoin for cut and uncut docs alike
+    "d20_cut_passages" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(ws) AS nw, CAST(p AS BIGINT) AS pos,
+        |    md5(CASE WHEN len(ws) < 16 THEN array_to_string(ws, ' ')
+        |        ELSE array_to_string(list_slice(ws, p + 1, p + 16), ' ') END) AS gh
+        |  FROM w, unnest(range(0, greatest(len(ws) - 15, 1))) t(p)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) < max(doc_id)),
+        |d AS (SELECT g.doc_id, g.nw, g.pos FROM g JOIN dup USING (gh)),
+        |i AS (SELECT doc_id, nw, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |      FROM d),
+        |sp AS (SELECT doc_id, min(pos) AS s,
+        |         least(max(pos) + 16, min(nw)) - min(pos) AS wd
+        |       FROM i GROUP BY doc_id, isl),
+        |sl AS (SELECT doc_id, list(struct_pack(s := s, w := wd)) AS spans
+        |       FROM sp GROUP BY doc_id),
+        |k AS (
+        |  SELECT w.doc_id, ws, CASE WHEN spans IS NULL THEN ws
+        |    ELSE list_filter(ws, (x, i) -> len(list_filter(spans,
+        |      q -> i - 1 >= q.s AND i - 1 < q.s + q.w)) = 0) END AS kept
+        |  FROM w LEFT JOIN sl USING (doc_id))
+        |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(ws) - len(kept) AS BIGINT) AS n_cut
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // domain mixing: weight = source_number % 4 + 1, binding group =
+    // smallest n/weight (IEEE-double ratio, name tie-break — the engine
+    // replays the same ordering), quota = floor(n_bind * w / w_bind),
+    // members picked in content-hash order
+    "d21_domain_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS wt
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT n AS bn, wt AS bw FROM c ORDER BY n * 1.0 / wt, source LIMIT 1),
+        |q AS (SELECT source, bn * wt // bw AS quota FROM c, b),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(text), 1, 7))::BIGINT, doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+    // token-budget selection: the engine's histogram-seeded prefix equals
+    // a running sum over the global order (bucket DESC, hash-subbucket,
+    // hash, id) capped at the budget — the oracle states it directly
+    "d22_token_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id, least(9, n_chars // 64) AS bucket,
+        |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+        |    ('0x' || substr(md5(text), 1, 7))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT *, sum(toks) OVER
+        |        (ORDER BY bucket DESC, h % 64, h, doc_id) AS cum
+        |      FROM b)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, toks FROM c
+        |WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
+    // hashed linear classifier: exact integer word-weight sum and count
+    // only — the mean is a library-side double whose round-half ties are
+    // not portable, so the gate never compares floats
+    "d23_quality_classifier" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws,
+        |      x -> ('0x' || substr(md5(x), 1, 7))::BIGINT % 2001 - 1000)), 0) AS BIGINT) AS weight_sum
+        |  FROM w)
+        |SELECT doc_id, weight_sum, n_words,
+        |  CASE WHEN weight_sum > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
     // substring-fingerprint overlap: char 24-grams, deterministic h%8
     // sample, boilerplate cap, >=3 shared — every rule is plain SQL over
     // the portable 28-bit hash, so the oracle replays it exactly

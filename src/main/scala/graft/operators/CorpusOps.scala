@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** DataFrame-generic corpus-hygiene API — the surface a library user calls
@@ -453,5 +453,182 @@ object CorpusOps {
       .select(col("doc_id"), col("_g_s").cast("long").as("span_start"),
         (least(col("_g_e") + n, col("_g_w")) - col("_g_s")).cast("long")
           .as("span_words"))
+  }
+
+  /** Cut [[dupPassages]]-style spans out of the corpus: rebuild each
+    * document from its word sequence minus every word position covered by
+    * a span. `spans` must carry (doc_id, span_start, span_words) with
+    * 0-based word offsets and non-overlapping spans per doc (the
+    * dupPassages contract). Output text is whitespace-NORMALIZED (the
+    * split_words convention: lowercased, runs of whitespace collapsed to
+    * single spaces) for every document, cut or not, so downstream hashes
+    * are comparable across the two populations.
+    *
+    * Output: (doc_id LONG, clean_text, n_kept LONG, n_cut LONG).
+    *
+    * Scale shape: spans aggregate to ONE array row per affected doc, the
+    * join is a plain equi join on doc_id (AQE broadcasts it when the dup
+    * population is small), and the cut itself is a map-side higher-order
+    * filter — no explode, no window, no per-word shuffle. */
+  def cutPassages(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.TextExprs.register(s)
+    val spanList = spans
+      .select(col("doc_id").cast("long").as("doc_id"),
+        struct(col("span_start").as("s"), col("span_words").as("w")).as("_g_sp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("_g_sp")).as("_g_spans"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_g_text"))
+      .join(spanList, Seq("doc_id"), "left")
+      .withColumn("_g_ws", call_function("split_words", col("_g_text")))
+      .withColumn("_g_kept",
+        when(col("_g_spans").isNull, col("_g_ws"))
+          .otherwise(expr(
+            "filter(_g_ws, (x, i) -> NOT exists(_g_spans, " +
+              "sp -> i >= sp.s AND i < sp.s + sp.w))")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("_g_kept")).as("clean_text"),
+        size(col("_g_kept")).cast("long").as("n_kept"),
+        (size(col("_g_ws")) - size(col("_g_kept"))).cast("long").as("n_cut"))
+  }
+
+  /** Resample the corpus to target domain proportions (the static-mixture
+    * step of pre-training data curation — Pile/DoReMi-style weights
+    * applied at corpus-build time). `weightOf` maps a domain value to its
+    * non-negative integer mixture weight; the largest feasible corpus with
+    * proportions `weight/sum(weights)` is taken WITHOUT upsampling: the
+    * binding domain (smallest count/weight ratio) is kept whole and every
+    * other domain downsamples to `floor(n_binding * w / w_binding)` docs,
+    * chosen in content-hash order (engine-independent, the d9 stratified-
+    * sample convention).
+    *
+    * Scale shape: one tiny groupBy-count collect (rows = #domains — the
+    * only driver-side state), quotas broadcast back, and ONE partitioned
+    * window (row_number per domain) to apply them. Zero-weight domains
+    * drop before the window. */
+  def mixDomains(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, weightOf: String => Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.Md5Prefix28Expr.register(s)
+    val counts = docs.groupBy(col(domainCol).as("_g_dom"))
+      .agg(count(lit(1)).as("_g_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val weighted = counts
+      .map { case (d, n) => (d, n, weightOf(d)) }
+      .filter { case (_, _, w) =>
+        require(w >= 0, s"negative mixture weight for domain"); w > 0 }
+    require(weighted.nonEmpty, "mixDomains: every domain has weight 0")
+    // binding domain = smallest n/w; IEEE double ratio + name tie-break,
+    // the same ordering a SQL oracle computes
+    val (_, bn, bw) = weighted.minBy { case (d, n, w) => (n.toDouble / w, d) }
+    val quotas = weighted
+      .map { case (d, _, w) => (d, bn * w / bw) }.toSeq
+      .toDF(domainCol, "_g_quota")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(call_function("md5_prefix28", col(textCol)), col(idCol))
+    docs.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("_g_rn", row_number().over(win))
+      .filter(col("_g_rn") <= col("_g_quota"))
+      .drop("_g_rn", "_g_quota")
+  }
+
+  /** Select documents into a fixed token budget, best-quality-first — the
+    * "fill the training-token budget" step. Documents are globally ordered
+    * by (bucket DESC, subbucket, content-hash, id) and the maximal prefix
+    * whose cumulative `toks` stays within `budget` is kept — WITHOUT a
+    * global window: a (bucket × subbucket) token histogram (≤ buckets×`subs`
+    * rows) collects to the driver, cells wholly inside the budget pass
+    * entirely, cells past it drop, and only the ONE boundary cell — about
+    * 1/(buckets×subs) of the corpus — runs an in-cell running sum seeded
+    * with the driver-computed offset. At deeper scale the same histogram
+    * step recurses on more hash bits instead of widening the window.
+    *
+    * `bucket` must be a small-cardinality integer quality score (higher =
+    * better); `toks` a positive per-doc token count. Output: (doc_id LONG,
+    * bucket LONG, toks LONG), the selected docs. */
+  def selectTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      bucket: Column, toks: Column, budget: Long,
+      subs: Int = 64): DataFrame = {
+    require(budget >= 0 && subs >= 1, s"bad budget/subs ($budget, $subs)")
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.Md5Prefix28Expr.register(s)
+    val base = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        bucket.cast("long").as("bucket"), toks.cast("long").as("toks"),
+        call_function("md5_prefix28", col(textCol)).as("_g_h"))
+      .withColumn("_g_sub", pmod(col("_g_h"), lit(subs.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = base.groupBy(col("bucket"), col("_g_sub"))
+      .agg(sum(col("toks")).as("_g_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (b, sub, _) => (-b, sub) }
+    // walk cells in global order; full cells pass, the boundary cell gets
+    // the running offset, everything after is dropped
+    var cum = 0L
+    var boundary: Option[(Long, Long, Long)] = None
+    val full = Seq.newBuilder[(Long, Long)]
+    hist.foreach { case (b, sub, t) =>
+      if (boundary.isEmpty && cum + t <= budget) { full += ((b, sub)); cum += t }
+      else if (boundary.isEmpty) { boundary = Some((b, sub, cum)) }
+    }
+    val fullDf = full.result().toDF("bucket", "_g_sub")
+    val kept = base.join(broadcast(fullDf), Seq("bucket", "_g_sub"), "left_semi")
+    val sel = boundary match {
+      case None => kept
+      case Some((bb, bs, off)) =>
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"), col("_g_sub"))
+          .orderBy(col("_g_h"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val edge = base
+          .filter(col("bucket") === bb && col("_g_sub") === bs)
+          .withColumn("_g_cum", sum(col("toks")).over(win) + off)
+          .filter(col("_g_cum") <= budget)
+          .drop("_g_cum")
+        kept.unionByName(edge)
+    }
+    sel.select(col("doc_id"), col("bucket"), col("toks"))
+  }
+
+  /** Hashed-n-gram linear quality classifier (the fastText-style shape:
+    * score = mean over words of a per-bucket weight, label = sign). The
+    * weight table here is a deterministic hash-derived stand-in —
+    * `w(word) = (md5_prefix28(word) mod 2001) - 1000`, i.e. uniform in
+    * [-1000, 1000] — with the real-model path being the same plan over a
+    * broadcast weight map. The word sum stays in exact integer arithmetic;
+    * only the final mean divides (sum / (n_words * 1000.0)), so engines
+    * agree bit-for-bit until one well-defined rounding.
+    *
+    * Output: (doc_id LONG, weight_sum LONG — the exact integer sum,
+    * n_words LONG, quality_logit DOUBLE rounded to 6, label 'keep'|'drop'
+    * — decided on the EXACT integer sum, not the rounded double; the gate
+    * query compares only the integer columns so no float rounding ever
+    * crosses engines). Entirely map-side: tokenize, hash, sum and divide
+    * inside one projection — no explode, no shuffle, no state. */
+  def classifyQuality(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.TextExprs.register(s)
+    graft.functions.Md5Prefix28Expr.register(s)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("split_words", col(textCol)).as("_g_ws"))
+      .withColumn("_g_sum", expr(
+        "aggregate(transform(_g_ws, w -> md5_prefix28(w) % 2001 - 1000L), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"),
+        col("_g_sum").as("weight_sum"),
+        size(col("_g_ws")).cast("long").as("n_words"),
+        round(when(size(col("_g_ws")) === 0, lit(0.0))
+          .otherwise(col("_g_sum") / (size(col("_g_ws")) * lit(1000.0))), 6)
+          .as("quality_logit"),
+        when(col("_g_sum") > 0, lit("keep")).otherwise(lit("drop"))
+          .as("label"))
   }
 }

@@ -402,4 +402,47 @@ object TextQueries {
         min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
       .orderBy("lang", "decile")
   }
+
+  /** d20: the corpus with d19's duplicate passages cut out —
+    * [[graft.operators.CorpusOps.cutPassages]] over [[d19DupPassages]]'s
+    * spans. The pair (find spans, cut spans) is the exact-substring-dedup
+    * loop a training pipeline actually runs (Lee et al. 2021). */
+  def d20CutPassages(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val spans = CorpusOps.dupPassages(docs, "doc_id", "text", n = 16)
+    CorpusOps.cutPassages(docs, "doc_id", "text", spans).orderBy("doc_id")
+  }
+
+  /** d21: static domain mixing — resample `source` groups to integer
+    * mixture weights `(source_number mod 4) + 1` without upsampling
+    * ([[graft.operators.CorpusOps.mixDomains]]). */
+  def d21DomainMix(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.mixDomains(documents(s, dir), "doc_id", "text", "source",
+        d => d.drop(3).toLong % 4 + 1)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  /** d22: fill a 20k-token training budget best-quality-first, where
+    * quality = length bucket `least(9, n_chars div 64)` (longer docs
+    * first) and toks = ceil(n_chars/4) (the d18 token model). Histogram-
+    * seeded selection — no global window
+    * ([[graft.operators.CorpusOps.selectTokenBudget]]). */
+  def d22TokenBudget(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.selectTokenBudget(documents(s, dir), "doc_id", "text",
+        bucket = least(lit(9L), expr("n_chars div 64")),
+        toks = ceil(col("n_chars") / lit(4.0)).cast("long"),
+        budget = 20000L)
+      .orderBy("doc_id")
+
+  /** d23: hashed linear quality classifier
+    * ([[graft.operators.CorpusOps.classifyQuality]]) — fastText-shaped
+    * scoring with a deterministic hash-derived weight table; fully
+    * map-side, zero shuffles. The gate projects the EXACT integer columns
+    * (sum, word count, sign label) — the rounded double logit stays a
+    * library-only column because round-half ties on the 6th decimal are
+    * not portable across engines. */
+  def d23QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.classifyQuality(documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("weight_sum"), col("n_words"), col("label"))
+      .orderBy("doc_id")
 }

@@ -300,4 +300,113 @@ class CorpusOpsSpec extends AnyFunSuite {
     // real word count, not pos + 16
     assert(spans == Set((1L, 0L, 5L), (2L, 0L, 5L)), s"$spans")
   }
+
+  test("cutPassages removes exactly the span words and normalizes text") {
+    import spark.implicits._
+    def ws(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = ws("s", 20)
+    val docs = Seq(
+      (1L, ws("a", 10) + "  " + shared + " " + ws("b", 10)), // double space
+      (2L, ws("c", 5) + " " + shared + " " + ws("d", 7)),
+      (3L, "Keep ME   Unchanged")).toDF("item", "body")
+    val spans = CorpusOps.dupPassages(docs, "item", "body")
+    val out = CorpusOps.cutPassages(docs, "item", "body", spans)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((ws("a", 10) + " " + ws("b", 10), 20L, 20L)))
+    assert(out(2L) == ((ws("c", 5) + " " + ws("d", 7), 12L, 20L)))
+    // uncut doc still comes back lowercased + whitespace-collapsed
+    assert(out(3L) == (("keep me unchanged", 3L, 0L)))
+  }
+
+  test("cutPassages empties a whole-document duplicate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny shared five word doc"),
+      (2L, "tiny shared five word doc")).toDF("item", "body")
+    val spans = CorpusOps.dupPassages(docs, "item", "body")
+    val out = CorpusOps.cutPassages(docs, "item", "body", spans)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set((1L, "", 0L, 5L), (2L, "", 0L, 5L)))
+  }
+
+  test("mixDomains keeps the binding domain whole and downsamples the rest") {
+    import spark.implicits._
+    val docs = ((0 until 6).map(i => (i.toLong, s"alpha doc number $i", "A")) ++
+      (10 until 14).map(i => (i.toLong, s"beta doc number $i", "B")))
+      .toDF("item", "body", "dom")
+    // ratios: A 6/1 = 6, B 4/2 = 2 -> B binds; quotas A = 4*1/2 = 2, B = 4
+    val out = CorpusOps.mixDomains(docs, "item", "body", "dom",
+      d => if (d == "A") 1L else 2L)
+    val byDom = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom == Map("A" -> 2L, "B" -> 4L), s"$byDom")
+    // schema passes through untouched and the pick is deterministic
+    assert(out.columns.toSeq == Seq("dom", "item", "body"))
+    val again = CorpusOps.mixDomains(docs, "item", "body", "dom",
+      d => if (d == "A") 1L else 2L).select("item").collect().toSet
+    assert(again == out.select("item").collect().toSet)
+  }
+
+  test("mixDomains drops zero-weight domains") {
+    import spark.implicits._
+    val docs = Seq((1L, "one doc", "A"), (2L, "two doc", "B"))
+      .toDF("item", "body", "dom")
+    val out = CorpusOps.mixDomains(docs, "item", "body", "dom",
+      d => if (d == "A") 1L else 0L)
+    assert(out.select("dom").collect().map(_.getString(0)).toSeq == Seq("A"))
+  }
+
+  test("selectTokenBudget equals the brute-force global prefix") {
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"doc body $i ${"pad " * (i % 7)}", (i % 5).toLong,
+        (i % 13 + 1).toLong))
+      .toDF("item", "body", "b", "t")
+    val budget = 400L
+    val got = CorpusOps.selectTokenBudget(docs, "item", "body",
+        bucket = col("b"), toks = col("t"), budget = budget, subs = 8)
+      .collect().map(_.getLong(0)).toSet
+    // brute force: same total order, running sum capped at the budget
+    graft.functions.Md5Prefix28Expr.register(spark)
+    val rows = docs.select(col("item"), col("b"), col("t"),
+        org.apache.spark.sql.functions.call_function("md5_prefix28", col("body")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (id, b, _, hh) => (-b, hh % 8, hh, id) }
+    var cum = 0L
+    val want = rows.takeWhile { case (_, _, t, _) =>
+      cum += t; cum <= budget }.map(_._1).toSet
+    assert(got == want && got.nonEmpty, s"${got.size} vs ${want.size}")
+  }
+
+  test("selectTokenBudget edge budgets: zero selects nothing, huge selects all") {
+    import spark.implicits._
+    val docs = Seq((1L, "a doc", 1L, 5L), (2L, "b doc", 2L, 5L))
+      .toDF("item", "body", "b", "t")
+    assert(CorpusOps.selectTokenBudget(docs, "item", "body",
+      col("b"), col("t"), 0L).count() == 0L)
+    assert(CorpusOps.selectTokenBudget(docs, "item", "body",
+      col("b"), col("t"), 1000L).count() == 2L)
+  }
+
+  test("classifyQuality is the exact hash-weight mean with sign labels") {
+    import spark.implicits._
+    val docs = Seq((1L, "Alpha beta"), (2L, ""), (3L, "gamma")).toDF("item", "body")
+    val out = CorpusOps.classifyQuality(docs, "item", "body")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getString(4)))).toMap
+    def w(word: String): Long =
+      graft.functions.PortableHash.md5Prefix28(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word)) % 2001 - 1000
+    val s1 = w("alpha") + w("beta")
+    assert(out(1L)._1 ==
+      BigDecimal(s1 / 2000.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(out(1L)._2 == (if (s1 > 0) "keep" else "drop"))
+    assert(out(2L) == ((0.0, "drop")))
+    val s3 = w("gamma")
+    assert(out(3L)._2 == (if (s3 > 0) "keep" else "drop"))
+  }
 }
