@@ -92,6 +92,8 @@ object SparkEntry {
     "d21_domain_mix" -> (T.d21DomainMix _),
     "d22_token_budget" -> (T.d22TokenBudget _),
     "d23_quality_classifier" -> (T.d23QualityClassifier _),
+    "d24_shuffle_shards" -> (T.d24ShuffleShards _),
+    "d25_bigram_lm" -> (T.d25BigramLm _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -808,6 +810,38 @@ object SparkEntry {
         |SELECT doc_id, weight_sum, n_words,
         |  CASE WHEN weight_sum > 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM s ORDER BY doc_id""".stripMargin,
+    // deterministic shuffle: shard + in-shard rank both derive from the
+    // portable hash of seed:doc_id, so any engine replays the permutation
+    "d24_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // bigram LM: per-doc tf over hashed word bigrams, corpus frequency =
+    // sum of tf, hits = sum(tf * cf) — all integers, so exact both sides;
+    // docs under 2 words coalesce to (0, 0)
+    "d25_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(ws[p + 1] || ' ' || ws[p + 2]), 1, 7))::BIGINT AS h
+        |  FROM w, unnest(range(0, len(ws) - 1)) t(p)
+        |  WHERE len(ws) >= 2),
+        |tf AS (SELECT doc_id, h, count(*) AS tf FROM g GROUP BY doc_id, h),
+        |cf AS (SELECT h, sum(tf) AS cf FROM tf GROUP BY h),
+        |hits AS (
+        |  SELECT doc_id, sum(tf * cf) AS bigram_hits, sum(tf) AS n_bigrams
+        |  FROM tf JOIN cf USING (h) GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(coalesce(bigram_hits, 0) AS BIGINT) AS bigram_hits,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams
+        |FROM w LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
     // substring-fingerprint overlap: char 24-grams, deterministic h%8
     // sample, boilerplate cap, >=3 shared — every rule is plain SQL over
     // the portable 28-bit hash, so the oracle replays it exactly

@@ -611,6 +611,82 @@ object CorpusOps {
     * query compares only the integer columns so no float rounding ever
     * crosses engines). Entirely map-side: tokenize, hash, sum and divide
     * inside one projection — no explode, no shuffle, no state. */
+  /** Deterministic corpus shuffle into training shards — the reproducible
+    * global-shuffle step before sequence packing: every engine, run and
+    * cluster size produces the SAME (shard, pos) for a given corpus and
+    * seed, unlike `rand()`-based shuffles (which also break retry/replay —
+    * a re-run task would re-sample). shard = portable_hash(seed:id) mod
+    * `shards`; pos = rank of (hash, id) within the shard.
+    *
+    * Output: (doc_id LONG, shard LONG, pos LONG).
+    *
+    * Scale shape: a pure map to (shard, hash) then ONE window partitioned
+    * by shard — no global sort. Size `shards` so one shard fits a
+    * partition (10k shards at 100 TB ≈ 10 GB/shard); readers then consume
+    * shard files independently and a reshuffle is just a new seed. */
+  def shuffleShards(docs: DataFrame, idCol: String, shards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    graft.functions.Md5Prefix28Expr.register(docs.sparkSession)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_g_h"), col("doc_id"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("_g_h", call_function("md5_prefix28",
+        concat_ws(":", lit(seed), col("doc_id"))))
+      .withColumn("shard", pmod(col("_g_h"), lit(shards.toLong)))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(win).cast("long").as("pos"))
+  }
+
+  /** Corpus-trained bigram language-model typicality score — the
+    * CCNet/perplexity quality-filter shape with the corpus itself as the
+    * LM: a document scores by how common its word bigrams are corpus-wide
+    * (sum over its bigrams of the corpus frequency of that bigram).
+    * Garbled text scores low, boilerplate high; practice cuts both tails.
+    * Counts and sums stay in exact integer arithmetic so engines agree;
+    * `avg_freq` (hits / n_bigrams, rounded to 4) is library-side
+    * convenience the gate never compares.
+    *
+    * Output: (doc_id LONG, bigram_hits LONG, n_bigrams LONG,
+    * avg_freq DOUBLE). Docs with fewer than 2 words score (0, 0, 0.0).
+    *
+    * Scale shape: bigrams reduce FIRST to per-doc term frequencies
+    * (groupBy (doc, hash28)) so every later stage carries one row per
+    * DISTINCT bigram per doc; the corpus frequency table derives from the
+    * same persisted tf relation (one explode+shuffle, reused), and the
+    * frequency join shuffles 8-byte hashes, never text. 28-bit hash
+    * collisions merge bigram identities identically on both engines. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.TextExprs.register(s)
+    graft.functions.Md5Prefix28Expr.register(s)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_g_text"))
+    val tf = base
+      .select(col("doc_id"),
+        explode(when(size(call_function("split_words", col("_g_text"))) < 2,
+          array().cast("array<string>"))
+          .otherwise(call_function("word_ngrams", col("_g_text"), lit(2))))
+          .as("_g_bg"))
+      .select(col("doc_id"), call_function("md5_prefix28", col("_g_bg")).as("_g_h"))
+      .groupBy(col("doc_id"), col("_g_h")).agg(count(lit(1)).as("_g_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = tf.groupBy(col("_g_h")).agg(sum(col("_g_tf")).as("_g_cf"))
+    val hits = tf.join(corpus, "_g_h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_g_tf") * col("_g_cf")).as("bigram_hits"),
+        sum(col("_g_tf")).as("n_bigrams"))
+    base.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bigram_hits"), lit(0L)).as("bigram_hits"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("bigram_hits") / col("n_bigrams").cast("double")), 4)
+          .as("avg_freq"))
+  }
+
   def classifyQuality(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val s = docs.sparkSession

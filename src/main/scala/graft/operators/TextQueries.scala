@@ -445,4 +445,22 @@ object TextQueries {
     CorpusOps.classifyQuality(documents(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("weight_sum"), col("n_words"), col("label"))
       .orderBy("doc_id")
+
+  /** d24: reproducible global shuffle into 8 training shards, seed 1 —
+    * [[graft.operators.CorpusOps.shuffleShards]]. Deterministic (hash-
+    * derived, engine- and run-independent) where `rand()` shuffles are
+    * not. */
+  def d24ShuffleShards(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.shuffleShards(documents(s, dir), "doc_id", shards = 8,
+        seed = 1L)
+      .orderBy("doc_id")
+
+  /** d25: corpus-trained bigram LM typicality score
+    * ([[graft.operators.CorpusOps.bigramLmScore]]) — the perplexity-filter
+    * shape in exact integer arithmetic; the gate compares only the integer
+    * columns (the rounded avg stays library-side, as in d23). */
+  def d25BigramLm(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.bigramLmScore(documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("bigram_hits"), col("n_bigrams"))
+      .orderBy("doc_id")
 }

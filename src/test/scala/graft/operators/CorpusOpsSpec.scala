@@ -391,6 +391,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       col("b"), col("t"), 1000L).count() == 2L)
   }
 
+  test("shuffleShards is a deterministic permutation with dense shard positions") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"doc $i")).toDF("item", "body")
+    val out = CorpusOps.shuffleShards(docs, "item", shards = 8, seed = 1L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == (0L until 100L).toSet)
+    // positions are dense 1..n within each shard
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size).map(_.toLong).toSeq)
+    }
+    // same seed replays the permutation; a different seed moves some doc
+    val again = CorpusOps.shuffleShards(docs, "item", shards = 8, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    val other = CorpusOps.shuffleShards(docs, "item", shards = 8, seed = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists { case (id, sh, _) => other(id) != sh })
+  }
+
+  test("bigramLmScore matches brute force and zeroes sub-bigram docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "solo"), (4L, ""))
+      .toDF("item", "body")
+    val out = CorpusOps.bigramLmScore(docs, "item", "body")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // corpus bigrams: "the cat" x2, "cat sat" x1, "cat ran" x1
+    assert(out(1L) == ((3L, 2L, 1.5))) // 2 ("the cat") + 1 ("cat sat")
+    assert(out(2L) == ((3L, 2L, 1.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("classifyQuality is the exact hash-weight mean with sign labels") {
     import spark.implicits._
     val docs = Seq((1L, "Alpha beta"), (2L, ""), (3L, "gamma")).toDF("item", "body")
