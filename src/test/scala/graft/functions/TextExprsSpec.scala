@@ -88,16 +88,66 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_hashes: rolling update equals direct per-gram recompute") {
+    // recompute each gram hash from scratch (Horner over FNV word hashes)
+    // and compare to the kernel's rolling-update output on every doc
+    def fnv(w: String): Long = {
+      var h = 0xcbf29ce484222325L
+      w.foreach { c => h ^= c; h *= 0x100000001b3L }
+      h
+    }
+    val B = 0x9E3779B97F4A7C15L
+    def direct(text: String, n: Int): Seq[Long] = {
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      def horner(sl: Seq[String]): Long =
+        sl.foldLeft(0L)((g, w) => g * B + fnv(w))
+      if (ws.length < n) Seq(horner(ws.toSeq))
+      else ws.toSeq.sliding(n).map(horner).toSeq
+    }
+    for (n <- Seq(1, 2, 3, 16)) {
+      val got = docs.select(col("doc_id"),
+        call_function("ngram_hashes", col("text"), lit(n)).as("gh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> direct(r.getString(1), n)).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("ngram_hashes aligns with word_ngrams: equal grams hash equal") {
+    // two docs sharing a 3-gram must produce the same hash at the shared
+    // positions, and differing grams must differ (collision-free in test)
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "zz alpha beta gamma yy")).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"),
+      call_function("ngram_hashes", col("text"), lit(3)).as("gh"),
+      call_function("word_ngrams", col("text"), lit(3)).as("gs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[String](2)))
+    val byGram = rows.flatMap { case (_, hs, gs) => gs.zip(hs) }
+    // identical gram text <=> identical hash across docs
+    byGram.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).distinct.size == 1) }
+    assert(byGram.map(_._1).distinct.size == byGram.map(_._2).distinct.size)
+  }
+
   test("codegen and interpreted evaluation agree") {
     val s = spark
     try {
       s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val interp = docs.select(call_function("word_ngrams", col("text"), lit(3)))
         .collect().map(_.getSeq[String](0))
+      val interpH = docs.select(call_function("ngram_hashes", col("text"), lit(3)))
+        .collect().map(_.getSeq[Long](0))
       s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       val gen = docs.select(call_function("word_ngrams", col("text"), lit(3)))
         .collect().map(_.getSeq[String](0))
+      val genH = docs.select(call_function("ngram_hashes", col("text"), lit(3)))
+        .collect().map(_.getSeq[Long](0))
       assert(interp.zip(gen).forall { case (a, b) => a == b })
+      assert(interpH.zip(genH).forall { case (a, b) => a == b })
     } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 }
