@@ -20,16 +20,27 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = table(s, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanos-since-epoch long (legacy conf); normalize it back to a proper
-    * TimestampType (micros) so downstream ops are engine-portable. */
+  /** events.ts arrives as either parquet TIMESTAMP (read natively as a
+    * timestamp) or TIMESTAMP(NANOS), which Spark only reads as a
+    * nanos-since-epoch long (legacy conf); normalize the long encoding
+    * back to a proper TimestampType (micros) so downstream ops are
+    * engine-portable. Shared with the streaming file source, which must
+    * apply the identical rule for stream==batch comparability. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      // numerically an identity under the pinned UTC session timezone; keeps
+      // every consumer (windows, watermarks, the typed Event encoder) on
+      // TimestampType regardless of which encoding the file carries
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    case _ => df
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case scala.util.control.NonFatal(_) => }
-    val df = table(s, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    normalizeTs(table(s, dir, "events"))
   }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")

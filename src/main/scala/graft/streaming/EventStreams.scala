@@ -16,25 +16,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** Read the driver's events parquet as a bounded stream (test/dev source).
-    * Handles the TIMESTAMP(NANOS) encoding (see graft.Tables.events). */
+    * The streaming file source needs an explicit schema, so infer it with a
+    * footer-only batch read — that also resolves which `ts` encoding this
+    * file carries (native TIMESTAMP vs the legacy nanos-as-long read), and
+    * `Tables.normalizeTs` then applies the SAME rule as the batch loader,
+    * keeping stream and batch results comparable. */
   def fileSource(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case scala.util.control.NonFatal(_) => }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     // the streaming file source requires a directory; accept a direct
     // file path by reading its parent with a glob filter
     val p = new java.io.File(dir)
     val (base, glob) =
       if (p.isFile) (p.getParent, p.getName) else (dir, "*.parquet")
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(base)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(base).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(base))
   }
 
   /** Tumbling-window counts/sums per event type with a watermark bounding

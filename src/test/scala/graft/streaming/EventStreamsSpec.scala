@@ -153,10 +153,10 @@ class EventStreamsSpec extends AnyFunSuite {
       Thread.sleep(1100) // distinct mtimes pin the replay order
     }
     val gapMs = 6L * 3600 * 1000
-    val stream = s2.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeTs(
+      s2.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir))
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value")).as[EventStreams.Event]
