@@ -105,6 +105,7 @@ object Cli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-convert")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,7 @@ object Demo {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -98,6 +99,7 @@ object Demo {
       val idx = operators.IvfPq.build(emb, "vec_id", "embedding")
       println("ADC top-5 for vec 0 over M-byte codes (4 of 16 cells probed):")
       operators.IvfPq.topK(idx, q, topK = 5, nProbe = 4).show()
+      idx.release()
 
       println("=== one-call curation pipeline ===")
       val annotated = operators.TextPipeline.curate(

@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * Internal working columns are `_g_`-prefixed (user frames must not carry
   * `_g_*` names); outputs use the documented names per method.
   * Input caching is the CALLER's choice — pipelines chaining several of
-  * these over one corpus should `docs.persist()` first; only the minhash
-  * signatures (consumed twice by the LSH self-join) are persisted
-  * internally, with lifecycle left to Spark's session CacheManager.
+  * these over one corpus should `docs.persist()` first. NOTHING is
+  * persisted internally: self-join and tf-reuse shapes lean on Catalyst's
+  * exchange reuse (canonically identical shuffle subtrees execute once —
+  * verified ReusedExchange in every such plan here), and the one
+  * cross-action intermediate ([[SimilarityQueries.clustersFromPairs]]'
+  * edge frame) is persisted and released inside the call. A long-lived
+  * session therefore never accumulates orphaned cache entries from this
+  * API.
   *
   * Scale shapes are identical to the gate queries (SURVEY §7.1 module 8):
   * one corpus repartition on the id, fixed-width hash keys on every
@@ -54,17 +59,19 @@ object CorpusOps {
 
   /** LSH near-duplicate candidate pairs: (doc_a, doc_b, est_jaccard).
     * Band geometry tunes recall: nBands = numPerms/bandSize buckets per
-    * doc, candidate probability ≈ 1-(1-j^bandSize)^nBands. Signatures are
-    * persisted for the self-join (one corpus pass, not two); Spark's
-    * CacheManager owns the blocks from there. */
+    * doc, candidate probability ≈ 1-(1-j^bandSize)^nBands. The self-join's
+    * two banded sides are canonically identical, so the signature build
+    * and band shuffle execute ONCE and the second side reads the reused
+    * exchange (verified ReusedExchange — and measured faster than a
+    * persist, which paid a cache write plus two band shuffles). Nothing
+    * is left in the session CacheManager. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, numPerms: Int = SimilarityQueries.NumPerms,
       bandSize: Int = SimilarityQueries.BandSize): DataFrame = {
     require(numPerms % bandSize == 0,
       s"numPerms ($numPerms) must be a multiple of bandSize ($bandSize)")
     SimilarityQueries.lshPairs(
-      minhashSignatures(docs, idCol, textCol, ngram, numPerms)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      minhashSignatures(docs, idCol, textCol, ngram, numPerms),
       numPerms, bandSize)
   }
 
@@ -246,9 +253,10 @@ object CorpusOps {
   /** Per-document tf-idf keywords (the d14 shape, frame-generic):
     * (idCol, rank, term, tfidf), top `topK` terms per document with the
     * ratio idf N/df and the (score desc, term asc) total order. The tf
-    * relation is persisted internally — it feeds both the score join and
-    * the document-frequency statistic (the [[candidatePairs]] signature
-    * convention; Spark's CacheManager owns the blocks). */
+    * relation feeds both the score join and the document-frequency
+    * statistic through ONE shuffle: the two consumers' aggregation
+    * subtrees are canonically identical, so Catalyst reuses the tf
+    * exchange (verified ReusedExchange) — no internal persist. */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 3): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
@@ -259,7 +267,6 @@ object CorpusOps {
       .select(col(idCol),
         explode(call_function("split_words", col("_g_text"))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_g_tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tfidfFromTf(tf, idCol, docs.agg(count(lit(1)).as("_g_n")), topK)
   }
 
@@ -576,7 +583,13 @@ object CorpusOps {
     *
     * `bucket` must be a small-cardinality integer quality score (higher =
     * better); `toks` a positive per-doc token count. Output: (doc_id LONG,
-    * bucket LONG, toks LONG), the selected docs. */
+    * bucket LONG, toks LONG), the selected docs.
+    *
+    * Caching: none internal — the method reads `docs` up to three times
+    * (histogram, bulk keep, boundary cell), each a narrow pruned pass.
+    * A caller wanting one-pass economics persists the input projection
+    * (the object contract) and releases it after consuming the result;
+    * nothing here outlives the call in the session CacheManager. */
   def selectTokenBudget(docs: DataFrame, idCol: String, textCol: String,
       bucket: Column, toks: Column, budget: Long,
       subs: Int = 64): DataFrame = {
@@ -589,7 +602,6 @@ object CorpusOps {
         bucket.cast("long").as("bucket"), toks.cast("long").as("toks"),
         call_function("md5_prefix28", col(textCol)).as("_g_h"))
       .withColumn("_g_sub", pmod(col("_g_h"), lit(subs.toLong)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = base.groupBy(col("bucket"), col("_g_sub"))
       .agg(sum(col("toks")).as("_g_t"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -681,9 +693,11 @@ object CorpusOps {
     * Scale shape: bigrams reduce FIRST to per-doc term frequencies
     * (groupBy (doc, hash28)) so every later stage carries one row per
     * DISTINCT bigram per doc; the corpus frequency table derives from the
-    * same persisted tf relation (one explode+shuffle, reused), and the
-    * frequency join shuffles 8-byte hashes, never text. 28-bit hash
-    * collisions merge bigram identities identically on both engines. */
+    * same tf relation through Catalyst's exchange reuse (one
+    * explode+shuffle executed once, read by both consumers — verified
+    * ReusedExchange; no persist), and the frequency join shuffles 8-byte
+    * hashes, never text. 28-bit hash collisions merge bigram identities
+    * identically on both engines. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val s = docs.sparkSession
@@ -699,7 +713,6 @@ object CorpusOps {
           .as("_g_bg"))
       .select(col("doc_id"), call_function("md5_prefix28", col("_g_bg")).as("_g_h"))
       .groupBy(col("doc_id"), col("_g_h")).agg(count(lit(1)).as("_g_tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = tf.groupBy(col("_g_h")).agg(sum(col("_g_tf")).as("_g_cf"))
     val hits = tf.join(corpus, "_g_h")
       .groupBy(col("doc_id"))

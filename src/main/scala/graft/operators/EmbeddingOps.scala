@@ -83,8 +83,9 @@ object EmbeddingOps {
     // driver-side cell ranking below reads as such
     require(iters >= 1, s"ivfTopK needs at least one k-means round, got $iters")
     val emb = vecs(df, idCol, vecCol)
+    // trainer output is driver-local — the collect below reads in-memory
+    // rows and the assignCells broadcast ships them; nothing persisted
     val cents = IvfAnn.trainCentroids(emb, cells, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qCells = cents.collect()
       .map { r =>
         val cv = r.getSeq[Double](1)
@@ -150,8 +151,7 @@ object EmbeddingOps {
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"needs at least one k-means round, got $iters")
     val emb = vecs(df, idCol, vecCol)
-    val cents = IvfAnn.trainCentroids(emb, cells, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = IvfAnn.trainCentroids(emb, cells, iters) // driver-local
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
     val probes = qvecs(queries, qIdCol, qVecCol)

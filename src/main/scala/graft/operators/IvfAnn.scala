@@ -112,15 +112,21 @@ object IvfAnn {
     * Init = first `k` vectors by id (deterministic). Each iteration:
     * assign (broadcast argmax) → update (posexplode to (cell, dim),
     * average, re-assemble). Returns (cid, cv). `iters` is small and the
-    * centroid table is tiny, so the loop materializes K×dim doubles per
-    * round — the corpus is scanned once per iteration, never collected. */
+    * centroid table is tiny (K×dim doubles — a function of parameters,
+    * never of the data), so every round MATERIALIZES it driver-local
+    * ([[ScaleUtils.materializeLocal]]): each iteration runs exactly one
+    * corpus scan, the plan stays constant-depth instead of nesting per
+    * round, and the returned relation is driver-local — consumers
+    * (broadcast joins, driver-side cell ranking) read it for free with
+    * NO persist to leak in the session CacheManager. */
   def trainCentroids(emb: DataFrame, k: Int = K, iters: Int = 5): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     // init = the k smallest-id vectors: deterministic AND id-value-agnostic
     // (frames whose ids don't start at 0 — e.g. via EmbeddingOps — train
     // identically to the contiguous-id testdata)
-    var cents = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var cents = ScaleUtils.materializeLocal(
+      emb.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
       val assigned = assignCells(emb, cents)
       val updated = assigned
@@ -133,18 +139,18 @@ object IvfAnn {
           p => p.getField("m")).as("nv"))
         .select(col("cell").as("cid"), col("nv"))
       // empty cells keep their previous centroid (no silent k shrinkage)
-      cents = cents.join(updated, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+      cents = ScaleUtils.materializeLocal(
+        cents.join(updated, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv")))
     }
     cents
   }
 
-  /** Trained-IVF search: train on the corpus, then probe. */
+  /** Trained-IVF search: train on the corpus, then probe. Centroids come
+    * back driver-local from the trainer — nothing to persist or release. */
   def ivfTrainedTopK(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val emb = vectors(s, dir)
-    val cents = trainCentroids(emb, K, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ivfSearch(emb, cents)
+    ivfSearch(emb, trainCentroids(emb, K, iters))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -162,11 +168,13 @@ object IvfAnn {
     * never shuffles to find its cell), then ONE shuffle by cell for the
     * self-join — each cell compares n/K vectors pairwise independently, so
     * K tunes the quadratic term: at 100 TB, K ≈ corpus/√target keeps every
-    * cell's pair count constant. Cells are persisted (both join sides). */
+    * cell's pair count constant. The self-join's two sides are canonically
+    * identical, so the cell shuffle is written ONCE and reused (verified:
+    * ReusedExchange in the executed plan) — no persist, nothing left in
+    * the session CacheManager. */
   def semDedup(emb: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val cells = assignCells(emb, cents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lhs = cells.select(col("cell"), col("vec_id").as("_g_ia"),
       col("v").as("_g_va"))
     val rhs = cells.select(col("cell"), col("vec_id"), col("v").as("_g_vb"))

@@ -27,14 +27,27 @@ import org.apache.spark.storage.StorageLevel
 object IvfPq {
 
   /** The built index: `cents` (cid, cv) coarse centroids, `codebook`
-    * (sub, code, cv) shared residual codebooks, `codes` (pq_id, cell,
-    * codes) — the compressed serving relation. */
+    * (sub, code, cv) shared residual codebooks — both driver-local after
+    * [[build]] — and `codes` (pq_id, cell, codes), the compressed serving
+    * relation. `build` persists `codes` and the residual frame it is
+    * derived from; call [[release]] when done with an in-session index
+    * (an index written with [[writeIndex]] and re-loaded has nothing
+    * persisted — release is then a no-op). */
   final case class IvfPqIndex(cents: DataFrame, codebook: DataFrame,
-      codes: DataFrame, m: Int, k: Int)
+      codes: DataFrame, m: Int, k: Int,
+      private val handles: Seq[DataFrame] = Nil) {
+    /** Unpersist every frame [[build]] cached — the deterministic end of
+      * the index's in-session lifetime (the `featuresWithCuts` pattern). */
+    def release(blocking: Boolean = false): Unit =
+      handles.foreach(_.unpersist(blocking))
+  }
 
-  /** Build the index over any (id, vector) frame. Intermediates that are
-    * consumed more than once (centroids, residuals, codebook) are
-    * persisted; Spark's CacheManager owns the blocks. */
+  /** Build the index over any (id, vector) frame. The two trainer outputs
+    * (coarse centroids, residual codebook) come back driver-local; only
+    * the corpus-sized frames consumed more than once — the residuals
+    * (codebook training + encode + cell join) and `codes` (read once per
+    * probed cell, forever) — are persisted, and the returned index's
+    * `release()` unpersists both deterministically. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = IvfAnn.K, m: Int = ProductQuantizer.M,
       k: Int = ProductQuantizer.K, coarseIters: Int = 3,
@@ -48,7 +61,6 @@ object IvfPq {
           "trailing dims would be silently dropped")
     }
     val cents = IvfAnn.trainCentroids(emb, nCells, coarseIters)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val residuals = IvfAnn.assignCells(emb, cents)
       .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
       .select(col("vec_id"), col("cell"),
@@ -56,14 +68,12 @@ object IvfPq {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val codebook = ProductQuantizer
       .train(residuals, "vec_id", "r", m, k, pqIters)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // codes is THE serving relation, read once per probed cell — persist
-    // it like every other multiply-consumed frame here
     val codes = ProductQuantizer.encode(residuals, "vec_id", "r", codebook, m)
       .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
         Seq("pq_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    IvfPqIndex(cents, codebook, codes, m, k)
+    IvfPqIndex(cents, codebook, codes, m, k,
+      handles = Seq(residuals, codes))
   }
 
   /** Cosine — the probe ranking must use the SAME metric

@@ -98,11 +98,15 @@ object ProductQuantizer {
 
   /** Lloyd's k-means over all subspaces at once (sub is a group key, so
     * one corpus pass per iteration trains all M codebooks). Empty codes
-    * keep their previous centroid — no silent K shrinkage. */
+    * keep their previous centroid — no silent K shrinkage. The codebook is
+    * M×K×(dim/M) doubles — parameter-bounded — so every round materializes
+    * it driver-local ([[ScaleUtils.materializeLocal]]): one corpus pass
+    * per iteration, constant plan depth, and a driver-local return that
+    * needs no persist (nothing left in the session CacheManager). */
   def train(emb: DataFrame, idCol: String, vecCol: String, m: Int = M,
       k: Int = K, iters: Int = 3): DataFrame = {
     val sv = subvectors(emb, idCol, vecCol, m)
-    var cb = initCodebook(sv, k)
+    var cb = ScaleUtils.materializeLocal(initCodebook(sv, k))
     for (_ <- 1 to iters) {
       val updated = assignCodes(sv, cb)
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
@@ -112,8 +116,9 @@ object ProductQuantizer {
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("m")))),
           p => p.getField("m")).as("nv"))
-      cb = cb.join(updated, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"), coalesce(col("nv"), col("cv")).as("cv"))
+      cb = ScaleUtils.materializeLocal(
+        cb.join(updated, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"), coalesce(col("nv"), col("cv")).as("cv")))
     }
     cb
   }

@@ -97,4 +97,25 @@ object ScaleUtils {
       expectedIds: Long, fpp: Double = 0.01): DataFrame =
     bloomPrefilter(fact, ids, key, expectedIds, fpp)
       .join(ids.select(col(key)).distinct(), Seq(key), "left_semi")
+
+  /** Collect a BOUNDED-by-construction frame (k-means centroids, PQ
+    * codebooks — tables whose size is a function of parameters, never of
+    * the data) into a driver-local relation. Downstream consumers then
+    * read in-memory rows instead of re-executing the producing plan — the
+    * deterministic alternative to `.persist()` for tiny trainer outputs:
+    * no CacheManager entry to leak, no deep iterative plan to recompute,
+    * and every broadcast of the result ships driver-local bytes.
+    * Caller contract: `df` must be driver-scale (the call collects it). */
+  def materializeLocal(df: DataFrame): DataFrame = {
+    val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
+  /** Deterministic release handle for persisted intermediates that must
+    * outlive their producing call (the `featuresWithCuts` convention):
+    * the caller consumes the returned frame, then calls [[release]]. */
+  final class CacheHandle(frames: Seq[DataFrame]) {
+    def release(blocking: Boolean = false): Unit =
+      frames.foreach(_.unpersist(blocking))
+  }
 }

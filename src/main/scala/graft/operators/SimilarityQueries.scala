@@ -108,7 +108,11 @@ object SimilarityQueries {
       lock.lock()
       try {
         val snap = inputSnapshot(s, dir)
-        val stale = snap != shingleSnapshots.get(key)
+        // isCached guards against an external spark.catalog.clearCache()
+        // (e.g. a bench clearing warmup state): the view would still
+        // exist but serve uncached recomputes forever — rebuild instead
+        val stale = snap != shingleSnapshots.get(key) ||
+          !(s.catalog.tableExists(view) && s.catalog.isCached(view))
         if (stale || !s.catalog.tableExists(view)) {
           if (s.catalog.tableExists(view)) s.catalog.uncacheTable(view)
           build.createOrReplaceTempView(view)
@@ -306,16 +310,25 @@ object SimilarityQueries {
   private[operators] def clustersFromPairs(s: SparkSession, cand: DataFrame,
       driverEdgeLimit: Int, threshold: Double = 0.5): DataFrame = {
     import s.implicits._
+    // persisted across the size probe and (on overflow) the label-prop
+    // takeover, released in finally: both paths compute the edge set once
+    // and nothing stays in the session CacheManager past this call —
+    // safe because both outputs are decoupled from `pairs` by the time we
+    // return (driver path: createDataset of the union-find result;
+    // distributed path: an eager localCheckpoint of the final labels)
     val pairs = cand
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val head = // typed collect: specialized (Long, Long) tuples, no Row boxing
-      if (driverEdgeLimit > 0)
-        pairs.limit(driverEdgeLimit + 1).as[(Long, Long)].collect()
-      else Array.empty[(Long, Long)]
-    if (driverEdgeLimit > 0 && head.length <= driverEdgeLimit)
-      driverUnionFind(s, head)
-    else distributedClusters(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = // typed collect: specialized (Long, Long) tuples, no Row boxing
+        if (driverEdgeLimit > 0)
+          pairs.limit(driverEdgeLimit + 1).as[(Long, Long)].collect()
+        else Array.empty[(Long, Long)]
+      if (driverEdgeLimit > 0 && head.length <= driverEdgeLimit)
+        driverUnionFind(s, head)
+      else distributedClusters(pairs)
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** Union-find over primitive arrays: open-addressed long→dense-index

@@ -29,7 +29,17 @@ object EventStreams {
     val p = new java.io.File(dir)
     val (base, glob) =
       if (p.isFile) (p.getParent, p.getName) else (dir, "*.parquet")
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(base).schema
+    // an initially-EMPTY source directory has no footers to infer from —
+    // fall back to the known events schema (ts encoded as a native
+    // timestamp) so a stream can start before its first file lands
+    val schema =
+      try spark.read.option("pathGlobFilter", glob).parquet(base).schema
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE, props STRING")
+      }
     graft.Tables.normalizeTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(base))

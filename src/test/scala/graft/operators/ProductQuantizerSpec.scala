@@ -118,6 +118,7 @@ class ProductQuantizerSpec extends AnyFunSuite {
       .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
     val recall = got.map(_.getLong(0)).count(exact) / 10.0
     println(s"IVFPQ(16 cells, nProbe=4, PQ4x16 residual) recall@10: $recall")
+    idx.release()
     // residual quantization at the same M×K budget must clearly beat the
     // 0.1 raw-vector direct recall measured above; margin for run-to-run
     // centroid jitter
@@ -136,6 +137,7 @@ class ProductQuantizerSpec extends AnyFunSuite {
     val b = IvfPq.topK(loaded, query, topK = 10, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b, s"loaded index must score identically\n$a\n$b")
+    idx.release()
     // the serving claim: probing one cell is a partition-pruned scan
     val cell = loaded.codes.select("cell").head().get(0)
     val plan = loaded.codes.filter(col("cell") === cell)
@@ -149,6 +151,7 @@ class ProductQuantizerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IvfPq.topK(idx, Seq(1.0, 2.0, 3.0), topK = 5)
     }
+    idx.release()
     intercept[IllegalArgumentException] {
       IvfPq.build(renamed
         .select(col("item"), slice(col("vec"), 1, 63).as("vec")),
