@@ -766,6 +766,10 @@ object SparkEntry {
     // smallest n/weight (IEEE-double ratio, name tie-break — the engine
     // replays the same ordering), quota = floor(n_bind * w / w_bind),
     // members picked in content-hash order
+    // selection order per domain = (hash mod 64, hash, id): the engine's
+    // (domain × subbucket)-histogram walk keeps whole subbuckets in
+    // ascending order and row_numbers only the boundary cell, which
+    // equals this one flat window rule stated directly
     "d21_domain_mix" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n,
@@ -776,7 +780,8 @@ object SparkEntry {
         |r AS (
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY ('0x' || substr(md5(text), 1, 7))::BIGINT, doc_id) AS rn
+        |      ORDER BY ('0x' || substr(md5(text), 1, 7))::BIGINT % 64,
+        |        ('0x' || substr(md5(text), 1, 7))::BIGINT, doc_id) AS rn
         |  FROM documents)
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,

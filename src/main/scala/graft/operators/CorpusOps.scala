@@ -535,21 +535,38 @@ object CorpusOps {
     * proportions `weight/sum(weights)` is taken WITHOUT upsampling: the
     * binding domain (smallest count/weight ratio) is kept whole and every
     * other domain downsamples to `floor(n_binding * w / w_binding)` docs,
-    * chosen in content-hash order (engine-independent, the d9 stratified-
-    * sample convention).
+    * chosen in content-hash order — per domain, ascending
+    * (hash mod `subs`, hash, id) — engine-independent, the d9 stratified-
+    * sample convention.
     *
-    * Scale shape: one tiny groupBy-count collect (rows = #domains — the
-    * only driver-side state), quotas broadcast back, and ONE partitioned
-    * window (row_number per domain) to apply them. Zero-weight domains
-    * drop before the window. */
+    * Scale shape — the [[selectTokenBudget]] histogram + boundary-cell
+    * pattern with domain as the bucket: one (domain × subbucket) count
+    * histogram collects to the driver (≤ #domains × `subs` rows — the
+    * only driver-side state), whole cells inside a domain's quota pass
+    * via a broadcast semi join, cells past it drop, and only each
+    * domain's ONE boundary cell — ~1/`subs` of that domain — runs a
+    * row_number window, partitioned by (domain, subbucket). No window
+    * ever spans a full domain, so a web-crawl corpus that is >50% one
+    * source still splits its hot domain across `subs` cells, and `subs`
+    * scales the residual window work down arbitrarily. Zero-weight
+    * domains drop at the histogram. */
   def mixDomains(docs: DataFrame, idCol: String, textCol: String,
-      domainCol: String, weightOf: String => Long): DataFrame = {
+      domainCol: String, weightOf: String => Long,
+      subs: Int = 64): DataFrame = {
+    require(subs >= 1, s"subs must be >= 1, got $subs")
     val s = docs.sparkSession
     import s.implicits._
     graft.functions.Md5Prefix28Expr.register(s)
-    val counts = docs.groupBy(col(domainCol).as("_g_dom"))
+    val base = docs
+      .withColumn("_g_h", call_function("md5_prefix28", col(textCol)))
+      .withColumn("_g_sub", pmod(col("_g_h"), lit(subs.toLong)))
+    val hist = base
+      .groupBy(col(domainCol).as("_g_dom"), col("_g_sub"))
       .agg(count(lit(1)).as("_g_n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val counts = hist.groupBy(_._1).map { case (d, cells) =>
+      (d, cells.map(_._3).sum)
+    }.toArray
     val weighted = counts
       .map { case (d, n) => (d, n, weightOf(d)) }
       .filter { case (_, _, w) =>
@@ -558,16 +575,37 @@ object CorpusOps {
     // binding domain = smallest n/w; IEEE double ratio + name tie-break,
     // the same ordering a SQL oracle computes
     val (_, bn, bw) = weighted.minBy { case (d, n, w) => (n.toDouble / w, d) }
-    val quotas = weighted
-      .map { case (d, _, w) => (d, bn * w / bw) }.toSeq
-      .toDF(domainCol, "_g_quota")
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
-      .orderBy(call_function("md5_prefix28", col(textCol)), col(idCol))
-    docs.join(broadcast(quotas), Seq(domainCol))
-      .withColumn("_g_rn", row_number().over(win))
-      .filter(col("_g_rn") <= col("_g_quota"))
-      .drop("_g_rn", "_g_quota")
+    val quota = weighted.map { case (d, _, w) => d -> bn * w / bw }.toMap
+    // walk each domain's cells in selection order (sub asc); whole cells
+    // inside the quota pass, the one boundary cell gets its remaining
+    // take, later cells drop
+    val full = Seq.newBuilder[(String, Long)]
+    val edgeTake = Seq.newBuilder[(String, Long, Long)]
+    hist.filter { case (d, _, _) => quota.contains(d) }
+      .groupBy(_._1).foreach { case (d, cells) =>
+        var remaining = quota(d)
+        cells.sortBy(_._2).foreach { case (_, sub, n) =>
+          if (remaining >= n) { full += ((d, sub)); remaining -= n }
+          else if (remaining > 0) { edgeTake += ((d, sub, remaining)); remaining = 0 }
+        }
+      }
+    val kept = base.join(
+      broadcast(full.result().toDF(domainCol, "_g_sub")),
+      Seq(domainCol, "_g_sub"), "left_semi")
+    val edges = edgeTake.result()
+    val sel = if (edges.isEmpty) kept else {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(domainCol), col("_g_sub"))
+        .orderBy(col("_g_h"), col(idCol))
+      val edge = base
+        .join(broadcast(edges.toDF(domainCol, "_g_sub", "_g_take")),
+          Seq(domainCol, "_g_sub"))
+        .withColumn("_g_rn", row_number().over(win))
+        .filter(col("_g_rn") <= col("_g_take"))
+        .drop("_g_rn", "_g_take")
+      kept.unionByName(edge)
+    }
+    sel.drop("_g_h", "_g_sub")
   }
 
   /** Select documents into a fixed token budget, best-quality-first — the

@@ -348,6 +348,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     val again = CorpusOps.mixDomains(docs, "item", "body", "dom",
       d => if (d == "A") 1L else 2L).select("item").collect().toSet
     assert(again == out.select("item").collect().toSet)
+    // the scale contract: quotas apply via the (domain × subbucket)
+    // histogram — any residual Window partitions by (domain, subbucket),
+    // never by the bare domain (one hot domain must not become one task)
+    out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Window")).foreach { l =>
+        assert(l.contains("_g_sub"),
+          s"Window must partition by (domain, subbucket):\n$l")
+      }
   }
 
   test("mixDomains drops zero-weight domains") {
