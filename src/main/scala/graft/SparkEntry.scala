@@ -109,6 +109,7 @@ object SparkEntry {
     "x12_pq_encode" -> (operators.ProductQuantizer.x12PqEncode _),
     "x13_fingerprint_overlap" -> (X.x13FingerprintOverlap _),
     "x14_semdedup" -> (operators.IvfAnn.x14SemDedup _),
+    "x15_ivfpq_topk" -> (operators.IvfPq.x15IvfPqTopK _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -923,6 +924,64 @@ object SparkEntry {
         |  round(sum(d), 6) AS qerr
         |FROM best WHERE rn = 1
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // the composed IVF-PQ serving path (build -> write -> load -> probe):
+    // coarse cells = first-4 vectors, residual codebook = first-16
+    // residual subvectors, ADC over the vec-0 query's 2 probed cells —
+    // each stage restated as the flat relational rule it implements
+    "x15_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+        |sims AS (
+        |  SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+        |  FROM e CROSS JOIN c),
+        |cells AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |res AS (
+        |  SELECT cl.vec_id, cl.cell,
+        |    list_transform(range(1, 65), i -> cl.v[i] - c.cv[i]) AS r
+        |  FROM cells cl JOIN c ON cl.cell = c.cid),
+        |sv AS (
+        |  SELECT vec_id, cell, sub, list_slice(r, sub*16 + 1, sub*16 + 16) AS s
+        |  FROM res CROSS JOIN (SELECT unnest(range(4)) AS sub)),
+        |ids AS (
+        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT s.sub, i.code, s.s AS cv FROM sv s JOIN ids i USING (vec_id)),
+        |dist AS (
+        |  SELECT s.vec_id, s.cell, s.sub, b.code,
+        |    round(list_inner_product(s.s, s.s)
+        |      - 2.0 * list_inner_product(s.s, b.cv)
+        |      + list_inner_product(b.cv, b.cv), 6) AS d
+        |  FROM sv s JOIN cb b ON s.sub = b.sub),
+        |best AS (
+        |  SELECT vec_id, cell, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |qcells AS (
+        |  SELECT cid AS cell FROM (
+        |    SELECT cid, row_number() OVER (ORDER BY sim DESC, cid) AS rn
+        |    FROM sims WHERE vec_id = 0) WHERE rn <= 2),
+        |qres AS (
+        |  SELECT c.cid AS cell,
+        |    list_transform(range(1, 65), i -> q.v[i] - c.cv[i]) AS qr
+        |  FROM c JOIN qcells ON c.cid = qcells.cell
+        |    CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q),
+        |lut AS (
+        |  SELECT r.cell, b.sub, b.code,
+        |    list_inner_product(list_slice(r.qr, b.sub*16 + 1, b.sub*16 + 16),
+        |      list_slice(r.qr, b.sub*16 + 1, b.sub*16 + 16))
+        |    - 2.0 * list_inner_product(list_slice(r.qr, b.sub*16 + 1, b.sub*16 + 16), b.cv)
+        |    + list_inner_product(b.cv, b.cv) AS ld
+        |  FROM qres r CROSS JOIN cb b),
+        |adc AS (
+        |  SELECT bs.vec_id, round(sum(l.ld), 6) AS adc_dist
+        |  FROM best bs JOIN lut l
+        |    ON bs.cell = l.cell AND bs.sub = l.sub AND bs.code = l.code
+        |  GROUP BY bs.vec_id)
+        |SELECT vec_id, adc_dist FROM adc
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     // end-to-end dedup: the x8 clusters joined back to the corpus — every
     // cluster keeps its minimum doc_id, the rest are anti-joined away
     "x9_dedup_corpus" -> ("WITH RECURSIVE " +

@@ -119,6 +119,40 @@ object IvfPq {
       meta.getInt(0), meta.getInt(1))
   }
 
+  /** Gate query (x15): the COMPOSED serving path end-to-end — build the
+    * index with the deterministic untrained geometry (first-16 coarse
+    * cells, first-16 residual codebook: coarseIters = pqIters = 0, the
+    * x7/x12 convention), WRITE it cell-partitioned, LOAD it back, and
+    * ADC-probe the vec 0 query over 2 of 4 cells — so the partition-
+    * pruned read path, not just the in-memory build, is what the oracle
+    * checks. 4 coarse cells, not 16: the untrained convention donates
+    * first-k-by-id vectors to BOTH stages, so with nCells = k every
+    * codebook donor would be its own centroid and quantize to an
+    * all-zero (degenerate) codebook — 4 cells leave 12 of the 16
+    * residual codes meaningful. Vectors are cast to DOUBLE up front so
+    * an independent SQL engine replays every subtraction and inner
+    * product on identical operands (the x12 rounding convention absorbs
+    * summation-order noise). Output: (vec_id, adc_dist) top-10,
+    * (dist asc, id asc). */
+  def x15IvfPqTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = build(emb, "vec_id", "v", nCells = 4,
+      m = ProductQuantizer.M, k = ProductQuantizer.K,
+      coarseIters = 0, pqIters = 0)
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft_x15")
+        .toString + "/idx"
+      writeIndex(idx, out)
+      val loaded = loadIndex(s, out)
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+      topK(loaded, q, topK = 10, nProbe = 2)
+        .select(col("pq_id").as("vec_id"), col("adc_dist"))
+    } finally idx.release()
+  }
+
   /** ADC top-k for a driver-held query: rank cells on the driver (by
     * cosine, matching the assignment metric), build one residual
     * look-up table per probed cell, scan only those cells. */
