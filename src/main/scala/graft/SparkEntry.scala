@@ -94,6 +94,7 @@ object SparkEntry {
     "d23_quality_classifier" -> (T.d23QualityClassifier _),
     "d24_shuffle_shards" -> (T.d24ShuffleShards _),
     "d25_bigram_lm" -> (T.d25BigramLm _),
+    "d26_curate" -> (T.d26Curate _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -848,6 +849,88 @@ object SparkEntry {
         |  CAST(coalesce(bigram_hits, 0) AS BIGINT) AS bigram_hits,
         |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams
         |FROM w LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the composed curation pipeline: scrub -> quality gates -> exact
+    // dedup -> banded-LSH near dedup (the shared minhash CTE chain,
+    // rebased from `documents` onto the exact-survivor relation `ep`) ->
+    // decontamination; stage = first rejecting stage, priority stated by
+    // the one coalesce
+    "d26_curate" -> ("WITH RECURSIVE " +
+      """scrub AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text
+        |  FROM documents),
+        |repw AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 7))::BIGINT AS wh
+        |  FROM (SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS w FROM scrub)),
+        |repc AS (SELECT doc_id, wh, count(*) AS c FROM repw GROUP BY doc_id, wh),
+        |rep AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS BIGINT), 6) AS tws
+        |  FROM repc GROUP BY doc_id),
+        |quality AS (
+        |  SELECT s.doc_id, s.text,
+        |    CASE WHEN len(s.text) < 100 THEN 'too_short'
+        |         WHEN len(s.text) > 1048576 THEN 'too_long'
+        |         WHEN r.tws > 0.2 THEN 'repetitive' END AS q
+        |  FROM scrub s LEFT JOIN rep r USING (doc_id)),
+        |qp AS (SELECT doc_id, text FROM quality WHERE q IS NULL),
+        |keep AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM qp GROUP BY 1),
+        |ep AS (SELECT qp.doc_id, qp.text FROM qp JOIN keep ON md5(qp.text) = keep.h
+        |  WHERE qp.doc_id = keep.keeper),
+        |""".stripMargin +
+      MinhashOracleCtes.stripPrefix("WITH ").replace("FROM documents", "FROM ep") +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand
+        |), reach(node, m) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+        |), clusters AS (
+        |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        |), near AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+        |cws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM scrub),
+        |cshl AS (
+        |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(0, len(ws) - 2),
+        |      i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END AS shingles
+        |  FROM cws),
+        |cshash AS (
+        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS shash
+        |  FROM (SELECT doc_id, UNNEST(shingles) AS sh FROM cshl)),
+        |bws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |bshl AS (
+        |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(0, len(ws) - 2),
+        |      i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) END AS shingles
+        |  FROM bws),
+        |bshash AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(sh), 1, 7))::BIGINT AS shash
+        |  FROM (SELECT UNNEST(shingles) AS sh FROM bshl)),
+        |contam AS (SELECT DISTINCT c.doc_id FROM cshash c JOIN bshash b USING (shash))
+        |SELECT s.doc_id,
+        |  coalesce(q.q,
+        |    CASE WHEN k.keeper IS NOT NULL AND s.doc_id <> k.keeper THEN 'exact_dup' END,
+        |    CASE WHEN n.doc_id IS NOT NULL THEN 'near_dup' END,
+        |    CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
+        |    'kept') AS stage
+        |FROM scrub s
+        |LEFT JOIN quality q USING (doc_id)
+        |LEFT JOIN keep k ON md5(s.text) = k.h
+        |LEFT JOIN near n USING (doc_id)
+        |LEFT JOIN contam ct USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin),
     // substring-fingerprint overlap: char 24-grams, deterministic h%8
     // sample, boilerplate cap, >=3 shared — every rule is plain SQL over
     // the portable 28-bit hash, so the oracle replays it exactly

@@ -463,4 +463,22 @@ object TextQueries {
     CorpusOps.bigramLmScore(documents(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("bigram_hits"), col("n_bigrams"))
       .orderBy("doc_id")
+
+  /** d26: the composed one-call curation pipeline's staged accounting
+    * ([[graft.operators.TextPipeline.curate]], default config): PII
+    * scrub → length/repetition quality gates → exact dedup → banded-LSH
+    * near dedup → benchmark decontamination (benchmark = the d10
+    * doc_id % 97 planted convention, raw text). Output (doc_id, stage)
+    * for EVERY document — stage is the FIRST rejecting stage or 'kept' —
+    * which pins both the per-stage counts and the surviving id set in
+    * one relation. */
+  def d26Curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+    TextPipeline.curate(docs, "doc_id", "text",
+        benchmark = Some((bench, "text")))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("reject_reason"), lit("kept")).as("stage"))
+      .orderBy("doc_id")
+  }
 }
