@@ -47,6 +47,46 @@ class RegressionFixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("converted features and geometries are pinned per fixture") {
+    // Golden regression pins over every vendored reference fixture plus
+    // monaco — the offline analog of the reference's multi-extract parity
+    // matrix (tests/base/test_pbf_file_reader.py:861+). Per fixture:
+    // total converted features, node/way/relation feature split, and an
+    // md5 over the (feature_id | WKB-hex) lines in feature_id order —
+    // any change to geometry assembly, tag filtering or id synthesis
+    // trips the hash. Values computed from the engine at the round-7
+    // baseline, whose monaco conversion is oracle/byte-exact-verified.
+    val pins = Seq(
+      // (fixture, n_features, "nodes/ways/relations", md5)
+      ("529cdcbb7a3cc103658ef31b39bed24984e421127d319c867edf2f86ff3bb098",
+        0L, "0/0/0", "d41d8cd98f00b204e9800998ecf8427e"),
+      ("7a0163cb721992d6219d486b3d29517d06aa0db19dd7be049f4f1fabf6146073",
+        0L, "0/0/0", "d41d8cd98f00b204e9800998ecf8427e"),
+      ("aa756ad3a961ba6d9da46c712b0d979d0c7d4768641ceea7409b287e2d18a48f",
+        1L, "1/0/0", "570f12b69c4588dcae2a74f00bb44ca7"),
+      ("d17f922ed15e9609013a6b895e1e7af2d49158f03586f2c675d17b760af3452e",
+        678L, "349/325/4", "980c2373ed449eb275e2b4f5d0d8325b"),
+      ("eb2848d259345ce7dfe8af34fd1ab24503bb0b952e04e872c87c55550fa50fbf",
+        1L, "1/0/0", "570f12b69c4588dcae2a74f00bb44ca7"),
+      ("monaco", 7937L, "3119/4774/44", "d057e9111dbab346bbcda0b0e1e778e0"))
+    pins.foreach { case (name, n, split, expHash) =>
+      val f = OsmPipeline.features(spark, Seq(s"$Base/$name.osm.pbf"))
+      val rows = f.select(col("feature_id"), lower(hex(col("geometry"))))
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      assert(rows.length.toLong == n, s"$name feature count")
+      val kinds = rows.map(_._1.split("/")(0)).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      val gotSplit = s"${kinds.getOrElse("node", 0)}/" +
+        s"${kinds.getOrElse("way", 0)}/${kinds.getOrElse("relation", 0)}"
+      assert(gotSplit == split, s"$name kind split")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { case (id, wkb) =>
+        digest.update((id + "|" + wkb + "\n").getBytes("UTF-8")) }
+      val h = digest.digest().map(b => f"$b%02x").mkString
+      assert(h == expHash, s"$name geometry hash drifted")
+    }
+  }
+
   test("empty PBF converts to an empty feature set with the right schema") {
     val f = OsmPipeline.features(spark,
       Seq(s"$Base/7a0163cb721992d6219d486b3d29517d06aa0db19dd7be049f4f1fabf6146073.osm.pbf"))
