@@ -95,6 +95,7 @@ object SparkEntry {
     "d24_shuffle_shards" -> (T.d24ShuffleShards _),
     "d25_bigram_lm" -> (T.d25BigramLm _),
     "d26_curate" -> (T.d26Curate _),
+    "d27_increment_admit" -> (T.d27IncrementAdmit _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -849,6 +850,23 @@ object SparkEntry {
         |  CAST(coalesce(bigram_hits, 0) AS BIGINT) AS bigram_hits,
         |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams
         |FROM w LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // incremental crawl admit: the increment (doc_id % 5 == 0) minus
+    // exact copies of the existing corpus (md5 anti) minus cross-corpus
+    // LSH near-duplicates at 0.5 — signatures are per-doc properties, so
+    // the shared minhash chain over all documents serves both sides
+    "d27_increment_admit" -> (MinhashOracleCtes +
+      """,
+        |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |en AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND md5(text) NOT IN (SELECT h FROM exh)),
+        |hits AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+        |  JOIN en ON a.doc_id = en.doc_id
+        |  WHERE b.doc_id % 5 <> 0
+        |    AND len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5)
+        |SELECT en.doc_id, CAST(len(en.text) AS BIGINT) AS text_len FROM en
+        |WHERE en.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""").stripMargin,
     // the composed curation pipeline: scrub -> quality gates -> exact
     // dedup -> banded-LSH near dedup (the shared minhash CTE chain,
     // rebased from `documents` onto the exact-survivor relation `ep`) ->

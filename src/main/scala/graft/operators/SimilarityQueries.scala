@@ -206,7 +206,7 @@ object SimilarityQueries {
     * band's signature slice hashed to an 8-byte join key. Shared by the
     * self-join ([[lshPairs]]) and the cross-corpus join
     * ([[lshPairsAcross]]). */
-  private[operators] def bandedSigs(sigArr: DataFrame,
+  private[graft] def bandedSigs(sigArr: DataFrame,
       numPerms: Int = NumPerms, bandSize: Int = BandSize): DataFrame = {
     val nBands = numPerms / bandSize
     sigArr.select(col("doc_id"), col("sig"),

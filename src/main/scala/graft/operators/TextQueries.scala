@@ -481,4 +481,23 @@ object TextQueries {
         coalesce(col("reject_reason"), lit("kept")).as("stage"))
       .orderBy("doc_id")
   }
+
+  /** d27: incremental crawl admit
+    * ([[graft.operators.CorpusOps.dedupeIncrement]]) — the docs worth
+    * adding from a simulated increment (doc_id % 5 == 0) against the
+    * existing corpus (the rest): exact content copies drop on the md5
+    * digest, near-duplicates of the EXISTING corpus drop via
+    * cross-corpus banded LSH at 0.5. The batch twin of the streaming
+    * [[graft.streaming.DocStreams.admitNew]] gate (held equal by
+    * DocStreamsSpec). */
+  def d27IncrementAdmit(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    CorpusOps.dedupeIncrement(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+  }
 }

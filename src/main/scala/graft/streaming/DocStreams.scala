@@ -69,6 +69,74 @@ object DocStreams {
         sum(col("n_chars")).as("total_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Streaming ingest admit — the continuous twin of
+    * [[graft.operators.CorpusOps.dedupeIncrement]]: each arriving
+    * document is dropped when it is an exact copy (md5 digest) or a
+    * banded-LSH near-duplicate (estimated Jaccard >= `threshold`) of the
+    * STATIC existing corpus, and admitted otherwise — the
+    * crawl-frontier gate run as documents arrive instead of in a
+    * nightly sweep.
+    *
+    * Shape: everything per-document is MAP-SIDE so rows emit immediately
+    * (no streaming aggregation holding results until the watermark
+    * closes): the minhash signature is one higher-order expression (the
+    * batch groupBy-min restated per row — the md5 kernel runs
+    * interpreted inside the lambda, the price of a shuffle-free
+    * stream), each of the nBands band keys probes its own static
+    * (band_key → signature list) bucket table via a stream-static LEFT
+    * OUTER equi join (stateless), and the per-band `exists` agreement
+    * checks OR together into the admit filter. Exact dedup is the same
+    * left-outer-isNull against the existing digest set. At scale the
+    * static plans re-evaluate per micro-batch — persist `existing`'s
+    * derived frames by passing a persisted `existing` (caller-owned,
+    * the CorpusOps contract). */
+  def admitNew(docs: DataFrame, existing: DataFrame,
+      threshold: Double = 0.5, ngram: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.Md5Prefix28Expr.register(s)
+    graft.functions.TextExprs.register(s)
+    val numPerms = graft.operators.SimilarityQueries.NumPerms
+    val bandSize = graft.operators.SimilarityQueries.BandSize
+    val prime = graft.operators.SimilarityQueries.HashPrime
+    val nBands = numPerms / bandSize
+    val exDigests = existing.select(md5(col("text")).as("_g_h"))
+      .distinct().withColumn("_g_exact", lit(1))
+    val exBanded = graft.operators.SimilarityQueries.bandedSigs(
+      graft.operators.CorpusOps.minhashSignatures(
+        existing, "doc_id", "text", ngram, numPerms),
+      numPerms, bandSize)
+    val perBand = (0 until nBands).map { b =>
+      exBanded.filter(col("band") === b)
+        .groupBy(col("band_key").as(s"_g_bk$b"))
+        .agg(collect_list(col("sig")).as(s"_g_exs$b"))
+    }
+    var cur = docs
+      .withColumn("_g_h", md5(col("text")))
+      .join(exDigests, Seq("_g_h"), "left_outer")
+      .filter(col("_g_exact").isNull)
+      .withColumn("_g_gh",
+        expr(s"transform(word_ngrams(text, $ngram), g -> md5_prefix28(g))"))
+      .withColumn("_g_sig", expr(
+        s"transform(sequence(0, ${numPerms - 1}), p -> " +
+          s"array_min(transform(_g_gh, " +
+          s"h -> (37 * (p + 1) * h + 101 * p + 7) % ${prime}L)))"))
+    (0 until nBands).foreach { b =>
+      val bandKey = call_function("md5_prefix28", concat_ws(",",
+        transform(slice(col("_g_sig"), b * bandSize + 1, bandSize),
+          x => x.cast("string"))))
+      cur = cur.withColumn(s"_g_bk$b", bandKey)
+        .join(perBand(b), Seq(s"_g_bk$b"), "left_outer")
+        .withColumn(s"_g_hit$b", coalesce(expr(
+          s"exists(_g_exs$b, es -> size(filter(" +
+            s"zip_with(_g_sig, es, (x, y) -> x = y), v -> v)) " +
+            s"/ ${numPerms}D >= $threshold)"), lit(false)))
+        .drop(s"_g_exs$b", s"_g_bk$b")
+    }
+    cur.filter(!(0 until nBands).map(b => col(s"_g_hit$b")).reduce(_ || _))
+      .drop((0 until nBands).map(b => s"_g_hit$b") ++
+        Seq("_g_h", "_g_exact", "_g_gh", "_g_sig"): _*)
+  }
+
   /** Contamination flags as documents arrive: explode the stream's word
     * n-grams, stream-static semi join against the (broadcast-sized)
     * benchmark shingle set, and emit each contaminated doc once (the

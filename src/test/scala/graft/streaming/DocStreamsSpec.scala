@@ -64,6 +64,25 @@ class DocStreamsSpec extends AnyFunSuite {
       "inner").count() == got.count())
   }
 
+  test("streaming ingest admit equals the batch dedupeIncrement (d27 split)") {
+    // existing corpus = doc_id % 5 != 0 (static), increment = the rest
+    // (streamed); the map-side-signature stream gate must admit exactly
+    // the ids the batch operator admits
+    val existing = batchDocs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val increment = stream.filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val got = EventStreams.runToCompletion(
+      DocStreams.admitNew(increment, existing), "doc_admit")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = graft.operators.CorpusOps.dedupeIncrement(
+        existing, batchDocs.filter(pmod(col("doc_id"), lit(5L)) === 0),
+        "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+    // the gate must actually reject something, or the twin proves nothing
+    assert(got.size < batchDocs
+      .filter(pmod(col("doc_id"), lit(5L)) === 0).count())
+  }
+
   test("streaming contamination flags equal the d10 batch decontamination") {
     graft.functions.Md5Prefix28Expr.register(spark)
     graft.functions.TextExprs.register(spark)
