@@ -110,12 +110,4 @@ object ScaleUtils {
     val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
     df.sparkSession.createDataFrame(rows, df.schema)
   }
-
-  /** Deterministic release handle for persisted intermediates that must
-    * outlive their producing call (the `featuresWithCuts` convention):
-    * the caller consumes the returned frame, then calls [[release]]. */
-  final class CacheHandle(frames: Seq[DataFrame]) {
-    def release(blocking: Boolean = false): Unit =
-      frames.foreach(_.unpersist(blocking))
-  }
 }
