@@ -83,6 +83,19 @@ class DocStreamsSpec extends AnyFunSuite {
       .filter(pmod(col("doc_id"), lit(5L)) === 0).count())
   }
 
+  test("ingest admit against an empty existing corpus admits everything") {
+    // the cold-start case: no digests, no signature buckets — every
+    // left-outer probe misses and the coalesce(false) path must admit
+    val empty = batchDocs.filter(lit(false))
+    val someDocs = stream.filter(col("doc_id") < 50)
+    val got = EventStreams.runToCompletion(
+      DocStreams.admitNew(someDocs, empty), "doc_admit_empty")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = batchDocs.filter(col("doc_id") < 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("streaming contamination flags equal the d10 batch decontamination") {
     graft.functions.Md5Prefix28Expr.register(spark)
     graft.functions.TextExprs.register(spark)
