@@ -97,7 +97,7 @@ object EmbeddingOps {
         (r.getLong(0), sim)
       }
       .sortBy { case (cid, sim) => (-sim, cid) }
-      .take(nprobe).map(_._1)
+      .take(nprobe).map(_._1).toIndexedSeq
     IvfAnn.assignCells(emb, cents)
       .filter(col("cell").isin(qCells: _*))
       .select(col("vec_id").as(idCol),

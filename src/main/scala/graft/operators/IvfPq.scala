@@ -182,4 +182,59 @@ object IvfPq {
       .orderBy(col("adc_dist").asc, col("pq_id").asc)
       .limit(topK)
   }
+
+  /** Batch ADC top-k — one pass for a whole (qid, qvec) TABLE, the
+    * query-workload serving path. [[topK]] builds its residual look-up
+    * tables on the driver; here every (query, probed cell) residual is a
+    * ROW and the scoring expression replays the identical left-to-right
+    * arithmetic (zip_with square-diff per subspace, subspace sum in sub
+    * order, round 6), so batch and single-query results agree exactly —
+    * spec-held.
+    *
+    * Shape: Q × nCells cosine ranking against the driver-local centroid
+    * table (row_number keeps nProbe per query — Q×nCells rows, tiny),
+    * then the probe list BROADCASTS onto the cell-partitioned `codes`
+    * relation: the compressed corpus is read once, never shuffled, and
+    * each code word is scored only against the queries probing its cell
+    * (total scored rows ≈ Q × N × nProbe/nCells). The M×K codebook
+    * rides as a literal into codegen. Output: (qid, pq_id, adc_dist),
+    * topK rows per query, (adc asc, pq_id asc). */
+  def topKBatch(index: IvfPqIndex, queries: DataFrame, qIdCol: String,
+      qVecCol: String, topK: Int = 10,
+      nProbe: Int = IvfAnn.NProbe): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val s = queries.sparkSession
+    graft.functions.VectorExprs.register(s)
+    val cb = ProductQuantizer.collectCodebook(index.codebook)
+    require(cb.nonEmpty, "index has an empty codebook")
+    val (m, k) = (index.m, index.k)
+    val w = cb.values.head.length
+    val cbLit = typedLit((0 until m * k).map { i =>
+      cb.getOrElse((i / k, i % k), Array.fill(w)(Double.MaxValue)).toSeq
+    })
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("_g_sim").desc, col("cid").asc)
+    val probes = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("_g_qv"))
+      .crossJoin(broadcast(index.cents
+        .select(col("cid"), col("cv").cast("array<double>").as("_g_cv"))))
+      .withColumn("_g_sim", call_function("vec_cosine", col("_g_qv"), col("_g_cv")))
+      .withColumn("_g_rk", row_number().over(wq))
+      .filter(col("_g_rk") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"),
+        zip_with(col("_g_qv"), col("_g_cv"), (x, c) => x - c).as("_g_qr"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc_dist").asc, col("pq_id").asc)
+    index.codes.join(broadcast(probes), Seq("cell"))
+      .withColumn("_g_cb", cbLit)
+      .withColumn("adc_dist", round(expr(
+        s"aggregate(sequence(0, ${m - 1}), 0D, (acc, sub) -> acc + " +
+          s"aggregate(zip_with(slice(_g_qr, sub * $w + 1, $w), " +
+          s"element_at(_g_cb, sub * $k + element_at(codes, sub + 1) + 1), " +
+          s"(x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b))"), 6))
+      .withColumn("_g_rk", row_number().over(wk))
+      .filter(col("_g_rk") <= topK)
+      .select(col("qid"), col("pq_id"), col("adc_dist"))
+  }
 }

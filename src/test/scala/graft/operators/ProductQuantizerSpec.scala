@@ -146,6 +146,28 @@ class ProductQuantizerSpec extends AnyFunSuite {
       s"probe must prune partitions:\n${plan.take(500)}")
   }
 
+  test("batch ADC equals the single-query probe for every query") {
+    val idx = IvfPq.build(renamed, "item", "vec")
+    val qids = Seq(0L, 7L, 23L)
+    val queries = renamed.filter(col("item").isin(qids: _*))
+      .select(col("item").as("qid"), col("vec"))
+    val batch = IvfPq.topKBatch(idx, queries, "qid", "vec",
+        topK = 10, nProbe = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, d) => (d, id) }.toSeq)
+      .toMap
+    val all = renamed.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    qids.foreach { q =>
+      val single = IvfPq.topK(idx, all(q), topK = 10, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == single, s"query $q batch != single\n${batch(q)}\n$single")
+    }
+    idx.release()
+  }
+
   test("dimension mismatches fail loudly instead of truncating") {
     val idx = IvfPq.build(renamed, "item", "vec")
     intercept[IllegalArgumentException] {
