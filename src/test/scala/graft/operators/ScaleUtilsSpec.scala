@@ -15,6 +15,20 @@ class ScaleUtilsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("materializeLocal returns an equal driver-local relation") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
+      .toDF("id", "v").repartition(3)
+    val local = ScaleUtils.materializeLocal(df)
+    assert(local.schema == df.schema)
+    assert(local.collect().map(_.toString).sorted.toSeq ==
+      df.collect().map(_.toString).sorted.toSeq)
+    // the point of the call: consumers read local rows, not a re-executed
+    // plan — the optimized plan must be a LocalRelation, with no scan
+    val plan = local.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"), plan)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     // suites share one JVM session: drop catalog entries AND their
