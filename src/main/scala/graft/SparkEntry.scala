@@ -96,6 +96,8 @@ object SparkEntry {
     "d25_bigram_lm" -> (T.d25BigramLm _),
     "d26_curate" -> (T.d26Curate _),
     "d27_increment_admit" -> (T.d27IncrementAdmit _),
+    "d28_split" -> (T.d28Split _),
+    "d29_temperature_mix" -> (T.d29TemperatureMix _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -867,6 +869,32 @@ object SparkEntry {
         |    AND len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5)
         |SELECT en.doc_id, CAST(len(en.text) AS BIGINT) AS text_len FROM en
         |WHERE en.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""").stripMargin,
+    // hash-sliced split assignment: slot = portable hash of seed:id into
+    // 100 integer slots; the CASE restates the cumulative 96/2/2 bounds
+    "d28_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN slot < 96 THEN 'train' WHEN slot < 98 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |      % 100 AS slot
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    // temperature mixture: integer weights floor(sqrt(n)), integer-division
+    // targets capped at the domain size, selection restated as one flat
+    // per-domain window in the engine's (hash mod 64, hash, id) order
+    "d29_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c),
+        |t AS (SELECT sum(wt) AS tw FROM w),
+        |q AS (SELECT source, least(n, 5000 * wt // tw) AS quota FROM w, t),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(text), 1, 7))::BIGINT % 64,
+        |        ('0x' || substr(md5(text), 1, 7))::BIGINT, doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
     // the composed curation pipeline: scrub -> quality gates -> exact
     // dedup -> banded-LSH near dedup (the shared minhash CTE chain,
     // rebased from `documents` onto the exact-survivor relation `ep`) ->

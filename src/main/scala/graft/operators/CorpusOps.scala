@@ -576,9 +576,20 @@ object CorpusOps {
     // the same ordering a SQL oracle computes
     val (_, bn, bw) = weighted.minBy { case (d, n, w) => (n.toDouble / w, d) }
     val quota = weighted.map { case (d, _, w) => d -> bn * w / bw }.toMap
-    // walk each domain's cells in selection order (sub asc); whole cells
-    // inside the quota pass, the one boundary cell gets its remaining
-    // take, later cells drop
+    selectDomainQuota(base, hist, quota, domainCol, idCol)
+  }
+
+  /** Shared selection tail of the domain-quota resamplers ([[mixDomains]],
+    * [[temperatureMix]]): walk each domain's subbucket cells in selection
+    * order (sub asc); cells wholly inside the quota pass via a broadcast
+    * semi join, the ONE boundary cell per domain takes its remainder
+    * through a (domain, subbucket)-partitioned window, later cells drop.
+    * Domains absent from `quota` drop entirely. */
+  private def selectDomainQuota(base: DataFrame,
+      hist: Array[(String, Long, Long)], quota: Map[String, Long],
+      domainCol: String, idCol: String): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     val full = Seq.newBuilder[(String, Long)]
     val edgeTake = Seq.newBuilder[(String, Long, Long)]
     hist.filter { case (d, _, _) => quota.contains(d) }
@@ -606,6 +617,75 @@ object CorpusOps {
       kept.unionByName(edge)
     }
     sel.drop("_g_h", "_g_sub")
+  }
+
+  /** Temperature-scaled domain resampling — the multilingual / DoReMi-
+    * style mixture step where a domain's sampling share grows like
+    * n_d^τ with τ = 1/2, upweighting small domains relative to
+    * proportional sampling while never upsampling any domain.
+    *
+    * The per-domain targets stay in integer arithmetic so any engine
+    * replays them exactly: weight_d = floor(sqrt(n_d)) — exact for any
+    * real count, since sqrt is correctly rounded and doubles near an
+    * integer k < 2^26 are spaced far tighter than the 1/(2k) gap sqrt
+    * leaves — and target_d = min(n_d, budget * weight_d / Σ weight_d)
+    * in integer division (BigInt internally, so budget × weight cannot
+    * overflow). Selection within a domain follows the [[mixDomains]]
+    * convention: ascending (content-hash mod `subs`, hash, id).
+    *
+    * Scale shape: identical to [[mixDomains]] — one (domain × subbucket)
+    * count histogram to the driver, broadcast-semi-join keeps, and only
+    * each domain's one boundary cell (~1/`subs` of the domain) runs a
+    * window, partitioned by (domain, subbucket) — never the bare domain. */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budget: Long, subs: Int = 64): DataFrame = {
+    require(budget >= 0 && subs >= 1, s"bad budget/subs ($budget, $subs)")
+    val s = docs.sparkSession
+    graft.functions.Md5Prefix28Expr.register(s)
+    val base = docs
+      .withColumn("_g_h", call_function("md5_prefix28", col(textCol)))
+      .withColumn("_g_sub", pmod(col("_g_h"), lit(subs.toLong)))
+    val hist = base
+      .groupBy(col(domainCol).as("_g_dom"), col("_g_sub"))
+      .agg(count(lit(1)).as("_g_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(hist.nonEmpty, "temperatureMix: empty corpus")
+    val weights = hist.groupBy(_._1).map { case (d, cells) =>
+      val n = cells.map(_._3).sum
+      (d, n, math.sqrt(n.toDouble).toLong)
+    }.toArray
+    val totalW = weights.map(w => BigInt(w._3)).sum
+    val quota = weights.map { case (d, n, w) =>
+      d -> (BigInt(budget) * w / totalW).toLong.min(n) }.toMap
+    selectDomainQuota(base, hist, quota, domainCol, idCol)
+  }
+
+  /** Deterministic train/validation/test assignment: split i receives
+    * weight_i / Σ weights of the corpus by hashing `seed:id` into
+    * Σ weights integer slots. Reproducible across engines, runs and
+    * cluster sizes, and stable under corpus growth — a document's split
+    * never depends on any other document, which is what keeps eval
+    * contamination out when the corpus is re-crawled and re-split.
+    * Appends a `split` column; purely map-side (no shuffle, no state).
+    *
+    * `splits`: (name, non-negative integer weight) with at least one
+    * weight positive, e.g. `Seq(("train", 96L), ("val", 2L), ("test", 2L))`. */
+  def splitCorpus(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Long)], seed: Long = 0L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.exists(_._2 > 0), "splitCorpus: need at least one positive weight")
+    val denom = splits.map(_._2).sum
+    graft.functions.Md5Prefix28Expr.register(docs.sparkSession)
+    val slot = pmod(call_function("md5_prefix28",
+      concat_ws(":", lit(seed), col(idCol).cast("long"))), lit(denom))
+    // cumulative upper bounds turn the weights into a CASE chain; the
+    // last split absorbs the tail so zero-weight names never match
+    val uppers = splits.scanLeft(("", 0L)) {
+      case ((_, cum), (name, w)) => (name, cum + w) }.drop(1)
+    val assign = uppers.init.foldRight(lit(uppers.last._1): Column) {
+      case ((name, hi), rest) => when(slot < lit(hi), lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", assign)
   }
 
   /** Select documents into a fixed token budget, best-quality-first — the

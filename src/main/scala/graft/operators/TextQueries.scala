@@ -500,4 +500,25 @@ object TextQueries {
         length(col("text")).cast("long").as("text_len"))
       .orderBy("doc_id")
   }
+
+  /** d28: deterministic 96/2/2 train/val/test assignment, seed 7 —
+    * [[graft.operators.CorpusOps.splitCorpus]]. Hash-sliced per document
+    * (no shuffle), so the assignment is stable under corpus growth and
+    * identical on any engine. */
+  def d28Split(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.splitCorpus(documents(s, dir), "doc_id",
+        Seq(("train", 96L), ("val", 2L), ("test", 2L)), seed = 7L)
+      .select(col("doc_id").cast("long").as("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  /** d29: temperature-scaled domain mixture (τ = 1/2, 5000-doc budget) —
+    * [[graft.operators.CorpusOps.temperatureMix]]: small sources keep a
+    * larger share than proportional sampling gives them, nothing
+    * upsamples, and the histogram-seeded selection never runs a
+    * full-domain window. */
+  def d29TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.temperatureMix(documents(s, dir), "doc_id", "text", "source",
+        budget = 5000L)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
 }

@@ -358,6 +358,72 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("temperatureMix equals the brute-force sqrt-weighted selection") {
+    import spark.implicits._
+    // skewed corpus: A 160 docs, B 40, C 10 — τ=1/2 upweights B and C
+    val docs = ((0 until 160).map(i => (i.toLong, s"alpha text $i", "A")) ++
+      (200 until 240).map(i => (i.toLong, s"beta text $i", "B")) ++
+      (300 until 310).map(i => (i.toLong, s"gamma text $i", "C")))
+      .toDF("item", "body", "dom")
+    val budget = 100L
+    val got = CorpusOps.temperatureMix(docs, "item", "body", "dom",
+      budget = budget, subs = 8)
+    // brute force: integer sqrt weights, integer-division targets, then
+    // the per-domain (hash mod subs, hash, id) prefix
+    graft.functions.Md5Prefix28Expr.register(spark)
+    val rows = docs.select(col("item"), col("dom"),
+        call_function("md5_prefix28", col("body")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val counts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wts = counts.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val tw = wts.values.sum
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (d, rs) =>
+      val target = math.min(counts(d), budget * wts(d) / tw)
+      rs.sortBy { case (id, _, h) => (h % 8, h, id) }.take(target.toInt).toSeq
+    }.map(_._1).toSet
+    assert(got.collect().map(_.getLong(1)).toSet == want && want.nonEmpty)
+    // sanity: the small domain keeps a LARGER share than proportional
+    val kept = got.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("C").toDouble / counts("C") > kept("A").toDouble / counts("A"))
+    // scale contract: any residual window partitions by (domain, subbucket)
+    got.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Window")).foreach { l =>
+        assert(l.contains("_g_sub"),
+          s"Window must partition by (domain, subbucket):\n$l")
+      }
+  }
+
+  test("temperatureMix keeps everything when the budget exceeds the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "one doc", "A"), (2L, "two doc", "B"))
+      .toDF("item", "body", "dom")
+    assert(CorpusOps.temperatureMix(docs, "item", "body", "dom",
+      budget = 1000L).count() == 2L)
+  }
+
+  test("splitCorpus assigns every doc deterministically with no shuffle") {
+    import spark.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, s"doc $i")).toDF("item", "body")
+    val splits = Seq(("train", 96L), ("val", 2L), ("test", 2L))
+    val out = CorpusOps.splitCorpus(docs, "item", splits, seed = 7L)
+    val byS = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum == 500L)
+    // hash slots are uniform: train gets the overwhelming share
+    assert(byS("train") > 400L && byS.getOrElse("val", 0L) > 0L)
+    // same seed -> same assignment; different seed -> a different one
+    val again = CorpusOps.splitCorpus(docs, "item", splits, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getString(2))).toSet)
+    val other = CorpusOps.splitCorpus(docs, "item", splits, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(other != again)
+    // purely map-side: the physical plan has no exchange at all
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "splitCorpus must not shuffle")
+  }
+
   test("mixDomains drops zero-weight domains") {
     import spark.implicits._
     val docs = Seq((1L, "one doc", "A"), (2L, "two doc", "B"))
