@@ -34,10 +34,21 @@ object TextPipeline {
       ngram: Int = 3)
 
   /** The input with `reject_reason` (null = kept) appended — plus
-    * n_emails/n_ips when scrubbing is on (text redacted in place). */
+    * n_emails/n_ips when scrubbing is on (text redacted in place).
+    *
+    * `materialize` is the caller's one caching point: it receives the
+    * scrubbed + quality-annotated frame — the subtree every later stage
+    * (dedup digests, LSH shingles, decontamination, final annotation)
+    * re-reads — and whatever it returns is used in their place. The
+    * default is identity (no caching, per the CorpusOps contract); a
+    * caller with a stable input passes `_.persist()` (releasing it after
+    * consuming the result) or a snapshot-keyed cached view, and the
+    * scrub-regex + repetition-stats pass then runs ONCE instead of once
+    * per downstream branch. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       config: Config = Config(),
-      benchmark: Option[(DataFrame, String)] = None): DataFrame = {
+      benchmark: Option[(DataFrame, String)] = None,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val base = if (config.scrubPii) CorpusOps.scrubPii(docs, textCol) else docs
 
     // quality gates: pure column predicates + the d11 repetition stats
@@ -47,8 +58,8 @@ object TextPipeline {
       when(length(col(textCol)) < config.minChars, "too_short")
         .when(length(col(textCol)) > config.maxChars, "too_long")
         .when(col("top_word_share") > config.maxTopWordShare, "repetitive")
-    val qualified = base.join(rep, Seq(idCol), "left")
-      .withColumn("_g_quality", qualityReason)
+    val qualified = materialize(base.join(rep, Seq(idCol), "left")
+      .withColumn("_g_quality", qualityReason))
 
     // STAGES SEE ONLY PRIOR SURVIVORS — exactly what running the stages
     // as sequential filters would do. Otherwise a near-dup cluster whose
@@ -78,7 +89,9 @@ object TextPipeline {
 
     // decontamination: any shared word n-gram with the benchmark (checked
     // for all docs — contamination is a property of the text, and running
-    // it last in a sequential pipeline flags the same survivors)
+    // it last in a sequential pipeline flags the same survivors). Shingles
+    // come from `qualified` (same rows as the scrubbed base, plus ignored
+    // annotation columns) so a materialized frame feeds this stage too.
     val contam = benchmark.map { case (bench, benchTextCol) =>
       val benchGrams = {
         val s = docs.sparkSession
@@ -89,7 +102,7 @@ object TextPipeline {
           .select(call_function("md5_prefix28", col("_g_g")).as("shash"))
           .distinct()
       }
-      CorpusOps.shingleHashes(base, idCol, textCol, config.ngram)
+      CorpusOps.shingleHashes(qualified, idCol, textCol, config.ngram)
         .join(broadcast(benchGrams), Seq("shash"), "left_semi")
         .select(col("doc_id").cast("long").as(idCol),
           lit("contaminated").as("_g_contam"))

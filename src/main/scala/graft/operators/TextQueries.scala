@@ -476,7 +476,11 @@ object TextQueries {
     val docs = documents(s, dir)
     val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
     TextPipeline.curate(docs, "doc_id", "text",
-        benchmark = Some((bench, "text")))
+        benchmark = Some((bench, "text")),
+        // one snapshot-keyed cached view of the scrubbed + quality-
+        // annotated frame: the scrub regexes and repetition stats run
+        // once, not once per downstream dedup/decontamination branch
+        materialize = SimilarityQueries.cachedView(s, dir, "curateq")(_))
       .select(col("doc_id").cast("long").as("doc_id"),
         coalesce(col("reject_reason"), lit("kept")).as("stage"))
       .orderBy("doc_id")
