@@ -75,4 +75,57 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(r.getString(2) == r.getString(3), "second scrub changed text")
     }
   }
+
+  test("property: splitCorpus partitions the corpus for any weights/seed") {
+    import spark.implicits._
+    val weightsGen = for {
+      k <- Gen.chooseNum(1, 5)
+      ws <- Gen.listOfN(k, Gen.chooseNum(0L, 20L))
+      if ws.exists(_ > 0)
+    } yield ws.zipWithIndex.map { case (w, i) => (s"s$i", w) }
+    val cases = samples(Gen.zip(weightsGen, Gen.chooseNum(0L, 1000L)), 12)
+    val docs = (0 until 300).map(i => (i.toLong, s"doc $i")).toDF("item", "body")
+    cases.foreach { case (splits, seed) =>
+      val out = CorpusOps.splitCorpus(docs, "item", splits, seed)
+        .select("item", "split").as[(Long, String)].collect()
+      // every doc lands in exactly one split, and only in named splits
+      assert(out.length == 300 && out.map(_._1).distinct.length == 300)
+      val names = splits.map(_._1).toSet
+      assert(out.forall(r => names.contains(r._2)), s"unknown split in $splits")
+      // zero-weight splits receive nothing (the last split absorbs the
+      // tail only when its own weight is positive — guaranteed by filter)
+      val got = out.groupBy(_._2).view.mapValues(_.length).toMap
+      splits.filter(_._2 == 0L).foreach { case (n, _) =>
+        assert(!got.contains(n), s"zero-weight split $n got docs") }
+    }
+  }
+
+  test("property: temperatureMix respects domain sizes and budget monotonicity") {
+    import spark.implicits._
+    val sizesGen = for {
+      k <- Gen.chooseNum(1, 4)
+      ns <- Gen.listOfN(k, Gen.chooseNum(1, 60))
+    } yield ns
+    val cases = samples(Gen.zip(sizesGen, Gen.chooseNum(0L, 150L)), 10)
+    cases.foreach { case (sizes, budget) =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i => (d * 1000L + i, s"text $d $i", s"dom$d"))
+      }.toDF("item", "body", "dom")
+      val kept = CorpusOps.temperatureMix(docs, "item", "body", "dom",
+          budget = budget, subs = 4)
+        .groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // never upsamples, never exceeds the budget in total
+      sizes.zipWithIndex.foreach { case (n, d) =>
+        assert(kept.getOrElse(s"dom$d", 0L) <= n) }
+      assert(kept.values.sum <= budget)
+      // a larger budget never selects fewer docs from any domain
+      val more = CorpusOps.temperatureMix(docs, "item", "body", "dom",
+          budget = budget + 50, subs = 4)
+        .groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.indices.foreach { d =>
+        assert(more.getOrElse(s"dom$d", 0L) >= kept.getOrElse(s"dom$d", 0L)) }
+    }
+  }
 }
