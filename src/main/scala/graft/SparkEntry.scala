@@ -98,6 +98,7 @@ object SparkEntry {
     "d27_increment_admit" -> (T.d27IncrementAdmit _),
     "d28_split" -> (T.d28Split _),
     "d29_temperature_mix" -> (T.d29TemperatureMix _),
+    "d30_epoch_repeat" -> (T.d30EpochRepeat _),
     // similarity / embeddings
     "x1_cosine_topk" -> (X.x1CosineTopK _),
     "x2_minhash_lsh" -> (X.x2MinhashLsh _),
@@ -895,6 +896,20 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+    // epoch-weighted upsampling: floor(e/100) copies for every doc, the
+    // e%100 fractional remainder selected by content-hash slot — all
+    // integer arithmetic, one UNNEST(range(n)) per doc
+    "d30_epoch_repeat" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 7))::BIGINT % 100 AS h,
+        |    (CAST(substr(source, 4) AS BIGINT) % 3) * 100 + 50 AS e
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    e // 100 + CASE WHEN h < e % 100 THEN 1 ELSE 0 END AS n
+        |  FROM b)
+        |SELECT doc_id, CAST(UNNEST(range(n)) AS BIGINT) AS copy
+        |FROM c WHERE n > 0 ORDER BY doc_id, copy""".stripMargin,
     // the composed curation pipeline: scrub -> quality gates -> exact
     // dedup -> banded-LSH near dedup (the shared minhash CTE chain,
     // rebased from `documents` onto the exact-survivor relation `ep`) ->

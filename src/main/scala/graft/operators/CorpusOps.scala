@@ -660,6 +660,37 @@ object CorpusOps {
     selectDomainQuota(base, hist, quota, domainCol, idCol)
   }
 
+  /** Epoch-weighted upsampling — the "repeat small high-quality domains
+    * for N.x epochs" step of pre-training mixture construction (the
+    * complement of [[mixDomains]]/[[temperatureMix]], which only ever
+    * downsample). `epochsPct` is an integer column: epochs × 100 per row
+    * (e.g. 250 = 2.5 epochs). Every doc emits floor(e/100) copies, and
+    * the fractional remainder selects e%100 percent of docs for ONE more
+    * copy by content-hash slot (the d9 stratified-sample convention) —
+    * deterministic, engine-portable, and independent per document.
+    *
+    * Output: the input columns plus `copy` (0-based LONG) — downstream
+    * shard shuffles treat (id, copy) as the unit, spreading repeats
+    * across shards instead of adjacent slots.
+    *
+    * Scale shape: purely map-side — a projection plus a bounded
+    * sequence-explode; no shuffle, no state, no driver collection. At
+    * 100 TB upsampling costs zero data movement; it composes with
+    * [[shuffleShards]] for placement. */
+  def upsampleEpochs(docs: DataFrame, idCol: String, textCol: String,
+      epochsPct: Column): DataFrame = {
+    graft.functions.Md5Prefix28Expr.register(docs.sparkSession)
+    val e = epochsPct.cast("long")
+    val h = pmod(call_function("md5_prefix28", col(textCol)), lit(100L))
+    val copies = (e - pmod(e, lit(100L))) / 100L +
+      when(h < pmod(e, lit(100L)), 1L).otherwise(0L)
+    docs
+      .withColumn("_g_n", copies.cast("long"))
+      .filter(col("_g_n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("_g_n") - 1)))
+      .drop("_g_n")
+  }
+
   /** Deterministic train/validation/test assignment: split i receives
     * weight_i / Σ weights of the corpus by hashing `seed:id` into
     * Σ weights integer slots. Reproducible across engines, runs and

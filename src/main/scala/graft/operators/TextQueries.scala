@@ -515,6 +515,19 @@ object TextQueries {
       .select(col("doc_id").cast("long").as("doc_id"), col("split"))
       .orderBy("doc_id")
 
+  /** d30: epoch-weighted upsampling — every doc repeats
+    * `(source_number mod 3) + 0.5` epochs (50 / 150 / 250 in the
+    * epochs×100 encoding): floor copies for everyone, the fractional
+    * remainder selected by content-hash slot
+    * ([[graft.operators.CorpusOps.upsampleEpochs]]). Purely map-side —
+    * upsampling moves no data at any scale. */
+  def d30EpochRepeat(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.upsampleEpochs(documents(s, dir), "doc_id", "text",
+        epochsPct = expr("(cast(substr(source, 4) as bigint) % 3) * 100 + 50"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("copy").cast("long").as("copy"))
+      .orderBy("doc_id", "copy")
+
   /** d29: temperature-scaled domain mixture (τ = 1/2, 5000-doc budget) —
     * [[graft.operators.CorpusOps.temperatureMix]]: small sources keep a
     * larger share than proportional sampling gives them, nothing

@@ -402,6 +402,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       budget = 1000L).count() == 2L)
   }
 
+  test("upsampleEpochs emits floor copies plus a hash-selected fraction, map-side") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"body text $i")).toDF("item", "body")
+    // 2.5 epochs: everyone twice, ~half a third time — brute-force check
+    val out = CorpusOps.upsampleEpochs(docs, "item", "body", lit(250L))
+      .select(col("item"), col("copy")).as[(Long, Long)].collect()
+    graft.functions.Md5Prefix28Expr.register(spark)
+    val slots = docs.select(col("item"),
+        pmod(call_function("md5_prefix28", col("body")), lit(100L)))
+      .as[(Long, Long)].collect().toMap
+    val want = slots.toSeq.flatMap { case (id, h) =>
+      val n = 2 + (if (h < 50) 1 else 0)
+      (0L until n.toLong).map(id -> _)
+    }.toSet
+    assert(out.toSet == want && out.length > 400 && out.length < 600)
+    // whole epochs: exactly e copies of every doc, fraction selects none
+    assert(CorpusOps.upsampleEpochs(docs, "item", "body", lit(300L))
+      .count() == 600L)
+    // zero epochs: nothing survives
+    assert(CorpusOps.upsampleEpochs(docs, "item", "body", lit(0L)).count() == 0L)
+    // purely map-side: no exchange anywhere in the physical plan
+    assert(!CorpusOps.upsampleEpochs(docs, "item", "body", lit(250L))
+      .queryExecution.executedPlan.toString.contains("Exchange"),
+      "upsampleEpochs must not shuffle")
+  }
+
   test("splitCorpus assigns every doc deterministically with no shuffle") {
     import spark.implicits._
     val docs = (0 until 500).map(i => (i.toLong, s"doc $i")).toDF("item", "body")
