@@ -113,4 +113,29 @@ class DocStreamsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == expected && got.nonEmpty)
   }
+
+  test("split assignment and epoch upsampling run unchanged on a stream") {
+    // both corpus-assembly ops are stateless maps (the plan contract
+    // their specs assert), so the SAME CorpusOps call works on a
+    // streaming frame — no twin implementation needed; held to batch
+    val splits = Seq(("train", 96L), ("val", 2L), ("test", 2L))
+    val gotSplit = EventStreams.runToCompletion(
+      graft.operators.CorpusOps.splitCorpus(stream, "doc_id", splits, 7L)
+        .select("doc_id", "split"), "doc_split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expSplit = graft.operators.CorpusOps
+      .splitCorpus(batchDocs, "doc_id", splits, 7L)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotSplit == expSplit && gotSplit.nonEmpty)
+    val gotUp = EventStreams.runToCompletion(
+      graft.operators.CorpusOps.upsampleEpochs(stream, "doc_id", "text", lit(250L))
+        .select("doc_id", "copy"), "doc_upsample")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expUp = graft.operators.CorpusOps
+      .upsampleEpochs(batchDocs, "doc_id", "text", lit(250L))
+      .select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotUp == expUp && gotUp.nonEmpty)
+  }
 }
