@@ -240,6 +240,43 @@ object DevProfile {
         println(f"pass$r: x2=${(t1 - t0) / 1e9}%.2f s ($nPairs pairs) " +
           f"x8=${(t2 - t1) / 1e9}%.2f s ($nClusters clusters)")
       }
+    } else if (name == "mixscale") {
+      // corpus-assembly family under a pathological domain skew: replicate
+      // documents `reps` times with 90% of replicas funneled into ONE hot
+      // domain (the >50%-one-source web-crawl shape the histogram pattern
+      // exists for), then time temperatureMix / mixDomains / splitCorpus /
+      // upsampleEpochs end-to-end. The contract under test at scale: no
+      // full-domain window, so the hot domain splits across subbuckets.
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nBase = base.count()
+      val out = java.nio.file.Files.createTempDirectory("mixscale").toString
+      val big = (0 until reps).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" r$i")).as("text"), col("lang"),
+          (if (i < (reps * 9) / 10) lit("hotdomain") else col("source")).as("source"),
+          col("n_chars"))
+      }.reduce(_ unionByName _)
+      big.coalesce(8).write.parquet(s"$out/documents.parquet")
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val skew = docs.filter(col("source") === "hotdomain").count()
+      println(s"corpus: ${nBase * reps} docs, hot domain ${skew} " +
+        f"(${skew * 100.0 / (nBase * reps)}%.0f%%)")
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      for (r <- 1 to 2) {
+        t(s"r$r temperatureMix")(operators.CorpusOps.temperatureMix(
+          docs, "doc_id", "text", "source", budget = nBase * reps / 2).count())
+        t(s"r$r mixDomains")(operators.CorpusOps.mixDomains(
+          docs, "doc_id", "text", "source", _ => 1L).count())
+        t(s"r$r splitCorpus")(operators.CorpusOps.splitCorpus(
+          docs, "doc_id", Seq(("train", 98L), ("heldout", 2L))).count())
+        t(s"r$r upsampleEpochs")(operators.CorpusOps.upsampleEpochs(
+          docs, "doc_id", "text", lit(150L)).count())
+      }
     } else if (name == "x2stages") {
       // mimic the bench: warm every generated class on a 50-row copy of the
       // tables, then time x2 sub-stages on the real dir with a stage listener
