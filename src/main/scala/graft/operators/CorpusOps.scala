@@ -549,21 +549,12 @@ object CorpusOps {
     * ever spans a full domain, so a web-crawl corpus that is >50% one
     * source still splits its hot domain across `subs` cells, and `subs`
     * scales the residual window work down arbitrarily. Zero-weight
-    * domains drop at the histogram. */
+    * domains drop at the histogram, and null-domain rows are excluded
+    * up front (they can carry no mixture weight). */
   def mixDomains(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String, weightOf: String => Long,
       subs: Int = 64): DataFrame = {
-    require(subs >= 1, s"subs must be >= 1, got $subs")
-    val s = docs.sparkSession
-    import s.implicits._
-    graft.functions.Md5Prefix28Expr.register(s)
-    val base = docs
-      .withColumn("_g_h", call_function("md5_prefix28", col(textCol)))
-      .withColumn("_g_sub", pmod(col("_g_h"), lit(subs.toLong)))
-    val hist = base
-      .groupBy(col(domainCol).as("_g_dom"), col("_g_sub"))
-      .agg(count(lit(1)).as("_g_n"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (base, hist) = domainHistogram(docs, textCol, domainCol, subs)
     val counts = hist.groupBy(_._1).map { case (d, cells) =>
       (d, cells.map(_._3).sum)
     }.toArray
@@ -577,6 +568,28 @@ object CorpusOps {
     val (_, bn, bw) = weighted.minBy { case (d, n, w) => (n.toDouble / w, d) }
     val quota = weighted.map { case (d, _, w) => d -> bn * w / bw }.toMap
     selectDomainQuota(base, hist, quota, domainCol, idCol)
+  }
+
+  /** Shared head of the domain-quota resamplers: the subbucketed base and
+    * its (domain × subbucket) count histogram. Null-domain rows are
+    * EXCLUDED up front (documented on both resamplers): they can carry no
+    * mixture weight, and leaving them in would inflate the weight total —
+    * shrinking every real domain's quota — while the null group itself
+    * could never be selected (SQL equality never matches null in the
+    * semi join). */
+  private def domainHistogram(docs: DataFrame, textCol: String,
+      domainCol: String, subs: Int): (DataFrame, Array[(String, Long, Long)]) = {
+    require(subs >= 1, s"subs must be >= 1, got $subs")
+    graft.functions.Md5Prefix28Expr.register(docs.sparkSession)
+    val base = docs
+      .filter(col(domainCol).isNotNull)
+      .withColumn("_g_h", call_function("md5_prefix28", col(textCol)))
+      .withColumn("_g_sub", pmod(col("_g_h"), lit(subs.toLong)))
+    val hist = base
+      .groupBy(col(domainCol).as("_g_dom"), col("_g_sub"))
+      .agg(count(lit(1)).as("_g_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    (base, hist)
   }
 
   /** Shared selection tail of the domain-quota resamplers ([[mixDomains]],
@@ -636,19 +649,12 @@ object CorpusOps {
     * Scale shape: identical to [[mixDomains]] — one (domain × subbucket)
     * count histogram to the driver, broadcast-semi-join keeps, and only
     * each domain's one boundary cell (~1/`subs` of the domain) runs a
-    * window, partitioned by (domain, subbucket) — never the bare domain. */
+    * window, partitioned by (domain, subbucket) — never the bare domain.
+    * Null-domain rows are excluded up front (no mixture weight). */
   def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String, budget: Long, subs: Int = 64): DataFrame = {
-    require(budget >= 0 && subs >= 1, s"bad budget/subs ($budget, $subs)")
-    val s = docs.sparkSession
-    graft.functions.Md5Prefix28Expr.register(s)
-    val base = docs
-      .withColumn("_g_h", call_function("md5_prefix28", col(textCol)))
-      .withColumn("_g_sub", pmod(col("_g_h"), lit(subs.toLong)))
-    val hist = base
-      .groupBy(col(domainCol).as("_g_dom"), col("_g_sub"))
-      .agg(count(lit(1)).as("_g_n"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val (base, hist) = domainHistogram(docs, textCol, domainCol, subs)
     require(hist.nonEmpty, "temperatureMix: empty corpus")
     val weights = hist.groupBy(_._1).map { case (d, cells) =>
       val n = cells.map(_._3).sum
@@ -700,15 +706,23 @@ object CorpusOps {
     * Appends a `split` column; purely map-side (no shuffle, no state).
     *
     * `splits`: (name, non-negative integer weight) with at least one
-    * weight positive, e.g. `Seq(("train", 96L), ("val", 2L), ("test", 2L))`. */
+    * weight positive, e.g. `Seq(("train", 96L), ("val", 2L), ("test", 2L))`.
+    * Σ weights is capped at 2^20: slots come from the 28-bit portable
+    * hash, so a weight sum of `d` carries a relative slot bias of
+    * ~d/2^28 — ≤0.4% at the cap, and ratios never need more resolution
+    * (reduce them). Ids hash as their string form, so string keys work
+    * too (numeric ids render identically in any engine). */
   def splitCorpus(docs: DataFrame, idCol: String,
       splits: Seq[(String, Long)], seed: Long = 0L): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
       splits.exists(_._2 > 0), "splitCorpus: need at least one positive weight")
     val denom = splits.map(_._2).sum
+    require(denom <= (1L << 20),
+      s"splitCorpus: weight sum $denom exceeds 2^20 — the 28-bit hash slot " +
+        "would carry visible modulo bias; reduce the ratios")
     graft.functions.Md5Prefix28Expr.register(docs.sparkSession)
     val slot = pmod(call_function("md5_prefix28",
-      concat_ws(":", lit(seed), col(idCol).cast("long"))), lit(denom))
+      concat_ws(":", lit(seed), col(idCol).cast("string"))), lit(denom))
     // cumulative upper bounds turn the weights into a CASE chain; the
     // last split absorbs the tail so zero-weight names never match
     val uppers = splits.scanLeft(("", 0L)) {

@@ -58,8 +58,9 @@ object TextPipeline {
       when(length(col(textCol)) < config.minChars, "too_short")
         .when(length(col(textCol)) > config.maxChars, "too_long")
         .when(col("top_word_share") > config.maxTopWordShare, "repetitive")
-    val qualified = materialize(base.join(rep, Seq(idCol), "left")
-      .withColumn("_g_quality", qualityReason))
+    val rawQualified = base.join(rep, Seq(idCol), "left")
+      .withColumn("_g_quality", qualityReason)
+    val qualified = materialize(rawQualified)
 
     // STAGES SEE ONLY PRIOR SURVIVORS — exactly what running the stages
     // as sequential filters would do. Otherwise a near-dup cluster whose
@@ -89,9 +90,12 @@ object TextPipeline {
 
     // decontamination: any shared word n-gram with the benchmark (checked
     // for all docs — contamination is a property of the text, and running
-    // it last in a sequential pipeline flags the same survivors). Shingles
-    // come from `qualified` (same rows as the scrubbed base, plus ignored
-    // annotation columns) so a materialized frame feeds this stage too.
+    // it last in a sequential pipeline flags the same survivors). With a
+    // materialized frame, shingle from it (same rows as the scrubbed
+    // base, plus ignored annotation columns); on the identity default,
+    // shingle from `base` directly — going through `qualified` would drag
+    // the unused repetition-stats join into this branch for nothing.
+    val contamSource = if (qualified eq rawQualified) base else qualified
     val contam = benchmark.map { case (bench, benchTextCol) =>
       val benchGrams = {
         val s = docs.sparkSession
@@ -102,7 +106,7 @@ object TextPipeline {
           .select(call_function("md5_prefix28", col("_g_g")).as("shash"))
           .distinct()
       }
-      CorpusOps.shingleHashes(qualified, idCol, textCol, config.ngram)
+      CorpusOps.shingleHashes(contamSource, idCol, textCol, config.ngram)
         .join(broadcast(benchGrams), Seq("shash"), "left_semi")
         .select(col("doc_id").cast("long").as(idCol),
           lit("contaminated").as("_g_contam"))

@@ -402,6 +402,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       budget = 1000L).count() == 2L)
   }
 
+  test("null-domain rows are excluded and never distort real-domain quotas") {
+    import spark.implicits._
+    val docs = ((0 until 20).map(i => (i.toLong, s"a doc $i", "A")) ++
+      (100 until 120).map(i => (i.toLong, s"n doc $i", null: String)))
+      .toDF("item", "body", "dom")
+    // with the nulls in the weight math, A's sqrt-share would halve; the
+    // exclusion keeps A's quota computed over A alone
+    val kept = CorpusOps.temperatureMix(docs, "item", "body", "dom",
+      budget = 10L, subs = 4)
+    assert(kept.count() == 10L)
+    assert(kept.filter(col("dom").isNull).count() == 0L)
+    val mixed = CorpusOps.mixDomains(docs, "item", "body", "dom", _ => 1L)
+    assert(mixed.count() == 20L && mixed.filter(col("dom").isNull).count() == 0L)
+  }
+
+  test("splitCorpus hashes string ids and rejects over-wide weight sums") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (s"doc-$i", s"b $i")).toDF("item", "body")
+    val out = CorpusOps.splitCorpus(docs, "item",
+        Seq(("train", 9L), ("test", 1L)), seed = 3L)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // string keys must spread across slots, not collapse to one split
+    assert(out.values.sum == 200L && out.size == 2, s"$out")
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitCorpus(docs, "item", Seq(("a", 1L << 21), ("b", 1L)))
+    }
+  }
+
   test("upsampleEpochs emits floor copies plus a hash-selected fraction, map-side") {
     import spark.implicits._
     val docs = (0 until 200).map(i => (i.toLong, s"body text $i")).toDF("item", "body")
