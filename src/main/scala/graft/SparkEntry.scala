@@ -115,6 +115,7 @@ object SparkEntry {
     "x13_fingerprint_overlap" -> (X.x13FingerprintOverlap _),
     "x14_semdedup" -> (operators.IvfAnn.x14SemDedup _),
     "x15_ivfpq_topk" -> (operators.IvfPq.x15IvfPqTopK _),
+    "x16_filtered_topk" -> (X.x16FilteredTopK _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -439,6 +440,14 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // filtered search: identical ranking convention, the metadata
+    // predicate simply bounds the scored set
+    "x16_filtered_topk" ->
+      """SELECT vec_id,
+        |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings WHERE label = 3 AND vec_id <> 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // The x2-x6 oracles reproduce the engine's PORTABLE hashing (28-bit
     // md5-prefix + affine rehash mod 1e9+7; literal ±1 hyperplanes) — the

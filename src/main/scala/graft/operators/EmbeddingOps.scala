@@ -45,6 +45,26 @@ object EmbeddingOps {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Metadata-filtered exact top-k — the vector-DB "filtered search"
+    * shape (search only rows matching a metadata predicate, e.g. a label
+    * or tenant id). The predicate applies BEFORE scoring, so it reaches
+    * the parquet scan as a pushed filter / partition prune (spec-held):
+    * at 100 TB a selective filter turns the scan itself into the ANN
+    * accelerator, and TakeOrdered keeps the result without a global
+    * sort. `predicate` is any Column over the input frame's columns.
+    * Scores round to 6 decimals and order (rounded DESC, id ASC) — the
+    * engine-portable ranking convention of the x1 gate, deterministic
+    * across engines and summation orders. */
+  def cosineTopKWhere(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], predicate: Column, k: Int = 10): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.filter(predicate)
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).as("v"))
+      .select(col(idCol), round(cosine(col("v"), qlit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Sign-LSH ANN top-k: the query's bucket is computed driver-side from
     * the same baked hyperplanes the corpus uses, so candidates are a
     * FILTER on the bucket column — no join, no shuffle; then exact cosine

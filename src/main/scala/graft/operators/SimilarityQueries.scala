@@ -555,6 +555,21 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** x16: metadata-filtered exact top-k
+    * ([[graft.operators.EmbeddingOps.cosineTopKWhere]]) — the vector-DB
+    * "filtered search" serving shape: vec 0's query restricted to
+    * label = 3 corpus rows. The label predicate reaches the parquet scan
+    * as a pushed filter (spec-held), so the selective filter — not a
+    * post-scan pass — bounds the scored set. */
+  def x16FilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    vecExprs(s)
+    val emb = embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    graft.operators.EmbeddingOps.cosineTopKWhere(emb, "vec_id", "v", q,
+      col("label") === 3 && col("vec_id") =!= 0, k = 10)
+  }
+
   /** LSH-bucketed ANN: bucket = sign bits of 8 deterministic hyperplane
     * projections; candidates share the query's bucket, then exact cosine
     * within. The 100 TB path: bucket id is a shuffle key, each bucket is

@@ -35,6 +35,23 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(got == gate && got.size == 10)
   }
 
+  test("cosineTopKWhere: filtered search equals filter-then-rank, filter pushed") {
+    val labeled = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id").as("item"), col("embedding").as("emb"), col("label"))
+    val got = EmbeddingOps.cosineTopKWhere(labeled, "item", "emb", query,
+      col("label") === 3 && col("item") =!= 0, k = 10)
+    // equals brute-force ranking restricted to the predicate rows
+    val want = rounded(EmbeddingOps.cosineTopK(
+      labeled.filter(col("label") === 3 && col("item") =!= 0),
+      "item", "emb", query, k = 10))
+    assert(got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == want
+      && want.size == 10)
+    // only label-3 rows are ever scored, and the predicate reaches the scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,3"),
+      s"label predicate must be pushed to the parquet scan:\n$plan")
+  }
+
   test("annTopK matches the x5 gate ranking (literal bucket filter)") {
     val ann = EmbeddingOps.annTopK(
       renamed.filter(col("item") =!= 0), "item", "emb", query,
