@@ -10,8 +10,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * datasets: nothing below ever collects data to the driver.
   */
 object Tables {
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Footer-inferred schema per table path, remembered for the process:
+    * the driver's tables are immutable per scale-factor dir, and every
+    * gate query re-opening the same footer pays a driver-side read for
+    * an answer that never changes. The file LISTING is still resolved
+    * per read (a changed/extended dataset is picked up); only the
+    * inference is skipped. Keyed by resolved path — a different dir is
+    * a different entry. Events' nanos-encoded variant is immune: its
+    * schema is conf-independent by the time [[events]] sets the legacy
+    * conf before first read, and the cached LongType/TimestampType
+    * matches whatever that first read resolved. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) s.read.schema(cached).parquet(path)
+    else {
+      val df = s.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, dir: String): DataFrame    = table(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame    = table(s, dir, "nation")
