@@ -116,6 +116,12 @@ object SparkEntry {
     "x14_semdedup" -> (operators.IvfAnn.x14SemDedup _),
     "x15_ivfpq_topk" -> (operators.IvfPq.x15IvfPqTopK _),
     "x16_filtered_topk" -> (X.x16FilteredTopK _),
+    // retrieval / contrastive mining
+    "x17_bm25_topk" -> (operators.RetrievalOps.x17Bm25TopK _),
+    "x18_hybrid_rrf" -> (operators.RetrievalOps.x18HybridRrf _),
+    "x19_hard_negatives" -> (operators.RetrievalOps.x19HardNegatives _),
+    "x20_mmr_rerank" -> (operators.RetrievalOps.x20MmrRerank _),
+    "d31_bpe_pairs" -> (T.d31BpePairs _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -1160,7 +1166,112 @@ object SparkEntry {
         |ANTI JOIN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id) x
         |  ON d.doc_id = x.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+    // BM25 with ratio idf (N-df+0.5)/(df+0.5): like d14, every score op is
+    // a correctly-rounded IEEE primitive; per-term contributions round to
+    // micro-unit BIGINTs so the sum is order-independent on both engines
+    "x17_bm25_topk" -> (Bm25OracleCtes +
+      """
+        |SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""").stripMargin,
+    // hybrid retrieval: BM25 top-50 + cosine top-50 (query doc/vec 0),
+    // reciprocal-rank fusion with c=60 (Cormack et al. 2009)
+    "x18_hybrid_rrf" -> (Bm25OracleCtes +
+      """,
+        |bm AS (
+        |  SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
+        |  FROM contrib WHERE doc_id <> 0 GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+        |cs AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |  FROM embeddings WHERE vec_id <> 0 ORDER BY cosine DESC, doc_id LIMIT 50),
+        |csr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r FROM cs)
+        |SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
+        |  round(COALESCE(1.0 / (60.0 + bmr.r::DOUBLE), 0.0) +
+        |        COALESCE(1.0 / (60.0 + csr.r::DOUBLE), 0.0), 6) AS rrf
+        |FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""").stripMargin,
+    // contrastive hard negatives: anchors 0-3 broadcast against the
+    // different-label corpus, per-anchor top-5 by rounded cosine
+    "x19_hard_negatives" ->
+      """WITH anch AS (
+        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv, label AS albl
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+        |scored AS (
+        |  SELECT a.anchor_id, e.vec_id AS neg_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.qv), 6) AS cosine
+        |  FROM embeddings e JOIN anch a ON e.label <> a.albl)
+        |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id, cosine FROM (
+        |  SELECT anchor_id, neg_id, cosine,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
+        |  FROM scored) t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // greedy MMR (λ=0.5) over the top-20 cosine candidates, replayed as a
+    // recursive CTE: each step's arg-max over (rounded) mmr, ties on id —
+    // the same rounded-similarity convention as the engine's driver loop
+    "x20_mmr_rerank" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS simq
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY simq DESC, vec_id LIMIT 20),
+        |pairs AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |sel(step, picked, score, sel_ids) AS (
+        |  SELECT 1, f.vec_id, round(0.5 * f.simq, 6), [f.vec_id]
+        |  FROM (SELECT vec_id, simq FROM cand
+        |        ORDER BY round(0.5 * simq, 6) DESC, vec_id LIMIT 1) f
+        |  UNION ALL
+        |  SELECT s.step + 1, nxt.vec_id, nxt.mmr, list_append(s.sel_ids, nxt.vec_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id,
+        |      round(0.5 * c.simq - 0.5 * (
+        |        SELECT max(p.sim) FROM pairs p
+        |        WHERE p.ia = c.vec_id AND list_contains(s.sel_ids, p.ib)), 6) AS mmr
+        |    FROM cand c WHERE NOT list_contains(s.sel_ids, c.vec_id)
+        |    ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
+        |  WHERE s.step < 8)
+        |SELECT CAST(step AS BIGINT) AS step, picked AS vec_id, score AS mmr
+        |FROM sel ORDER BY step""".stripMargin,
+    // adjacent-word pair counts (one BPE merge round's statistic)
+    "d31_bpe_pairs" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS pair
+        |  FROM d)
+        |SELECT pair, count(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
+
+  /** Shared CTE prefix of the BM25 oracles (x17/x18): documents → word
+    * arrays → (N, avgdl) stats → query-term tf with doc length → df →
+    * per-term micro-unit contributions. Mirrors
+    * [[graft.operators.RetrievalOps.bm25Scores]] exactly: ratio idf,
+    * k1 = 1.2, b = 0.75 (2.2 and 0.25 are the exact doubles the engine's
+    * `k1 + 1.0` / `1.0 - b` produce). */
+  private val Bm25OracleCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM d),
+      |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+      |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dl)
+      |  WHERE term IN ('vector', 'hash', 'join') GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT doc_id,
+      |    CAST(round((((n::DOUBLE - df::DOUBLE) + 0.5) / (df::DOUBLE + 0.5) *
+      |      ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))) * 1000000.0) AS BIGINT) AS cm
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)""".stripMargin
 
   /** Shared CTE prefix for the minhash-family oracles: documents → word
     * 3-gram shingles → portable 28-bit hashes → 16-perm minhash signatures

@@ -910,4 +910,30 @@ object CorpusOps {
         when(col("_g_sum") > 0, lit("keep")).otherwise(lit("drop"))
           .as("label"))
   }
+
+  /** Adjacent-token pair counts — the per-round counting statistic of BPE
+    * tokenizer training (Sennrich, Haddow & Birch, ACL 2016: merge the
+    * most frequent adjacent pair, repeat): (pair, n), the `topK` most
+    * frequent adjacent word pairs corpus-wide, ties on the pair string.
+    *
+    * Scale shape: pairs are built MAP-SIDE from each document's token
+    * array (an indexed transform — no posexplode self-join, raw text
+    * never shuffles), so the only shuffle is the partial-aggregated
+    * groupBy(pair) whose payload is (pair, count) at vocabulary² worst
+    * case — in practice Zipf-bounded far below corpus size. TakeOrdered
+    * keeps the top-k without a global sort. A full BPE trainer calls
+    * this per merge round on the re-tokenized corpus. */
+  def pairCounts(docs: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"pairCounts: topK must be >= 1, got $topK")
+    graft.functions.TextExprs.register(docs.sparkSession)
+    docs
+      .select(call_function("split_words", col(textCol)).as("_g_ws"))
+      .select(explode(expr(
+        "transform(slice(_g_ws, 1, greatest(size(_g_ws) - 1, 0)), " +
+          "(x, i) -> concat(x, ' ', element_at(_g_ws, i + 2)))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

