@@ -86,6 +86,18 @@ object DevProfile {
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
+    } else if (name == "execplan") {
+      // AQE-final plans: execute first, then print — ReusedExchange /
+      // skew-join decisions only materialize in the EXECUTED plan
+      val names = if (args.length > 1) args(1).split(",").toSeq
+        else SparkEntry.queries.keys.toSeq.sorted
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+      names.foreach { n =>
+        val df = SparkEntry.queries(n)(spark, dir)
+        df.count()
+        println(s"===== $n =====")
+        println(df.queryExecution.executedPlan.toString)
+      }
     } else if (name == "warmbench") {
       // true warm-vs-warm engine timing: run every gate query twice in one
       // JVM and report the second pass (snapshot caches and JIT hot) —

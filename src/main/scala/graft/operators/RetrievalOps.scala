@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *    query terms before its one shuffle — the shuffled relation is
   *    O(matching tokens), not O(corpus tokens). Doc length rides the
   *    explode (`max(dl)` under the same grouping), so no second join
-  *    against a corpus-sized relation; `df` re-uses the tf exchange
-  *    (ReusedExchange) and comes back broadcast (≤ #query terms rows).
+  *    against a corpus-sized relation; N, avgdl AND per-term document
+  *    frequencies all come from one map-side `array_contains` aggregation
+  *    (a 1-row broadcast) — no second tokenize pass, no df shuffle.
   *  - Per-term contributions round to micro-units and sum as LONGs, so
   *    the score is independent of Spark's partial-agg summation order —
   *    the same exact-integer portability trick as the d23 classifier.
@@ -57,11 +58,19 @@ object RetrievalOps {
         call_function("split_words", col(textCol)).as("_g_ws"))
       .select(col(idCol), col("_g_ws"),
         size(col("_g_ws")).cast("long").as("_g_dl"))
-    // corpus stats: 1 row, broadcast; avgdl = exact long sum / count so
-    // the double division is the only inexact (correctly-rounded) op
-    val stats = base.agg(count(lit(1)).as("_g_n"),
-      (sum(col("_g_dl")).cast("double") / count(lit(1)).cast("double"))
-        .as("_g_avgdl"))
+    // corpus stats in ONE map-side aggregation (1 row, broadcast):
+    // N, avgdl (exact long sum / count, so the double division is the
+    // only inexact, correctly-rounded op) AND per-term document
+    // frequency via array_contains — no second tokenize pass, no df
+    // shuffle, no df join: the only corpus-wide exchange in the whole
+    // query is the single tf shuffle below
+    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("_g_ws"), lit(t)), lit(1L))
+        .otherwise(lit(0L))).as(s"_g_df_$i")
+    }
+    val statsCols = (sum(col("_g_dl")).cast("double") /
+      count(lit(1)).cast("double")).as("_g_avgdl") +: dfCols
+    val stats = base.agg(count(lit(1)).as("_g_n"), statsCols: _*)
     // term frequencies of QUERY terms only — the isin filter runs before
     // the one shuffle, and doc length rides the same grouping
     val tf = base
@@ -69,11 +78,13 @@ object RetrievalOps {
       .filter(col("_g_term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("_g_term"))
       .agg(count(lit(1)).as("_g_tf"), max(col("_g_dl")).as("_g_dl"))
-    // per-term document frequency: second consumer of the tf exchange
-    // (canonically identical subtree → ReusedExchange), ≤ |terms| rows
-    val dfreq = tf.groupBy(col("_g_term")).agg(count(lit(1)).as("_g_df"))
-    val contrib = tf.join(broadcast(dfreq), "_g_term")
-      .crossJoin(broadcast(stats))
+    // resolve each row's df from the broadcast stats row
+    val dfOfTerm = queryTerms.zipWithIndex.tail
+      .foldLeft(when(col("_g_term") === queryTerms.head, col("_g_df_0"))) {
+        case (acc, (t, i)) => acc.when(col("_g_term") === t, col(s"_g_df_$i"))
+      }
+    val contrib = tf.crossJoin(broadcast(stats))
+      .withColumn("_g_df", dfOfTerm)
       .select(col(idCol),
         (((col("_g_n").cast("double") - col("_g_df").cast("double"))
             + lit(0.5)) / (col("_g_df").cast("double") + lit(0.5)) *
