@@ -98,6 +98,15 @@ object DevProfile {
         println(s"===== $n =====")
         println(df.queryExecution.executedPlan.toString)
       }
+    } else if (name == "qtime") {
+      // qtime <sfDir> <reps> <query>: time one gate query reps times in
+      // one JVM (cold first call, then warm)
+      val n = args(3)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     } else if (name == "warmbench") {
       // true warm-vs-warm engine timing: run every gate query twice in one
       // JVM and report the second pass (snapshot caches and JIT hot) —

@@ -121,6 +121,7 @@ object SparkEntry {
     "x18_hybrid_rrf" -> (operators.RetrievalOps.x18HybridRrf _),
     "x19_hard_negatives" -> (operators.RetrievalOps.x19HardNegatives _),
     "x20_mmr_rerank" -> (operators.RetrievalOps.x20MmrRerank _),
+    "x21_bm25_indexed" -> (operators.RetrievalOps.x21Bm25Indexed _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
@@ -1170,6 +1171,14 @@ object SparkEntry {
     // a correctly-rounded IEEE primitive; per-term contributions round to
     // micro-unit BIGINTs so the sum is order-independent on both engines
     "x17_bm25_topk" -> (Bm25OracleCtes +
+      """
+        |SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""").stripMargin,
+    // indexed BM25: same math served from the bucket-partitioned
+    // postings index — the oracle is x17's full-scan restatement, so a
+    // hash match proves the pruned probe ranks identically
+    "x21_bm25_indexed" -> (Bm25OracleCtes +
       """
         |SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
         |FROM contrib GROUP BY doc_id

@@ -228,6 +228,97 @@ object RetrievalOps {
     selected.toSeq.toDF("step", idCol, "mmr")
   }
 
+  // ---- persisted postings index (build once, probe partition-pruned) ----
+
+  /** Build and persist a BM25 postings index: the lexical analog of
+    * [[IvfPq.writeIndex]]'s serving story. Layout under `path`:
+    *  - `postings/` — (id, term, tf, dl) hive-partitioned by
+    *    `pt = pmod(xxhash64(term), nBuckets)`, so a query's probe reads
+    *    ONLY its terms' buckets (PartitionFilters, spec-held) — at
+    *    100 TB the other `nBuckets − |terms|` buckets' files never open;
+    *  - `stats/` — one row (n, avgdl, n_buckets): the corpus constants,
+    *    plus the bucket geometry so a probe can never hash against the
+    *    wrong partitioning.
+    *
+    * The build is the classic one-shuffle inverted-index construction:
+    * explode → groupBy(id, term). Per-term document frequency is NOT
+    * stored — it is exact and cheap at query time (a count over the
+    * already-pruned postings), which keeps the build single-pass and the
+    * index incrementally appendable. */
+  def indexCorpus(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"indexCorpus: nBuckets must be >= 1, got $nBuckets")
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val base = docs
+      .select(col(idCol).cast("long").as("id"),
+        call_function("split_words", col(textCol)).as("_g_ws"))
+      .select(col("id"), col("_g_ws"),
+        size(col("_g_ws")).cast("long").as("dl"))
+    base.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    base
+      .select(col("id"), col("dl"), explode(col("_g_ws")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("pt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("pt").parquet(s"$path/postings")
+  }
+
+  /** The bucket a term's postings live in — the driver-side twin of the
+    * build's `pmod(xxhash64(term), nBuckets)` (same seed-42 xxhash64). */
+  private def termBucket(t: String, nBuckets: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t),
+      org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** BM25 top-k served from a persisted postings index: (id, bm25).
+    * Identical arithmetic to [[bm25Scores]] (same micro-unit integer
+    * summation), so an index probe and a full-corpus scan rank
+    * identically — but the probe reads only the query terms' partitions:
+    * the bucket literals prune at the driver (PartitionFilters) and the
+    * term `isin` prunes rows within them. df per term is counted over
+    * the pruned relation (exact: postings hold one row per (doc, term)).
+    * The pruned relation is read twice (df + scoring) — both reads open
+    * only the probed buckets' files, the term dictionary pattern. */
+  def bm25TopKIndexed(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k: Int = 10, k1: Double = K1,
+      b: Double = B): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKIndexed: queryTerms must be non-empty")
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val nBuckets = statsRow.getInt(2)
+    val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("pt").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+      .select(col("id"), col("term"), col("tf"), col("dl"))
+    val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
+    val contrib = pruned.join(broadcast(dfreq), "term")
+      .select(col("id"),
+        (((lit(statsRow.getLong(0)).cast("double") -
+            col("_g_df").cast("double")) + lit(0.5)) /
+          (col("_g_df").cast("double") + lit(0.5)) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) +
+                lit(b) * (col("dl").cast("double") /
+                  lit(statsRow.getDouble(1)))))))
+          .as("_g_c"))
+      .select(col("id"),
+        round(col("_g_c") * lit(1000000.0), 0).cast("long").as("_g_cm"))
+    contrib.groupBy(col("id")).agg(sum(col("_g_cm")).as("_g_sm"))
+      .select(col("id"),
+        (col("_g_sm").cast("double") / lit(1000000.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(k)
+  }
+
   // ---- gate-query bindings (testdata tables; driver-oracled) ----
 
   /** Query terms of the lexical gates — drawn from the synthetic corpus
@@ -237,6 +328,39 @@ object RetrievalOps {
   /** x17: BM25 lexical top-k over `documents`. */
   def x17Bm25TopK(s: SparkSession, dir: String): DataFrame =
     bm25TopK(documents(s, dir), "doc_id", "text", GateTerms, k = 10)
+
+  /** One persisted postings index per (session, corpus snapshot) — the
+    * x15 serving-lifecycle convention: build + write ONCE per corpus
+    * version, probe many times. Keyed by file listing (name/len/mtime)
+    * so a changed corpus rebuilds instead of serving stale postings. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def snapshotIndexPath(s: SparkSession, dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val snap =
+      if (!f.exists()) "missing"
+      else if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
+      else f.listFiles().sortBy(_.getName)
+        .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${System.identityHashCode(s)}#$snap".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    indexCache.computeIfAbsent(key, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_x21")
+        .toString + "/idx"
+      indexCorpus(documents(s, dir), "doc_id", "text", out)
+      out
+    })
+  }
+
+  /** x21: BM25 served from the PERSISTED postings index — build → write
+    * bucket-partitioned → partition-pruned probe. Same terms, same
+    * arithmetic, same oracle as x17: the gate checks that the pruned
+    * serving path ranks identically to the full-corpus scan. */
+  def x21Bm25Indexed(s: SparkSession, dir: String): DataFrame =
+    bm25TopKIndexed(s, snapshotIndexPath(s, dir), GateTerms, k = 10)
+      .select(col("id").as("doc_id"), col("bm25"))
 
   /** x18: hybrid lexical+vector retrieval — BM25 top-50 and cosine top-50
     * (query = doc/vec 0, excluded from both sides) fused with RRF. */

@@ -110,6 +110,33 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length == 8)
   }
 
+  test("postings index: probe ranks identically to the full scan; partitions prune") {
+    val path = java.nio.file.Files.createTempDirectory("bmidx").toString + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 16)
+    val terms = Seq("apple", "cherry")
+    val scan = RetrievalOps.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probeDf = RetrievalOps.bm25TopKIndexed(spark, path, terms, k = 10)
+    val probe = probeDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe == scan, s"indexed $probe vs scan $scan")
+    val plan = probeDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("pt#") && !plan.contains("PartitionFilters: []"),
+      "probe must prune postings partitions on the bucket column")
+  }
+
+  test("postings index: single-term probe and unknown terms behave") {
+    val path = java.nio.file.Files.createTempDirectory("bmidx2").toString + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    val unknown = RetrievalOps.bm25TopKIndexed(spark, path, Seq("zzz_nomatch"))
+    assert(unknown.count() == 0)
+    val one = RetrievalOps.bm25TopKIndexed(spark, path, Seq("apple"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ref = RetrievalOps.bm25TopK(corpus, "doc_id", "text", Seq("apple"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(one == ref)
+  }
+
   test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b","b a","a b"
