@@ -319,6 +319,104 @@ object RetrievalOps {
       .limit(k)
   }
 
+  /** Batch BM25 served from a persisted postings index — the lexical
+    * analog of [[EmbeddingOps.ivfTopKBatch]]'s serving shape: a query
+    * TABLE (qIdCol, termsCol: array of words) scored in one pass,
+    * (query_id, rank, id, bm25) per hit.
+    *
+    * The query batch is bounded (it broadcasts), so its distinct terms
+    * collect driver-side to form the bucket literals — the probe stays a
+    * PartitionFilters-pruned scan exactly like the single-query path.
+    * Per-term df is query-independent and computed once over the pruned
+    * relation; scoring shuffles on (qid, id) — O(query batch × matching
+    * postings), never O(corpus). Per-query top-k runs as a rank-filtered
+    * window (WindowGroupLimit), no global sort. */
+  def bm25TopKIndexedBatch(spark: SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, termsCol: String, k: Int = 10,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val nBuckets = statsRow.getInt(2)
+    val qpairs = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        explode(col(termsCol)).as("term"))
+    val terms = qpairs.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "bm25TopKIndexedBatch: queries carry no terms")
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("id"), col("term"), col("tf"), col("dl"))
+    val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
+    val contrib = pruned.join(broadcast(dfreq), "term")
+      .join(broadcast(qpairs), "term")
+      .select(col("qid"), col("id"),
+        (((lit(statsRow.getLong(0)).cast("double") -
+            col("_g_df").cast("double")) + lit(0.5)) /
+          (col("_g_df").cast("double") + lit(0.5)) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) +
+                lit(b) * (col("dl").cast("double") /
+                  lit(statsRow.getDouble(1)))))))
+          .as("_g_c"))
+      .select(col("qid"), col("id"),
+        round(col("_g_c") * lit(1000000.0), 0).cast("long").as("_g_cm"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("bm25").desc, col("id").asc)
+    contrib.groupBy(col("qid"), col("id"))
+      .agg(sum(col("_g_cm")).as("_g_sm"))
+      .select(col("qid"), col("id"),
+        (col("_g_sm").cast("double") / lit(1000000.0)).as("bm25"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("id"), col("bm25"))
+  }
+
+  /** Frozen scoring statistics of a persisted index, for map-side scoring
+    * of NEW documents (streams, micro-batches) against a corpus snapshot:
+    * (N, avgdl, df per query term). The df lookup is a partition-pruned
+    * driver query over the query terms' buckets only. */
+  def frozenStats(spark: SparkSession, path: String,
+      queryTerms: Seq[String]): (Long, Double, Map[String, Long]) = {
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val nBuckets = statsRow.getInt(2)
+    val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
+    val dfs = spark.read.parquet(s"$path/postings")
+      .filter(col("pt").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (statsRow.getLong(0), statsRow.getDouble(1), dfs)
+  }
+
+  /** BM25 score of a text column against driver-held query terms under
+    * FROZEN stats — a pure projection (per-term tf via a higher-order
+    * filter over the token array, contributions as micro-unit longs
+    * summed in fixed literal order), so it runs identically on a batch
+    * frame or an unbounded stream: no aggregation, no state, no shuffle.
+    * Matches [[bm25Scores]] bit-for-bit when the frozen stats come from
+    * the scored corpus itself (spec-held); a doc matching no term scores
+    * 0. The streaming twin is [[graft.streaming.DocStreams]]'s arrival
+    * scoring. */
+  def bm25ScoreColumn(textCol: org.apache.spark.sql.Column,
+      queryTerms: Seq[String], n: Long, avgdl: Double,
+      dfByTerm: Map[String, Long], k1: Double = K1,
+      b: Double = B): org.apache.spark.sql.Column = {
+    require(queryTerms.nonEmpty, "bm25ScoreColumn: queryTerms must be non-empty")
+    val ws = call_function("split_words", textCol)
+    val dl = size(ws).cast("long").cast("double")
+    val micro = queryTerms.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L)
+      val tf = size(filter(ws, w => w === lit(t))).cast("long").cast("double")
+      val c = (((lit(n).cast("double") - lit(df).cast("double")) + lit(0.5)) /
+        (lit(df).cast("double") + lit(0.5)) *
+        ((tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(avgdl))))))
+      when(tf > 0, round(c * lit(1000000.0), 0).cast("long")).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+    micro.cast("double") / lit(1000000.0)
+  }
+
   // ---- gate-query bindings (testdata tables; driver-oracled) ----
 
   /** Query terms of the lexical gates — drawn from the synthetic corpus

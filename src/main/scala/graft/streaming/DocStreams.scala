@@ -137,6 +137,22 @@ object DocStreams {
         Seq("_g_h", "_g_exact", "_g_gh", "_g_sig"): _*)
   }
 
+  /** BM25 relevance tags as documents arrive: score each doc against
+    * driver-held query terms under FROZEN corpus-snapshot statistics
+    * (N, avgdl, per-term df — e.g. from a persisted postings index via
+    * [[graft.operators.RetrievalOps.frozenStats]]). A pure stream-side
+    * projection ([[graft.operators.RetrievalOps.bm25ScoreColumn]]): no
+    * aggregation, no state, no watermark — scores emit immediately and
+    * the operator scales by partitioning alone. Exactly equals the batch
+    * [[graft.operators.RetrievalOps.bm25Scores]] when the snapshot is
+    * the scored corpus itself (spec-held). */
+  def scoreArrivals(docs: DataFrame, queryTerms: Seq[String], n: Long,
+      avgdl: Double, dfByTerm: Map[String, Long]): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    docs.withColumn("bm25", graft.operators.RetrievalOps.bm25ScoreColumn(
+      col("text"), queryTerms, n, avgdl, dfByTerm))
+  }
+
   /** Contamination flags as documents arrive: explode the stream's word
     * n-grams, stream-static semi join against the (broadcast-sized)
     * benchmark shingle set, and emit each contaminated doc once (the

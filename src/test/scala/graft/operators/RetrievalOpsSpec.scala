@@ -137,6 +137,31 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(one == ref)
   }
 
+  test("postings index batch: each query matches its single-query probe") {
+    val path = java.nio.file.Files.createTempDirectory("bmidx3").toString + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 8)
+    val queries = Seq(
+      (100L, Seq("apple")),
+      (101L, Seq("apple", "cherry")),
+      (102L, Seq("zzz_nomatch"))
+    ).toDF("qid", "terms")
+    val batch = RetrievalOps.bm25TopKIndexedBatch(spark, path, queries,
+      "qid", "terms", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(x => (x._3, x._4)).toSeq }
+    for ((qid, terms) <- Seq(100L -> Seq("apple"), 101L -> Seq("apple", "cherry"))) {
+      val single = RetrievalOps.bm25TopKIndexed(spark, path, terms, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"qid $qid: ${batch.get(qid)} vs $single")
+    }
+    assert(!batch.contains(102L), "no-match query must emit nothing")
+    val plan = RetrievalOps.bm25TopKIndexedBatch(spark, path, queries,
+      "qid", "terms", k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b","b a","a b"

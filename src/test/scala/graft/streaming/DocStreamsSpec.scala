@@ -64,6 +64,23 @@ class DocStreamsSpec extends AnyFunSuite {
       "inner").count() == got.count())
   }
 
+  test("streaming BM25 arrival scoring equals the batch scorer bit-for-bit") {
+    val terms = Seq("vector", "hash", "join")
+    val path = java.nio.file.Files.createTempDirectory("bmidx_s").toString + "/idx"
+    graft.operators.RetrievalOps.indexCorpus(batchDocs, "doc_id", "text", path)
+    val (n, avgdl, dfs) = graft.operators.RetrievalOps.frozenStats(
+      spark, path, terms)
+    val got = EventStreams.runToCompletion(
+      DocStreams.scoreArrivals(stream, terms, n, avgdl, dfs)
+        .select("doc_id", "bm25"), "doc_bm25")
+      .filter(col("bm25") > 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = graft.operators.RetrievalOps.bm25Scores(
+      batchDocs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("streaming ingest admit equals the batch dedupeIncrement (d27 split)") {
     // existing corpus = doc_id % 5 != 0 (static), increment = the rest
     // (streamed); the map-side-signature stream gate must admit exactly
