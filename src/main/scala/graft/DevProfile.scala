@@ -261,6 +261,37 @@ object DevProfile {
         println(f"pass$r: x2=${(t1 - t0) / 1e9}%.2f s ($nPairs pairs) " +
           f"x8=${(t2 - t1) / 1e9}%.2f s ($nClusters clusters)")
       }
+    } else if (name == "retscale") {
+      // retrieval scaling: replicate documents `reps` times (offset ids)
+      // and compare BM25 full-scan vs persisted-index probe as the corpus
+      // grows — the probe should stay near-flat (it reads only the query
+      // terms' buckets) while the scan grows with the corpus.
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nBase = base.count()
+      val out = java.nio.file.Files.createTempDirectory("retscale").toString
+      (0 until reps).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+        .coalesce(8).write.parquet(s"$out/documents.parquet")
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      println(s"corpus: ${nBase * reps} docs (${reps}x)")
+      val terms = operators.RetrievalOps.GateTerms
+      val t0 = System.nanoTime()
+      operators.RetrievalOps.indexCorpus(docs, "doc_id", "text", s"$out/idx")
+      println(f"index build+write: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      for (r <- 1 to 2) {
+        val t1 = System.nanoTime()
+        val nScan = operators.RetrievalOps
+          .bm25TopK(docs, "doc_id", "text", terms).count()
+        val t2 = System.nanoTime()
+        val nProbe = operators.RetrievalOps
+          .bm25TopKIndexed(spark, s"$out/idx", terms).count()
+        val t3 = System.nanoTime()
+        println(f"pass$r: scan=${(t2 - t1) / 1e9}%.2f s ($nScan) " +
+          f"probe=${(t3 - t2) / 1e9}%.2f s ($nProbe)")
+      }
     } else if (name == "mixscale") {
       // corpus-assembly family under a pathological domain skew: replicate
       // documents `reps` times with 90% of replicas funneled into ONE hot

@@ -122,6 +122,7 @@ object SparkEntry {
     "x19_hard_negatives" -> (operators.RetrievalOps.x19HardNegatives _),
     "x20_mmr_rerank" -> (operators.RetrievalOps.x20MmrRerank _),
     "x21_bm25_indexed" -> (operators.RetrievalOps.x21Bm25Indexed _),
+    "x22_retrieval_eval" -> (operators.RetrievalOps.x22RetrievalEval _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
@@ -1217,6 +1218,41 @@ object SparkEntry {
         |  SELECT anchor_id, neg_id, cosine,
         |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
         |  FROM scored) t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // retrieval evaluation: recall/MRR/nDCG of per-anchor cosine top-10
+    // vs same-label relevance; DCG terms round to micro-unit BIGINTs
+    // before summing and the ideal DCG unrolls from least(n_rel, k)
+    "x22_retrieval_eval" ->
+      """WITH anch AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS albl
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+        |ranked AS (
+        |  SELECT qid, id, rank FROM (
+        |    SELECT a.qid, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY a.qid ORDER BY
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.qv), 6) DESC,
+        |        e.vec_id) AS rank
+        |    FROM embeddings e JOIN anch a ON e.vec_id <> a.qid) t
+        |  WHERE rank <= 10),
+        |qrels AS (
+        |  SELECT a.qid, e.vec_id AS id
+        |  FROM embeddings e JOIN anch a ON e.label = a.albl AND e.vec_id <> a.qid),
+        |nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid),
+        |flags AS (
+        |  SELECT r.qid, r.rank, (q.id IS NOT NULL) AS rel
+        |  FROM ranked r LEFT JOIN qrels q ON r.qid = q.qid AND r.id = q.id),
+        |m AS (
+        |  SELECT qid,
+        |    sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS hits,
+        |    min(CASE WHEN rel THEN rank END) AS minr,
+        |    sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END) AS dcg_m
+        |  FROM flags GROUP BY qid)
+        |SELECT m.qid AS query_id, n.n_rel, m.hits,
+        |  round(m.hits::DOUBLE / n.n_rel::DOUBLE, 6) AS recall,
+        |  round(COALESCE(1.0 / m.minr::DOUBLE, 0.0), 6) AS mrr,
+        |  round(m.dcg_m::DOUBLE / list_sum(list_transform(range(1, least(n.n_rel, 10) + 1),
+        |    r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::DOUBLE, 6) AS ndcg
+        |FROM m JOIN nrel n ON m.qid = n.qid
+        |ORDER BY query_id""".stripMargin,
     // greedy MMR (λ=0.5) over the top-20 cosine candidates, replayed as a
     // recursive CTE: each step's arg-max over (rounded) mmr, ties on id —
     // the same rounded-similarity convention as the engine's driver loop

@@ -417,6 +417,54 @@ object RetrievalOps {
     micro.cast("double") / lit(1000000.0)
   }
 
+  /** Retrieval-quality evaluation — per-query recall@k, MRR and nDCG@k
+    * of a ranked result list against binary relevance judgments: the
+    * metric harness a retriever/embedding-model training loop runs
+    * after every change. Output (query_id, n_rel, hits, recall, mrr,
+    * ndcg), one row per query with ≥ 1 judged-relevant doc.
+    *
+    * `ranked` is (qidCol, rankCol 1-based, idCol) — top-k frames from
+    * any retriever here (BM25, cosine, hybrid); `qrels` is
+    * (qidCol, idCol), one row per relevant (query, doc) pair (must be
+    * distinct). Scale shape: ranked is per-query bounded (≤ k rows per
+    * query); the relevance join and the two aggregations shuffle on
+    * (query, doc) / query keys only — no corpus data moves. DCG terms
+    * round to micro-unit LONGs before summing (order-independent), and
+    * the ideal DCG unrolls per-row from `least(n_rel, k)` via a
+    * sequence aggregate — no second pass, no window. */
+  def evalRanking(ranked: DataFrame, qidCol: String, rankCol: String,
+      idCol: String, qrels: DataFrame, qrelQidCol: String,
+      qrelIdCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"evalRanking: k must be >= 1, got $k")
+    val r = ranked.select(col(qidCol).cast("long").as("_e_q"),
+        col(rankCol).cast("long").as("_e_r"),
+        col(idCol).cast("long").as("_e_i"))
+      .filter(col("_e_r") <= k)
+    val q = qrels.select(col(qrelQidCol).cast("long").as("_e_q"),
+        col(qrelIdCol).cast("long").as("_e_i"))
+      .withColumn("_e_rel", lit(true))
+    val nrel = q.groupBy(col("_e_q")).agg(count(lit(1)).as("n_rel"))
+    val metrics = r.join(q, Seq("_e_q", "_e_i"), "left_outer")
+      .groupBy(col("_e_q"))
+      .agg(sum(when(col("_e_rel"), lit(1L)).otherwise(lit(0L))).as("hits"),
+        min(when(col("_e_rel"), col("_e_r"))).as("_e_minr"),
+        sum(when(col("_e_rel"),
+          round(lit(1000000.0) /
+            log2(col("_e_r").cast("double") + lit(1.0)), 0).cast("long"))
+          .otherwise(lit(0L))).as("_e_dcgm"))
+    metrics.join(nrel, "_e_q")
+      .select(col("_e_q").as("query_id"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / col("n_rel").cast("double"), 6)
+          .as("recall"),
+        round(coalesce(lit(1.0) / col("_e_minr").cast("double"), lit(0.0)), 6)
+          .as("mrr"),
+        round(col("_e_dcgm").cast("double") /
+          expr(s"aggregate(sequence(1L, least(n_rel, ${k}L)), 0L, " +
+            "(acc, r) -> acc + CAST(round(1000000.0 / " +
+            "log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT))").cast("double"), 6)
+          .as("ndcg"))
+  }
+
   // ---- gate-query bindings (testdata tables; driver-oracled) ----
 
   /** Query terms of the lexical gates — drawn from the synthetic corpus
@@ -486,6 +534,32 @@ object RetrievalOps {
     hardNegatives(embeddings(s, dir), "vec_id", "embedding", "label",
       anchorIds = Seq(0L, 1L, 2L, 3L), k = 5)
       .orderBy(col("anchor_id").asc, col("rank").asc)
+
+  /** x22: retrieval evaluation — per-anchor cosine top-10 over the whole
+    * corpus (anchors 0-3, self excluded) scored against same-label
+    * relevance: how well does raw cosine retrieve label-mates? The
+    * [[evalRanking]] harness over the x19-convention broadcast ranking. */
+  def x22RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = embeddings(s, dir).select(col("vec_id"),
+      col("embedding").as("_g_v"), col("label").as("_g_l"))
+    val anch = emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("_g_v").as("_g_qv"),
+        col("_g_l").as("_g_al"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    val ranked = emb.join(broadcast(anch), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(call_function("vec_cosine", col("_g_v"), col("_g_qv")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+    val qrels = emb.join(broadcast(anch),
+        col("_g_l") === col("_g_al") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"))
+    evalRanking(ranked, "qid", "rank", "id", qrels, "qid", "id", k = 10)
+      .orderBy(col("query_id").asc)
+  }
 
   /** x20: MMR-diversified rerank of vec 0's top-20 cosine candidates. */
   def x20MmrRerank(s: SparkSession, dir: String): DataFrame = {

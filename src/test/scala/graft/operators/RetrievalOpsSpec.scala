@@ -162,6 +162,42 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("evalRanking: hand-computed recall/MRR/nDCG on a planted ranking") {
+    // query 1: relevant docs {10, 30}; ranking hits 10 at rank 2, 30 at 3
+    // query 2: relevant {50}; ranking misses entirely
+    val ranked = Seq(
+      (1L, 1L, 20L), (1L, 2L, 10L), (1L, 3L, 30L),
+      (2L, 1L, 60L), (2L, 2L, 70L)
+    ).toDF("qid", "rank", "id")
+    val qrels = Seq((1L, 10L), (1L, 30L), (2L, 50L)).toDF("qid", "id")
+    val got = RetrievalOps.evalRanking(ranked, "qid", "rank", "id",
+      qrels, "qid", "id", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val (nRel1, hits1, recall1, mrr1, ndcg1) = got(1L)
+    assert(nRel1 == 2 && hits1 == 2 && recall1 == 1.0 && mrr1 == 0.5)
+    // dcg = round(1e6/log2(3)) + round(1e6/log2(4)); idcg = ranks 1,2
+    val dcg = math.round(1e6 / (math.log(3.0) / math.log(2.0))) +
+      math.round(1e6 / 2.0)
+    val idcg = math.round(1e6 / 1.0) +
+      math.round(1e6 / (math.log(3.0) / math.log(2.0)))
+    val expNdcg = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ndcg1 == expNdcg, s"ndcg $ndcg1 vs $expNdcg")
+    val (nRel2, hits2, recall2, mrr2, ndcg2) = got(2L)
+    assert(nRel2 == 1 && hits2 == 0 && recall2 == 0.0 &&
+      mrr2 == 0.0 && ndcg2 == 0.0)
+  }
+
+  test("evalRanking: k truncates the judged prefix") {
+    val ranked = Seq((1L, 1L, 20L), (1L, 2L, 10L)).toDF("qid", "rank", "id")
+    val qrels = Seq((1L, 10L)).toDF("qid", "id")
+    val at1 = RetrievalOps.evalRanking(ranked, "qid", "rank", "id",
+      qrels, "qid", "id", k = 1).head()
+    assert(at1.getLong(2) == 0 && at1.getDouble(4) == 0.0)
+  }
+
   test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b","b a","a b"
