@@ -123,6 +123,7 @@ object SparkEntry {
     "x20_mmr_rerank" -> (operators.RetrievalOps.x20MmrRerank _),
     "x21_bm25_indexed" -> (operators.RetrievalOps.x21Bm25Indexed _),
     "x22_retrieval_eval" -> (operators.RetrievalOps.x22RetrievalEval _),
+    "x23_phrase_match" -> (operators.RetrievalOps.x23PhraseMatch _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
@@ -1218,6 +1219,19 @@ object SparkEntry {
         |  SELECT anchor_id, neg_id, cosine,
         |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
         |  FROM scored) t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // phrase search: the oracle states the consecutive-word semantics
+    // directly over the text; the engine answers from the positional
+    // index's offset-array fold — a hash match proves them equivalent
+    "x23_phrase_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id, n_occurrences FROM (
+        |  SELECT doc_id, CAST(len(list_filter(range(1, len(ws)),
+        |    i -> ws[i] = 'table' AND ws[i + 1] = 'hash')) AS BIGINT) AS n_occurrences
+        |  FROM d) t
+        |WHERE n_occurrences > 0
+        |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin,
     // retrieval evaluation: recall/MRR/nDCG of per-anchor cosine top-10
     // vs same-label relevance; DCG terms round to micro-unit BIGINTs
     // before summing and the ideal DCG unrolls from least(n_rel, k)

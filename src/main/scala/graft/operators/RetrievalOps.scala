@@ -246,7 +246,8 @@ object RetrievalOps {
     * already-pruned postings), which keeps the build single-pass and the
     * index incrementally appendable. */
   def indexCorpus(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64,
+      withPositions: Boolean = false): Unit = {
     require(nBuckets >= 1, s"indexCorpus: nBuckets must be >= 1, got $nBuckets")
     graft.functions.TextExprs.register(docs.sparkSession)
     val base = docs
@@ -259,12 +260,62 @@ object RetrievalOps {
           .as("avgdl"))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$path/stats")
-    base
-      .select(col("id"), col("dl"), explode(col("_g_ws")).as("term"))
-      .groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // positional postings add one sorted offsets array per (doc, term) —
+    // ~the token count in extra storage, the standard phrase/proximity
+    // trade (Lucene's positions file); BM25 probes never read the column
+    // (they select id/term/tf/dl, so parquet column pruning skips it)
+    val tokens =
+      if (withPositions)
+        base.select(col("id"), col("dl"),
+          posexplode(col("_g_ws")).as(Seq("pos", "term")))
+      else
+        base.select(col("id"), col("dl"), explode(col("_g_ws")).as("term"))
+    val aggCols =
+      if (withPositions)
+        Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+      else Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    tokens.groupBy(col("id"), col("term"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("pt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$path/postings")
+  }
+
+  /** Exact phrase search over a positions-bearing postings index
+    * ([[indexCorpus]] with `withPositions = true`): documents containing
+    * the words of `phrase` consecutively, ranked by occurrence count —
+    * (id, n_occurrences), count desc, id asc.
+    *
+    * The match is a left-fold over the phrase's per-term position
+    * arrays: start at term 0's offsets, each step keeps term i's offsets
+    * that extend a match (`array_intersect(acc + 1, positions_i)`) — all
+    * integer set ops, engine-exact. Scale: every per-term relation is
+    * bucket-PRUNED (PartitionFilters) before the m−1 id-equi-joins, so
+    * the join inputs are each term's postings only, never the corpus;
+    * rare-term phrases broadcast under AQE. */
+  def phraseTopK(spark: SparkSession, path: String, phrase: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(phrase.size >= 2, "phraseTopK: phrase needs >= 2 words")
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val nBuckets = statsRow.getInt(2)
+    val terms = phrase.distinct
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("id"), col("term"), col("positions"))
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      pruned.filter(col("term") === t)
+        .select(col("id"), col("positions").as(s"_p$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, "id"))
+    val folded = phrase.indices.tail.foldLeft(col("_p0")) { (acc, i) =>
+      array_intersect(transform(acc, x => x + lit(1)), col(s"_p$i"))
+    }
+    joined
+      .select(col("id"), size(folded).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("id").asc)
+      .limit(k)
   }
 
   /** The bucket a term's postings live in — the driver-side twin of the
@@ -507,6 +558,40 @@ object RetrievalOps {
   def x21Bm25Indexed(s: SparkSession, dir: String): DataFrame =
     bm25TopKIndexed(s, snapshotIndexPath(s, dir), GateTerms, k = 10)
       .select(col("id").as("doc_id"), col("bm25"))
+
+  /** The positions-bearing index snapshot (x23) — cached separately from
+    * x21's: positional postings carry the offsets column BM25 probes
+    * never read. */
+  private val posIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def snapshotPosIndexPath(s: SparkSession, dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val snap =
+      if (!f.exists()) "missing"
+      else if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
+      else f.listFiles().sortBy(_.getName)
+        .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${System.identityHashCode(s)}#$snap".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    posIndexCache.computeIfAbsent(key, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_x23")
+        .toString + "/idx"
+      indexCorpus(documents(s, dir), "doc_id", "text", out,
+        withPositions = true)
+      out
+    })
+  }
+
+  /** x23: exact phrase search ("table hash") over the positional index —
+    * build with positions → write → fold the per-term offset arrays.
+    * The oracle states the phrase semantics directly over the text
+    * (consecutive-word scan), so a hash match proves the positional
+    * join-and-intersect path finds exactly the true occurrences. */
+  def x23PhraseMatch(s: SparkSession, dir: String): DataFrame =
+    phraseTopK(s, snapshotPosIndexPath(s, dir), Seq("table", "hash"), k = 10)
+      .select(col("id").as("doc_id"), col("n_occurrences"))
 
   /** x18: hybrid lexical+vector retrieval — BM25 top-50 and cosine top-50
     * (query = doc/vec 0, excluded from both sides) fused with RRF. */

@@ -198,6 +198,46 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(at1.getLong(2) == 0 && at1.getDouble(4) == 0.0)
   }
 
+  test("phraseTopK: exact consecutive-word matching, overlaps and repeats") {
+    val docs = Seq(
+      (1L, "a b c a b"),      // "a b" twice
+      (2L, "a a b b"),        // "a b" once (middle)
+      (3L, "b a b a"),        // "a b" once
+      (4L, "a c b"),          // never consecutive
+      (5L, "x a b c y")       // "a b c" once
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("phidx").toString + "/idx"
+    RetrievalOps.indexCorpus(docs, "doc_id", "text", path, nBuckets = 8,
+      withPositions = true)
+    val two = RetrievalOps.phraseTopK(spark, path, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(two == Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+    val three = RetrievalOps.phraseTopK(spark, path, Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(three == Seq((1L, 1L), (5L, 1L)))
+    // repeated-word phrase: "a a" only in doc 2
+    val rep = RetrievalOps.phraseTopK(spark, path, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rep == Seq((2L, 1L)))
+    val plan = RetrievalOps.phraseTopK(spark, path, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"))
+  }
+
+  test("BM25 probes skip the positions column of a positional index") {
+    val path = java.nio.file.Files.createTempDirectory("phidx2").toString + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 8,
+      withPositions = true)
+    val probe = RetrievalOps.bm25TopKIndexed(spark, path, Seq("apple"))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(!scan.contains("positions"),
+      "BM25 probe must prune the positions column from the scan")
+    val ref = RetrievalOps.bm25TopK(corpus, "doc_id", "text", Seq("apple"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == ref)
+  }
+
   test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b","b a","a b"
