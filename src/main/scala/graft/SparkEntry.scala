@@ -125,6 +125,7 @@ object SparkEntry {
     "x22_retrieval_eval" -> (operators.RetrievalOps.x22RetrievalEval _),
     "x23_phrase_match" -> (operators.RetrievalOps.x23PhraseMatch _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
+    "d32_bpe_train" -> (T.d32BpeTrain _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -1297,6 +1298,20 @@ object SparkEntry {
         |  WHERE s.step < 8)
         |SELECT CAST(step AS BIGINT) AS step, picked AS vec_id, score AS mmr
         |FROM sel ORDER BY step""".stripMargin,
+    // iterated BPE trainer: 3 unrolled rounds, each = arg-max pair then
+    // greedy left-to-right non-overlapping merge. The engine merges with
+    // a map-side pending-fold; the oracle replays the SAME greedy
+    // semantics relationally (run-parity windows pick every other
+    // candidate inside an aaa-run) — DuckDB 1.0 segfaults on chained
+    // correlated list_reduce, so lambdas are off-limits here
+    "d32_bpe_train" -> ("WITH ws0 AS (\n" +
+      "  SELECT doc_id, list_filter(string_split_regex(lower(text), " +
+      "'\\s+'), x -> len(x) > 0) AS ws\n  FROM documents)," +
+      (1 to 3).map(bpeRoundCtes).mkString(",") + """
+        |SELECT 1::BIGINT AS round, wa, wb, n FROM b1
+        |UNION ALL SELECT 2::BIGINT, wa, wb, n FROM b2
+        |UNION ALL SELECT 3::BIGINT, wa, wb, n FROM b3
+        |ORDER BY round""".stripMargin),
     // adjacent-word pair counts (one BPE merge round's statistic)
     "d31_bpe_pairs" ->
       """WITH d AS (
@@ -1308,6 +1323,43 @@ object SparkEntry {
         |SELECT pair, count(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
+
+  /** One BPE-oracle round (d32): pair counts → arg-max pair `b{r}` →
+    * greedy merge applied relationally. Candidates are positions where
+    * the pair matches; inside a run of consecutive candidates (only
+    * possible when wa = wb, e.g. `a a a`) greedy-left keeps the
+    * even-offset ones — the gap-and-islands parity rule. A position is
+    * consumed iff its predecessor starts a merge; survivors re-assemble
+    * in position order. */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"ws${r - 1}"
+    s"""
+       |p$r AS (
+       |  SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS wa, unnest(list_slice(ws, 2, len(ws))) AS wb
+       |  FROM $prev WHERE len(ws) >= 2),
+       |b$r AS (SELECT wa, wb, count(*)::BIGINT AS n FROM p$r GROUP BY wa, wb ORDER BY n DESC, wa, wb LIMIT 1),
+       |tok$r AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, unnest(ws) AS w FROM $prev),
+       |cand$r AS (
+       |  SELECT tk.doc_id, tk.i
+       |  FROM tok$r tk JOIN tok$r nx ON nx.doc_id = tk.doc_id AND nx.i = tk.i + 1
+       |  CROSS JOIN b$r WHERE tk.w = b$r.wa AND nx.w = b$r.wb),
+       |starts$r AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i, i - min(i) OVER (PARTITION BY doc_id, i - rn) AS off
+       |    FROM (SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+       |          FROM cand$r) c) s
+       |  WHERE off % 2 = 0),
+       |ws$r AS (
+       |  SELECT tk.doc_id,
+       |    coalesce(list(CASE WHEN st.i IS NOT NULL THEN b$r.wa || ' ' || b$r.wb ELSE tk.w END
+       |      ORDER BY tk.i) FILTER (WHERE cons.i IS NULL), CAST([] AS VARCHAR[])) AS ws
+       |  FROM tok$r tk
+       |  CROSS JOIN b$r
+       |  LEFT JOIN starts$r st ON st.doc_id = tk.doc_id AND st.i = tk.i
+       |  LEFT JOIN starts$r cons ON cons.doc_id = tk.doc_id AND cons.i = tk.i - 1
+       |  GROUP BY tk.doc_id)""".stripMargin
+  }
 
   /** Shared CTE prefix of the BM25 oracles (x17/x18): documents → word
     * arrays → (N, avgdl) stats → query-term tf with doc length → df →

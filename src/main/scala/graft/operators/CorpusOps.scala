@@ -936,4 +936,83 @@ object CorpusOps {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /** Greedy left-to-right non-overlapping merge of the adjacent symbol
+    * pair (wa, wb) in a token-array column — one BPE merge application
+    * (`"a a a" + (a,a) → ["a a", "a"]`). A pure map-side fold (the
+    * `aggregate` higher-order function with an (out, pending) state:
+    * `pending` delays emission one step so the pair test needs no
+    * lookahead) — zero shuffles, zero state, any corpus size. */
+  def applyMerge(ws: org.apache.spark.sql.Column, wa: String,
+      wb: String): org.apache.spark.sql.Column = {
+    require(!wa.contains("'") && !wb.contains("'"),
+      "applyMerge: symbols must not contain single quotes")
+    val col = ws
+    val merged = s"$wa $wb"
+    aggregate(col,
+      struct(expr("cast(array() as array<string>)").as("out"),
+        lit("").as("pending")),
+      (acc, x) =>
+        when(acc.getField("pending") === lit(wa) && x === lit(wb),
+          struct(array_append(acc.getField("out"), lit(merged)).as("out"),
+            lit("").as("pending")))
+          .when(acc.getField("pending") === lit(""),
+            struct(acc.getField("out").as("out"), x.as("pending")))
+          .otherwise(struct(
+            array_append(acc.getField("out"), acc.getField("pending"))
+              .as("out"),
+            x.as("pending"))),
+      acc => when(acc.getField("pending") === lit(""), acc.getField("out"))
+        .otherwise(array_append(acc.getField("out"),
+          acc.getField("pending"))))
+  }
+
+  /** Byte-pair-encoding trainer over the corpus token stream (Sennrich
+    * et al., ACL 2016, run at word level — characters are a caller-side
+    * pre-split away): `rounds` iterations of count-adjacent-pairs →
+    * merge the arg-max pair everywhere. Returns the merge table
+    * (round, wa, wb, n) — the artifact a tokenizer ships.
+    *
+    * Scale shape per round: pair extraction is MAP-SIDE from each doc's
+    * symbol array (indexed transform, no self-join), the count is one
+    * partial-agged shuffle whose payload is (pair, count), the arg-max
+    * is a 1-row TakeOrdered to the driver, and [[applyMerge]] is a pure
+    * map — so a round moves vocabulary-sized data only, never the
+    * corpus. Round r re-evaluates the r−1 prior merges in its map stage
+    * (lineage chaining, nothing persisted): total map work is
+    * O(rounds²/2) corpus passes, the honest trade against caching the
+    * corpus-sized symbol state per round. Ties break (n desc, wa, wb) —
+    * deterministic on any engine. */
+  def trainBpe(docs: DataFrame, textCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"trainBpe: rounds must be >= 1, got $rounds")
+    val s = docs.sparkSession
+    graft.functions.TextExprs.register(s)
+    var cur = docs.select(
+      call_function("split_words", col(textCol)).as("_g_ws"))
+    val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val best = cur
+        .select(explode(expr(
+          "transform(slice(_g_ws, 1, greatest(size(_g_ws) - 1, 0)), " +
+            "(x, i) -> named_struct('wa', x, 'wb', element_at(_g_ws, i + 2)))"))
+          .as("p"))
+        .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("wa").asc, col("wb").asc)
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (wa, wb, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, wa, wb, n))
+        cur = cur.select(applyMerge(col("_g_ws"), wa, wb).as("_g_ws"))
+        r += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("round", "wa", "wb", "n")
+  }
 }

@@ -543,4 +543,12 @@ object TextQueries {
     * inner statistic of one BPE merge round, run corpus-wide. */
   def d31BpePairs(s: SparkSession, dir: String): DataFrame =
     CorpusOps.pairCounts(documents(s, dir), "text", topK = 20)
+
+  /** d32: the iterated BPE trainer ([[CorpusOps.trainBpe]], 3 merge
+    * rounds) — each round's arg-max pair counted AFTER the previous
+    * merges applied, so the gate checks the greedy merge application,
+    * not just round-1 statistics. */
+  def d32BpeTrain(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.trainBpe(documents(s, dir), "text", rounds = 3)
+      .orderBy("round")
 }

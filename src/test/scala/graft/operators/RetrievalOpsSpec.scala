@@ -238,6 +238,41 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == ref)
   }
 
+  test("applyMerge: greedy left-to-right non-overlapping, repeated-symbol runs") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "a", "b", "a", "b")),
+      (2L, Seq("a")),
+      (3L, Seq.empty[String])
+    ).toDF("doc_id", "ws")
+    val aa = docs.select(col("doc_id"),
+        CorpusOps.applyMerge(col("ws"), "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(aa(1L) == Seq("a a", "a", "b", "a", "b"))   // run parity: only pos 1
+    assert(aa(2L) == Seq("a") && aa(3L) == Seq.empty)
+    val ab = docs.select(col("doc_id"),
+        CorpusOps.applyMerge(col("ws"), "a", "b").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(ab(1L) == Seq("a", "a", "a b", "a b"))
+  }
+
+  test("trainBpe: iterated arg-max merges on a planted corpus") {
+    // round 1: "x y" (3 occurrences) wins; after merging, round 2's top
+    // adjacent pair is ("x y", "z") (2 occurrences)
+    val docs = Seq(
+      (1L, "x y z q x y"),
+      (2L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.trainBpe(docs, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "x", "y", 3L), (2L, "x y", "z", 2L)), got.toString)
+  }
+
+  test("trainBpe stops early when no pairs remain") {
+    val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(CorpusOps.trainBpe(docs, "text", rounds = 3).count() == 0)
+  }
+
   test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b","b a","a b"

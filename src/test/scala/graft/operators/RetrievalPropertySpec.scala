@@ -80,6 +80,36 @@ class RetrievalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: applyMerge equals a driver-side greedy reference") {
+    def refMerge(ws: Seq[String], wa: String, wb: String): Seq[String] = {
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < ws.length) {
+        if (i + 1 < ws.length && ws(i) == wa && ws(i + 1) == wb) {
+          out += s"$wa $wb"; i += 2
+        } else { out += ws(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val tokGen = Gen.oneOf("a", "b", "c")
+    val wsGen = for {
+      n <- Gen.chooseNum(0, 10)
+      ws <- Gen.listOfN(n, tokGen)
+    } yield ws
+    val cases = samples(wsGen, 60).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws: Seq[String]) }
+    val df = cases.toDF("id", "ws")
+    for ((wa, wb) <- Seq(("a", "b"), ("a", "a"), ("c", "c"), ("b", "c"))) {
+      val got = df.select(col("id"),
+          CorpusOps.applyMerge(col("ws"), wa, wb).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.foreach { case (id, ws) =>
+        assert(got(id) == refMerge(ws, wa, wb),
+          s"($wa,$wb) on $ws: ${got(id)} vs ${refMerge(ws, wa, wb)}")
+      }
+    }
+  }
+
   test("property: ranking metrics respect their bounds; perfect ranking maxes them") {
     val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("qid", "id")
     // perfect: all relevant docs first
