@@ -75,6 +75,31 @@ object TextKernels {
     }
   }
 
+  /** One greedy left-to-right non-overlapping BPE merge of the adjacent
+    * pair (wa, wb) — the merged symbol is `wa + " " + wb`. Same
+    * semantics as the (out, pending) fold the d32 oracle replays
+    * relationally, in one array pass inside whole-stage codegen (the
+    * interpreted `aggregate` HOF version cost ~3× the whole query). */
+  def mergePair(arr: ArrayData, wa: UTF8String, wb: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return arr
+    val merged = UTF8String.concat(wa, UTF8String.fromString(" "), wb)
+    val tmp = new Array[Any](n)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < n && cur.equals(wa) && arr.getUTF8String(i + 1).equals(wb)) {
+        tmp(j) = merged; j += 1; i += 2
+      } else {
+        tmp(j) = cur; j += 1; i += 1
+      }
+    }
+    if (j == n) new GenericArrayData(tmp)
+    else new GenericArrayData(
+      java.util.Arrays.copyOf(tmp.asInstanceOf[Array[AnyRef]], j))
+  }
+
   private final val NgramB = 0x9E3779B97F4A7C15L // odd ⇒ invertible mod 2^64
 
   /** 64-bit hashes of word n-gram shingles WITHOUT materializing gram
@@ -125,17 +150,20 @@ object TextKernels {
 }
 
 object TextExprs {
-  /** Register split_words / word_ngrams on the session (idempotent). */
+  /** Register split_words / word_ngrams / merge_pair on the session
+    * (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("split_words"))) {
+        org.apache.spark.sql.catalyst.FunctionIdentifier("merge_pair"))) {
       reg.createOrReplaceTempFunction("split_words",
         exprs => SplitWordsExpr(exprs.head), "built-in")
       reg.createOrReplaceTempFunction("word_ngrams",
         exprs => WordNgramsExpr(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("ngram_hashes",
         exprs => NgramHashesExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("merge_pair",
+        exprs => MergePairExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     }
   }
 }
@@ -251,4 +279,32 @@ case class NgramHashesExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** merge_pair(ws, wa, wb) — one greedy left-to-right non-overlapping BPE
+  * merge of the adjacent pair (wa, wb) in a string array
+  * ([[TextKernels.mergePair]]); the d32 trainer's per-round map. */
+case class MergePairExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (other, _, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arguments must be (array<string>, string, string), got " +
+            s"(${other.simpleString}, ${second.dataType.simpleString}, " +
+            s"${third.dataType.simpleString})")
+    }
+  override protected def nullSafeEval(ws: Any, wa: Any, wb: Any): Any =
+    TextKernels.mergePair(ws.asInstanceOf[ArrayData],
+      wa.asInstanceOf[UTF8String], wb.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ws, wa, wb) =>
+      s"graft.functions.TextKernels.mergePair($ws, $wa, $wb)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

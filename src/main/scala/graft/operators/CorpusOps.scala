@@ -939,33 +939,15 @@ object CorpusOps {
 
   /** Greedy left-to-right non-overlapping merge of the adjacent symbol
     * pair (wa, wb) in a token-array column — one BPE merge application
-    * (`"a a a" + (a,a) → ["a a", "a"]`). A pure map-side fold (the
-    * `aggregate` higher-order function with an (out, pending) state:
-    * `pending` delays emission one step so the pair test needs no
-    * lookahead) — zero shuffles, zero state, any corpus size. */
+    * (`"a a a" + (a,a) → ["a a", "a"]`). A pure map over the array via
+    * the native codegen kernel [[graft.functions.TextKernels.mergePair]]
+    * (one pass, whole-stage codegen; the interpreted `aggregate`-HOF
+    * formulation cost ~3× the whole d32 query) — zero shuffles, zero
+    * state, any corpus size. Callers must have registered
+    * [[graft.functions.TextExprs]] on the session. */
   def applyMerge(ws: org.apache.spark.sql.Column, wa: String,
-      wb: String): org.apache.spark.sql.Column = {
-    require(!wa.contains("'") && !wb.contains("'"),
-      "applyMerge: symbols must not contain single quotes")
-    val col = ws
-    val merged = s"$wa $wb"
-    aggregate(col,
-      struct(expr("cast(array() as array<string>)").as("out"),
-        lit("").as("pending")),
-      (acc, x) =>
-        when(acc.getField("pending") === lit(wa) && x === lit(wb),
-          struct(array_append(acc.getField("out"), lit(merged)).as("out"),
-            lit("").as("pending")))
-          .when(acc.getField("pending") === lit(""),
-            struct(acc.getField("out").as("out"), x.as("pending")))
-          .otherwise(struct(
-            array_append(acc.getField("out"), acc.getField("pending"))
-              .as("out"),
-            x.as("pending"))),
-      acc => when(acc.getField("pending") === lit(""), acc.getField("out"))
-        .otherwise(array_append(acc.getField("out"),
-          acc.getField("pending"))))
-  }
+      wb: String): org.apache.spark.sql.Column =
+    call_function("merge_pair", ws, lit(wa), lit(wb))
 
   /** Byte-pair-encoding trainer over the corpus token stream (Sennrich
     * et al., ACL 2016, run at word level — characters are a caller-side

@@ -239,6 +239,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
   }
 
   test("applyMerge: greedy left-to-right non-overlapping, repeated-symbol runs") {
+    graft.functions.TextExprs.register(spark)
     val docs = Seq(
       (1L, Seq("a", "a", "a", "b", "a", "b")),
       (2L, Seq("a")),

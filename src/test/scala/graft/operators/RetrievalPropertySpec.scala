@@ -81,6 +81,7 @@ class RetrievalPropertySpec extends AnyFunSuite {
   }
 
   test("property: applyMerge equals a driver-side greedy reference") {
+    graft.functions.TextExprs.register(spark)
     def refMerge(ws: Seq[String], wa: String, wb: String): Seq[String] = {
       val out = collection.mutable.ArrayBuffer.empty[String]
       var i = 0
