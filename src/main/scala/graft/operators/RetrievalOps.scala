@@ -296,8 +296,9 @@ object RetrievalOps {
   def phraseTopK(spark: SparkSession, path: String, phrase: Seq[String],
       k: Int = 10): DataFrame = {
     require(phrase.size >= 2, "phraseTopK: phrase needs >= 2 words")
-    val statsRow = spark.read.parquet(s"$path/stats").head()
-    val nBuckets = statsRow.getInt(2)
+    val (nDocs, _, nBuckets) = readStats(spark, path)
+    if (nDocs == 0L)
+      return emptyResult(spark, "id BIGINT, n_occurrences BIGINT")
     val terms = phrase.distinct
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
     val pruned = spark.read.parquet(s"$path/postings")
@@ -317,6 +318,21 @@ object RetrievalOps {
       .orderBy(col("n_occurrences").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Index stats row as (n, avgdl, nBuckets); an index built over an
+    * EMPTY corpus has a null avgdl (no rows to average) — surfaced as
+    * 0.0 so probes can early-return instead of NPE-ing. */
+  private def readStats(spark: SparkSession,
+      path: String): (Long, Double, Int) = {
+    val r = spark.read.parquet(s"$path/stats").head()
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1), r.getInt(2))
+  }
+
+  /** Typed empty result for probes of an empty index (its postings dir
+    * has no parquet files, so even a schema read would fail). */
+  private def emptyResult(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
   /** The bucket a term's postings live in — the driver-side twin of the
     * build's `pmod(xxhash64(term), nBuckets)` (same seed-42 xxhash64). */
@@ -342,8 +358,8 @@ object RetrievalOps {
       queryTerms: Seq[String], k: Int = 10, k1: Double = K1,
       b: Double = B): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopKIndexed: queryTerms must be non-empty")
-    val statsRow = spark.read.parquet(s"$path/stats").head()
-    val nBuckets = statsRow.getInt(2)
+    val (nDocs, avgdl, nBuckets) = readStats(spark, path)
+    if (nDocs == 0L) return emptyResult(spark, "id BIGINT, bm25 DOUBLE")
     val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
     val pruned = spark.read.parquet(s"$path/postings")
       .filter(col("pt").isin(buckets: _*) &&
@@ -352,14 +368,14 @@ object RetrievalOps {
     val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
     val contrib = pruned.join(broadcast(dfreq), "term")
       .select(col("id"),
-        (((lit(statsRow.getLong(0)).cast("double") -
+        (((lit(nDocs).cast("double") -
             col("_g_df").cast("double")) + lit(0.5)) /
           (col("_g_df").cast("double") + lit(0.5)) *
           ((col("tf").cast("double") * lit(k1 + 1.0)) /
             (col("tf").cast("double") + lit(k1) *
               (lit(1.0 - b) +
                 lit(b) * (col("dl").cast("double") /
-                  lit(statsRow.getDouble(1)))))))
+                  lit(avgdl))))))
           .as("_g_c"))
       .select(col("id"),
         round(col("_g_c") * lit(1000000.0), 0).cast("long").as("_g_cm"))
@@ -385,8 +401,9 @@ object RetrievalOps {
   def bm25TopKIndexedBatch(spark: SparkSession, path: String,
       queries: DataFrame, qIdCol: String, termsCol: String, k: Int = 10,
       k1: Double = K1, b: Double = B): DataFrame = {
-    val statsRow = spark.read.parquet(s"$path/stats").head()
-    val nBuckets = statsRow.getInt(2)
+    val (nDocs, avgdl, nBuckets) = readStats(spark, path)
+    if (nDocs == 0L) return emptyResult(spark,
+      "query_id BIGINT, rank BIGINT, id BIGINT, bm25 DOUBLE")
     val qpairs = queries
       .select(col(qIdCol).cast("long").as("qid"),
         explode(col(termsCol)).as("term"))
@@ -401,14 +418,14 @@ object RetrievalOps {
     val contrib = pruned.join(broadcast(dfreq), "term")
       .join(broadcast(qpairs), "term")
       .select(col("qid"), col("id"),
-        (((lit(statsRow.getLong(0)).cast("double") -
+        (((lit(nDocs).cast("double") -
             col("_g_df").cast("double")) + lit(0.5)) /
           (col("_g_df").cast("double") + lit(0.5)) *
           ((col("tf").cast("double") * lit(k1 + 1.0)) /
             (col("tf").cast("double") + lit(k1) *
               (lit(1.0 - b) +
                 lit(b) * (col("dl").cast("double") /
-                  lit(statsRow.getDouble(1)))))))
+                  lit(avgdl))))))
           .as("_g_c"))
       .select(col("qid"), col("id"),
         round(col("_g_c") * lit(1000000.0), 0).cast("long").as("_g_cm"))
@@ -429,15 +446,15 @@ object RetrievalOps {
     * driver query over the query terms' buckets only. */
   def frozenStats(spark: SparkSession, path: String,
       queryTerms: Seq[String]): (Long, Double, Map[String, Long]) = {
-    val statsRow = spark.read.parquet(s"$path/stats").head()
-    val nBuckets = statsRow.getInt(2)
+    val (nDocs, avgdl, nBuckets) = readStats(spark, path)
+    if (nDocs == 0L) return (0L, 0.0, Map.empty)
     val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
     val dfs = spark.read.parquet(s"$path/postings")
       .filter(col("pt").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (statsRow.getLong(0), statsRow.getDouble(1), dfs)
+    (nDocs, avgdl, dfs)
   }
 
   /** BM25 score of a text column against driver-held query terms under

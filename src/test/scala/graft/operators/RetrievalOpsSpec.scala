@@ -274,6 +274,20 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(CorpusOps.trainBpe(docs, "text", rounds = 3).count() == 0)
   }
 
+  test("index probes of an EMPTY corpus return empty, never crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("emptyidx").toString + "/idx"
+    RetrievalOps.indexCorpus(empty, "doc_id", "text", path, nBuckets = 4,
+      withPositions = true)
+    assert(RetrievalOps.bm25TopKIndexed(spark, path, Seq("a")).count() == 0)
+    assert(RetrievalOps.phraseTopK(spark, path, Seq("a", "b")).count() == 0)
+    val queries = Seq((1L, Seq("a"))).toDF("qid", "terms")
+    assert(RetrievalOps.bm25TopKIndexedBatch(spark, path, queries,
+      "qid", "terms").count() == 0)
+    assert(RetrievalOps.frozenStats(spark, path, Seq("a")) ==
+      ((0L, 0.0, Map.empty[String, Long])))
+  }
+
   test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b","b a","a b"
