@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[graft.functions.WordNgramsExpr].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => graft.functions.WordNgramsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("merge_pair"),
+      new ExpressionInfo(classOf[graft.functions.MergePairExpr].getName, "merge_pair"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MergePairExpr(exprs(0), exprs(1), exprs(2))))
   }
 }
 

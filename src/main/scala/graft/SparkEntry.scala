@@ -124,6 +124,7 @@ object SparkEntry {
     "x21_bm25_indexed" -> (operators.RetrievalOps.x21Bm25Indexed _),
     "x22_retrieval_eval" -> (operators.RetrievalOps.x22RetrievalEval _),
     "x23_phrase_match" -> (operators.RetrievalOps.x23PhraseMatch _),
+    "x24_model_rerank" -> (operators.RetrievalOps.x24ModelRerank _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
     // multimodal (binary payload) pipeline
@@ -1220,6 +1221,19 @@ object SparkEntry {
         |  SELECT anchor_id, neg_id, cosine,
         |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
         |  FROM scored) t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // generate-then-rerank: BM25 top-20 candidates re-scored by the
+    // batched stub pair model (portable md5 score — the oracle replays
+    // it, hash-verifying the candidate→batch→score plumbing)
+    "x24_model_rerank" -> (Bm25OracleCtes +
+      """,
+        |cand AS (
+        |  SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
+        |  FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20)
+        |SELECT doc_id, model_score FROM (
+        |  SELECT d.doc_id,
+        |    round((('0x' || substr(md5('vector hash join' || d.text), 1, 7))::BIGINT % 1000000) / 1000000.0, 6) AS model_score
+        |  FROM documents d JOIN cand USING (doc_id)) t
+        |ORDER BY model_score DESC, doc_id LIMIT 10""").stripMargin,
     // phrase search: the oracle states the consecutive-word semantics
     // directly over the text; the engine answers from the positional
     // index's offset-array fold — a hash match proves them equivalent

@@ -533,6 +533,52 @@ object RetrievalOps {
           .as("ndcg"))
   }
 
+  case class ModelScore(query_id: Long, doc_id: Long, model_score: Double)
+
+  /** Stub pair scorer of the x24 gate — deterministic AND engine-portable
+    * (the md5-prefix convention): score ∈ [0, 1) from the pair's md5, so
+    * the DuckDB oracle replays it exactly. A real model adapter replaces
+    * this with an ONNX/JNI session call; nothing else changes. */
+  def stubPairScorer(pairs: Seq[(String, String)]): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    pairs.map { case (q, d) =>
+      md.reset()
+      val hex = md.digest((q + d).getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(7), 16) % 1000000L) / 1000000.0
+    }
+  }
+
+  /** Batched model scoring over (query, doc) text pairs — the
+    * cross-encoder / reward-model serving shape: one model instance per
+    * PARTITION (the mapPartitions init-amortization idiom the multimodal
+    * codecs use), rows streamed through it `batchSize` at a time. The
+    * output must not depend on batch boundaries (spec-held). Candidates
+    * are a per-query bounded frame (a retriever's top-n), so the model
+    * only ever scores n·|queries| pairs — the generate-then-rerank
+    * architecture that makes model inference affordable at 100 TB. */
+  def scoreWithModel(cands: DataFrame, qidCol: String, docIdCol: String,
+      queryTextCol: String, docTextCol: String,
+      scoreBatch: Seq[(String, String)] => Seq[Double] = stubPairScorer,
+      batchSize: Int = 32): DataFrame = {
+    require(batchSize >= 1, s"scoreWithModel: batchSize must be >= 1")
+    val s = cands.sparkSession
+    val fn = scoreBatch
+    val bs = batchSize
+    cands.select(col(qidCol).cast("long"), col(docIdCol).cast("long"),
+        col(queryTextCol), col(docTextCol))
+      .mapPartitions { rows =>
+        // per-partition model init happens HERE, once
+        rows.grouped(bs).flatMap { batch =>
+          val scores = fn(batch.map(r => (r.getString(2), r.getString(3))))
+          batch.lazyZip(scores).map { (r, sc) =>
+            ModelScore(r.getLong(0), r.getLong(1), sc)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[ModelScore])
+      .toDF()
+  }
+
   // ---- gate-query bindings (testdata tables; driver-oracled) ----
 
   /** Query terms of the lexical gates — drawn from the synthetic corpus
@@ -661,6 +707,24 @@ object RetrievalOps {
       .select(col("qid"), col("vec_id").as("id"))
     evalRanking(ranked, "qid", "rank", "id", qrels, "qid", "id", k = 10)
       .orderBy(col("query_id").asc)
+  }
+
+  /** x24: generate-then-rerank — BM25 top-20 candidates re-scored by the
+    * batched (stub) pair model, top-10 by model score. The oracle
+    * replays the portable md5 stub, so the whole candidate→batch→score
+    * plumbing is hash-verified. */
+  def x24ModelRerank(s: SparkSession, dir: String): DataFrame = {
+    val qText = GateTerms.mkString(" ")
+    val cands = bm25Scores(documents(s, dir), "doc_id", "text", GateTerms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+    val withText = documents(s, dir).select(col("doc_id"), col("text"))
+      .join(broadcast(cands.select("doc_id")), "doc_id")
+      .withColumn("_g_qid", lit(0L))
+      .withColumn("_g_q", lit(qText))
+    scoreWithModel(withText, "_g_qid", "doc_id", "_g_q", "text")
+      .select(col("doc_id"), round(col("model_score"), 6).as("model_score"))
+      .orderBy(col("model_score").desc, col("doc_id").asc)
+      .limit(10)
   }
 
   /** x20: MMR-diversified rerank of vec 0's top-20 cosine candidates. */

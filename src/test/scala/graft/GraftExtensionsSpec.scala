@@ -29,6 +29,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // Graft.setup also brought the st_* UDF surface
       assert(spark.sql("SELECT st_astext(st_point_wkb(1.0d, 2.0d)) AS t")
         .head().getString(0).startsWith("POINT"))
+      // the text kernels are SQL-visible through the extension too
+      assert(spark.sql(
+        "SELECT merge_pair(split_words('a a b'), 'a', 'b') AS m")
+        .head().getSeq[String](0) == Seq("a", "a b"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

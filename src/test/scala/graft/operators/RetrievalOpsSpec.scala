@@ -288,6 +288,25 @@ class RetrievalOpsSpec extends AnyFunSuite {
       ((0L, 0.0, Map.empty[String, Long])))
   }
 
+  test("scoreWithModel: batch boundaries never change scores; stub is portable") {
+    val cands = (1L to 23L).map(i => (0L, i, "q text", s"doc body $i"))
+      .toDF("qid", "id", "q", "text")
+    val a = RetrievalOps.scoreWithModel(cands, "qid", "id", "q", "text",
+        batchSize = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val b = RetrievalOps.scoreWithModel(cands, "qid", "id", "q", "text",
+        batchSize = 7)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(a == b && a.size == 23)
+    // the stub equals the direct md5 formula (the oracle's portability)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("q textdoc body 5".getBytes("UTF-8"))
+      .take(4).map(x => f"$x%02x").mkString
+    val exp = (java.lang.Long.parseLong(hex.take(7), 16) % 1000000L) / 1000000.0
+    assert(a(5L) == exp)
+    assert(a.values.forall(v => v >= 0.0 && v < 1.0))
+  }
+
   test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b","b a","a b"
