@@ -125,6 +125,7 @@ object SparkEntry {
     "x22_retrieval_eval" -> (operators.RetrievalOps.x22RetrievalEval _),
     "x23_phrase_match" -> (operators.RetrievalOps.x23PhraseMatch _),
     "x24_model_rerank" -> (operators.RetrievalOps.x24ModelRerank _),
+    "x25_ann_recall" -> (operators.RetrievalOps.x25AnnRecall _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
     // multimodal (binary payload) pipeline
@@ -1221,6 +1222,31 @@ object SparkEntry {
         |  SELECT anchor_id, neg_id, cosine,
         |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
         |  FROM scored) t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // ANN quality: the x7 IVF probe's top-10 evaluated against the exact
+    // cosine top-10 as ground truth with the x22 metric arithmetic,
+    // swept over nprobe 1 and 2 (per-nprobe suffixed CTE chains)
+    "x25_ann_recall" ->
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+        |  FROM e CROSS JOIN c
+        |), cells AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1
+        |), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |exact AS (
+        |  SELECT vec_id AS id FROM (
+        |    SELECT vec_id, round(list_cosine_similarity(v, q.qv), 6) AS cosine
+        |    FROM e CROSS JOIN q WHERE vec_id <> 0
+        |    ORDER BY cosine DESC, vec_id LIMIT 10) t),""".stripMargin +
+        Seq(1, 2).map(annRecallCtes).mkString(",") + """
+        |SELECT 1::BIGINT AS nprobe, n_rel, hits, recall, mrr, ndcg FROM met_1
+        |UNION ALL
+        |SELECT 2::BIGINT, n_rel, hits, recall, mrr, ndcg FROM met_2
+        |ORDER BY nprobe""".stripMargin),
     // generate-then-rerank: BM25 top-20 candidates re-scored by the
     // batched stub pair model (portable md5 score — the oracle replays
     // it, hash-verifying the candidate→batch→score plumbing)
@@ -1337,6 +1363,34 @@ object SparkEntry {
         |SELECT pair, count(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
+
+  /** Per-nprobe CTE chain of the x25 oracle: probe cells → IVF top-10
+    * ranking → x22-convention metrics vs the shared `exact` qrels. */
+  private def annRecallCtes(np: Int): String =
+    s"""
+       |qcells_$np AS (
+       |  SELECT cid AS cell FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY sim DESC, cid) AS rn
+       |    FROM sims WHERE vec_id = 0)
+       |  WHERE rn <= $np),
+       |ivf_$np AS (
+       |  SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rank FROM (
+       |    SELECT cells.vec_id AS id, round(list_cosine_similarity(cells.v, q.qv), 6) AS cosine
+       |    FROM cells JOIN qcells_$np ON cells.cell = qcells_$np.cell CROSS JOIN q
+       |    WHERE cells.vec_id <> 0
+       |    ORDER BY cosine DESC, id LIMIT 10) t),
+       |flags_$np AS (
+       |  SELECT r.rank, (x.id IS NOT NULL) AS rel
+       |  FROM ivf_$np r LEFT JOIN exact x ON r.id = x.id),
+       |met_$np AS (
+       |  SELECT 10::BIGINT AS n_rel,
+       |    sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |    round(sum(CASE WHEN rel THEN 1 ELSE 0 END)::DOUBLE / 10.0, 6) AS recall,
+       |    round(COALESCE(1.0 / min(CASE WHEN rel THEN rank END)::DOUBLE, 0.0), 6) AS mrr,
+       |    round(sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)::DOUBLE /
+       |      list_sum(list_transform(range(1, 11),
+       |        r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::DOUBLE, 6) AS ndcg
+       |  FROM flags_$np)""".stripMargin
 
   /** One BPE-oracle round (d32): pair counts → arg-max pair `b{r}` →
     * greedy merge applied relationally. Candidates are positions where

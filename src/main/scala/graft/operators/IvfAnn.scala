@@ -80,15 +80,21 @@ object IvfAnn {
 
   /** Gate query: IVF top-10 for the vec_id=0 query with untrained
     * centroids (the first K vectors by id) and NProbe=2. */
-  def x7IvfTopK(s: SparkSession, dir: String): DataFrame = {
+  def x7IvfTopK(s: SparkSession, dir: String): DataFrame =
+    x7SearchAt(s, dir, NProbe)
+
+  /** The x7 probe at an arbitrary `nprobe` — the accuracy-vs-cost dial
+    * the x25 recall gate sweeps (same deterministic first-K centroids). */
+  def x7SearchAt(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = vectors(s, dir)
     val cents = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    ivfSearch(emb, cents)
+    ivfSearch(emb, cents, nprobe)
   }
 
   /** IVF search against an arbitrary centroid table (cid, cv). */
-  def ivfSearch(emb: DataFrame, cents: DataFrame): DataFrame = {
+  def ivfSearch(emb: DataFrame, cents: DataFrame,
+      nprobe: Int = NProbe): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val sims = centroidSims(emb, cents)
     val cells = assignCells(emb, cents)
@@ -97,7 +103,7 @@ object IvfAnn {
     // the (sim desc, cid asc) tie-break is total because cid is unique
     val qcells = sims.filter(col("vec_id") === 0)
       .orderBy(col("sim").desc, col("cid").asc)
-      .limit(NProbe)
+      .limit(nprobe)
       .select(col("cid").as("cell"))
     val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
     cells.filter(col("vec_id") =!= 0)

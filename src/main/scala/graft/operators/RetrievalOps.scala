@@ -727,6 +727,31 @@ object RetrievalOps {
       .limit(10)
   }
 
+  /** x25: ANN quality quantified — [[evalRanking]] scoring the x7 IVF
+    * probe's top-10 against the exact cosine top-10 as ground truth
+    * (recall@10 / MRR / nDCG of the approximate index), swept over
+    * nprobe ∈ {1, 2}: the accuracy-vs-cost dial every ANN deployment
+    * tunes (nprobe 1 loses a neighbor on this corpus, nprobe 2 is
+    * lossless), measured with the same oracle-verified metric harness
+    * as x22. */
+  def x25AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val qrels = SimilarityQueries.x1CosineTopK(s, dir)
+      .select(lit(0L).as("qid"), col("vec_id").as("id"))
+    def at(np: Int): DataFrame = {
+      val ranked = IvfAnn.x7SearchAt(s, dir, np)
+        .select(lit(0L).as("qid"), col("vec_id").as("id"), col("cosine"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cosine").desc, col("id").asc))
+          .cast("long"))
+      evalRanking(ranked, "qid", "rank", "id", qrels, "qid", "id", k = 10)
+        .withColumn("nprobe", lit(np.toLong))
+    }
+    at(1).unionByName(at(2))
+      .select(col("nprobe"), col("n_rel"), col("hits"), col("recall"),
+        col("mrr"), col("ndcg"))
+      .orderBy(col("nprobe").asc)
+  }
+
   /** x20: MMR-diversified rerank of vec 0's top-20 cosine candidates. */
   def x20MmrRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)

@@ -307,6 +307,13 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(a.values.forall(v => v >= 0.0 && v < 1.0))
   }
 
+  test("x25: ANN recall is monotone in nprobe and bounded by exact search") {
+    val rows = RetrievalOps.x25AnnRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) <= rows(2L) && rows(2L) <= 1.0 && rows(1L) >= 0.0)
+  }
+
   test("pairCounts: exact adjacent-pair counting, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b","b a","a b"
