@@ -153,6 +153,21 @@ object DocStreams {
       col("text"), queryTerms, n, avgdl, dfByTerm))
   }
 
+  /** Model scores as documents arrive — the continuous labeling path
+    * (quality classifier / reward model over a crawl feed):
+    * [[graft.operators.RetrievalOps.scoreWithModel]] runs unchanged on a
+    * stream because it is mapPartitions-shaped — per-micro-batch
+    * partition init, fixed-size batches, no state, no watermark. The
+    * query text rides as a literal column; scores emit immediately. */
+  def modelScoreArrivals(docs: DataFrame, queryText: String,
+      scoreBatch: Seq[(String, String)] => Seq[Double] =
+        graft.operators.RetrievalOps.stubPairScorer,
+      batchSize: Int = 32): DataFrame =
+    graft.operators.RetrievalOps.scoreWithModel(
+      docs.withColumn("_g_qid", lit(0L))
+        .withColumn("_g_q", lit(queryText)),
+      "_g_qid", "doc_id", "_g_q", "text", scoreBatch, batchSize)
+
   /** Contamination flags as documents arrive: explode the stream's word
     * n-grams, stream-static semi join against the (broadcast-sized)
     * benchmark shingle set, and emit each contaminated doc once (the

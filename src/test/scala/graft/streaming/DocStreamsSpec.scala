@@ -81,6 +81,19 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming model scoring equals the batch scorer row for row") {
+    val got = EventStreams.runToCompletion(
+      DocStreams.modelScoreArrivals(stream, "vector hash join"),
+      "doc_model")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val expected = graft.operators.RetrievalOps.scoreWithModel(
+      batchDocs.withColumn("_g_qid", lit(0L))
+        .withColumn("_g_q", lit("vector hash join")),
+      "_g_qid", "doc_id", "_g_q", "text")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("streaming ingest admit equals the batch dedupeIncrement (d27 split)") {
     // existing corpus = doc_id % 5 != 0 (static), increment = the rest
     // (streamed); the map-side-signature stream gate must admit exactly
