@@ -125,6 +125,7 @@ object SparkEntry {
     "x22_retrieval_eval" -> (operators.RetrievalOps.x22RetrievalEval _),
     "x23_phrase_match" -> (operators.RetrievalOps.x23PhraseMatch _),
     "x24_model_rerank" -> (operators.RetrievalOps.x24ModelRerank _),
+    "x26_proximity_match" -> (operators.RetrievalOps.x26ProximityMatch _),
     "x25_ann_recall" -> (operators.RetrievalOps.x25AnnRecall _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
@@ -1270,6 +1271,19 @@ object SparkEntry {
         |SELECT doc_id, n_occurrences FROM (
         |  SELECT doc_id, CAST(len(list_filter(range(1, len(ws)),
         |    i -> ws[i] = 'table' AND ws[i + 1] = 'hash')) AS BIGINT) AS n_occurrences
+        |  FROM d) t
+        |WHERE n_occurrences > 0
+        |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin,
+    // ordered proximity (slop 1): the oracle counts distinct end
+    // positions j of the second word with the first word ≤ 2 back
+    "x26_proximity_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id, n_occurrences FROM (
+        |  SELECT doc_id, CAST(len(list_filter(range(1, len(ws) + 1),
+        |    j -> ws[j] = 'hash' AND len(list_filter(range(greatest(1, j - 2), j),
+        |      i -> ws[i] = 'table')) > 0)) AS BIGINT) AS n_occurrences
         |  FROM d) t
         |WHERE n_occurrences > 0
         |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin,

@@ -52,6 +52,9 @@ object RetrievalOps {
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Scores: queryTerms must be non-empty")
+    // a repeated term must not double-count: normalize once here so the
+    // aggregation scorer, the index probe and the column scorer agree
+    val terms0 = queryTerms.distinct
     graft.functions.TextExprs.register(docs.sparkSession)
     val base = docs
       .select(col(idCol).cast("long").as(idCol),
@@ -64,7 +67,7 @@ object RetrievalOps {
     // frequency via array_contains — no second tokenize pass, no df
     // shuffle, no df join: the only corpus-wide exchange in the whole
     // query is the single tf shuffle below
-    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+    val dfCols = terms0.zipWithIndex.map { case (t, i) =>
       sum(when(array_contains(col("_g_ws"), lit(t)), lit(1L))
         .otherwise(lit(0L))).as(s"_g_df_$i")
     }
@@ -75,12 +78,12 @@ object RetrievalOps {
     // the one shuffle, and doc length rides the same grouping
     val tf = base
       .select(col(idCol), col("_g_dl"), explode(col("_g_ws")).as("_g_term"))
-      .filter(col("_g_term").isin(queryTerms: _*))
+      .filter(col("_g_term").isin(terms0: _*))
       .groupBy(col(idCol), col("_g_term"))
       .agg(count(lit(1)).as("_g_tf"), max(col("_g_dl")).as("_g_dl"))
     // resolve each row's df from the broadcast stats row
-    val dfOfTerm = queryTerms.zipWithIndex.tail
-      .foldLeft(when(col("_g_term") === queryTerms.head, col("_g_df_0"))) {
+    val dfOfTerm = terms0.zipWithIndex.tail
+      .foldLeft(when(col("_g_term") === terms0.head, col("_g_df_0"))) {
         case (acc, (t, i)) => acc.when(col("_g_term") === t, col(s"_g_df_$i"))
       }
     val contrib = tf.crossJoin(broadcast(stats))
@@ -294,8 +297,9 @@ object RetrievalOps {
     * the join inputs are each term's postings only, never the corpus;
     * rare-term phrases broadcast under AQE. */
   def phraseTopK(spark: SparkSession, path: String, phrase: Seq[String],
-      k: Int = 10): DataFrame = {
+      k: Int = 10, slop: Int = 0): DataFrame = {
     require(phrase.size >= 2, "phraseTopK: phrase needs >= 2 words")
+    require(slop >= 0, s"phraseTopK: slop must be >= 0, got $slop")
     val (nDocs, _, nBuckets) = readStats(spark, path)
     if (nDocs == 0L)
       return emptyResult(spark, "id BIGINT, n_occurrences BIGINT")
@@ -309,8 +313,15 @@ object RetrievalOps {
         .select(col("id"), col("positions").as(s"_p$i"))
     }
     val joined = frames.reduce((a, b) => a.join(b, "id"))
+    // slop widens each step's allowed gap to 1..slop+1 (Lucene-style
+    // ordered proximity); the intersect dedups, so n_occurrences counts
+    // DISTINCT end positions that complete a within-slop match
     val folded = phrase.indices.tail.foldLeft(col("_p0")) { (acc, i) =>
-      array_intersect(transform(acc, x => x + lit(1)), col(s"_p$i"))
+      val nextCands =
+        if (slop == 0) transform(acc, x => x + lit(1))
+        else flatten(transform(acc,
+          x => sequence(x + lit(1), x + lit(1 + slop))))
+      array_intersect(nextCands, col(s"_p$i"))
     }
     joined
       .select(col("id"), size(folded).cast("long").as("n_occurrences"))
@@ -358,12 +369,15 @@ object RetrievalOps {
       queryTerms: Seq[String], k: Int = 10, k1: Double = K1,
       b: Double = B): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopKIndexed: queryTerms must be non-empty")
+    // a repeated term must not double-count: normalize once here so the
+    // aggregation scorer, the index probe and the column scorer agree
+    val terms0 = queryTerms.distinct
     val (nDocs, avgdl, nBuckets) = readStats(spark, path)
     if (nDocs == 0L) return emptyResult(spark, "id BIGINT, bm25 DOUBLE")
-    val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
+    val buckets = terms0.map(termBucket(_, nBuckets)).distinct
     val pruned = spark.read.parquet(s"$path/postings")
       .filter(col("pt").isin(buckets: _*) &&
-        col("term").isin(queryTerms: _*))
+        col("term").isin(terms0: _*))
       .select(col("id"), col("term"), col("tf"), col("dl"))
     val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
     val contrib = pruned.join(broadcast(dfreq), "term")
@@ -471,9 +485,12 @@ object RetrievalOps {
       dfByTerm: Map[String, Long], k1: Double = K1,
       b: Double = B): org.apache.spark.sql.Column = {
     require(queryTerms.nonEmpty, "bm25ScoreColumn: queryTerms must be non-empty")
+    // a repeated term must not double-count: normalize once here so the
+    // aggregation scorer, the index probe and the column scorer agree
+    val terms0 = queryTerms.distinct
     val ws = call_function("split_words", textCol)
     val dl = size(ws).cast("long").cast("double")
-    val micro = queryTerms.map { t =>
+    val micro = terms0.map { t =>
       val df = dfByTerm.getOrElse(t, 0L)
       val tf = size(filter(ws, w => w === lit(t))).cast("long").cast("double")
       val c = (((lit(n).cast("double") - lit(df).cast("double")) + lit(0.5)) /
@@ -751,6 +768,15 @@ object RetrievalOps {
         col("mrr"), col("ndcg"))
       .orderBy(col("nprobe").asc)
   }
+
+  /** x26: ordered proximity search — "table hash" within slop 1 (one
+    * intervening word allowed) over the same positional index as x23;
+    * the widened fold finds strictly more matches than the exact
+    * phrase. */
+  def x26ProximityMatch(s: SparkSession, dir: String): DataFrame =
+    phraseTopK(s, snapshotPosIndexPath(s, dir), Seq("table", "hash"),
+        k = 10, slop = 1)
+      .select(col("id").as("doc_id"), col("n_occurrences"))
 
   /** x20: MMR-diversified rerank of vec 0's top-20 cosine candidates. */
   def x20MmrRerank(s: SparkSession, dir: String): DataFrame = {

@@ -35,6 +35,32 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got.values.forall(_ > 0.0))
   }
 
+  test("duplicate query terms never double-count, in any scorer") {
+    graft.functions.TextExprs.register(spark)
+    val dup = Seq("apple", "apple", "cherry")
+    val distinctT = Seq("apple", "cherry")
+    val a = RetrievalOps.bm25Scores(corpus, "doc_id", "text", dup)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = RetrievalOps.bm25Scores(corpus, "doc_id", "text", distinctT)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a == b)
+    val path = java.nio.file.Files.createTempDirectory("dupidx").toString + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    val (n, avgdl, dfs) = RetrievalOps.frozenStats(spark, path, distinctT)
+    val colDup = corpus.select(col("doc_id"),
+        RetrievalOps.bm25ScoreColumn(col("text"), dup, n, avgdl, dfs).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val colDis = corpus.select(col("doc_id"),
+        RetrievalOps.bm25ScoreColumn(col("text"), distinctT, n, avgdl, dfs).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(colDup == colDis)
+    val iDup = RetrievalOps.bm25TopKIndexed(spark, path, dup)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val iDis = RetrievalOps.bm25TopKIndexed(spark, path, distinctT)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(iDup == iDis)
+  }
+
   test("bm25TopK: k bounds the result and ranking is (score desc, id asc)") {
     val rows = RetrievalOps.bm25TopK(corpus, "doc_id", "text",
       Seq("apple", "cherry"), k = 2).collect()
@@ -223,6 +249,25 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") &&
       !plan.contains("PartitionFilters: []"))
+  }
+
+  test("phraseTopK slop: proximity widens matches; slop 0 equals exact phrase") {
+    val docs = Seq(
+      (1L, "a b"),          // exact
+      (2L, "a x b"),        // slop 1
+      (3L, "a x y b"),      // slop 2 only
+      (4L, "b a"),          // wrong order — never matches
+      (5L, "a x b a b")     // slop 1: ends at both b's
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("slopidx").toString + "/idx"
+    RetrievalOps.indexCorpus(docs, "doc_id", "text", path, nBuckets = 4,
+      withPositions = true)
+    def run(slop: Int) = RetrievalOps.phraseTopK(spark, path, Seq("a", "b"),
+        k = 10, slop = slop)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run(0) == Map(1L -> 1L, 5L -> 1L))
+    assert(run(1) == Map(1L -> 1L, 2L -> 1L, 5L -> 2L))
+    assert(run(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 2L))
   }
 
   test("BM25 probes skip the positions column of a positional index") {
