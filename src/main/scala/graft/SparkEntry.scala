@@ -126,6 +126,7 @@ object SparkEntry {
     "x23_phrase_match" -> (operators.RetrievalOps.x23PhraseMatch _),
     "x24_model_rerank" -> (operators.RetrievalOps.x24ModelRerank _),
     "x26_proximity_match" -> (operators.RetrievalOps.x26ProximityMatch _),
+    "x27_bm25_batch" -> (operators.RetrievalOps.x27Bm25Batch _),
     "x25_ann_recall" -> (operators.RetrievalOps.x25AnnRecall _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
@@ -1274,6 +1275,20 @@ object SparkEntry {
         |  FROM d) t
         |WHERE n_occurrences > 0
         |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin,
+    // batch serving: three query term-bags from one index, per-query
+    // top-5; suffixed per-query CTE chains share the dl/stats prefix
+    "x27_bm25_batch" -> (Bm25OracleCtes +
+      graft.operators.RetrievalOps.GateBatchQueries
+        .map { case (qid, terms) => bm25TermCtes(terms, s"_q$qid") }
+        .mkString("") +
+      graft.operators.RetrievalOps.GateBatchQueries.map { case (qid, _) =>
+        s"""
+           |SELECT $qid::BIGINT AS query_id, rank, doc_id, bm25 FROM (
+           |  SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           |  FROM (SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
+           |        FROM contrib_q$qid GROUP BY doc_id) s$qid) r$qid
+           |WHERE rank <= 5""".stripMargin
+      }.mkString("\nUNION ALL") + "\nORDER BY query_id, rank"),
     // ordered proximity (slop 1): the oracle counts distinct end
     // positions j of the second word with the first word ≤ 2 back
     "x26_proximity_match" ->
@@ -1450,21 +1465,32 @@ object SparkEntry {
     * k1 = 1.2, b = 0.75 (2.2 and 0.25 are the exact doubles the engine's
     * `k1 + 1.0` / `1.0 - b` produce). */
   private val Bm25OracleCtes: String =
-    """WITH d AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
-      |  FROM documents),
-      |dl AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM d),
-      |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
-      |tf AS (
-      |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
-      |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dl)
-      |  WHERE term IN ('vector', 'hash', 'join') GROUP BY doc_id, term),
-      |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-      |contrib AS (
-      |  SELECT doc_id,
-      |    CAST(round((((n::DOUBLE - df::DOUBLE) + 0.5) / (df::DOUBLE + 0.5) *
-      |      ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))) * 1000000.0) AS BIGINT) AS cm
-      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)""".stripMargin
+    "WITH d AS (\n" +
+      "  SELECT doc_id, list_filter(string_split_regex(lower(text), " +
+      "'\\s+'), x -> len(x) > 0) AS ws\n  FROM documents),\n" +
+      "dl AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM d),\n" +
+      "stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / " +
+      "count(*)::DOUBLE AS avgdl FROM dl)" +
+      bm25TermCtes(Seq("vector", "hash", "join"), "")
+
+  /** The per-term-set half of a BM25 oracle (tf → df → micro-unit
+    * contributions, suffixed CTE names so several query term-sets can
+    * coexist in one statement — the x27 batch oracle). Requires the
+    * `dl`/`stats` CTEs of [[Bm25OracleCtes]] in scope. */
+  private def bm25TermCtes(terms: Seq[String], sfx: String): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s""",
+       |tf$sfx AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+       |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dl)
+       |  WHERE term IN ($in) GROUP BY doc_id, term),
+       |dfreq$sfx AS (SELECT term, count(*)::BIGINT AS df FROM tf$sfx GROUP BY term),
+       |contrib$sfx AS (
+       |  SELECT doc_id,
+       |    CAST(round((((n::DOUBLE - df::DOUBLE) + 0.5) / (df::DOUBLE + 0.5) *
+       |      ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))) * 1000000.0) AS BIGINT) AS cm
+       |  FROM tf$sfx JOIN dfreq$sfx USING (term) CROSS JOIN stats)""".stripMargin
+  }
 
   /** Shared CTE prefix for the minhash-family oracles: documents → word
     * 3-gram shingles → portable 28-bit hashes → 16-perm minhash signatures

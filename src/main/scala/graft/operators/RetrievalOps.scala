@@ -639,6 +639,25 @@ object RetrievalOps {
     bm25TopKIndexed(s, snapshotIndexPath(s, dir), GateTerms, k = 10)
       .select(col("id").as("doc_id"), col("bm25"))
 
+  /** Query table of the x27 batch gate: three term bags of different
+    * sizes, one with no overlap with the others' buckets. */
+  val GateBatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (100L, Seq("vector")), (101L, Seq("hash", "join")),
+    (102L, Seq("scan", "table")))
+
+  /** x27: the batch serving path — three query term-bags answered from
+    * the SAME persisted postings index in one pass
+    * ([[bm25TopKIndexedBatch]]); per-query top-5. */
+  def x27Bm25Batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = GateBatchQueries.toDF("qid", "terms")
+    bm25TopKIndexedBatch(s, snapshotIndexPath(s, dir), queries,
+        "qid", "terms", k = 5)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("bm25"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** The positions-bearing index snapshot (x23) — cached separately from
     * x21's: positional postings carry the offsets column BM25 probes
     * never read. */
