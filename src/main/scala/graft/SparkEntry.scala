@@ -127,6 +127,7 @@ object SparkEntry {
     "x24_model_rerank" -> (operators.RetrievalOps.x24ModelRerank _),
     "x26_proximity_match" -> (operators.RetrievalOps.x26ProximityMatch _),
     "x27_bm25_batch" -> (operators.RetrievalOps.x27Bm25Batch _),
+    "x28_cosine_batch" -> (operators.RetrievalOps.x28CosineBatch _),
     "x25_ann_recall" -> (operators.RetrievalOps.x25AnnRecall _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
@@ -1289,6 +1290,20 @@ object SparkEntry {
            |        FROM contrib_q$qid GROUP BY doc_id) s$qid) r$qid
            |WHERE rank <= 5""".stripMargin
       }.mkString("\nUNION ALL") + "\nORDER BY query_id, rank"),
+    // embedding batch serving: 3-query cosine top-5, self included
+    // (the API's self-first contract), the x1 rounded-ranking convention
+    "x28_cosine_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // ordered proximity (slop 1): the oracle counts distinct end
     // positions j of the second word with the first word ≤ 2 back
     "x26_proximity_match" ->

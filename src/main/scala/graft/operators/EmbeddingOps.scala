@@ -153,10 +153,13 @@ object EmbeddingOps {
   def cosineTopKBatch(df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int = 10): DataFrame = {
+    // scores round to 6 BEFORE ranking (the x1/x16 portable ranking
+    // convention): rank order is then engine- and summation-order-
+    // deterministic, which is what lets the x28 gate hash-match
     val scored = vecs(df, idCol, vecCol)
       .crossJoin(broadcast(qvecs(queries, qIdCol, qVecCol)))
       .select(col("qid"), col("vec_id").as(idCol),
-        cosine(col("v"), col("qv")).as("cosine"))
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
     topKPerQuery(scored, idCol, k)
   }
 

@@ -797,6 +797,19 @@ object RetrievalOps {
         k = 10, slop = 1)
       .select(col("id").as("doc_id"), col("n_occurrences"))
 
+  /** x28: the embedding batch serving path — vec 0/1/2 as a query TABLE
+    * through [[EmbeddingOps.cosineTopKBatch]] (broadcast query batch,
+    * WindowGroupLimit per query; self ranks first by the API contract). */
+  def x28CosineBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("q"), col("v").as("qv"))
+    EmbeddingOps.cosineTopKBatch(emb, "vec_id", "v", queries, "q", "qv",
+        k = 5)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** x20: MMR-diversified rerank of vec 0's top-20 cosine candidates. */
   def x20MmrRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
