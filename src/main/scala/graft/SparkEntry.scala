@@ -131,6 +131,7 @@ object SparkEntry {
     "x25_ann_recall" -> (operators.RetrievalOps.x25AnnRecall _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
+    "d33_bpe_chars" -> (T.d33BpeChars _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -1396,6 +1397,21 @@ object SparkEntry {
         |UNION ALL SELECT 2::BIGINT, wa, wb, n FROM b2
         |UNION ALL SELECT 3::BIGINT, wa, wb, n FROM b3
         |ORDER BY round""".stripMargin),
+    // character-level BPE: per-word-occurrence symbol rows (chars +
+    // </w>), keyed (doc_id, wi) so merges never cross word boundaries
+    "d33_bpe_chars" -> ("WITH d AS (\n" +
+      "  SELECT doc_id, list_filter(string_split_regex(lower(text), " +
+      "'\\s+'), x -> len(x) > 0) AS wl\n  FROM documents),\n" +
+      """ws0 AS (
+        |  SELECT doc_id, i AS wi,
+        |    list_append(list_transform(range(1, len(wl[i]) + 1), j -> wl[i][j]), '</w>') AS ws
+        |  FROM d, unnest(range(1, len(wl) + 1)) r(i)),""".stripMargin +
+      (1 to 3).map(bpeRoundCtesKeyed(_, Seq("doc_id", "wi"))).mkString(",") +
+      """
+        |SELECT 1::BIGINT AS round, wa, wb, n FROM b1
+        |UNION ALL SELECT 2::BIGINT, wa, wb, n FROM b2
+        |UNION ALL SELECT 3::BIGINT, wa, wb, n FROM b3
+        |ORDER BY round""".stripMargin),
     // adjacent-word pair counts (one BPE merge round's statistic)
     "d31_bpe_pairs" ->
       """WITH d AS (
@@ -1443,34 +1459,44 @@ object SparkEntry {
     * even-offset ones — the gap-and-islands parity rule. A position is
     * consumed iff its predecessor starts a merge; survivors re-assemble
     * in position order. */
-  private def bpeRoundCtes(r: Int): String = {
+  private def bpeRoundCtes(r: Int): String =
+    bpeRoundCtesKeyed(r, Seq("doc_id"))
+
+  /** The same round, keyed by an arbitrary symbol-row key — d32 keys by
+    * doc (word-level symbol rows), d33 by (doc, word occurrence)
+    * (char-level rows, so merges never cross word boundaries). */
+  private def bpeRoundCtesKeyed(r: Int, keys: Seq[String]): String = {
     val prev = s"ws${r - 1}"
+    val k = keys.mkString(", ")
+    def eq(a: String, b: String) =
+      keys.map(c => s"$a.$c = $b.$c").mkString(" AND ")
+    def pfx(a: String) = keys.map(c => s"$a.$c").mkString(", ")
     s"""
        |p$r AS (
        |  SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS wa, unnest(list_slice(ws, 2, len(ws))) AS wb
        |  FROM $prev WHERE len(ws) >= 2),
        |b$r AS (SELECT wa, wb, count(*)::BIGINT AS n FROM p$r GROUP BY wa, wb ORDER BY n DESC, wa, wb LIMIT 1),
        |tok$r AS (
-       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, unnest(ws) AS w FROM $prev),
+       |  SELECT $k, unnest(range(1, len(ws) + 1)) AS i, unnest(ws) AS w FROM $prev),
        |cand$r AS (
-       |  SELECT tk.doc_id, tk.i
-       |  FROM tok$r tk JOIN tok$r nx ON nx.doc_id = tk.doc_id AND nx.i = tk.i + 1
+       |  SELECT ${pfx("tk")}, tk.i
+       |  FROM tok$r tk JOIN tok$r nx ON ${eq("nx", "tk")} AND nx.i = tk.i + 1
        |  CROSS JOIN b$r WHERE tk.w = b$r.wa AND nx.w = b$r.wb),
        |starts$r AS (
-       |  SELECT doc_id, i FROM (
-       |    SELECT doc_id, i, i - min(i) OVER (PARTITION BY doc_id, i - rn) AS off
-       |    FROM (SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+       |  SELECT $k, i FROM (
+       |    SELECT $k, i, i - min(i) OVER (PARTITION BY $k, i - rn) AS off
+       |    FROM (SELECT $k, i, row_number() OVER (PARTITION BY $k ORDER BY i) AS rn
        |          FROM cand$r) c) s
        |  WHERE off % 2 = 0),
        |ws$r AS (
-       |  SELECT tk.doc_id,
+       |  SELECT ${pfx("tk")},
        |    coalesce(list(CASE WHEN st.i IS NOT NULL THEN b$r.wa || ' ' || b$r.wb ELSE tk.w END
        |      ORDER BY tk.i) FILTER (WHERE cons.i IS NULL), CAST([] AS VARCHAR[])) AS ws
        |  FROM tok$r tk
        |  CROSS JOIN b$r
-       |  LEFT JOIN starts$r st ON st.doc_id = tk.doc_id AND st.i = tk.i
-       |  LEFT JOIN starts$r cons ON cons.doc_id = tk.doc_id AND cons.i = tk.i - 1
-       |  GROUP BY tk.doc_id)""".stripMargin
+       |  LEFT JOIN starts$r st ON ${eq("st", "tk")} AND st.i = tk.i
+       |  LEFT JOIN starts$r cons ON ${eq("cons", "tk")} AND cons.i = tk.i - 1
+       |  GROUP BY ${pfx("tk")})""".stripMargin
   }
 
   /** Shared CTE prefix of the BM25 oracles (x17/x18): documents → word

@@ -967,11 +967,47 @@ object CorpusOps {
     * deterministic on any engine. */
   def trainBpe(docs: DataFrame, textCol: String,
       rounds: Int = 3): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    trainOnSymbols(docs.select(
+      call_function("split_words", col(textCol)).as("_g_ws")), rounds)
+  }
+
+  /** Character-level BPE — the canonical Sennrich formulation: each WORD
+    * OCCURRENCE becomes its own symbol row (characters + a `</w>`
+    * end-of-word marker), so pairs never count or merge across word
+    * boundaries. Same trainer loop, same scale shape — the symbol
+    * relation is ~5× the token count but still map-extracted, and only
+    * (pair, count) data shuffles per round. */
+  def trainBpeChars(docs: DataFrame, textCol: String,
+      rounds: Int = 3): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val syms = docs
+      .select(explode(call_function("split_words", col(textCol)))
+        .as("_g_w"))
+      .select(expr(
+        "concat(transform(sequence(1, length(_g_w)), " +
+          "i -> substring(_g_w, i, 1)), array('</w>'))").as("_g_ws"))
+    trainOnSymbols(syms, rounds)
+  }
+
+  /** Shared trainer loop over a (_g_ws: array<string>) symbol relation —
+    * see [[trainBpe]]'s Scaladoc for the per-round scale shape. The
+    * INITIAL symbol relation is persisted for the loop's lifetime and
+    * released in `finally` (the featuresWithCuts handle pattern): every
+    * round re-applies the merge chain on top of it, so without the
+    * persist each round would also re-scan and re-tokenize the corpus —
+    * measured 5.7 → 3.3 s warm for 3 char-level rounds at sf0.1. */
+  private def trainOnSymbols(cur0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"trainBpe: rounds must be >= 1, got $rounds")
-    val s = docs.sparkSession
-    graft.functions.TextExprs.register(s)
-    var cur = docs.select(
-      call_function("split_words", col(textCol)).as("_g_ws"))
+    val s = cur0.sparkSession
+    val base = cur0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainOnSymbolsLoop(base, rounds)
+    finally base.unpersist()
+  }
+
+  private def trainOnSymbolsLoop(cur0: DataFrame, rounds: Int): DataFrame = {
+    val s = cur0.sparkSession
+    var cur = cur0
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var dry = false

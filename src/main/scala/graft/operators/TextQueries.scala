@@ -551,4 +551,11 @@ object TextQueries {
   def d32BpeTrain(s: SparkSession, dir: String): DataFrame =
     CorpusOps.trainBpe(documents(s, dir), "text", rounds = 3)
       .orderBy("round")
+
+  /** d33: character-level BPE ([[CorpusOps.trainBpeChars]], 3 rounds) —
+    * the canonical within-word formulation: chars + `</w>` markers,
+    * merges never cross word boundaries. */
+  def d33BpeChars(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.trainBpeChars(documents(s, dir), "text", rounds = 3)
+      .orderBy("round")
 }

@@ -314,6 +314,18 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "x", "y", 3L), (2L, "x y", "z", 2L)), got.toString)
   }
 
+  test("trainBpeChars: within-word merges only, classic char-BPE behavior") {
+    // 'ab' appears 3 times; the cross-word pair (b</w>, a...) must never
+    // merge. Round 1 best pair: ('a','b') with n=3
+    val docs = Seq((1L, "ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val got = CorpusOps.trainBpeChars(docs, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got.head == ((1L, "a", "b", 3L)), got.toString)
+    // round 2: ('a b', '</w>') — the merged symbol extends to the marker
+    assert(got(1) == ((2L, "a b", "</w>", 3L)), got.toString)
+  }
+
   test("trainBpe stops early when no pairs remain") {
     val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     assert(CorpusOps.trainBpe(docs, "text", rounds = 3).count() == 0)
