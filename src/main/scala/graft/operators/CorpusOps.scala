@@ -990,6 +990,15 @@ object CorpusOps {
     trainOnSymbols(syms, rounds)
   }
 
+  /** Apply a TRAINED merge table in order — the serving-side tokenizer
+    * step: encode new text with the vocabulary [[trainBpe]] /
+    * [[trainBpeChars]] learned. Each merge is one [[applyMerge]] kernel
+    * pass, chained map-side (merge count is the trained vocab size, a
+    * driver-held constant) — zero shuffles at any corpus size. */
+  def applyBpe(ws: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(ws) { case (acc, (wa, wb)) => applyMerge(acc, wa, wb) }
+
   /** Shared trainer loop over a (_g_ws: array<string>) symbol relation —
     * see [[trainBpe]]'s Scaladoc for the per-round scale shape. The
     * INITIAL symbol relation is persisted for the loop's lifetime and

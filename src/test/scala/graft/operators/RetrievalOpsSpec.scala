@@ -326,6 +326,19 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, "a b", "</w>", 3L)), got.toString)
   }
 
+  test("applyBpe: a trained merge table re-tokenizes new text") {
+    graft.functions.TextExprs.register(spark)
+    val train = Seq((1L, "x y z q x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val merges = CorpusOps.trainBpe(train, "text", rounds = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val fresh = Seq((9L, Seq("x", "y", "z", "x", "y", "q")))
+      .toDF("doc_id", "ws")
+    val got = fresh.select(CorpusOps.applyBpe(col("ws"), merges).as("t"))
+      .head().getSeq[String](0)
+    // merges learned: (x,y) then (x y,z) — the unseen doc re-tokenizes
+    assert(got == Seq("x y z", "x y", "q"), got.toString)
+  }
+
   test("trainBpe stops early when no pairs remain") {
     val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     assert(CorpusOps.trainBpe(docs, "text", rounds = 3).count() == 0)
