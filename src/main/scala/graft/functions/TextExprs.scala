@@ -100,6 +100,22 @@ object TextKernels {
       java.util.Arrays.copyOf(tmp.asInstanceOf[Array[AnyRef]], j))
   }
 
+  /** All adjacent (wa, wb) symbol pairs of a token array — the BPE
+    * trainer's per-round counting input, one pass in whole-stage codegen
+    * (the indexed-transform + named_struct HOF form ran interpreted). */
+  def adjacentPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        arr.getUTF8String(i), arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private final val NgramB = 0x9E3779B97F4A7C15L // odd ⇒ invertible mod 2^64
 
   /** 64-bit hashes of word n-gram shingles WITHOUT materializing gram
@@ -164,8 +180,33 @@ object TextExprs {
         exprs => NgramHashesExpr(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("merge_pair",
         exprs => MergePairExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+      reg.createOrReplaceTempFunction("adjacent_pairs",
+        exprs => AdjacentPairsExpr(exprs.head), "built-in")
     }
   }
+}
+
+/** adjacent_pairs(ws) — every adjacent (wa, wb) pair of a string array
+  * as array<struct<wa, wb>> ([[TextKernels.adjacentPairs]]). */
+case class AdjacentPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("wa", StringType, nullable = false),
+      StructField("wb", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"argument must be array<string>, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.adjacentPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.adjacentPairs($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SplitWordsExpr(child: Expression) extends UnaryExpression {

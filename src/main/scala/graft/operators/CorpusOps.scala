@@ -1022,9 +1022,7 @@ object CorpusOps {
     var dry = false
     while (r <= rounds && !dry) {
       val best = cur
-        .select(explode(expr(
-          "transform(slice(_g_ws, 1, greatest(size(_g_ws) - 1, 0)), " +
-            "(x, i) -> named_struct('wa', x, 'wb', element_at(_g_ws, i + 2)))"))
+        .select(explode(call_function("adjacent_pairs", col("_g_ws")))
           .as("p"))
         .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
         .agg(count(lit(1)).as("n"))
