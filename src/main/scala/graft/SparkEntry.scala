@@ -132,6 +132,7 @@ object SparkEntry {
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
     "d33_bpe_chars" -> (T.d33BpeChars _),
+    "d34_bpe_vocab" -> (T.d34BpeVocab _),
     // multimodal (binary payload) pipeline
     "m1_media_stats" -> (M.m1MediaStats _),
     "m2_frame_sample" -> (M.m2FrameSample(_, _)),
@@ -1412,6 +1413,20 @@ object SparkEntry {
         |UNION ALL SELECT 2::BIGINT, wa, wb, n FROM b2
         |UNION ALL SELECT 3::BIGINT, wa, wb, n FROM b3
         |ORDER BY round""".stripMargin),
+    // the trained vocabulary: symbol frequencies after d33's 3 merges
+    // (the oracle extends the d33 chain one more step: unnest ws3)
+    "d34_bpe_vocab" -> ("WITH d AS (\n" +
+      "  SELECT doc_id, list_filter(string_split_regex(lower(text), " +
+      "'\\s+'), x -> len(x) > 0) AS wl\n  FROM documents),\n" +
+      """ws0 AS (
+        |  SELECT doc_id, i AS wi,
+        |    list_append(list_transform(range(1, len(wl[i]) + 1), j -> wl[i][j]), '</w>') AS ws
+        |  FROM d, unnest(range(1, len(wl) + 1)) r(i)),""".stripMargin +
+      (1 to 3).map(bpeRoundCtesKeyed(_, Seq("doc_id", "wi"))).mkString(",") +
+      """
+        |SELECT symbol, count(*)::BIGINT AS n
+        |FROM (SELECT unnest(ws) AS symbol FROM ws3) t
+        |GROUP BY symbol ORDER BY n DESC, symbol LIMIT 20""".stripMargin),
     // adjacent-word pair counts (one BPE merge round's statistic)
     "d31_bpe_pairs" ->
       """WITH d AS (

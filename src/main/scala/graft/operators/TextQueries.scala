@@ -558,4 +558,25 @@ object TextQueries {
   def d33BpeChars(s: SparkSession, dir: String): DataFrame =
     CorpusOps.trainBpeChars(documents(s, dir), "text", rounds = 3)
       .orderBy("round")
+
+  /** d34: the trained tokenizer's VOCABULARY — symbol frequencies after
+    * [[d33BpeChars]]'s 3 char-level merges are applied corpus-wide
+    * ([[CorpusOps.applyBpe]]): the artifact a tokenizer ships next to
+    * its merge table. Train → apply → one (symbol, count) shuffle. */
+  def d34BpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val merges = CorpusOps.trainBpeChars(documents(s, dir), "text",
+        rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val syms = documents(s, dir)
+      .select(explode(call_function("split_words", col("text"))).as("_g_w"))
+      .select(expr(
+        "concat(transform(sequence(1, length(_g_w)), " +
+          "i -> substring(_g_w, i, 1)), array('</w>'))").as("_g_ws"))
+    syms.select(explode(CorpusOps.applyBpe(col("_g_ws"), merges))
+        .as("symbol"))
+      .groupBy(col("symbol")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("symbol").asc)
+      .limit(20)
+  }
 }

