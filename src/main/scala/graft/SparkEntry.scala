@@ -128,6 +128,7 @@ object SparkEntry {
     "x26_proximity_match" -> (operators.RetrievalOps.x26ProximityMatch _),
     "x27_bm25_batch" -> (operators.RetrievalOps.x27Bm25Batch _),
     "x28_cosine_batch" -> (operators.RetrievalOps.x28CosineBatch _),
+    "x29_ivf_batch" -> (operators.RetrievalOps.x29IvfBatch _),
     "x25_ann_recall" -> (operators.RetrievalOps.x25AnnRecall _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
@@ -1227,6 +1228,33 @@ object SparkEntry {
         |  SELECT anchor_id, neg_id, cosine,
         |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
         |  FROM scored) t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // IVF batch serving: per-query probe cells over the x7 deterministic
+    // centroids, self included (the batch API's self-first contract)
+    "x29_ivf_batch" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+        |  FROM e CROSS JOIN c
+        |), cells AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1
+        |), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        |qc AS (
+        |  SELECT qid, cid AS cell FROM (
+        |    SELECT q.qid, s.cid, row_number() OVER (PARTITION BY q.qid ORDER BY s.sim DESC, s.cid) AS rn
+        |    FROM sims s JOIN q ON s.vec_id = q.qid) t
+        |  WHERE rn <= 2),
+        |scored AS (
+        |  SELECT qc.qid, cells.vec_id,
+        |    round(list_cosine_similarity(cells.v, q.qv), 6) AS cosine
+        |  FROM cells JOIN qc ON cells.cell = qc.cell JOIN q ON q.qid = qc.qid)
+        |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // ANN quality: the x7 IVF probe's top-10 evaluated against the exact
     // cosine top-10 as ground truth with the x22 metric arithmetic,
     // swept over nprobe 1 and 2 (per-nprobe suffixed CTE chains)

@@ -174,10 +174,20 @@ object EmbeddingOps {
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"needs at least one k-means round, got $iters")
     val emb = vecs(df, idCol, vecCol)
-    val cents = IvfAnn.trainCentroids(emb, cells, iters) // driver-local
+    ivfTopKBatchWith(emb, idCol,
+      IvfAnn.trainCentroids(emb, cells, iters), // driver-local
+      qvecs(queries, qIdCol, qVecCol), k, nprobe)
+  }
+
+  /** The post-training body of [[ivfTopKBatch]] against a PROVIDED
+    * centroid table (cid, cv) — also the x29 gate's entry with the
+    * deterministic first-K centroids. Scores round to 6 before ranking
+    * (the portable convention, as in [[cosineTopKBatch]]). */
+  def ivfTopKBatchWith(emb: DataFrame, idCol: String, cents: DataFrame,
+      qv: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    val probes = qvecs(queries, qIdCol, qVecCol)
+    val probes = qv
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"), col("cid"),
         cosine(col("qv"), col("cv")).as("sim"))
@@ -187,7 +197,7 @@ object EmbeddingOps {
     val scored = IvfAnn.assignCells(emb, cents)
       .join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("vec_id").as(idCol),
-        cosine(col("v"), col("qv")).as("cosine"))
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
     topKPerQuery(scored, idCol, k)
   }
 

@@ -810,6 +810,23 @@ object RetrievalOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** x29: the IVF batch serving path — vec 0/1/2 probed through the x7
+    * deterministic first-16 centroids ([[EmbeddingOps.ivfTopKBatchWith]]):
+    * per-query probe-cell ranking over the broadcast centroid table, the
+    * corpus joins the probe list on `cell`, per-query top-5. */
+  def x29IvfBatch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = emb.filter(col("vec_id") < IvfAnn.K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val qv = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    EmbeddingOps.ivfTopKBatchWith(emb, "vec_id", cents, qv, k = 5,
+        nprobe = 2)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** x20: MMR-diversified rerank of vec 0's top-20 cosine candidates. */
   def x20MmrRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
