@@ -129,6 +129,7 @@ object SparkEntry {
     "x27_bm25_batch" -> (operators.RetrievalOps.x27Bm25Batch _),
     "x28_cosine_batch" -> (operators.RetrievalOps.x28CosineBatch _),
     "x29_ivf_batch" -> (operators.RetrievalOps.x29IvfBatch _),
+    "x30_map_eval" -> (operators.RetrievalOps.x30MapEval _),
     "x25_ann_recall" -> (operators.RetrievalOps.x25AnnRecall _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
@@ -1347,6 +1348,39 @@ object SparkEntry {
         |  FROM d) t
         |WHERE n_occurrences > 0
         |ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin,
+    // average precision at 10 over the x22 ranking: running-relevant
+    // window per query, micro-unit precision terms
+    "x30_map_eval" ->
+      """WITH anch AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS albl
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+        |ranked AS (
+        |  SELECT qid, id, rank FROM (
+        |    SELECT a.qid, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY a.qid ORDER BY
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.qv), 6) DESC,
+        |        e.vec_id) AS rank
+        |    FROM embeddings e JOIN anch a ON e.vec_id <> a.qid) t
+        |  WHERE rank <= 10),
+        |qrels AS (
+        |  SELECT a.qid, e.vec_id AS id
+        |  FROM embeddings e JOIN anch a ON e.label = a.albl AND e.vec_id <> a.qid),
+        |nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid),
+        |flags AS (
+        |  SELECT r.qid, r.rank, (q.id IS NOT NULL) AS rel
+        |  FROM ranked r LEFT JOIN qrels q ON r.qid = q.qid AND r.id = q.id),
+        |cum AS (
+        |  SELECT qid, rank, rel,
+        |    sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (PARTITION BY qid ORDER BY rank) AS cr
+        |  FROM flags),
+        |apm AS (
+        |  SELECT qid, sum(CASE WHEN rel THEN
+        |    CAST(round(1000000.0 * cr::DOUBLE / rank::DOUBLE) AS BIGINT) ELSE 0 END) AS am
+        |  FROM cum GROUP BY qid)
+        |SELECT a.qid AS query_id, n.n_rel,
+        |  round((a.am::DOUBLE / 1000000.0) / least(n.n_rel, 10)::DOUBLE, 6) AS ap
+        |FROM apm a JOIN nrel n ON a.qid = n.qid
+        |ORDER BY query_id""".stripMargin,
     // retrieval evaluation: recall/MRR/nDCG of per-anchor cosine top-10
     // vs same-label relevance; DCG terms round to micro-unit BIGINTs
     // before summing and the ideal DCG unrolls from least(n_rel, k)

@@ -305,7 +305,11 @@ object RetrievalOps {
       return emptyResult(spark, "id BIGINT, n_occurrences BIGINT")
     val terms = phrase.distinct
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val pruned = spark.read.parquet(s"$path/postings")
+    val postings = spark.read.parquet(s"$path/postings")
+    require(postings.columns.contains("positions"),
+      s"phraseTopK: the index at $path was built without positions — " +
+        "rebuild with indexCorpus(..., withPositions = true)")
+    val pruned = postings
       .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("id"), col("term"), col("positions"))
     val frames = phrase.zipWithIndex.map { case (t, i) =>
@@ -596,6 +600,40 @@ object RetrievalOps {
       .toDF()
   }
 
+  /** Per-query average precision at k — MAP's per-query term:
+    * `AP = (Σ over relevant ranks r of precision@r) / min(n_rel, k)`.
+    * Output (query_id, n_rel, ap), one row per judged query. The
+    * running-relevant count windows over the ≤ k ranked rows per query
+    * (bounded by a constant, never the corpus); precision terms round
+    * to micro-unit LONGs before summing, the [[evalRanking]]
+    * portability convention. */
+  def averagePrecision(ranked: DataFrame, qidCol: String, rankCol: String,
+      idCol: String, qrels: DataFrame, qrelQidCol: String,
+      qrelIdCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"averagePrecision: k must be >= 1, got $k")
+    val r = ranked.select(col(qidCol).cast("long").as("_e_q"),
+        col(rankCol).cast("long").as("_e_r"),
+        col(idCol).cast("long").as("_e_i"))
+      .filter(col("_e_r") <= k)
+    val q = qrels.select(col(qrelQidCol).cast("long").as("_e_q"),
+        col(qrelIdCol).cast("long").as("_e_i"))
+      .withColumn("_e_rel", lit(true))
+    val nrel = q.groupBy(col("_e_q")).agg(count(lit(1)).as("n_rel"))
+    val wc = Window.partitionBy(col("_e_q")).orderBy(col("_e_r").asc)
+    val cum = r.join(q, Seq("_e_q", "_e_i"), "left_outer")
+      .withColumn("_e_cr",
+        sum(when(col("_e_rel"), lit(1L)).otherwise(lit(0L))).over(wc))
+    cum.groupBy(col("_e_q"))
+      .agg(sum(when(col("_e_rel"),
+        round(lit(1000000.0) * col("_e_cr").cast("double") /
+          col("_e_r").cast("double"), 0).cast("long"))
+        .otherwise(lit(0L))).as("_e_am"))
+      .join(nrel, "_e_q")
+      .select(col("_e_q").as("query_id"), col("n_rel"),
+        round((col("_e_am").cast("double") / lit(1000000.0)) /
+          least(col("n_rel"), lit(k.toLong)).cast("double"), 6).as("ap"))
+  }
+
   // ---- gate-query bindings (testdata tables; driver-oracled) ----
 
   /** Query terms of the lexical gates — drawn from the synthetic corpus
@@ -825,6 +863,31 @@ object RetrievalOps {
     EmbeddingOps.ivfTopKBatchWith(emb, "vec_id", cents, qv, k = 5,
         nprobe = 2)
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** x30: mean-average-precision inputs — the x22 anchors/ranking scored
+    * with [[averagePrecision]] (per-query AP@10 vs same-label qrels). */
+  def x30MapEval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = embeddings(s, dir).select(col("vec_id"),
+      col("embedding").as("_g_v"), col("label").as("_g_l"))
+    val anch = emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("_g_v").as("_g_qv"),
+        col("_g_l").as("_g_al"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    val ranked = emb.join(broadcast(anch), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(call_function("vec_cosine", col("_g_v"), col("_g_qv")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+    val qrels = emb.join(broadcast(anch),
+        col("_g_l") === col("_g_al") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"))
+    averagePrecision(ranked, "qid", "rank", "id", qrels, "qid", "id",
+        k = 10)
+      .orderBy(col("query_id").asc)
   }
 
   /** x20: MMR-diversified rerank of vec 0's top-20 cosine candidates. */

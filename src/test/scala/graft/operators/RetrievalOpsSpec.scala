@@ -216,6 +216,29 @@ class RetrievalOpsSpec extends AnyFunSuite {
       mrr2 == 0.0 && ndcg2 == 0.0)
   }
 
+  test("averagePrecision: hand-computed AP on planted rankings") {
+    // query 1: rel {10, 30} at ranks 2 and 3 → AP = (1/2 + 2/3) / 2
+    val ranked = Seq(
+      (1L, 1L, 20L), (1L, 2L, 10L), (1L, 3L, 30L),
+      (2L, 1L, 60L)
+    ).toDF("qid", "rank", "id")
+    val qrels = Seq((1L, 10L), (1L, 30L), (2L, 50L)).toDF("qid", "id")
+    val got = RetrievalOps.averagePrecision(ranked, "qid", "rank", "id",
+      qrels, "qid", "id", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val expAp = BigDecimal(
+      (math.round(1e6 * 1.0 / 2.0) + math.round(1e6 * 2.0 / 3.0)) / 1e6 / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L, expAp)), got.toString)
+    assert(got(2L) == ((1L, 0.0)))
+    // perfect ranking → AP = 1
+    val perfect = Seq((1L, 1L, 10L), (1L, 2L, 30L)).toDF("qid", "rank", "id")
+    val p = RetrievalOps.averagePrecision(perfect, "qid", "rank", "id",
+      qrels.filter(col("qid") === 1L), "qid", "id", k = 10).head()
+    assert(p.getDouble(2) == 1.0)
+  }
+
   test("evalRanking: k truncates the judged prefix") {
     val ranked = Seq((1L, 1L, 20L), (1L, 2L, 10L)).toDF("qid", "rank", "id")
     val qrels = Seq((1L, 10L)).toDF("qid", "id")
