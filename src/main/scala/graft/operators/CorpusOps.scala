@@ -929,9 +929,9 @@ object CorpusOps {
     graft.functions.TextExprs.register(docs.sparkSession)
     docs
       .select(call_function("split_words", col(textCol)).as("_g_ws"))
-      .select(explode(expr(
-        "transform(slice(_g_ws, 1, greatest(size(_g_ws) - 1, 0)), " +
-          "(x, i) -> concat(x, ' ', element_at(_g_ws, i + 2)))")).as("pair"))
+      .select(explode(call_function("adjacent_pairs", col("_g_ws")))
+        .as("p"))
+      .select(concat(col("p.wa"), lit(" "), col("p.wb")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topK)
