@@ -128,9 +128,13 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch { case scala.util.control.NonFatal(_) => -1.0 }
       } else -1.0
+    // totals appear at BOTH ends of the line: the r7 driver artifact kept
+    // the line's tail and clipped its head (losing "value"), so a
+    // truncated capture from either side still carries the summary
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"pbf_monaco_convert_sec":${fmt(pbfSec)},""" +
-      s""""sf":"$sfDir"}"""
+      s""""sf":"$sfDir","n_queries":${results.size},""" +
+      s""""total_sec":${fmt(total)}}"""
     println(line)
     // belt-and-braces against driver-side stdout truncation: the same
     // line lands in the repo as a file artifact too

@@ -49,6 +49,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MergePairExpr].getName, "merge_pair"),
       (exprs: Seq[Expression]) =>
         graft.functions.MergePairExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.NgramHashesExpr].getName,
+        "ngram_hashes"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.NgramHashesExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("adjacent_pairs"),
+      new ExpressionInfo(classOf[graft.functions.AdjacentPairsExpr].getName,
+        "adjacent_pairs"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.AdjacentPairsExpr(exprs.head)))
   }
 }
 

@@ -133,6 +133,7 @@ object SparkEntry {
     "x25_ann_recall" -> (operators.RetrievalOps.x25AnnRecall _),
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
+    "d35_bpe_deep" -> (T.d35BpeDeep _),
     "d33_bpe_chars" -> (T.d33BpeChars _),
     "d34_bpe_vocab" -> (T.d34BpeVocab _),
     // multimodal (binary payload) pipeline
@@ -1460,6 +1461,18 @@ object SparkEntry {
         |UNION ALL SELECT 2::BIGINT, wa, wb, n FROM b2
         |UNION ALL SELECT 3::BIGINT, wa, wb, n FROM b3
         |ORDER BY round""".stripMargin),
+    // deep trainer (12 rounds — crosses the engine's parquet-cut
+    // materialization at round 8): same unrolled round CTEs, so a hash
+    // match proves the bounded-lineage trainer changes nothing
+    "d35_bpe_deep" -> ("WITH ws0 AS (\n" +
+      "  SELECT doc_id, list_filter(string_split_regex(lower(text), " +
+      "'\\s+'), x -> len(x) > 0) AS ws\n  FROM documents)," +
+      (1 to 12).map(bpeRoundCtes).mkString(",") + "\n" +
+      (1 to 12).map(r =>
+        if (r == 1) "SELECT 1::BIGINT AS round, wa, wb, n FROM b1"
+        else s"UNION ALL SELECT $r::BIGINT, wa, wb, n FROM b$r")
+        .mkString("\n") +
+      "\nORDER BY round"),
     // character-level BPE: per-word-occurrence symbol rows (chars +
     // </w>), keyed (doc_id, wi) so merges never cross word boundaries
     "d33_bpe_chars" -> ("WITH d AS (\n" +
@@ -1541,7 +1554,11 @@ object SparkEntry {
 
   /** The same round, keyed by an arbitrary symbol-row key — d32 keys by
     * doc (word-level symbol rows), d33 by (doc, word occurrence)
-    * (char-level rows, so merges never cross word boundaries). */
+    * (char-level rows, so merges never cross word boundaries).
+    * tok/ws are MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    * references the prior one ~3×, so a 12-round chain (d35) would
+    * otherwise expand ~3¹² scans of the base table and die on fd
+    * exhaustion; materialization makes the oracle linear in rounds. */
   private def bpeRoundCtesKeyed(r: Int, keys: Seq[String]): String = {
     val prev = s"ws${r - 1}"
     val k = keys.mkString(", ")
@@ -1553,7 +1570,7 @@ object SparkEntry {
        |  SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS wa, unnest(list_slice(ws, 2, len(ws))) AS wb
        |  FROM $prev WHERE len(ws) >= 2),
        |b$r AS (SELECT wa, wb, count(*)::BIGINT AS n FROM p$r GROUP BY wa, wb ORDER BY n DESC, wa, wb LIMIT 1),
-       |tok$r AS (
+       |tok$r AS MATERIALIZED (
        |  SELECT $k, unnest(range(1, len(ws) + 1)) AS i, unnest(ws) AS w FROM $prev),
        |cand$r AS (
        |  SELECT ${pfx("tk")}, tk.i
@@ -1565,7 +1582,7 @@ object SparkEntry {
        |    FROM (SELECT $k, i, row_number() OVER (PARTITION BY $k ORDER BY i) AS rn
        |          FROM cand$r) c) s
        |  WHERE off % 2 = 0),
-       |ws$r AS (
+       |ws$r AS MATERIALIZED (
        |  SELECT ${pfx("tk")},
        |    coalesce(list(CASE WHEN st.i IS NOT NULL THEN b$r.wa || ' ' || b$r.wb ELSE tk.w END
        |      ORDER BY tk.i) FILTER (WHERE cons.i IS NULL), CAST([] AS VARCHAR[])) AS ws

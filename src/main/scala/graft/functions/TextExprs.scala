@@ -169,20 +169,20 @@ object TextExprs {
   /** Register split_words / word_ngrams / merge_pair on the session
     * (idempotent). */
   def register(spark: SparkSession): Unit = {
+    // Unconditional: createOrReplaceTempFunction is idempotent, and guarding
+    // on one name (merge_pair) would skip the others when a session was
+    // built with GraftExtensions, which injects merge_pair on its own.
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("merge_pair"))) {
-      reg.createOrReplaceTempFunction("split_words",
-        exprs => SplitWordsExpr(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction("word_ngrams",
-        exprs => WordNgramsExpr(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("ngram_hashes",
-        exprs => NgramHashesExpr(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("merge_pair",
-        exprs => MergePairExpr(exprs(0), exprs(1), exprs(2)), "built-in")
-      reg.createOrReplaceTempFunction("adjacent_pairs",
-        exprs => AdjacentPairsExpr(exprs.head), "built-in")
-    }
+    reg.createOrReplaceTempFunction("split_words",
+      exprs => SplitWordsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNgramsExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      exprs => NgramHashesExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("merge_pair",
+      exprs => MergePairExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("adjacent_pairs",
+      exprs => AdjacentPairsExpr(exprs.head), "built-in")
   }
 }
 

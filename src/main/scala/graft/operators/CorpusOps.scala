@@ -960,16 +960,20 @@ object CorpusOps {
     * partial-agged shuffle whose payload is (pair, count), the arg-max
     * is a 1-row TakeOrdered to the driver, and [[applyMerge]] is a pure
     * map — so a round moves vocabulary-sized data only, never the
-    * corpus. Round r re-evaluates the r−1 prior merges in its map stage
-    * (lineage chaining, nothing persisted): total map work is
-    * O(rounds²/2) corpus passes, the honest trade against caching the
-    * corpus-sized symbol state per round. Ties break (n desc, wa, wb) —
-    * deterministic on any engine. */
-  def trainBpe(docs: DataFrame, textCol: String,
-      rounds: Int = 3): DataFrame = {
+    * corpus. Rounds are LINEAR in total work: every `materializeEvery`
+    * merges the symbol relation is cut to parquet and re-read
+    * ([[trainOnSymbols]]), so round r replays at most
+    * `materializeEvery` pending merges — O(rounds · corpus / K) total
+    * instead of the O(rounds²/2) a naive lineage chain pays, which is
+    * what makes a real 10k-50k-merge training run feasible. Ties break
+    * (n desc, wa, wb) — deterministic on any engine. */
+  def trainBpe(docs: DataFrame, textCol: String, rounds: Int = 3,
+      materializeEvery: Int = BpeMaterializeEvery,
+      cutDir: Option[String] = None): DataFrame = {
     graft.functions.TextExprs.register(docs.sparkSession)
     trainOnSymbols(docs.select(
-      call_function("split_words", col(textCol)).as("_g_ws")), rounds)
+      call_function("split_words", col(textCol)).as("_g_ws")), rounds,
+      materializeEvery, cutDir)
   }
 
   /** Character-level BPE — the canonical Sennrich formulation: each WORD
@@ -978,8 +982,9 @@ object CorpusOps {
     * boundaries. Same trainer loop, same scale shape — the symbol
     * relation is ~5× the token count but still map-extracted, and only
     * (pair, count) data shuffles per round. */
-  def trainBpeChars(docs: DataFrame, textCol: String,
-      rounds: Int = 3): DataFrame = {
+  def trainBpeChars(docs: DataFrame, textCol: String, rounds: Int = 3,
+      materializeEvery: Int = BpeMaterializeEvery,
+      cutDir: Option[String] = None): DataFrame = {
     graft.functions.TextExprs.register(docs.sparkSession)
     val syms = docs
       .select(explode(call_function("split_words", col(textCol)))
@@ -987,7 +992,7 @@ object CorpusOps {
       .select(expr(
         "concat(transform(sequence(1, length(_g_w)), " +
           "i -> substring(_g_w, i, 1)), array('</w>'))").as("_g_ws"))
-    trainOnSymbols(syms, rounds)
+    trainOnSymbols(syms, rounds, materializeEvery, cutDir)
   }
 
   /** Apply a TRAINED merge table in order — the serving-side tokenizer
@@ -999,45 +1004,107 @@ object CorpusOps {
       merges: Seq[(String, String)]): org.apache.spark.sql.Column =
     merges.foldLeft(ws) { case (acc, (wa, wb)) => applyMerge(acc, wa, wb) }
 
+  /** Materialize the symbol relation every this-many merge rounds
+    * (tunable per call). Without materialization round r's map stage
+    * re-applies all r−1 prior merges (lineage chaining) — O(rounds²/2)
+    * corpus passes, a scale-killer at a real tokenizer's 10k-50k
+    * merges. A parquet cut every K rounds bounds the merge chain at K
+    * nodes, making total work O(rounds · corpus / K): the classic
+    * compute-vs-materialize trade, here at K = 8 (measured near-flat
+    * per-round cost; see DevProfile `bpescale`). */
+  val BpeMaterializeEvery = 8
+
   /** Shared trainer loop over a (_g_ws: array<string>) symbol relation —
-    * see [[trainBpe]]'s Scaladoc for the per-round scale shape. The
-    * INITIAL symbol relation is persisted for the loop's lifetime and
-    * released in `finally` (the featuresWithCuts handle pattern): every
-    * round re-applies the merge chain on top of it, so without the
-    * persist each round would also re-scan and re-tokenize the corpus —
-    * measured 5.7 → 3.3 s warm for 3 char-level rounds at sf0.1. */
-  private def trainOnSymbols(cur0: DataFrame, rounds: Int): DataFrame = {
+    * see [[trainBpe]]'s Scaladoc for the per-round scale shape.
+    *
+    * Lifecycle (the featuresWithCuts handle pattern):
+    *  - the INITIAL symbol relation is persisted so early rounds don't
+    *    re-tokenize the corpus (measured 5.7 → 3.3 s warm for 3
+    *    char-level rounds at sf0.1), released in `finally`;
+    *  - every `materializeEvery` merges the current symbol relation is
+    *    CUT — written to parquet and re-read — which truncates lineage
+    *    to a bare scan (bounded plan depth: at most `materializeEvery`
+    *    merge_pair nodes above the last cut, spec-asserted) and lets
+    *    the previous cut's files be deleted immediately, so at most ONE
+    *    cut is ever on disk. `cutDir` places the cuts (a shared
+    *    filesystem on a real cluster); default is a driver temp dir,
+    *    correct for local mode. All cuts are removed in `finally`. */
+  private def trainOnSymbols(cur0: DataFrame, rounds: Int,
+      materializeEvery: Int = BpeMaterializeEvery,
+      cutDir: Option[String] = None,
+      onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     require(rounds >= 1, s"trainBpe: rounds must be >= 1, got $rounds")
+    require(materializeEvery >= 1,
+      s"trainBpe: materializeEvery must be >= 1, got $materializeEvery")
     val s = cur0.sparkSession
     val base = cur0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try trainOnSymbolsLoop(base, rounds)
-    finally base.unpersist()
+    var baseLive = true
+    val cutRoot = cutDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_bpe_cut").toString)
+    def rmrf(p: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        if (f.isDirectory) {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(go)
+        }
+        f.delete(): Unit
+      }
+      go(new java.io.File(p))
+    }
+    var lastCut: String = null
+    try {
+      var cur: DataFrame = base
+      var sinceCut = 0
+      var cutIdx = 0
+      val merges =
+        collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var r = 1
+      var dry = false
+      while (r <= rounds && !dry) {
+        val best = cur
+          .select(explode(call_function("adjacent_pairs", col("_g_ws")))
+            .as("p"))
+          .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("wa").asc, col("wb").asc)
+          .limit(1).collect()
+        if (best.isEmpty) dry = true
+        else {
+          val (wa, wb, n) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r.toLong, wa, wb, n))
+          cur = cur.select(applyMerge(col("_g_ws"), wa, wb).as("_g_ws"))
+          sinceCut += 1
+          if (sinceCut >= materializeEvery && r < rounds) {
+            cutIdx += 1
+            val p = s"$cutRoot/cut$cutIdx"
+            cur.write.mode("overwrite").parquet(p)
+            cur = s.read.parquet(p)
+            if (baseLive) { base.unpersist(); baseLive = false }
+            if (lastCut != null) rmrf(lastCut)
+            lastCut = p
+            sinceCut = 0
+          }
+          onRound(r, cur)
+          r += 1
+        }
+      }
+      import s.implicits._
+      merges.toSeq.toDF("round", "wa", "wb", "n")
+    } finally {
+      if (baseLive) base.unpersist()
+      if (cutDir.isEmpty) rmrf(cutRoot) else if (lastCut != null) rmrf(lastCut)
+    }
   }
 
-  private def trainOnSymbolsLoop(cur0: DataFrame, rounds: Int): DataFrame = {
-    val s = cur0.sparkSession
-    var cur = cur0
-    val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var r = 1
-    var dry = false
-    while (r <= rounds && !dry) {
-      val best = cur
-        .select(explode(call_function("adjacent_pairs", col("_g_ws")))
-          .as("p"))
-        .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("wa").asc, col("wb").asc)
-        .limit(1).collect()
-      if (best.isEmpty) dry = true
-      else {
-        val (wa, wb, n) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r.toLong, wa, wb, n))
-        cur = cur.select(applyMerge(col("_g_ws"), wa, wb).as("_g_ws"))
-        r += 1
-      }
-    }
-    import s.implicits._
-    merges.toSeq.toDF("round", "wa", "wb", "n")
+  /** Test/profiling hook: [[trainOnSymbols]] with a per-round callback
+    * receiving (round, current symbol relation) — lets a spec assert
+    * the bounded-lineage invariant and a profiler time rounds. */
+  private[graft] def trainBpeWithHook(docs: DataFrame, textCol: String,
+      rounds: Int, materializeEvery: Int,
+      onRound: (Int, DataFrame) => Unit): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    trainOnSymbols(docs.select(
+      call_function("split_words", col(textCol)).as("_g_ws")), rounds,
+      materializeEvery, None, onRound)
   }
 }

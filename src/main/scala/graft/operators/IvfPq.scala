@@ -142,30 +142,14 @@ object IvfPq {
     * load + probe, which is what a steady-state serving benchmark
     * should time. Keyed by file listing (name/len/mtime), so a changed
     * corpus rebuilds instead of serving a stale index. */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def snapshotIndexPath(s: org.apache.spark.sql.SparkSession,
-      dir: String, emb: DataFrame): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val snap =
-      if (!f.exists()) "missing"
-      else if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
-      else f.listFiles().sortBy(_.getName)
-        .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${System.identityHashCode(s)}#$snap".getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    indexCache.computeIfAbsent(key, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_x15")
-        .toString + "/idx"
+      dir: String, emb: DataFrame): String =
+    SnapshotCache.resolve(s, "x15", s"$dir/embeddings.parquet") { out =>
       val idx = build(emb, "vec_id", "v", nCells = 4,
         m = ProductQuantizer.M, k = ProductQuantizer.K,
         coarseIters = 0, pqIters = 0)
       try writeIndex(idx, out) finally idx.release()
-      out
-    })
-  }
+    }
 
   def x15IvfPqTopK(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {

@@ -258,11 +258,6 @@ object RetrievalOps {
         call_function("split_words", col(textCol)).as("_g_ws"))
       .select(col("id"), col("_g_ws"),
         size(col("_g_ws")).cast("long").as("dl"))
-    base.agg(count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
-          .as("avgdl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$path/stats")
     // positional postings add one sorted offsets array per (doc, term) —
     // ~the token count in extra storage, the standard phrase/proximity
     // trade (Lucene's positions file); BM25 probes never read the column
@@ -282,6 +277,14 @@ object RetrievalOps {
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("pt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$path/postings")
+    // stats LAST — it is the commit marker: a failure mid-postings-write
+    // leaves no stats/, so readStats raises a clear not-an-index error
+    // instead of probes tripping over a half-built postings directory
+    base.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Exact phrase search over a positions-bearing postings index
@@ -339,7 +342,18 @@ object RetrievalOps {
     * 0.0 so probes can early-return instead of NPE-ing. */
   private def readStats(spark: SparkSession,
       path: String): (Long, Double, Int) = {
-    val r = spark.read.parquet(s"$path/stats").head()
+    // stats/ is written LAST by indexCorpus — its absence means "not an
+    // index / interrupted build", which deserves a rebuild-needed error
+    // rather than a confusing partial-postings read further down
+    val r =
+      try spark.read.parquet(s"$path/stats").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"no postings index at $path (missing stats/ commit marker — " +
+              "an interrupted indexCorpus build leaves no stats); rebuild " +
+              "with indexCorpus(...)", e)
+      }
     (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1), r.getInt(2))
   }
 
@@ -422,9 +436,12 @@ object RetrievalOps {
     val (nDocs, avgdl, nBuckets) = readStats(spark, path)
     if (nDocs == 0L) return emptyResult(spark,
       "query_id BIGINT, rank BIGINT, id BIGINT, bm25 DOUBLE")
+    // array_distinct: a repeated term in one query's bag must contribute
+    // once (the single-query paths all normalize with .distinct; a dup
+    // here would join that term's postings twice and double-count)
     val qpairs = queries
       .select(col(qIdCol).cast("long").as("qid"),
-        explode(col(termsCol)).as("term"))
+        explode(array_distinct(col(termsCol))).as("term"))
     val terms = qpairs.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "bm25TopKIndexedBatch: queries carry no terms")
@@ -646,28 +663,12 @@ object RetrievalOps {
 
   /** One persisted postings index per (session, corpus snapshot) — the
     * x15 serving-lifecycle convention: build + write ONCE per corpus
-    * version, probe many times. Keyed by file listing (name/len/mtime)
-    * so a changed corpus rebuilds instead of serving stale postings. */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def snapshotIndexPath(s: SparkSession, dir: String): String = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val snap =
-      if (!f.exists()) "missing"
-      else if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
-      else f.listFiles().sortBy(_.getName)
-        .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${System.identityHashCode(s)}#$snap".getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    indexCache.computeIfAbsent(key, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_x21")
-        .toString + "/idx"
+    * version, probe many times ([[SnapshotCache]]: a changed corpus
+    * rebuilds and the stale index directory is deleted). */
+  private def snapshotIndexPath(s: SparkSession, dir: String): String =
+    SnapshotCache.resolve(s, "x21", s"$dir/documents.parquet") { out =>
       indexCorpus(documents(s, dir), "doc_id", "text", out)
-      out
-    })
-  }
+    }
 
   /** x21: BM25 served from the PERSISTED postings index — build → write
     * bucket-partitioned → partition-pruned probe. Same terms, same
@@ -699,27 +700,11 @@ object RetrievalOps {
   /** The positions-bearing index snapshot (x23) — cached separately from
     * x21's: positional postings carry the offsets column BM25 probes
     * never read. */
-  private val posIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def snapshotPosIndexPath(s: SparkSession, dir: String): String = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val snap =
-      if (!f.exists()) "missing"
-      else if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
-      else f.listFiles().sortBy(_.getName)
-        .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${System.identityHashCode(s)}#$snap".getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    posIndexCache.computeIfAbsent(key, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_x23")
-        .toString + "/idx"
+  private def snapshotPosIndexPath(s: SparkSession, dir: String): String =
+    SnapshotCache.resolve(s, "x23", s"$dir/documents.parquet") { out =>
       indexCorpus(documents(s, dir), "doc_id", "text", out,
         withPositions = true)
-      out
-    })
-  }
+    }
 
   /** x23: exact phrase search ("table hash") over the positional index —
     * build with positions → write → fold the per-term offset arrays.

@@ -552,6 +552,16 @@ object TextQueries {
     CorpusOps.trainBpe(documents(s, dir), "text", rounds = 3)
       .orderBy("round")
 
+  /** d35: DEEP BPE training — 12 word-level merge rounds, enough to
+    * cross the trainer's materialization boundary
+    * ([[CorpusOps.BpeMaterializeEvery]] = 8): rounds 9-12 run on top of
+    * a parquet CUT of the symbol relation, so the gate holds the
+    * linearized (bounded-lineage) trainer to the exact greedy-merge
+    * semantics the 12-round unrolled relational oracle states. */
+  def d35BpeDeep(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.trainBpe(documents(s, dir), "text", rounds = 12)
+      .orderBy("round")
+
   /** d33: character-level BPE ([[CorpusOps.trainBpeChars]], 3 rounds) —
     * the canonical within-word formulation: chars + `</w>` markers,
     * merges never cross word boundaries. */

@@ -384,6 +384,33 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(CorpusOps.trainBpe(docs, "text", rounds = 3).count() == 0)
   }
 
+  test("trainBpe linearization: cuts bound lineage, results unchanged") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // reference run: materialization effectively off (one long chain)
+    val ref = CorpusOps.trainBpe(docs, "text", rounds = 10,
+        materializeEvery = 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(ref.size == 10, s"corpus went dry at ${ref.size} rounds")
+    // linearized run with a tight cut cadence + per-round plan audit:
+    // the analyzed plan of the CURRENT symbol relation may carry at most
+    // K merge_pair nodes above its latest cut — the bounded-lineage
+    // invariant that makes a 10k-merge run O(rounds·corpus/K)
+    val k = 3
+    var maxDepth = 0
+    val got = CorpusOps.trainBpeWithHook(docs, "text", rounds = 10,
+        materializeEvery = k, (_, cur) => {
+          val depth = "merge_pair".r
+            .findAllIn(cur.queryExecution.analyzed.toString).length
+          maxDepth = math.max(maxDepth, depth)
+        })
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got == ref, s"linearized trainer diverged:\n$got\nvs\n$ref")
+    assert(maxDepth <= k,
+      s"lineage grew past the cut cadence: $maxDepth merge_pair nodes > $k")
+  }
+
   test("index probes of an EMPTY corpus return empty, never crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val path = java.nio.file.Files.createTempDirectory("emptyidx").toString + "/idx"
