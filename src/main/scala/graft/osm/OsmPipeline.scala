@@ -62,11 +62,11 @@ object OsmPipeline {
   /** Number of distinct consecutive points in a vertex array — codegen'd
     * equivalent of ST_NPoints(ST_RemoveRepeatedPoints(...))
     * (pbf_file_reader.py:3246). */
-  private def nPointsDedup(c: Column): Column =
+  private[osm] def nPointsDedup(c: Column): Column =
     size(c) - aggregate(sequence(lit(2), size(c)), lit(0),
       (acc, i) => acc + when(element_at(c, i) === element_at(c, i - 1), 1).otherwise(0))
 
-  private def isClosed(c: Column): Column =
+  private[osm] def isClosed(c: Column): Column =
     element_at(c, 1) === element_at(c, -1)
 
   /** Handle owning the persisted intermediate cuts of ONE conversion.

@@ -14,6 +14,66 @@ object ResultCache {
       .digest(s.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
 
+  import org.locationtech.jts.geom._
+
+  private def round7(v: Double): Double =
+    math.rint(v * 1e7) / 1e7
+
+  /** Canonical ring per the reference's `_get_oriented_geometry_filter`
+    * (pbf_file_reader.py:1412-1458): counter-clockwise, rotated so the
+    * lexicographically smallest (x, y) vertex comes first, coordinates
+    * rounded to 7 decimals — so the SAME clip polygon expressed with a
+    * different winding order or start vertex hashes to the SAME result
+    * path (a re-run is a cache hit, not a full conversion). */
+  private def orientRing(r: LineString, gf: GeometryFactory): LinearRing = {
+    val closed = r.getCoordinates
+    val open = closed.dropRight(1).toSeq
+    val ccw = org.locationtech.jts.algorithm.Orientation.isCCW(closed)
+    val perim = if (ccw) open else open.reverse
+    val smallest = perim.minBy(c => (c.x, c.y))
+    val i = perim.indexWhere(c => c.x == smallest.x && c.y == smallest.y)
+    val rotated = perim.drop(i) ++ perim.take(i)
+    gf.createLinearRing(
+      (rotated :+ rotated.head)
+        .map(c => new Coordinate(round7(c.x), round7(c.y))).toArray)
+  }
+
+  /** The reference's full orientation canonicalization: rings as above,
+    * polygon interiors and multipart members sorted by centroid (x, y). */
+  private[osm] def orientedGeometry(g: Geometry): Geometry = g match {
+    case r: LinearRing => orientRing(r, g.getFactory)
+    case p: Polygon =>
+      val gf = p.getFactory
+      val shell = orientRing(p.getExteriorRing, gf)
+      val holes = (0 until p.getNumInteriorRing)
+        .map(i => orientRing(p.getInteriorRingN(i), gf))
+        .sortBy(h => (h.getCentroid.getX, h.getCentroid.getY)).toArray
+      gf.createPolygon(shell, holes)
+    case m: GeometryCollection =>
+      val gf = m.getFactory
+      val parts = (0 until m.getNumGeometries)
+        .map(i => orientedGeometry(m.getGeometryN(i)))
+        .sortBy(x => (x.getCentroid.getX, x.getCentroid.getY))
+      m match {
+        case _: MultiPolygon =>
+          gf.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]).toArray)
+        case _: MultiLineString =>
+          gf.createMultiLineString(
+            parts.map(_.asInstanceOf[LineString]).toArray)
+        case _: MultiPoint =>
+          gf.createMultiPoint(parts.map(_.asInstanceOf[Point]).toArray)
+        case _ => gf.createGeometryCollection(parts.toArray)
+      }
+    case other => other
+  }
+
+  /** Geometry-hash part of the result path: sha256 prefix of the
+    * ORIENTED clip geometry's WKT (reference `_generate_geometry_hash`,
+    * pbf_file_reader.py:1402-1410). */
+  private[osm] def geometryHash(wkt: String): String =
+    sha8(new org.locationtech.jts.io.WKTWriter()
+      .write(orientedGeometry(GeometryFilters.parseWkt(wkt))))
+
   /** Mirrors the reference's naming:
     * {stems}_{filterhash|nofilter}_{geomhash|noclip}_{exploded|compact}
     * {_idshash}{_sorted}{_wkt}.parquet */
@@ -33,7 +93,7 @@ object ResultCache {
             opts.customSqlFilter.getOrElse("")
         sha8(canonical) + (if (opts.keepAllTags) "_alltags" else "")
       }
-    val geomPart = opts.geometryWkt.map(sha8).getOrElse("noclip")
+    val geomPart = opts.geometryWkt.map(geometryHash).getOrElse("noclip")
     val tagsPart = if (explodeTags) "exploded" else "compact"
     val idsPart =
       if (opts.osmIds.isEmpty) ""

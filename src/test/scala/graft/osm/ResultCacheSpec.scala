@@ -38,4 +38,31 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(out4 == out1)
     assert(marker.lastModified() > mtime1)
   }
+
+  test("geometry hash is orientation-canonical (reference :1412-1458)") {
+    val work = "files"
+    def path(wkt: String) = ResultCache.resultFilePath(work, Seq(Monaco),
+      OsmPipeline.Options(geometryWkt = Some(wkt)))
+    // the same square: CCW from origin / CW winding / rotated start vertex
+    val ccw = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    val cw = "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"
+    val rotated = "POLYGON ((1 1, 0 1, 0 0, 1 0, 1 1))"
+    assert(path(cw) == path(ccw), "winding order must not change the path")
+    assert(path(rotated) == path(ccw), "start vertex must not change the path")
+    // sub-1e-7 coordinate noise rounds away (reference rounds to 7
+    // decimals at append time — noise on a NON-minimum vertex, since the
+    // rotation anchor is chosen before rounding, same as the reference);
+    // a real change re-keys
+    val noisy = "POLYGON ((0 0, 1 0.00000001, 1 1, 0 1, 0 0))"
+    assert(path(noisy) == path(ccw), "1e-8 noise must round away")
+    assert(path("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") != path(ccw))
+    // multipolygon member order is centroid-sorted before hashing
+    val ab = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    val ba = "MULTIPOLYGON (((5 5, 6 5, 6 6, 5 6, 5 5)), ((0 0, 1 0, 1 1, 0 1, 0 0)))"
+    assert(path(ab) == path(ba), "part order must not change the path")
+    // holes: winding of an interior ring is canonicalized too
+    val holeCcw = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 4 3, 4 4, 3 4, 3 3))"
+    val holeCw = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 3 4, 4 4, 4 3, 3 3))"
+    assert(path(holeCw) == path(holeCcw))
+  }
 }
