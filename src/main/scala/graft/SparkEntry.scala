@@ -37,6 +37,7 @@ object SparkEntry {
     "j5_three_way_join" -> (R.j5ThreeWayJoin _),
     "j8_anti_two_key" -> (R.j8AntiTwoKey _),
     "jx_range_join" -> (R.jxRangeJoin _),
+    "jx_spatial_join" -> (graft.osm.SpatialJoin.jxGate _),
     // aggregations
     "q1_agg" -> (R.q1Agg _),
     "a1_ordered_list_agg" -> (R.a1OrderedListAgg _),
@@ -381,6 +382,26 @@ object SparkEntry {
         |  ON e.user_id = c.user_id
         | AND abs(CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 3600
         |ORDER BY err_id, click_id""".stripMargin,
+    // distributed spatial join (no equi key): the oracle states the
+    // containment as BETWEEN over the boxes' exact-binary bounds; the
+    // engine buckets both sides onto a 1-degree grid and JTS-verifies —
+    // identical pairs prove the grid+verify decomposition exact
+    "jx_spatial_join" ->
+      """WITH pts AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS pid,
+        |    (c_custkey % 320)::DOUBLE / 16.0 - 10.0 AS px,
+        |    ((c_custkey * 7) % 320)::DOUBLE / 16.0 - 10.0 AS py
+        |  FROM customer),
+        |boxes AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS box_id,
+        |    (n_nationkey % 5)::DOUBLE * 4.0 - 10.0 AS x0,
+        |    (n_nationkey // 5)::DOUBLE * 4.0 - 10.0 AS y0
+        |  FROM nation)
+        |SELECT p.pid, b.box_id
+        |FROM pts p JOIN boxes b
+        |  ON p.px BETWEEN b.x0 AND b.x0 + 3.0
+        | AND p.py BETWEEN b.y0 AND b.y0 + 3.0
+        |ORDER BY p.pid, b.box_id""".stripMargin,
     "d9_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 7))::BIGINT % 100 <
@@ -1277,11 +1298,17 @@ object SparkEntry {
         |    SELECT vec_id, round(list_cosine_similarity(v, q.qv), 6) AS cosine
         |    FROM e CROSS JOIN q WHERE vec_id <> 0
         |    ORDER BY cosine DESC, vec_id LIMIT 10) t),""".stripMargin +
-        Seq(1, 2).map(annRecallCtes).mkString(",") + """
-        |SELECT 1::BIGINT AS nprobe, n_rel, hits, recall, mrr, ndcg FROM met_1
+        Seq(1, 2).map(annRecallCtes).mkString(",") + "," +
+        PqSweepPrefix + "," +
+        Seq(1, 2).map(pqSweepCtes).mkString(",") + """
+        |SELECT 'ivf' AS path, 1::BIGINT AS nprobe, n_rel, hits, recall, mrr, ndcg FROM met_1
         |UNION ALL
-        |SELECT 2::BIGINT, n_rel, hits, recall, mrr, ndcg FROM met_2
-        |ORDER BY nprobe""".stripMargin),
+        |SELECT 'ivf', 2::BIGINT, n_rel, hits, recall, mrr, ndcg FROM met_2
+        |UNION ALL
+        |SELECT 'ivfpq', 1::BIGINT, n_rel, hits, recall, mrr, ndcg FROM pmet_1
+        |UNION ALL
+        |SELECT 'ivfpq', 2::BIGINT, n_rel, hits, recall, mrr, ndcg FROM pmet_2
+        |ORDER BY path, nprobe""".stripMargin),
     // generate-then-rerank: BM25 top-20 candidates re-scored by the
     // batched stub pair model (portable md5 score — the oracle replays
     // it, hash-verifying the candidate→batch→score plumbing)
@@ -1513,6 +1540,84 @@ object SparkEntry {
         |SELECT pair, count(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
+
+  /** nprobe-independent CTE prefix of the x25 IVF-PQ sweep: the x15
+    * oracle's encode chain (4 cells, residual PQ, first-16 codebook)
+    * with `p`-prefixed names so it coexists with the raw-IVF CTEs. */
+  private val PqSweepPrefix: String =
+    """
+      |pc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |psims AS (
+      |  SELECT e.vec_id, e.v, pc.cid, list_cosine_similarity(e.v, pc.cv) AS sim
+      |  FROM e CROSS JOIN pc),
+      |pcells AS (
+      |  SELECT vec_id, v, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM psims) WHERE rn = 1),
+      |pres AS (
+      |  SELECT cl.vec_id, cl.cell,
+      |    list_transform(range(1, 65), i -> cl.v[i] - pc.cv[i]) AS r
+      |  FROM pcells cl JOIN pc ON cl.cell = pc.cid),
+      |psv AS (
+      |  SELECT vec_id, cell, sub, list_slice(r, sub*16 + 1, sub*16 + 16) AS s
+      |  FROM pres CROSS JOIN (SELECT unnest(range(4)) AS sub)),
+      |pids AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |pcb AS (SELECT s.sub, i.code, s.s AS cv FROM psv s JOIN pids i USING (vec_id)),
+      |pdist AS (
+      |  SELECT s.vec_id, s.cell, s.sub, b.code,
+      |    round(list_inner_product(s.s, s.s)
+      |      - 2.0 * list_inner_product(s.s, b.cv)
+      |      + list_inner_product(b.cv, b.cv), 6) AS d
+      |  FROM psv s JOIN pcb b ON s.sub = b.sub),
+      |pbest AS (
+      |  SELECT vec_id, cell, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+      |    FROM pdist) WHERE rn = 1)""".stripMargin
+
+  /** Per-nprobe IVF-PQ chain of the x25 sweep: probed cells → residual
+    * LUT → ADC ranking (query vector excluded) → the same metric CTE
+    * shape as [[annRecallCtes]]. */
+  private def pqSweepCtes(np: Int): String =
+    s"""
+       |pqcells_$np AS (
+       |  SELECT cid AS cell FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY sim DESC, cid) AS rn
+       |    FROM psims WHERE vec_id = 0)
+       |  WHERE rn <= $np),
+       |pqres_$np AS (
+       |  SELECT pc.cid AS cell,
+       |    list_transform(range(1, 65), i -> q.qv[i] - pc.cv[i]) AS qr
+       |  FROM pc JOIN pqcells_$np ON pc.cid = pqcells_$np.cell CROSS JOIN q),
+       |plut_$np AS (
+       |  SELECT r.cell, b.sub, b.code,
+       |    list_inner_product(list_slice(r.qr, b.sub*16 + 1, b.sub*16 + 16),
+       |      list_slice(r.qr, b.sub*16 + 1, b.sub*16 + 16))
+       |    - 2.0 * list_inner_product(list_slice(r.qr, b.sub*16 + 1, b.sub*16 + 16), b.cv)
+       |    + list_inner_product(b.cv, b.cv) AS ld
+       |  FROM pqres_$np r CROSS JOIN pcb b),
+       |padc_$np AS (
+       |  SELECT bs.vec_id, round(sum(l.ld), 6) AS adc_dist
+       |  FROM pbest bs JOIN plut_$np l
+       |    ON bs.cell = l.cell AND bs.sub = l.sub AND bs.code = l.code
+       |  GROUP BY bs.vec_id),
+       |ppq_$np AS (
+       |  SELECT id, row_number() OVER (ORDER BY adc_dist, id) AS rank FROM (
+       |    SELECT vec_id AS id, adc_dist FROM padc_$np WHERE vec_id <> 0
+       |    ORDER BY adc_dist, id LIMIT 10) t),
+       |pflags_$np AS (
+       |  SELECT r.rank, (x.id IS NOT NULL) AS rel
+       |  FROM ppq_$np r LEFT JOIN exact x ON r.id = x.id),
+       |pmet_$np AS (
+       |  SELECT 10::BIGINT AS n_rel,
+       |    sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |    round(sum(CASE WHEN rel THEN 1 ELSE 0 END)::DOUBLE / 10.0, 6) AS recall,
+       |    round(COALESCE(1.0 / min(CASE WHEN rel THEN rank END)::DOUBLE, 0.0), 6) AS mrr,
+       |    round(sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)::DOUBLE /
+       |      list_sum(list_transform(range(1, 11),
+       |        r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::DOUBLE, 6) AS ndcg
+       |  FROM pflags_$np)""".stripMargin
 
   /** Per-nprobe CTE chain of the x25 oracle: probe cells → IVF top-10
     * ranking → x22-convention metrics vs the shared `exact` qrels. */

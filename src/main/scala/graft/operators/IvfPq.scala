@@ -166,7 +166,8 @@ object IvfPq {
     * cosine, matching the assignment metric), build one residual
     * look-up table per probed cell, scan only those cells. */
   def topK(index: IvfPqIndex, query: Seq[Double], topK: Int = 10,
-      nProbe: Int = IvfAnn.NProbe): DataFrame = {
+      nProbe: Int = IvfAnn.NProbe,
+      excludeId: Option[Long] = None): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cents: Seq[(Long, Array[Double])] = index.cents.collect().map { r =>
       r.getLong(0) -> r.getSeq[Any](1).map {
@@ -183,13 +184,30 @@ object IvfPq {
       .sortBy { case (cid, _, s) => (-s, cid) }
       .take(nProbe)
     val cb = ProductQuantizer.collectCodebook(index.codebook)
-    probed.map { case (cid, cv, _) =>
+    val scored = probed.map { case (cid, cv, _) =>
       val qres = query.zip(cv).map { case (q, c) => q - c }
       ProductQuantizer.adcScores(
         index.codes.filter(col("cell") === cid), cb, qres, index.m, index.k)
     }.reduce(_ unionAll _)
+    // excludeId (typically the query's own id) is filtered BEFORE the
+    // limit, so the recall-sweep form still returns a full top-k
+    excludeId.fold(scored)(i => scored.filter(col("pq_id") =!= i))
       .orderBy(col("adc_dist").asc, col("pq_id").asc)
       .limit(topK)
+  }
+
+  /** The x15 probe at an arbitrary nprobe with the query vector
+    * excluded — the ranking form the x25 accuracy-vs-cost sweep scores
+    * against exact cosine ground truth. */
+  def x15SearchAt(s: org.apache.spark.sql.SparkSession, dir: String,
+      nProbe: Int): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val loaded = loadIndex(s, snapshotIndexPath(s, dir, emb))
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    topK(loaded, q, topK = 10, nProbe = nProbe, excludeId = Some(0L))
+      .select(col("pq_id").as("vec_id"), col("adc_dist"))
   }
 
   /** Batch ADC top-k — one pass for a whole (qid, qvec) TABLE, the

@@ -796,7 +796,7 @@ object RetrievalOps {
   def x25AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val qrels = SimilarityQueries.x1CosineTopK(s, dir)
       .select(lit(0L).as("qid"), col("vec_id").as("id"))
-    def at(np: Int): DataFrame = {
+    def ivfAt(np: Int): DataFrame = {
       val ranked = IvfAnn.x7SearchAt(s, dir, np)
         .select(lit(0L).as("qid"), col("vec_id").as("id"), col("cosine"))
         .withColumn("rank", row_number()
@@ -804,11 +804,25 @@ object RetrievalOps {
           .cast("long"))
       evalRanking(ranked, "qid", "rank", "id", qrels, "qid", "id", k = 10)
         .withColumn("nprobe", lit(np.toLong))
+        .withColumn("path", lit("ivf"))
     }
-    at(1).unionByName(at(2))
-      .select(col("nprobe"), col("n_rel"), col("hits"), col("recall"),
-        col("mrr"), col("ndcg"))
-      .orderBy(col("nprobe").asc)
+    // the COMPRESSED index's dial too (x15's IVF-PQ): same harness, same
+    // ground truth, ranking by ADC distance — quantifies what PQ's 64→4
+    // bytes/vector costs in recall at each nprobe
+    def pqAt(np: Int): DataFrame = {
+      val ranked = IvfPq.x15SearchAt(s, dir, np)
+        .select(lit(0L).as("qid"), col("vec_id").as("id"), col("adc_dist"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("adc_dist").asc, col("id").asc))
+          .cast("long"))
+      evalRanking(ranked, "qid", "rank", "id", qrels, "qid", "id", k = 10)
+        .withColumn("nprobe", lit(np.toLong))
+        .withColumn("path", lit("ivfpq"))
+    }
+    ivfAt(1).unionByName(ivfAt(2)).unionByName(pqAt(1)).unionByName(pqAt(2))
+      .select(col("path"), col("nprobe"), col("n_rel"), col("hits"),
+        col("recall"), col("mrr"), col("ndcg"))
+      .orderBy(col("path").asc, col("nprobe").asc)
   }
 
   /** x26: ordered proximity search — "table hash" within slop 1 (one

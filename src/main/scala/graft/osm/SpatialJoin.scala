@@ -113,4 +113,35 @@ object SpatialJoin {
       .filter(verify(col(wkbCol), col(xCol), col(yCol)))
       .drop("_cell")
   }
+
+  /** jx_spatial_join gate: customers as points on an exact binary
+    * lattice (steps of 1/16°, so Spark and the oracle compute
+    * bit-identical doubles), nations as a 5×5 grid of 3°×3° boxes —
+    * axis-aligned so DuckDB can state point-in-polygon as BETWEEN while
+    * the engine runs the full grid-bucket + JTS-verify path on real
+    * POLYGON WKB. (pid, box_id) per containment, totally ordered. */
+  def jxGate(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val pts = graft.Tables.customer(s, dir).select(
+      col("c_custkey").cast("long").as("pid"),
+      ((col("c_custkey") % 320).cast("double") / lit(16.0) - lit(10.0))
+        .as("px"),
+      (((col("c_custkey") * 7) % 320).cast("double") / lit(16.0) -
+        lit(10.0)).as("py"))
+    val boxes = graft.Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("box_id"),
+      ((col("n_nationkey") % 5).cast("double") * lit(4.0) - lit(10.0))
+        .as("x0"),
+      (floor(col("n_nationkey") / 5).cast("double") * lit(4.0) -
+        lit(10.0)).as("y0"))
+      .withColumn("_wkb", GeomUdfs.polygon_wkb(array(
+        array(col("x0"), col("y0")),
+        array(col("x0") + 3.0, col("y0")),
+        array(col("x0") + 3.0, col("y0") + 3.0),
+        array(col("x0"), col("y0") + 3.0),
+        array(col("x0"), col("y0")))))
+      .select(col("box_id"), col("_wkb"))
+    pointInPolygon(pts, "px", "py", boxes, "_wkb", cellDeg = 1.0)
+      .select(col("pid"), col("box_id"))
+      .orderBy(col("pid"), col("box_id"))
+  }
 }
