@@ -196,6 +196,50 @@ object IvfPq {
       .limit(topK)
   }
 
+  /** Map-side IVF-PQ ENCODE against a frozen index — the streaming
+    * ingestion path ([[graft.streaming.DocStreams.encodeArrivals]]):
+    * assign the coarse cell, subtract its centroid, and pick each
+    * subspace's nearest code, all as per-row expressions over the
+    * BROADCAST centroids/codebook. No aggregation, no state — legal in
+    * a streaming plan and identical arithmetic to the batch
+    * [[ProductQuantizer.encode]] (same argmax cell tie-break, same
+    * rounded-l2sq argmin per subspace; the batch path's groupBy pivot is
+    * replaced by a `transform(sequence(0, m-1), ...)` that never
+    * shuffles). Output: (pq_id, cell, codes) — appendable to a
+    * [[writeIndex]] layout's `codes` relation. */
+  def encodeMapSide(vecs: DataFrame, idCol: String, vecCol: String,
+      index: IvfPqIndex): DataFrame = {
+    graft.functions.VectorExprs.register(vecs.sparkSession)
+    val emb = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    val dim = index.cents.select(size(col("cv"))).head().getInt(0)
+    require(dim % index.m == 0,
+      s"index dim $dim not divisible by m=${index.m}")
+    val w = dim / index.m
+    val resid = IvfAnn.assignCells(emb, index.cents)
+      .join(broadcast(index.cents.withColumnRenamed("cid", "cell")),
+        Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+    // the whole M×K codebook packed into ONE static row (array indexed
+    // by sub) — constant size, broadcast; argmin over a collect_list is
+    // order-independent because the (d, code) struct tie-break is total
+    val packedAll = index.codebook.groupBy(col("sub"))
+      .agg(collect_list(struct(col("code"), col("cv"))).as("cs"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"),
+        col("cs")))), p => p.getField("cs")).as("cbs"))
+    resid.crossJoin(broadcast(packedAll))
+      .select(col("vec_id").as("pq_id"), col("cell"),
+        transform(sequence(lit(0), lit(index.m - 1)), sub => {
+          val sv = slice(col("r"), sub * w + 1, lit(w))
+          array_min(transform(
+            element_at(col("cbs"), (sub + 1).cast("int")),
+            c => struct(ProductQuantizer.l2sq(sv, c.getField("cv"))
+              .as("d"), c.getField("code").as("code"))))
+            .getField("code")
+        }).as("codes"))
+  }
+
   /** The x15 probe at an arbitrary nprobe with the query vector
     * excluded — the ranking form the x25 accuracy-vs-cost sweep scores
     * against exact cosine ground truth. */

@@ -45,7 +45,7 @@ object ProductQuantizer {
     * left-to-right — the exact kernel sequence the x12 oracle replays
     * with DuckDB's list_inner_product; rounded to 6 so both engines
     * agree bit-for-bit before the argmin compares. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
 
   /** (pq_id, sub, sv): the corpus cut into `m` equal subvectors — a pure

@@ -42,6 +42,43 @@ object DocStreams {
         timestamp_seconds(lit(1700000000L) + col("doc_id")))
   }
 
+  /** The embeddings parquet as a bounded stream (same synthetic ingest
+    * timeline convention as [[fileSource]], keyed by vec_id). */
+  def vecFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType)))
+    val p = new java.io.File(dir)
+    val (base, glob) =
+      if (p.isFile) (p.getParent, p.getName) else (dir, "*.parquet")
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(base)
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("vec_id")))
+  }
+
+  /** IVF-PQ encode as vectors arrive — the continuous index-ingestion
+    * path: each arrival is routed to its coarse cell and PQ-coded
+    * against a FROZEN snapshot (loaded via
+    * [[graft.operators.IvfPq.loadIndex]] or built in-session), ready to
+    * append to the snapshot's `codes` relation. Entirely map-side
+    * ([[graft.operators.IvfPq.encodeMapSide]]: broadcast centroids +
+    * codebook, per-row expressions) — no aggregation, no watermark, no
+    * state; codes emit immediately and the operator scales by
+    * partitioning alone. Exactly equals the batch encode on the same
+    * rows (spec-held). */
+  def encodeArrivals(vecs: DataFrame,
+      index: graft.operators.IvfPq.IvfPqIndex): DataFrame =
+    graft.operators.IvfPq.encodeMapSide(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("v")),
+      "vec_id", "v", index)
+
   /** Stateless PII scrub: text redacted in place, match counts appended —
     * a pure map, so it adds no streaming state at all. */
   def scrubbed(docs: DataFrame): DataFrame =

@@ -22,6 +22,34 @@ class DocStreamsSpec extends AnyFunSuite {
   private def batchDocs = graft.Tables.documents(spark, Dir)
   private def stream = DocStreams.fileSource(spark, s"$Dir/documents.parquet")
 
+  test("streaming IVF-PQ encode against a frozen snapshot equals batch") {
+    import graft.operators.IvfPq
+    val emb = graft.Tables.embeddings(spark, Dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = IvfPq.build(emb, "vec_id", "v", nCells = 4,
+      coarseIters = 0, pqIters = 0)
+    try {
+      // freeze: write + load — the arrivals are scored against the
+      // PERSISTED snapshot, the real steady-state serving shape
+      val path = java.nio.file.Files.createTempDirectory("enc").toString +
+        "/idx"
+      IvfPq.writeIndex(idx, path)
+      val frozen = IvfPq.loadIndex(spark, path)
+      def keyOf(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> (r.getAs[Number](1).longValue(),
+          r.getSeq[Number](2).map(_.intValue()).toList)
+      val got = EventStreams.runToCompletion(
+        DocStreams.encodeArrivals(
+          DocStreams.vecFileSource(spark, s"$Dir/embeddings.parquet"),
+          frozen),
+        "vec_encode")
+        .select("pq_id", "cell", "codes").collect().map(keyOf).toMap
+      val expected = idx.codes
+        .select("pq_id", "cell", "codes").collect().map(keyOf).toMap
+      assert(got.nonEmpty && got == expected)
+    } finally idx.release()
+  }
+
   test("streaming PII scrub matches the batch scrub row for row") {
     val got = EventStreams.runToCompletion(
       DocStreams.scrubbed(stream).select("doc_id", "text", "n_emails", "n_ips"),
