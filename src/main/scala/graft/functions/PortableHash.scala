@@ -54,8 +54,13 @@ case class Md5Prefix28Expr(child: Expression) extends UnaryExpression {
 object Md5Prefix28Expr {
   /** Register `md5_prefix28(s)` for the SQL / `expr` / `call_function`
     * surfaces of the session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix28",
-      exprs => Md5Prefix28Expr(Cast(exprs.head, StringType)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    // existence-guarded: register() runs on every operator call, and an
+    // unguarded replace invalidates analysis state hot paths re-derive
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("md5_prefix28")))
+      reg.createOrReplaceTempFunction("md5_prefix28",
+        exprs => Md5Prefix28Expr(Cast(exprs.head, StringType)), "built-in")
+  }
 }

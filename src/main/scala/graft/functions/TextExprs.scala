@@ -169,20 +169,24 @@ object TextExprs {
   /** Register split_words / word_ngrams / merge_pair on the session
     * (idempotent). */
   def register(spark: SparkSession): Unit = {
-    // Unconditional: createOrReplaceTempFunction is idempotent, and guarding
-    // on one name (merge_pair) would skip the others when a session was
-    // built with GraftExtensions, which injects merge_pair on its own.
+    // Guard PER FUNCTION, not on one sentinel name: a session built with
+    // GraftExtensions already carries merge_pair, and a single-sentinel
+    // guard would then skip adjacent_pairs/ngram_hashes entirely. The
+    // existence check (vs replacing unconditionally) matters for
+    // throughput: register() runs on every operator call, and replacing
+    // a function invalidates analysis state a hot loop then re-derives.
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("split_words",
-      exprs => SplitWordsExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("word_ngrams",
-      exprs => WordNgramsExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("ngram_hashes",
-      exprs => NgramHashesExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("merge_pair",
-      exprs => MergePairExpr(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction("adjacent_pairs",
-      exprs => AdjacentPairsExpr(exprs.head), "built-in")
+    def reg1(name: String,
+        b: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+    reg1("split_words", exprs => SplitWordsExpr(exprs.head))
+    reg1("word_ngrams", exprs => WordNgramsExpr(exprs(0), exprs(1)))
+    reg1("ngram_hashes", exprs => NgramHashesExpr(exprs(0), exprs(1)))
+    reg1("merge_pair", exprs => MergePairExpr(exprs(0), exprs(1), exprs(2)))
+    reg1("adjacent_pairs", exprs => AdjacentPairsExpr(exprs.head))
   }
 }
 

@@ -83,10 +83,14 @@ case class HilbertIndexExpr(children: Seq[Expression])
 object HilbertIndexExpr {
   /** Register `hilbert_index(x, y, xmin, ymin, xmax, ymax)` for both the
     * SQL and `expr(...)` surfaces of the session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hilbert_index",
-      exprs => HilbertIndexExpr(exprs.map(
-        e => org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType))),
-      "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index")))
+      reg.createOrReplaceTempFunction(
+        "hilbert_index",
+        exprs => HilbertIndexExpr(exprs.map(
+          e => org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType))),
+        "built-in")
+  }
 }
