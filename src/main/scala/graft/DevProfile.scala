@@ -292,6 +292,29 @@ object DevProfile {
         println(f"pass$r: scan=${(t2 - t1) / 1e9}%.2f s ($nScan) " +
           f"probe=${(t3 - t2) / 1e9}%.2f s ($nProbe)")
       }
+    } else if (name == "bpescale") {
+      // BPE trainer round-cost linearity: time word-level training at
+      // increasing round counts with the materialization cadence on
+      // (K = BpeMaterializeEvery) vs effectively off (K = 10000).
+      // The claim under test: with cuts, sec/round stays ~flat as
+      // rounds grow; without, round r replays r-1 merges and the
+      // per-round cost climbs.
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // warm the tokenize/count path once, untimed
+      operators.CorpusOps.trainBpe(docs, "text", rounds = 2).count()
+      for (rounds <- Seq(8, 16, 32, 64)) {
+        for ((label, k) <- Seq(("cuts", operators.CorpusOps.BpeMaterializeEvery),
+            ("nocuts", 10000))) {
+          val t0 = System.nanoTime()
+          val n = operators.CorpusOps.trainBpe(docs, "text",
+            rounds = rounds, materializeEvery = k).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"rounds=$rounds%3d $label%-7s total=$sec%6.2f s  " +
+            f"per-round=${sec / rounds}%5.3f s  ($n merges)")
+        }
+      }
     } else if (name == "mixscale") {
       // corpus-assembly family under a pathological domain skew: replicate
       // documents `reps` times with 90% of replicas funneled into ONE hot

@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.NgramHashesExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("apply_bpe_table"),
+      new ExpressionInfo(classOf[graft.functions.ApplyBpeTableExpr].getName,
+        "apply_bpe_table"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ApplyBpeTableExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("adjacent_pairs"),
       new ExpressionInfo(classOf[graft.functions.AdjacentPairsExpr].getName,
         "adjacent_pairs"),

@@ -103,6 +103,24 @@ object TextKernels {
   /** All adjacent (wa, wb) symbol pairs of a token array — the BPE
     * trainer's per-round counting input, one pass in whole-stage codegen
     * (the indexed-transform + named_struct HOF form ran interpreted). */
+  /** Sequential application of a WHOLE merge table — semantically the
+    * left fold of [[mergePair]] over (wa_i, wb_i) in table order, as ONE
+    * kernel call. The serving-scale point: a real trained vocabulary is
+    * 10k-50k merges, and folding that many `merge_pair` Expressions
+    * builds a 10k-node plan whose generated code blows Janino's method
+    * limits; here the table rides as two array literals (constant-size
+    * plan at any vocab size) and the loop runs in JVM code. */
+  def applyMerges(arr: ArrayData, was: ArrayData, wbs: ArrayData): ArrayData = {
+    var cur = arr
+    val n = was.numElements()
+    var i = 0
+    while (i < n) {
+      cur = mergePair(cur, was.getUTF8String(i), wbs.getUTF8String(i))
+      i += 1
+    }
+    cur
+  }
+
   def adjacentPairs(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(new Array[Any](0))
@@ -187,7 +205,40 @@ object TextExprs {
     reg1("ngram_hashes", exprs => NgramHashesExpr(exprs(0), exprs(1)))
     reg1("merge_pair", exprs => MergePairExpr(exprs(0), exprs(1), exprs(2)))
     reg1("adjacent_pairs", exprs => AdjacentPairsExpr(exprs.head))
+    reg1("apply_bpe_table",
+      exprs => ApplyBpeTableExpr(exprs(0), exprs(1), exprs(2)))
   }
+}
+
+/** apply_bpe_table(ws, was, wbs) — a trained merge TABLE applied in
+  * order ([[TextKernels.applyMerges]]): identical results to folding
+  * `merge_pair` per merge, but the plan holds two array literals instead
+  * of one expression node per merge — the only codegen-viable shape at
+  * real (10k-50k merge) vocabulary sizes. */
+case class ApplyBpeTableExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _),
+          ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arguments must be (array<string>, array<string>, array<string>)," +
+            s" got (${first.dataType.simpleString}, " +
+            s"${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    }
+  override protected def nullSafeEval(ws: Any, was: Any, wbs: Any): Any =
+    TextKernels.applyMerges(ws.asInstanceOf[ArrayData],
+      was.asInstanceOf[ArrayData], wbs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ws, was, wbs) =>
+      s"graft.functions.TextKernels.applyMerges($ws, $was, $wbs)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** adjacent_pairs(ws) — every adjacent (wa, wb) pair of a string array

@@ -997,12 +997,18 @@ object CorpusOps {
 
   /** Apply a TRAINED merge table in order — the serving-side tokenizer
     * step: encode new text with the vocabulary [[trainBpe]] /
-    * [[trainBpeChars]] learned. Each merge is one [[applyMerge]] kernel
-    * pass, chained map-side (merge count is the trained vocab size, a
-    * driver-held constant) — zero shuffles at any corpus size. */
+    * [[trainBpeChars]] learned. The table rides as two array literals
+    * into ONE `apply_bpe_table` kernel call
+    * ([[graft.functions.ApplyBpeTableExpr]]): map-side, zero shuffles,
+    * and — unlike folding one `merge_pair` node per merge — a
+    * constant-size plan, which is what keeps whole-stage codegen alive
+    * at a real vocabulary's 10k-50k merges (a 10k-node fold blows
+    * Janino's method limits). Spec-held equal to the per-merge fold. */
   def applyBpe(ws: org.apache.spark.sql.Column,
       merges: Seq[(String, String)]): org.apache.spark.sql.Column =
-    merges.foldLeft(ws) { case (acc, (wa, wb)) => applyMerge(acc, wa, wb) }
+    if (merges.isEmpty) ws
+    else call_function("apply_bpe_table", ws,
+      lit(merges.map(_._1).toArray), lit(merges.map(_._2).toArray))
 
   /** Materialize the symbol relation every this-many merge rounds
     * (tunable per call). Without materialization round r's map stage

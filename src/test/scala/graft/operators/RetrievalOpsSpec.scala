@@ -362,6 +362,30 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got == Seq("x y z", "x y", "q"), got.toString)
   }
 
+  test("applyBpe table kernel equals the per-merge fold, constant plan size") {
+    graft.functions.TextExprs.register(spark)
+    val docs = Seq((1L, Seq("a", "b", "c", "a", "b", "a", "a", "a")))
+      .toDF("id", "ws")
+    // includes a chained merge ("a b" then ("a b","c")) and an aaa-run
+    // (greedy-left parity) — the two delicate merge semantics
+    val merges = Seq(("a", "b"), ("a b", "c"), ("a", "a"))
+    val folded = docs.select(merges.foldLeft(col("ws")) {
+        case (acc, (x, y)) => CorpusOps.applyMerge(acc, x, y) }.as("t"))
+      .head().getSeq[String](0)
+    val table = docs.select(CorpusOps.applyBpe(col("ws"), merges).as("t"))
+      .head().getSeq[String](0)
+    assert(table == folded && folded == Seq("a b c", "a b", "a a", "a"))
+    // a real vocab: 5000 merges. Folded that is a 5000-node expression
+    // (Janino-fatal); the table form stays a constant handful of nodes
+    val big = (0 until 5000).map(i => (s"w$i", s"v$i"))
+    val df = docs.select(CorpusOps.applyBpe(col("ws"), big).as("t"))
+    val nNodes = df.queryExecution.analyzed.expressions
+      .map(e => { var c = 0; e.foreach(_ => c += 1); c }).sum
+    assert(nNodes < 50, s"plan carries $nNodes expression nodes")
+    assert(df.head().getSeq[String](0) ==
+      Seq("a", "b", "c", "a", "b", "a", "a", "a"))
+  }
+
   test("d34 vocab: merges conserve content, </w> count equals word count") {
     val sf = "/root/testdata/sf0.001"
     val vocab = graft.operators.TextQueries.d34BpeVocab(spark, sf)
