@@ -240,6 +240,28 @@ object IvfPq {
         }).as("codes"))
   }
 
+  /** Append newly-encoded vectors ([[encodeMapSide]] output: pq_id,
+    * cell, codes) to a PERSISTED index's `codes` relation — the commit
+    * step of continuous ingestion: an append-mode write into the same
+    * cell-partitioned layout, so existing cells gain files and probes
+    * see the new vectors on their next [[loadIndex]]. Safe under
+    * concurrent probes of the old snapshot (parquet files are
+    * immutable; a reader lists files once per plan). The index carries
+    * no corpus-global statistics by design, so append invalidates
+    * nothing — the centroids/codebook stay frozen, which is the
+    * standard serving trade (re-train + rebuild only when residual
+    * drift degrades recall, measured by the x25 sweep). */
+  def appendToIndex(encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val bad = encoded.filter(size(col("codes")) =!= m).limit(1).collect()
+    require(bad.isEmpty,
+      s"appendToIndex: encoded codes length != index m=$m — encoded " +
+        "against a different index geometry?")
+    encoded.select(col("pq_id"), col("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** The x15 probe at an arbitrary nprobe with the query vector
     * excluded — the ranking form the x25 accuracy-vs-cost sweep scores
     * against exact cosine ground truth. */

@@ -146,6 +146,39 @@ class ProductQuantizerSpec extends AnyFunSuite {
       s"probe must prune partitions:\n${plan.take(500)}")
   }
 
+  test("appended arrivals serve identically to their original twins") {
+    val idx = IvfPq.build(renamed, "item", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqapp").toString
+    IvfPq.writeIndex(idx, dir)
+    idx.release()
+    val frozen = IvfPq.loadIndex(spark, dir)
+    // re-ingest three known vectors under shifted ids via the map-side
+    // encode + append path, then reload: each twin must score the exact
+    // same ADC distance as its original from the same probe
+    val arrivals = renamed.filter(col("item").isin(5L, 9L, 23L))
+      .select((col("item") + 100000L).as("item"),
+        col("vec").cast("array<double>").as("v"))
+    IvfPq.appendToIndex(
+      IvfPq.encodeMapSide(arrivals, "item", "v", frozen), dir)
+    val reloaded = IvfPq.loadIndex(spark, dir)
+    val query = renamed.filter(col("item") === 0L)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val scores = IvfPq.topK(reloaded, query, topK = 1000, nProbe = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq(5L, 9L, 23L).foreach { id =>
+      assert(scores.contains(id + 100000L),
+        s"appended twin of $id missing from the probe")
+      assert(scores(id + 100000L) == scores(id),
+        s"twin of $id scored ${scores(id + 100000L)} vs ${scores(id)}")
+    }
+    // geometry mismatch is rejected before touching the layout
+    val badCodes = IvfPq.encodeMapSide(arrivals, "item", "v", frozen)
+      .withColumn("codes", slice(col("codes"), 1, 2))
+    intercept[IllegalArgumentException] {
+      IvfPq.appendToIndex(badCodes, dir)
+    }
+  }
+
   test("batch ADC equals the single-query probe for every query") {
     val idx = IvfPq.build(renamed, "item", "vec")
     val qids = Seq(0L, 7L, 23L)
