@@ -20,6 +20,9 @@ import graft.osm.TagFilters._
   *   [--custom-sql-filter EXPR]
   *   [--keep-all-tags] [--explode-tags] [--sort] [--sort-algorithm str|hilbert]
   *   [--wkt-result]
+  *   [--explain-relation-drops]   self-check: classify dropped relations
+  *                                via the GDAL-parity validity oracles
+  *                                (exit 2 on any unexplained drop)
   * }}}
   */
 object Cli {
@@ -109,7 +112,32 @@ object Cli {
       .appName("graft-convert")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var exitCode = 0
     try {
+      if (flags.contains("explain-relation-drops")) {
+        // self-check mode (no conversion output): classify every
+        // boundary/multipolygon relation the conversion would drop via
+        // the ported GDAL-parity oracles — an unexplained row is a
+        // pipeline bug, an explained one an OSM data defect
+        val drops = RelationValidity.explainDrops(spark, positional)
+          .orderBy("relation_id").collect()
+        val unexplained = drops.filterNot(_.getBoolean(5))
+        drops.foreach { r =>
+          val why =
+            if (!r.getBoolean(3)) "no-clean-tags"
+            else if (!r.getBoolean(4)) "refs-incomplete"
+            else if (!r.getBoolean(1) && !r.getBoolean(2)) "tag+geom-invalid"
+            else if (!r.getBoolean(1)) "tag-invalid"
+            else if (!r.getBoolean(2)) "geom-invalid"
+            else "UNEXPLAINED"
+          println(s"relation/${r.getLong(0)} dropped: $why")
+        }
+        println(s"graft: ${drops.length} dropped relations, " +
+          s"${unexplained.length} unexplained")
+        // fall through to finally (spark.stop) before signalling failure
+        if (unexplained.nonEmpty) exitCode = 2
+        return
+      }
       // reference default "str"; validated like cli.py:803-808
       val sortAlgorithm = flags.getOrElse("sort-algorithm", "str")
       require(Set("str", "hilbert")(sortAlgorithm),
@@ -136,7 +164,10 @@ object Cli {
         } finally cuts.release()
         println(s"graft: wrote $output")
       }
-    } finally spark.stop()
+    } finally {
+      spark.stop()
+      if (exitCode != 0) sys.exit(exitCode)
+    }
   }
 
   private def parseArgs(args: List[String]): (Map[String, String], Seq[String]) = {
@@ -144,7 +175,7 @@ object Cli {
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
     var rest = args
     val boolFlags = Set("keep-all-tags", "explode-tags", "sort", "wkt-result",
-      "ignore-cache")
+      "ignore-cache", "explain-relation-drops")
     while (rest.nonEmpty) {
       rest match {
         case flag :: tail if flag.startsWith("--") =>
