@@ -62,6 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.ApplyBpeTableExpr(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.CharNgramsExpr].getName,
+        "char_ngrams"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CharNgramsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("wordpiece"),
+      new ExpressionInfo(classOf[graft.functions.WordpieceExpr].getName,
+        "wordpiece"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.WordpieceExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("adjacent_pairs"),
       new ExpressionInfo(classOf[graft.functions.AdjacentPairsExpr].getName,
         "adjacent_pairs"),

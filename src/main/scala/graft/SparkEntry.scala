@@ -135,6 +135,7 @@ object SparkEntry {
     "d31_bpe_pairs" -> (T.d31BpePairs _),
     "d32_bpe_train" -> (T.d32BpeTrain _),
     "d35_bpe_deep" -> (T.d35BpeDeep _),
+    "d36_wordpiece" -> (T.d36Wordpiece _),
     "d33_bpe_chars" -> (T.d33BpeChars _),
     "d34_bpe_vocab" -> (T.d34BpeVocab _),
     // multimodal (binary payload) pipeline
@@ -1500,6 +1501,37 @@ object SparkEntry {
         else s"UNION ALL SELECT $r::BIGINT, wa, wb, n FROM b$r")
         .mkString("\n") +
       "\nORDER BY round"),
+    // WordPiece tokenizer: vocab = top-200 char n-grams (n<=4) + all
+    // single chars; encode = greedy longest-prefix match per DISTINCT
+    // word (recursive CTE with a LATERAL max-length probe), weighted by
+    // word occurrence count
+    "d36_wordpiece" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT substr(w, i, n) AS g
+        |  FROM toks, unnest(range(1, len(w) + 1)) r(i), unnest(range(1, 5)) s(n)
+        |  WHERE i + n - 1 <= len(w)),
+        |topg AS (
+        |  SELECT g AS piece FROM (
+        |    SELECT g, count(*) AS c FROM grams GROUP BY g
+        |    ORDER BY c DESC, g LIMIT 200) t),
+        |chars AS (SELECT DISTINCT substr(w, i, 1) AS piece FROM toks, unnest(range(1, len(w) + 1)) r(i)),
+        |vocab AS (SELECT DISTINCT piece FROM (SELECT piece FROM topg UNION ALL SELECT piece FROM chars)),
+        |words AS (SELECT w, count(*) AS wn FROM toks GROUP BY w),
+        |seg AS (
+        |  WITH RECURSIVE s(w, wn, pos, piece) AS (
+        |    SELECT w, wn, 0, CAST(NULL AS VARCHAR) FROM words
+        |    UNION ALL
+        |    SELECT s.w, s.wn, s.pos + m.l, substr(s.w, s.pos + 1, m.l)
+        |    FROM s, LATERAL (
+        |      SELECT max(len(v.piece)) AS l FROM vocab v
+        |      WHERE v.piece = substr(s.w, s.pos + 1, len(v.piece))) m
+        |    WHERE s.pos < len(s.w) AND m.l IS NOT NULL)
+        |  SELECT * FROM s WHERE piece IS NOT NULL)
+        |SELECT piece, CAST(sum(wn) AS BIGINT) AS n FROM seg GROUP BY piece
+        |ORDER BY n DESC, piece LIMIT 30""".stripMargin,
     // character-level BPE: per-word-occurrence symbol rows (chars +
     // </w>), keyed (doc_id, wi) so merges never cross word boundaries
     "d33_bpe_chars" -> ("WITH d AS (\n" +

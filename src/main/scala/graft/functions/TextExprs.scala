@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -103,6 +104,52 @@ object TextKernels {
   /** All adjacent (wa, wb) symbol pairs of a token array — the BPE
     * trainer's per-round counting input, one pass in whole-stage codegen
     * (the indexed-transform + named_struct HOF form ran interpreted). */
+  /** All character n-grams (lengths 1..maxN, every start position) of
+    * one token — the candidate-piece harvest of WordPiece-style
+    * vocabulary construction. Code-point positions (UTF8String
+    * substring), matching SQL `substr` semantics. */
+  def charNgrams(w: UTF8String, maxN: Int): ArrayData = {
+    val n = w.numChars()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val out = new java.util.ArrayList[Any](n * maxN)
+    var i = 0
+    while (i < n) {
+      var l = 1
+      val lim = math.min(maxN, n - i)
+      while (l <= lim) {
+        out.add(w.substring(i, i + l))
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Greedy longest-match tokenization of one word against a vocabulary
+    * set (the BERT WordPiece SERVING algorithm, Wu et al. 2016 §4.1 /
+    * Devlin et al. 2019): at each position take the longest vocab piece
+    * that prefixes the remaining suffix; an unmatched character emits
+    * itself (never diverges/loops on out-of-vocabulary text). */
+  def wordpiece(w: UTF8String,
+      vocab: java.util.HashSet[UTF8String], maxLen: Int): ArrayData = {
+    val n = w.numChars()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val out = new java.util.ArrayList[Any](n)
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var emitted = false
+      while (l >= 1 && !emitted) {
+        val cand = w.substring(pos, pos + l)
+        if (vocab.contains(cand)) {
+          out.add(cand); pos += l; emitted = true
+        } else l -= 1
+      }
+      if (!emitted) { out.add(w.substring(pos, pos + 1)); pos += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Sequential application of a WHOLE merge table — semantically the
     * left fold of [[mergePair]] over (wa_i, wb_i) in table order, as ONE
     * kernel call. The serving-scale point: a real trained vocabulary is
@@ -207,7 +254,101 @@ object TextExprs {
     reg1("adjacent_pairs", exprs => AdjacentPairsExpr(exprs.head))
     reg1("apply_bpe_table",
       exprs => ApplyBpeTableExpr(exprs(0), exprs(1), exprs(2)))
+    reg1("char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)))
+    reg1("wordpiece", exprs => WordpieceExpr(exprs(0), exprs(1)))
   }
+}
+
+/** char_ngrams(w, maxN) — all substrings of lengths 1..maxN
+  * ([[TextKernels.charNgrams]]). */
+case class CharNgramsExpr(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = second
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (StringType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arguments must be (string, int), got " +
+            s"(${first.dataType.simpleString}, ${second.dataType.simpleString})")
+    }
+  override protected def nullSafeEval(w: Any, n: Any): Any =
+    TextKernels.charNgrams(w.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, n) =>
+      s"graft.functions.TextKernels.charNgrams($w, $n)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(first = newLeft, second = newRight)
+}
+
+/** wordpiece(w, vocab) — greedy longest-match tokenization against a
+  * FOLDABLE vocabulary array ([[TextKernels.wordpiece]]). The vocab
+  * child must be a literal: it is evaluated ONCE into a hash set (plus
+  * the max piece length) that rides into codegen as a reference object —
+  * per-row work is O(|word| · maxLen) set probes, independent of
+  * vocabulary size. */
+case class WordpieceExpr(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = second
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if second.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "vocabulary must be a literal (foldable) array")
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arguments must be (string, array<string> literal), got " +
+            s"(${first.dataType.simpleString}, ${second.dataType.simpleString})")
+    }
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+    val ad = second.eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](ad.numElements() * 2)
+    var i = 0
+    while (i < ad.numElements()) {
+      // clone: the source ArrayData may be backed by reused buffers
+      s.add(ad.getUTF8String(i).clone()); i += 1
+    }
+    s
+  }
+  @transient private lazy val maxLen: Int = {
+    var m = 1
+    val it = vocabSet.iterator()
+    while (it.hasNext) m = math.max(m, it.next().numChars())
+    m
+  }
+  override def nullable: Boolean = first.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val w = first.eval(input)
+    if (w == null) null
+    else TextKernels.wordpiece(w.asInstanceOf[UTF8String], vocabSet, maxLen)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wpVocab", vocabSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    val wCode = first.genCode(ctx)
+    val code =
+      code"""
+        ${wCode.code}
+        boolean ${ev.isNull} = ${wCode.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextKernels.wordpiece(
+            ${wCode.value}, $setRef, $maxLen);
+        }"""
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(first = newLeft, second = newRight)
 }
 
 /** apply_bpe_table(ws, was, wbs) — a trained merge TABLE applied in

@@ -1010,6 +1010,44 @@ object CorpusOps {
     else call_function("apply_bpe_table", ws,
       lit(merges.map(_._1).toArray), lit(merges.map(_._2).toArray))
 
+  /** WordPiece-style vocabulary construction — the topK most frequent
+    * character n-grams (lengths 1..maxN, every start position, counted
+    * over the full lowercased token stream) by (count desc, gram asc),
+    * UNION every single character seen, so the greedy encoder always
+    * terminates without a fallback on in-corpus text. Returned
+    * driver-side: the collect is bounded by topK + alphabet size — a
+    * vocabulary is a model parameter, not data. Scale shape: one
+    * map-side gram explode (the [[graft.functions.CharNgramsExpr]]
+    * kernel), one partial-agged (gram, count) shuffle, TakeOrdered. */
+  def wordpieceVocab(docs: DataFrame, textCol: String, topK: Int = 200,
+      maxN: Int = 4): Seq[String] = {
+    require(topK >= 1, s"wordpieceVocab: topK must be >= 1, got $topK")
+    require(maxN >= 1, s"wordpieceVocab: maxN must be >= 1, got $maxN")
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val counts = docs
+      .select(explode(call_function("split_words", col(textCol))).as("_g_w"))
+      .select(explode(
+        call_function("char_ngrams", col("_g_w"), lit(maxN))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("g").asc).limit(topK)
+      .collect().map(_.getString(0))
+    val chars = counts.filter(length(col("g")) === 1).select(col("g"))
+      .collect().map(_.getString(0))
+    (top ++ chars).distinct.toSeq
+  }
+
+  /** Greedy longest-match WordPiece encoding of a word column against a
+    * trained vocabulary (the BERT serving tokenizer — Wu et al. 2016,
+    * Devlin et al. 2019): the vocab rides as an array literal into ONE
+    * [[graft.functions.WordpieceExpr]] kernel node (hash-set probe per
+    * position — per-row cost independent of vocabulary size, constant
+    * plan size at any vocab size, the `apply_bpe_table` convention). */
+  def wordpieceEncode(word: org.apache.spark.sql.Column,
+      vocab: Seq[String]): org.apache.spark.sql.Column = {
+    require(vocab.nonEmpty, "wordpieceEncode: empty vocabulary")
+    call_function("wordpiece", word, lit(vocab.toArray))
+  }
+
   /** Materialize the symbol relation every this-many merge rounds
     * (tunable per call). Without materialization round r's map stage
     * re-applies all r−1 prior merges (lineage chaining) — O(rounds²/2)

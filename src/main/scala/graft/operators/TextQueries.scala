@@ -562,6 +562,29 @@ object TextQueries {
     CorpusOps.trainBpe(documents(s, dir), "text", rounds = 12)
       .orderBy("round")
 
+  /** d36: WordPiece tokenizer — vocabulary = top-200 char n-grams
+    * (n ≤ 4) of the token stream plus all single chars
+    * ([[CorpusOps.wordpieceVocab]]); encoding = greedy longest-match
+    * ([[CorpusOps.wordpieceEncode]]). The corpus encodes through its
+    * DISTINCT words weighted by occurrence count — the segmenter's cost
+    * scales with the lexicon, not the corpus (re-tokenizing a 100 TB
+    * crawl touches each distinct word once). Output: (piece, n) top-30
+    * corpus-wide, (n desc, piece asc). */
+  def d36Wordpiece(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val docs = documents(s, dir)
+    val vocab = CorpusOps.wordpieceVocab(docs, "text")
+    val words = docs
+      .select(explode(call_function("split_words", col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    words
+      .select(col("wn"),
+        explode(CorpusOps.wordpieceEncode(col("w"), vocab)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("piece").asc)
+      .limit(30)
+  }
+
   /** d33: character-level BPE ([[CorpusOps.trainBpeChars]], 3 rounds) —
     * the canonical within-word formulation: chars + `</w>` markers,
     * merges never cross word boundaries. */

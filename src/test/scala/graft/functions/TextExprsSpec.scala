@@ -133,6 +133,45 @@ class TextExprsSpec extends AnyFunSuite {
     assert(byGram.map(_._1).distinct.size == byGram.map(_._2).distinct.size)
   }
 
+  test("char_ngrams: all substrings 1..maxN at every position") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(("abc")).toDF("w")
+      .select(call_function("char_ngrams", col("w"), lit(2)))
+      .head().getSeq[String](0)
+    assert(got == Seq("a", "ab", "b", "bc", "c"), got.toString)
+    val empty = Seq(("")).toDF("w")
+      .select(call_function("char_ngrams", col("w"), lit(3)))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("wordpiece: greedy longest-match, char fallback, unicode positions") {
+    val s = spark
+    import s.implicits._
+    def enc(w: String, vocab: Seq[String]): Seq[String] =
+      Seq((w)).toDF("w")
+        .select(call_function("wordpiece", col("w"), lit(vocab.toArray)))
+        .head().getSeq[String](0)
+    val v = Seq("abc", "ab", "c", "a", "b", "z")
+    // longest wins at each position; the leftover suffix re-matches greedily
+    assert(enc("abcab", v) == Seq("abc", "ab"))
+    assert(enc("abz", v) == Seq("ab", "z"))
+    // greedy is NOT optimal segmentation: abca -> abc + a (not ab + ca)
+    assert(enc("abca", v) == Seq("abc", "a"))
+    // out-of-vocab char emits itself (serving never fails on new text)
+    assert(enc("aqb", v) == Seq("a", "q", "b"))
+    // code-point (not byte) positions: multibyte chars segment cleanly
+    assert(enc("Straße", Seq("Stra", "ße")) == Seq("Stra", "ße"))
+    // vocab must be a literal
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", Seq("x"))).toDF("w", "v")
+        .select(call_function("wordpiece", col("w"), col("v"))).head()
+    }
+    assert(e.getMessage.contains("foldable") ||
+      e.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("codegen and interpreted evaluation agree") {
     val s = spark
     try {
@@ -141,6 +180,18 @@ class TextExprsSpec extends AnyFunSuite {
         .collect().map(_.getSeq[String](0))
       val interpH = docs.select(call_function("ngram_hashes", col("text"), lit(3)))
         .collect().map(_.getSeq[Long](0))
+      val wpVocab = lit(Array("th", "e", "qu", "i", "c", "k"))
+      // get(): an empty doc's word array has no element 0 — NULL, not
+      // an ANSI index error
+      def wp() = docs
+        .select(call_function("wordpiece",
+          get(call_function("split_words", col("text")), lit(0)), wpVocab))
+        .collect().map(_.getSeq[String](0))
+      def cn() = docs
+        .select(call_function("char_ngrams",
+          get(call_function("split_words", col("text")), lit(0)), lit(3)))
+        .collect().map(_.getSeq[String](0))
+      val (interpWp, interpCn) = (wp(), cn())
       s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       val gen = docs.select(call_function("word_ngrams", col("text"), lit(3)))
         .collect().map(_.getSeq[String](0))
@@ -148,6 +199,8 @@ class TextExprsSpec extends AnyFunSuite {
         .collect().map(_.getSeq[Long](0))
       assert(interp.zip(gen).forall { case (a, b) => a == b })
       assert(interpH.zip(genH).forall { case (a, b) => a == b })
+      assert(interpWp.zip(wp()).forall { case (a, b) => a == b })
+      assert(interpCn.zip(cn()).forall { case (a, b) => a == b })
     } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 }
