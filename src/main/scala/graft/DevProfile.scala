@@ -8,7 +8,10 @@ object DevProfile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
+    // modes like `execplan <names> <dir>` put a PATH in args(2); only
+    // parse it as the rep count when it actually is a number
+    val reps = if (args.length > 2 && args(2).forall(_.isDigit))
+      args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -135,4 +135,51 @@ class RetrievalPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: wordpiece equals a driver-side greedy reference on any input") {
+    graft.functions.TextExprs.register(spark)
+    // random words over a 4-char alphabet, random vocabs of short pieces:
+    // the kernel must (1) match a straightforward reference greedy
+    // implementation and (2) conserve content (concat(pieces) == word)
+    val alpha = Gen.oneOf('a', 'b', 'c', 'd')
+    val wGen = for {
+      n <- Gen.chooseNum(1, 14)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    val pieceGen = for {
+      n <- Gen.chooseNum(1, 4)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    val vocabGen = for {
+      n <- Gen.chooseNum(1, 12)
+      ps <- Gen.listOfN(n, pieceGen)
+    } yield ps.distinct
+    def refGreedy(w: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        val l = (math.min(maxLen, w.length - pos) to 1 by -1)
+          .find(l => vocab(w.substring(pos, pos + l)))
+        l match {
+          case Some(n) => out += w.substring(pos, pos + n); pos += n
+          case None => out += w.substring(pos, pos + 1); pos += 1
+        }
+      }
+      out.toSeq
+    }
+    val words = samples(wGen, 120)
+    samples(vocabGen, 12).foreach { vocab =>
+      val maxLen = vocab.map(_.length).max
+      val got = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("i", "w")
+        .select(col("w"),
+          CorpusOps.wordpieceEncode(col("w"), vocab).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      words.foreach { w =>
+        val exp = refGreedy(w, vocab.toSet, maxLen)
+        assert(got(w) == exp, s"w=$w vocab=$vocab")
+        assert(got(w).mkString == w, s"content not conserved: $w")
+      }
+    }
+  }
 }
