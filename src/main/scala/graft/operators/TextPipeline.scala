@@ -139,4 +139,58 @@ object TextPipeline {
       .groupBy(coalesce(col("reject_reason"), lit("kept")).as("stage"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("stage")
+
+  /** End-to-end build configuration on top of the curation [[Config]]:
+    * the assembly stages a pretraining corpus runs AFTER cleaning. */
+  final case class BuildConfig(
+      curate: Config = Config(),
+      /** temperature-mix token budget over `domainCol` (None = keep all
+        * domains whole; ignored when `domainCol` is None). */
+      temperatureBudget: Option[Long] = None,
+      /** hash-sliced split ratios (weights, not percentages). */
+      splits: Seq[(String, Long)] = Seq(("train", 98L), ("val", 1L),
+        ("test", 1L)),
+      /** deterministic shard count for training-loader placement. */
+      shards: Int = 64,
+      seed: Long = 0L)
+
+  /** ONE-CALL pretraining corpus build — the full assembly line over the
+    * individually-oracled stages:
+    *
+    *   curate (scrub → quality → exact/near dedup → decontaminate)
+    *   → temperature mix over a domain column  (optional)
+    *   → deterministic split assignment (train/val/test)
+    *   → reproducible shard placement
+    *
+    * Returns the curated rows plus (`split`, `shard`, `pos`) — the
+    * loader-ready layout (write it `partitionBy("split", "shard")` and a
+    * trainer consumes shard files independently). Every stage is
+    * content-hash-deterministic: the same input on any cluster, any
+    * partitioning, any run produces the SAME corpus — reproducibility is
+    * the whole point of hash-based selection (spec-held equality with
+    * running the stages manually).
+    *
+    * Scale shape: inherits each stage's documented shape — no new
+    * shuffles are introduced by the composition itself; the only join is
+    * the final (doc_id, shard, pos) equi join back onto curated rows. */
+  def buildCorpus(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: Option[String] = None,
+      benchmark: Option[(DataFrame, String)] = None,
+      config: BuildConfig = BuildConfig()): DataFrame = {
+    val kept = curated(curate(docs, idCol, textCol, config.curate,
+      benchmark))
+    val mixed = (domainCol, config.temperatureBudget) match {
+      case (Some(d), Some(b)) =>
+        CorpusOps.temperatureMix(kept, idCol, textCol, d, b)
+      case _ => kept
+    }
+    val withSplit =
+      CorpusOps.splitCorpus(mixed, idCol, config.splits, config.seed)
+    val placed = CorpusOps.shuffleShards(withSplit, idCol, config.shards,
+      config.seed)
+    withSplit.join(
+      placed.withColumnRenamed("doc_id", "_g_bid"),
+      col(idCol).cast("long") === col("_g_bid"))
+      .drop("_g_bid")
+  }
 }

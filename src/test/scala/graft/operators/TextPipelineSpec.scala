@@ -111,4 +111,43 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(reasons.values.count(_.isEmpty) == 3)
     assert(!reasons.values.flatten.toSet.contains("contaminated"))
   }
+
+  test("buildCorpus equals the manually-chained stages, deterministically") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"), col("text").as("body"),
+        col("source"))
+    val cfg = TextPipeline.BuildConfig(
+      temperatureBudget = Some(30L),
+      splits = Seq(("train", 90L), ("heldout", 10L)), shards = 4, seed = 7L)
+    val built = TextPipeline.buildCorpus(docs, "id", "body",
+      domainCol = Some("source"), config = cfg).cache()
+    try {
+      // manual chain: the composition must add nothing and lose nothing
+      val kept = TextPipeline.curated(
+        TextPipeline.curate(docs, "id", "body", cfg.curate))
+      val mixed = CorpusOps.temperatureMix(kept, "id", "body", "source", 30L)
+      val withSplit = CorpusOps.splitCorpus(mixed, "id", cfg.splits, 7L)
+      val manual = withSplit.join(
+          CorpusOps.shuffleShards(withSplit, "id", 4, 7L)
+            .withColumnRenamed("doc_id", "_id2"),
+          col("id") === col("_id2")).drop("_id2")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "split", "shard", "pos")
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      val b = key(built)
+      assert(b.nonEmpty && b == key(manual))
+      // placement invariants: pos is dense 1..n within each shard
+      built.select("shard", "pos").collect()
+        .groupBy(_.getLong(0)).foreach { case (_, rows) =>
+          val ps = rows.map(_.getLong(1)).sorted
+          assert(ps.toSeq == (1L to ps.length).toSeq)
+        }
+      // reproducibility: a repartitioned input builds the same corpus
+      val again = TextPipeline.buildCorpus(docs.repartition(13), "id",
+        "body", domainCol = Some("source"), config = cfg)
+      assert(key(again) == b)
+    } finally built.unpersist()
+  }
 }
