@@ -1121,7 +1121,10 @@ object CorpusOps {
           if (sinceCut >= materializeEvery && r < rounds) {
             cutIdx += 1
             val p = s"$cutRoot/cut$cutIdx"
-            cur.write.mode("overwrite").parquet(p)
+            // a failed cut write must not leave a half-written directory
+            // in a caller-provided cutDir (only lastCut is tracked)
+            try cur.write.mode("overwrite").parquet(p)
+            catch { case t: Throwable => rmrf(p); throw t }
             cur = s.read.parquet(p)
             if (baseLive) { base.unpersist(); baseLive = false }
             if (lastCut != null) rmrf(lastCut)

@@ -71,7 +71,12 @@ private[graft] object SnapshotCache {
         val root = java.nio.file.Files
           .createTempDirectory(s"graft_$purpose").toString
         val out = s"$root/idx"
-        build(out)
+        // a failed build must not orphan its half-written directory (the
+        // entry is not recorded, so nothing would ever delete it)
+        try build(out)
+        catch { case t: Throwable =>
+          deleteRecursively(new java.io.File(root)); throw t
+        }
         Entry(snap, root, out)
       }
     }).path

@@ -130,9 +130,10 @@ object RelationValidity {
     * fails either validity oracle. Any `explained = false` row is a
     * pipeline bug, not an OSM data defect. */
   def explainDrops(spark: SparkSession, pbfPaths: Seq[String]): DataFrame = {
-    // features(...) releases its cuts internally after planning; an
-    // unpersisted cut recomputes, so the returned frame stays lazy and
-    // distributed — no driver-side materialization of the drop set
+    // features(...) parks its conversion cuts on the process-wide
+    // legacy handle (OsmPipeline.releaseCuts frees them); the returned
+    // frame stays lazy and distributed — no driver-side materialization
+    // of the drop set
     val features = OsmPipeline.features(spark, pbfPaths)
     val emitted = features
       .filter(col("feature_id").startsWith("relation/"))
