@@ -74,6 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.WordpieceExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("viterbi_segment"),
+      new ExpressionInfo(classOf[graft.functions.ViterbiSegmentExpr].getName,
+        "viterbi_segment"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ViterbiSegmentExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("adjacent_pairs"),
       new ExpressionInfo(classOf[graft.functions.AdjacentPairsExpr].getName,
         "adjacent_pairs"),

@@ -136,6 +136,7 @@ object SparkEntry {
     "d32_bpe_train" -> (T.d32BpeTrain _),
     "d35_bpe_deep" -> (T.d35BpeDeep _),
     "d36_wordpiece" -> (T.d36Wordpiece _),
+    "d37_viterbi_segment" -> (T.d37ViterbiSegment _),
     "d33_bpe_chars" -> (T.d33BpeChars _),
     "d34_bpe_vocab" -> (T.d34BpeVocab _),
     // multimodal (binary payload) pipeline
@@ -1532,6 +1533,36 @@ object SparkEntry {
         |  SELECT * FROM s WHERE piece IS NOT NULL)
         |SELECT piece, CAST(sum(wn) AS BIGINT) AS n FROM seg GROUP BY piece
         |ORDER BY n DESC, piece LIMIT 30""".stripMargin,
+    // optimal Viterbi segmentation: unrolled layered DP (best cost to
+    // consume k chars, k = 1..12), cost = n_pieces*2^40 - freq_sum so a
+    // single integer min is the lexicographic (fewest pieces, max freq)
+    // objective; layers MATERIALIZED (each is referenced by the next 4)
+    "d37_viterbi_segment" -> (
+      """WITH toks AS MATERIALIZED (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT substr(w, i, n) AS g
+        |  FROM toks, unnest(range(1, len(w) + 1)) r(i), unnest(range(1, 5)) s(n)
+        |  WHERE i + n - 1 <= len(w)),
+        |gcounts AS MATERIALIZED (SELECT g, count(*) AS f FROM grams GROUP BY g),
+        |topg AS (
+        |  SELECT g AS piece FROM (
+        |    SELECT g, f FROM gcounts ORDER BY f DESC, g LIMIT 200) t),
+        |chars AS (SELECT DISTINCT g AS piece FROM gcounts WHERE len(g) = 1),
+        |vocabf AS MATERIALIZED (
+        |  SELECT v.piece, gc.f FROM (SELECT DISTINCT piece FROM (SELECT piece FROM topg UNION ALL SELECT piece FROM chars)) v
+        |  JOIN gcounts gc ON gc.g = v.piece),
+        |words AS (SELECT w, count(*) AS wn FROM toks GROUP BY w),
+        |sel AS MATERIALIZED (SELECT w FROM words WHERE len(w) <= 12 ORDER BY wn DESC, w LIMIT 30),
+        |b0 AS MATERIALIZED (SELECT w, 0::BIGINT AS c FROM sel),""".stripMargin +
+        (1 to 12).map(viterbiLayerCte).mkString(",") + ",\n" +
+        "fin AS (" + (1 to 12).map(k =>
+          s"SELECT w, c FROM b$k WHERE len(w) = $k").mkString(" UNION ALL ") +
+        ")\n" +
+        """SELECT w, CAST((c + 1099511627776 - 1) // 1099511627776 AS BIGINT) AS n_pieces,
+          |  CAST(((c + 1099511627776 - 1) // 1099511627776) * 1099511627776 - c AS BIGINT) AS freq_sum
+          |FROM fin ORDER BY w""".stripMargin),
     // character-level BPE: per-word-occurrence symbol rows (chars +
     // </w>), keyed (doc_id, wi) so merges never cross word boundaries
     "d33_bpe_chars" -> ("WITH d AS (\n" +
@@ -1678,6 +1709,19 @@ object SparkEntry {
        |      list_sum(list_transform(range(1, 11),
        |        r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::DOUBLE, 6) AS ndcg
        |  FROM flags_$np)""".stripMargin
+
+  /** One DP layer of the d37 Viterbi oracle: the cheapest cost to
+    * consume exactly `k` characters, relaxing from the 1..4 prior
+    * layers through the frequency-weighted vocab. */
+  private def viterbiLayerCte(k: Int): String = {
+    val parts = (1 to math.min(4, k)).map { l =>
+      s"SELECT p.w, p.c + 1099511627776 - vf.f AS c FROM b${k - l} p " +
+        s"JOIN vocabf vf ON vf.piece = substr(p.w, ${k - l} + 1, $l) " +
+        s"AND len(vf.piece) = $l WHERE len(p.w) >= $k"
+    }
+    s"\nb$k AS MATERIALIZED (SELECT w, min(c) AS c FROM (" +
+      parts.mkString(" UNION ALL ") + ") t GROUP BY w)"
+  }
 
   /** One BPE-oracle round (d32): pair counts → arg-max pair `b{r}` →
     * greedy merge applied relationally. Candidates are positions where

@@ -150,6 +150,56 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Optimal (Viterbi) segmentation of one word against a frequency-
+    * weighted vocabulary — the unigram-LM serving shape (Kudo 2018's
+    * decode step with integer scores): among all segmentations into
+    * vocab pieces, pick the one with the FEWEST pieces, ties broken by
+    * the LARGEST total piece frequency (then deterministic smaller-
+    * final-piece). Contrast with [[wordpiece]]: greedy longest-match is
+    * O(n) but suboptimal ("abca" → abc+a even when ab+ca scores
+    * higher); this DP is O(n · maxLen) and exact. An out-of-vocabulary
+    * character contributes a 1-char piece at frequency 0.
+    * Returns (pieces, n_pieces, freq_sum). */
+  def viterbiSegment(w: UTF8String,
+      freqs: java.util.HashMap[UTF8String, java.lang.Long],
+      maxLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = w.numChars()
+    val empty = new GenericArrayData(new Array[Any](0))
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](empty, 0L, 0L))
+    val bestNp = Array.fill(n + 1)(Int.MaxValue)
+    val bestFs = Array.fill(n + 1)(Long.MinValue)
+    val back = Array.fill(n + 1)(-1)
+    bestNp(0) = 0; bestFs(0) = 0L
+    var k = 1
+    while (k <= n) {
+      var l = 1
+      val lim = math.min(maxLen, k)
+      while (l <= lim) {
+        if (bestNp(k - l) != Int.MaxValue) {
+          val piece = w.substring(k - l, k)
+          val f = freqs.get(piece)
+          if (f != null || l == 1) {
+            val np = bestNp(k - l) + 1
+            val fs = bestFs(k - l) + (if (f == null) 0L else f.longValue())
+            if (np < bestNp(k) || (np == bestNp(k) && fs > bestFs(k))) {
+              bestNp(k) = np; bestFs(k) = fs; back(k) = k - l
+            }
+          }
+        }
+        l += 1
+      }
+      k += 1
+    }
+    val pieces = new java.util.ArrayList[Any]()
+    var pos = n
+    while (pos > 0) { pieces.add(0, w.substring(back(pos), pos)); pos = back(pos) }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(pieces.toArray),
+        bestNp(n).toLong, bestFs(n)))
+  }
+
   /** Sequential application of a WHOLE merge table — semantically the
     * left fold of [[mergePair]] over (wa_i, wb_i) in table order, as ONE
     * kernel call. The serving-scale point: a real trained vocabulary is
@@ -256,7 +306,87 @@ object TextExprs {
       exprs => ApplyBpeTableExpr(exprs(0), exprs(1), exprs(2)))
     reg1("char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)))
     reg1("wordpiece", exprs => WordpieceExpr(exprs(0), exprs(1)))
+    reg1("viterbi_segment",
+      exprs => ViterbiSegmentExpr(exprs(0), exprs(1), exprs(2)))
   }
+}
+
+/** viterbi_segment(w, pieces, freqs) — optimal unigram-style
+  * segmentation against a FOLDABLE frequency-weighted vocabulary
+  * ([[TextKernels.viterbiSegment]]): two aligned literal arrays fold
+  * once into a hash map riding into codegen as a reference object, the
+  * DP runs per row in O(|word| · maxLen). Output struct:
+  * (pieces array<string>, n_pieces, freq_sum). */
+case class ViterbiSegmentExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("pieces", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("freq_sum", LongType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(StringType, _), ArrayType(LongType, _))
+          if second.foldable && third.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "vocabulary arrays must be literal (foldable)")
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arguments must be (string, array<string> literal, " +
+            s"array<bigint> literal), got (${first.dataType.simpleString}, " +
+            s"${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    }
+  @transient private lazy val freqMap: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val ps = second.eval().asInstanceOf[ArrayData]
+    val fs = third.eval().asInstanceOf[ArrayData]
+    require(ps.numElements() == fs.numElements(),
+      s"viterbi_segment: ${ps.numElements()} pieces vs " +
+        s"${fs.numElements()} freqs")
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      ps.numElements() * 2)
+    var i = 0
+    while (i < ps.numElements()) {
+      m.put(ps.getUTF8String(i).clone(),
+        java.lang.Long.valueOf(fs.getLong(i)))
+      i += 1
+    }
+    m
+  }
+  @transient private lazy val maxLen: Int = {
+    var m = 1
+    val it = freqMap.keySet().iterator()
+    while (it.hasNext) m = math.max(m, it.next().numChars())
+    m
+  }
+  override def nullable: Boolean = first.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val w = first.eval(input)
+    if (w == null) null
+    else TextKernels.viterbiSegment(w.asInstanceOf[UTF8String], freqMap,
+      maxLen)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("vitFreqs", freqMap,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String," +
+        "java.lang.Long>")
+    val wCode = first.genCode(ctx)
+    val code =
+      code"""
+        ${wCode.code}
+        boolean ${ev.isNull} = ${wCode.isNull};
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextKernels.viterbiSegment(
+            ${wCode.value}, $mapRef, $maxLen);
+        }"""
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** char_ngrams(w, maxN) — all substrings of lengths 1..maxN

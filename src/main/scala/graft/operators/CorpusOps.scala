@@ -1020,7 +1020,14 @@ object CorpusOps {
     * map-side gram explode (the [[graft.functions.CharNgramsExpr]]
     * kernel), one partial-agged (gram, count) shuffle, TakeOrdered. */
   def wordpieceVocab(docs: DataFrame, textCol: String, topK: Int = 200,
-      maxN: Int = 4): Seq[String] = {
+      maxN: Int = 4): Seq[String] =
+    wordpieceVocabWithFreqs(docs, textCol, topK, maxN).map(_._1)
+
+  /** [[wordpieceVocab]] with each piece's corpus gram count attached —
+    * the frequency weights [[viterbiSegment]]'s optimal decode scores
+    * against (same driver-bounded collect: topK + alphabet). */
+  def wordpieceVocabWithFreqs(docs: DataFrame, textCol: String,
+      topK: Int = 200, maxN: Int = 4): Seq[(String, Long)] = {
     require(topK >= 1, s"wordpieceVocab: topK must be >= 1, got $topK")
     require(maxN >= 1, s"wordpieceVocab: maxN must be >= 1, got $maxN")
     graft.functions.TextExprs.register(docs.sparkSession)
@@ -1030,10 +1037,23 @@ object CorpusOps {
         call_function("char_ngrams", col("_g_w"), lit(maxN))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
     val top = counts.orderBy(col("n").desc, col("g").asc).limit(topK)
-      .collect().map(_.getString(0))
-    val chars = counts.filter(length(col("g")) === 1).select(col("g"))
-      .collect().map(_.getString(0))
-    (top ++ chars).distinct.toSeq
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val chars = counts.filter(length(col("g")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    (top ++ chars).distinctBy(_._1).toSeq
+  }
+
+  /** Optimal (fewest-pieces, then max-total-frequency) segmentation of a
+    * word column against a frequency-weighted vocabulary — the Viterbi
+    * decode of a unigram-style tokenizer (Kudo 2018), in exact integer
+    * arithmetic so any engine replays it. One
+    * [[graft.functions.ViterbiSegmentExpr]] kernel node regardless of
+    * vocabulary size. Output struct: (pieces, n_pieces, freq_sum). */
+  def viterbiSegment(word: org.apache.spark.sql.Column,
+      vocab: Seq[(String, Long)]): org.apache.spark.sql.Column = {
+    require(vocab.nonEmpty, "viterbiSegment: empty vocabulary")
+    call_function("viterbi_segment", word,
+      lit(vocab.map(_._1).toArray), lit(vocab.map(_._2).toArray))
   }
 
   /** Greedy longest-match WordPiece encoding of a word column against a

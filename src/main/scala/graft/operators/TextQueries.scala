@@ -585,6 +585,29 @@ object TextQueries {
       .limit(30)
   }
 
+  /** d37: OPTIMAL segmentation — the d36 vocabulary re-used with
+    * frequency weights through [[CorpusOps.viterbiSegment]]'s integer
+    * Viterbi DP (fewest pieces, ties by max total frequency): the
+    * unigram-LM decode that greedy WordPiece approximates. Top-30
+    * distinct words (length ≤ 12, the oracle's unrolled-DP depth) by
+    * occurrence; output (w, n_pieces, freq_sum) ordered by w. */
+  def d37ViterbiSegment(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val docs = documents(s, dir)
+    val vocab = CorpusOps.wordpieceVocabWithFreqs(docs, "text")
+    val sel = docs
+      .select(explode(call_function("split_words", col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .filter(length(col("w")) <= 12)
+      .orderBy(col("wn").desc, col("w").asc)
+      .limit(30)
+    sel
+      .select(col("w"), CorpusOps.viterbiSegment(col("w"), vocab).as("v"))
+      .select(col("w"), col("v.n_pieces").as("n_pieces"),
+        col("v.freq_sum").as("freq_sum"))
+      .orderBy(col("w"))
+  }
+
   /** d33: character-level BPE ([[CorpusOps.trainBpeChars]], 3 rounds) —
     * the canonical within-word formulation: chars + `</w>` markers,
     * merges never cross word boundaries. */

@@ -172,6 +172,79 @@ class TextExprsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("viterbi_segment: optimal beats greedy, OOV chars score zero") {
+    val s = spark
+    import s.implicits._
+    def seg(w: String, vocab: Seq[(String, Long)]) = {
+      val r = Seq((w)).toDF("w")
+        .select(call_function("viterbi_segment", col("w"),
+          lit(vocab.map(_._1).toArray), lit(vocab.map(_._2).toArray))
+          .as("v"))
+        .select(col("v.pieces"), col("v.n_pieces"), col("v.freq_sum"))
+        .head()
+      (r.getSeq[String](0), r.getLong(1), r.getLong(2))
+    }
+    // greedy longest-match takes ab+c (freq 2); the DP finds the equal-
+    // length but higher-frequency a+bc — the case WordPiece gets wrong
+    val v = Seq(("ab", 1L), ("bc", 100L), ("a", 100L), ("b", 5L), ("c", 1L))
+    assert(seg("abc", v) == ((Seq("a", "bc"), 2L, 200L)))
+    // fewest pieces dominates frequency: abc (1 piece, low freq) beats
+    // a+bc (2 pieces, high freq)
+    val v2 = v :+ ("abc", 1L)
+    assert(seg("abc", v2) == ((Seq("abc"), 1L, 1L)))
+    // out-of-vocabulary char: 1-char piece at frequency 0
+    assert(seg("axc", v) == ((Seq("a", "x", "c"), 3L, 101L)))
+    assert(seg("", v) == ((Seq.empty, 0L, 0L)))
+  }
+
+  test("property: viterbi_segment equals brute-force optimal segmentation") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(5)
+    val alphabet = "abcd"
+    def randWord(n: Int) =
+      Seq.fill(n)(alphabet(rng.nextInt(4))).mkString
+    // brute force: enumerate every segmentation (pieces in vocab, or
+    // 1-char fallback at freq 0), minimize (n_pieces, -freq_sum)
+    def brute(w: String, vocab: Map[String, Long],
+        maxLen: Int): (Long, Long) = {
+      if (w.isEmpty) return (0L, 0L)
+      val opts = (1 to math.min(maxLen, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (vocab.contains(p) || l == 1) {
+          val (np, fs) = brute(w.substring(l), vocab, maxLen)
+          Some((np + 1, fs + vocab.getOrElse(p, 0L)))
+        } else None
+      }
+      opts.minBy { case (np, fs) => (np, -fs) }
+    }
+    for (trial <- 0 until 15) {
+      val vocab = (0 until (3 + rng.nextInt(8))).map { _ =>
+        randWord(1 + rng.nextInt(4)) -> (1L + rng.nextInt(100))
+      }.toMap.toSeq
+      val vmap = vocab.toMap
+      val maxLen = vocab.map(_._1.length).max
+      val words = (0 until 25).map(_ => randWord(1 + rng.nextInt(10)))
+      val got = words.distinct.toDF("w")
+        .select(col("w"), call_function("viterbi_segment", col("w"),
+          lit(vocab.map(_._1).toArray), lit(vocab.map(_._2).toArray))
+          .as("v"))
+        .select(col("w"), col("v.n_pieces"), col("v.freq_sum"), col("v.pieces"))
+        .collect()
+      got.foreach { r =>
+        val w = r.getString(0)
+        val exp = brute(w, vmap, maxLen)
+        assert((r.getLong(1), r.getLong(2)) == exp,
+          s"trial $trial w=$w vocab=$vocab")
+        // the reconstructed pieces re-concatenate to the word and score
+        // what the DP claims
+        val ps = r.getSeq[String](3)
+        assert(ps.mkString == w)
+        assert(ps.map(p => vmap.getOrElse(p, 0L)).sum == r.getLong(2))
+      }
+    }
+  }
+
   test("codegen and interpreted evaluation agree") {
     val s = spark
     try {
@@ -191,7 +264,15 @@ class TextExprsSpec extends AnyFunSuite {
         .select(call_function("char_ngrams",
           get(call_function("split_words", col("text")), lit(0)), lit(3)))
         .collect().map(_.getSeq[String](0))
-      val (interpWp, interpCn) = (wp(), cn())
+      def vs() = docs
+        .select(call_function("viterbi_segment",
+          get(call_function("split_words", col("text")), lit(0)),
+          lit(Array("th", "e", "qu", "i", "c", "k")),
+          lit(Array(5L, 4L, 3L, 2L, 1L, 1L))).as("v"))
+        .select(col("v.n_pieces"), col("v.freq_sum"))
+        .collect().map(r =>
+          if (r.isNullAt(0)) null else (r.getLong(0), r.getLong(1)))
+      val (interpWp, interpCn, interpVs) = (wp(), cn(), vs())
       s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       val gen = docs.select(call_function("word_ngrams", col("text"), lit(3)))
         .collect().map(_.getSeq[String](0))
@@ -201,6 +282,7 @@ class TextExprsSpec extends AnyFunSuite {
       assert(interpH.zip(genH).forall { case (a, b) => a == b })
       assert(interpWp.zip(wp()).forall { case (a, b) => a == b })
       assert(interpCn.zip(cn()).forall { case (a, b) => a == b })
+      assert(interpVs.zip(vs()).forall { case (a, b) => a == b })
     } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 }
