@@ -1068,6 +1068,54 @@ object CorpusOps {
     call_function("wordpiece", word, lit(vocab.toArray))
   }
 
+  /** Viterbi-EM-style vocabulary refinement (the hard-EM loop of a
+    * unigram tokenizer, run on integer usage counts): each round
+    * segments every DISTINCT word with the current piece scores
+    * ([[viterbiSegment]] — optimal decode), re-scores every piece by
+    * its occurrence-weighted usage, and DROPS multi-character pieces
+    * the optimal segmentations never use (single characters always
+    * stay — the closure that keeps any text segmentable). Iterating to
+    * a fixpoint leaves exactly the pieces that earn their place.
+    *
+    * Scale shape per round: one segmentation pass over the distinct-word
+    * relation (corpus-frequency weighted — cost scales with the
+    * LEXICON, not the crawl), one (piece, usage) shuffle whose result
+    * is vocab-bounded, one driver collect of that vocab-sized frame.
+    * The decode-side kernel is the oracled d37 DP; the refinement loop
+    * is held by fixpoint/pruning/conservation specs (a per-round SQL
+    * oracle would need per-word PATH reconstruction, which is the one
+    * thing the layered-DP oracle cannot express). */
+  def refineVocabByUsage(docs: DataFrame, textCol: String,
+      vocab0: Seq[(String, Long)], rounds: Int = 3): Seq[(String, Long)] = {
+    require(rounds >= 1, s"refineVocabByUsage: rounds must be >= 1")
+    require(vocab0.nonEmpty, "refineVocabByUsage: empty vocabulary")
+    graft.functions.TextExprs.register(docs.sparkSession)
+    val words = docs
+      .select(explode(call_function("split_words", col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    var vocab = vocab0
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val usage = words
+        .select(col("wn"),
+          explode(viterbiSegment(col("w"), vocab).getField("pieces"))
+            .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wn")).as("n"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val next = vocab.flatMap { case (p, _) =>
+        val u = usage.getOrElse(p, 0L)
+        // single CODE POINT (not char — surrogate pairs) pieces persist
+        if (u > 0 || p.codePointCount(0, p.length) == 1) Some(p -> u)
+        else None
+      }
+      converged = next == vocab
+      vocab = next
+      r += 1
+    }
+    vocab
+  }
+
   /** Materialize the symbol relation every this-many merge rounds
     * (tunable per call). Without materialization round r's map stage
     * re-applies all r−1 prior merges (lineage chaining) — O(rounds²/2)

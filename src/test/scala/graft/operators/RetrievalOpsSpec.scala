@@ -386,6 +386,28 @@ class RetrievalOpsSpec extends AnyFunSuite {
       Seq("a", "b", "c", "a", "b", "a", "a", "a"))
   }
 
+  test("refineVocabByUsage: prunes unused pieces, reaches a fixpoint") {
+    // corpus: "abab" x3, "cd" x2. Initial vocab carries a redundant
+    // piece ("bc" — never inside an optimal segmentation) and strong
+    // pieces ("ab", "cd")
+    val docs = Seq((1L, "abab abab abab cd cd")).toDF("doc_id", "text")
+    val v0 = Seq(("ab", 10L), ("cd", 10L), ("bc", 10L),
+      ("a", 1L), ("b", 1L), ("c", 1L), ("d", 1L))
+    val r1 = CorpusOps.refineVocabByUsage(docs, "text", v0, rounds = 1)
+    val m1 = r1.toMap
+    // "abab" -> ab+ab (2 pieces beats any bc-using split), "cd" -> cd
+    assert(!m1.contains("bc"), s"unused piece survived: $r1")
+    assert(m1("ab") == 6L && m1("cd") == 2L, r1.toString)
+    // single chars persist at usage 0 (the segmentability closure)
+    assert(m1("a") == 0L && m1("d") == 0L)
+    // usage re-scoring is a fixpoint here: more rounds change nothing
+    val r3 = CorpusOps.refineVocabByUsage(docs, "text", v0, rounds = 5)
+    assert(r3 == r1, s"not a fixpoint:\n$r1\nvs\n$r3")
+    // conservation: weighted piece usage re-concatenates the corpus
+    val totalChars = "abab".length * 3 + "cd".length * 2
+    assert(r1.map { case (p, u) => p.length * u }.sum == totalChars)
+  }
+
   test("d34 vocab: merges conserve content, </w> count equals word count") {
     val sf = "/root/testdata/sf0.001"
     val vocab = graft.operators.TextQueries.d34BpeVocab(spark, sf)
