@@ -318,6 +318,32 @@ object DevProfile {
             f"per-round=${sec / rounds}%5.3f s  ($n merges)")
         }
       }
+    } else if (name == "tokscale") {
+      // tokenizer-serving scaling: replicate documents `reps` times
+      // (same VOCABULARY — replication adds occurrences, not words) and
+      // time d36 WordPiece + d37 Viterbi end-to-end. The design claim
+      // under test: both encode the DISTINCT-word relation, so cost
+      // tracks the lexicon while the corpus grows `reps`-fold; only the
+      // word-count aggregation sees the extra rows.
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nBase = base.count()
+      val out = java.nio.file.Files.createTempDirectory("tokscale").toString
+      (0 until reps).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+        .coalesce(8).write.parquet(s"$out/documents.parquet")
+      println(s"corpus: ${nBase * reps} docs (${reps}x)")
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n36 = operators.TextQueries.d36Wordpiece(spark, out).count()
+        val t1 = System.nanoTime()
+        val n37 = operators.TextQueries.d37ViterbiSegment(spark, out).count()
+        val t2 = System.nanoTime()
+        println(f"pass$r: d36=${(t1 - t0) / 1e9}%.2f s ($n36) " +
+          f"d37=${(t2 - t1) / 1e9}%.2f s ($n37)")
+      }
     } else if (name == "mixscale") {
       // corpus-assembly family under a pathological domain skew: replicate
       // documents `reps` times with 90% of replicas funneled into ONE hot
