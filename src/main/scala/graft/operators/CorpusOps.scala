@@ -820,7 +820,7 @@ object CorpusOps {
     * a re-run task would re-sample). shard = portable_hash(seed:id) mod
     * `shards`; pos = rank of (hash, id) within the shard.
     *
-    * Output: (doc_id LONG, shard LONG, pos LONG).
+    * Output: (doc_id — input id type preserved, shard LONG, pos LONG).
     *
     * Scale shape: a pure map to (shard, hash) then ONE window partitioned
     * by shard — no global sort. Size `shards` so one shard fits a
@@ -833,9 +833,12 @@ object CorpusOps {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("_g_h"), col("doc_id"))
     docs
-      .select(col(idCol).cast("long").as("doc_id"))
+      // id type preserved: the hash uses the STRING form (identical for
+      // numeric ids, so numeric outputs are unchanged), and string keys
+      // shard correctly instead of cast-to-long nulling every row
+      .select(col(idCol).as("doc_id"))
       .withColumn("_g_h", call_function("md5_prefix28",
-        concat_ws(":", lit(seed), col("doc_id"))))
+        concat_ws(":", lit(seed), col("doc_id").cast("string"))))
       .withColumn("shard", pmod(col("_g_h"), lit(shards.toLong)))
       .select(col("doc_id"), col("shard"),
         row_number().over(win).cast("long").as("pos"))
@@ -1040,15 +1043,21 @@ object CorpusOps {
     val words = docs
       .select(explode(call_function("split_words", col(textCol))).as("_g_w"))
       .groupBy(col("_g_w")).agg(count(lit(1)).as("_g_wn"))
+    // persisted for the call: the top-K and single-char collects are two
+    // jobs over the same harvest aggregation — without the persist the
+    // dominant corpus scan + gram shuffle would run twice
     val counts = words
       .select(col("_g_wn"), explode(
         call_function("char_ngrams", col("_g_w"), lit(maxN))).as("g"))
       .groupBy(col("g")).agg(sum(col("_g_wn")).as("n"))
-    val top = counts.orderBy(col("n").desc, col("g").asc).limit(topK)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val chars = counts.filter(length(col("g")) === 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    (top ++ chars).distinctBy(_._1).toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val top = counts.orderBy(col("n").desc, col("g").asc).limit(topK)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val chars = counts.filter(length(col("g")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      (top ++ chars).distinctBy(_._1).toSeq
+    } finally counts.unpersist()
   }
 
   /** Optimal (fewest-pieces, then max-total-frequency) segmentation of a
@@ -1098,30 +1107,36 @@ object CorpusOps {
     require(rounds >= 1, s"refineVocabByUsage: rounds must be >= 1")
     require(vocab0.nonEmpty, "refineVocabByUsage: empty vocabulary")
     graft.functions.TextExprs.register(docs.sparkSession)
+    // the (word, count) relation is identical every round — persist it
+    // for the loop's lifetime (handle pattern, released in finally) so
+    // EM rounds re-segment the lexicon, not re-scan the corpus
     val words = docs
       .select(explode(call_function("split_words", col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
-    var vocab = vocab0
-    var r = 0
-    var converged = false
-    while (r < rounds && !converged) {
-      val usage = words
-        .select(col("wn"),
-          explode(viterbiSegment(col("w"), vocab).getField("pieces"))
-            .as("piece"))
-        .groupBy(col("piece")).agg(sum(col("wn")).as("n"))
-        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-      val next = vocab.flatMap { case (p, _) =>
-        val u = usage.getOrElse(p, 0L)
-        // single CODE POINT (not char — surrogate pairs) pieces persist
-        if (u > 0 || p.codePointCount(0, p.length) == 1) Some(p -> u)
-        else None
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var vocab = vocab0
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        val usage = words
+          .select(col("wn"),
+            explode(viterbiSegment(col("w"), vocab).getField("pieces"))
+              .as("piece"))
+          .groupBy(col("piece")).agg(sum(col("wn")).as("n"))
+          .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+        val next = vocab.flatMap { case (p, _) =>
+          val u = usage.getOrElse(p, 0L)
+          // single CODE POINT (not char — surrogate pairs) pieces persist
+          if (u > 0 || p.codePointCount(0, p.length) == 1) Some(p -> u)
+          else None
+        }
+        converged = next == vocab
+        vocab = next
+        r += 1
       }
-      converged = next == vocab
-      vocab = next
-      r += 1
-    }
-    vocab
+      vocab
+    } finally words.unpersist()
   }
 
   /** Materialize the symbol relation every this-many merge rounds
@@ -1161,14 +1176,13 @@ object CorpusOps {
     var baseLive = true
     val cutRoot = cutDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_bpe_cut").toString)
+    // delete through the Hadoop FileSystem: cutDir is documented as "a
+    // shared filesystem on a real cluster", and java.io.File silently
+    // no-ops on hdfs:// / s3a:// paths — every cut would leak
     def rmrf(p: String): Unit = {
-      def go(f: java.io.File): Unit = {
-        if (f.isDirectory) {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(go)
-        }
-        f.delete(): Unit
-      }
-      go(new java.io.File(p))
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(hp, true): Unit
     }
     var lastCut: String = null
     try {

@@ -254,11 +254,19 @@ object IvfPq {
   def appendToIndex(encoded: DataFrame, path: String): Unit = {
     val spark = encoded.sparkSession
     val m = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val bad = encoded.filter(size(col("codes")) =!= m).limit(1).collect()
-    require(bad.isEmpty,
-      s"appendToIndex: encoded codes length != index m=$m — encoded " +
-        "against a different index geometry?")
-    encoded.select(col("pq_id"), col("codes"), col("cell"))
+    // geometry check rides INSIDE the single write pass (raise_error on
+    // the first mismatched row) — a separate validation scan would
+    // evaluate the whole encode twice. A STREAMING frame cannot drive
+    // DataFrameWriter — commit micro-batches through
+    // [[graft.streaming.DocStreams.appendArrivals]] (foreachBatch).
+    encoded.select(col("pq_id"),
+        when(size(col("codes")) === m, col("codes"))
+          .otherwise(raise_error(concat(
+            lit(s"appendToIndex: codes length != index m=$m (got "),
+            size(col("codes")).cast("string"),
+            lit(") — encoded against a different index geometry?"))))
+          .as("codes"),
+        col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 

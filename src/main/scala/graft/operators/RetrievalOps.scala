@@ -253,6 +253,15 @@ object RetrievalOps {
       withPositions: Boolean = false): Unit = {
     require(nBuckets >= 1, s"indexCorpus: nBuckets must be >= 1, got $nBuckets")
     graft.functions.TextExprs.register(docs.sparkSession)
+    // an in-place REBUILD must first retract the previous build's
+    // commit marker: with stale stats/ left standing, a failure midway
+    // through the postings overwrite would leave a readable stats over
+    // mixed-generation postings — probes would serve garbage instead of
+    // raising the rebuild-needed error
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    statsPath.getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf())
+      .delete(statsPath, true): Unit
     val base = docs
       .select(col(idCol).cast("long").as("id"),
         call_function("split_words", col(textCol)).as("_g_ws"))

@@ -55,14 +55,22 @@ private[graft] object SnapshotCache {
     f.delete(): Unit
   }
 
-  /** The persisted-index path for (session, purpose) over the corpus at
-    * `inputPath`: cached while the corpus snapshot is current; on a
-    * changed snapshot the stale index directory is deleted and `build`
-    * re-runs into a fresh temp path. `build` receives the output path
-    * and must write the complete index there. */
+  /** The persisted-index path for (session, purpose, inputPath) over
+    * the corpus at `inputPath`: cached while the corpus snapshot is
+    * current; on a changed snapshot the stale index directory is
+    * deleted and `build` re-runs into a fresh temp path. `build`
+    * receives the output path and must write the complete index there.
+    *
+    * The key includes `inputPath`, so two corpora served alternately in
+    * one session each keep their own live index (keying on purpose
+    * alone would rebuild — and delete the other's files — per call);
+    * deletion happens only when THE SAME corpus path's listing changed,
+    * where any still-lazy frame over the old index was already stale.
+    * Temp roots are always driver-local (createTempDirectory), so the
+    * java.io recursive delete is the right tool here. */
   def resolve(s: SparkSession, purpose: String, inputPath: String)(
       build: String => Unit): String = {
-    val key = s"${sessionId(s)}#$purpose"
+    val key = s"${sessionId(s)}#$purpose#$inputPath"
     val snap = snapshotOf(inputPath)
     entries.compute(key, (_, old) => {
       if (old != null && old.snapshot == snap) old

@@ -188,9 +188,12 @@ object TextPipeline {
       CorpusOps.splitCorpus(mixed, idCol, config.splits, config.seed)
     val placed = CorpusOps.shuffleShards(withSplit, idCol, config.shards,
       config.seed)
+    // join on the id AS-IS: shuffleShards preserves the id type, so
+    // string ids place correctly (a cast-to-long join would null them
+    // out and silently return an empty corpus)
     withSplit.join(
       placed.withColumnRenamed("doc_id", "_g_bid"),
-      col(idCol).cast("long") === col("_g_bid"))
+      col(idCol) === col("_g_bid"))
       .drop("_g_bid")
   }
 }

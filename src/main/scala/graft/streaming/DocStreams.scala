@@ -79,6 +79,25 @@ object DocStreams {
         .as("v")),
       "vec_id", "v", index)
 
+  /** The COMMIT side of continuous index ingestion: encode arrivals
+    * against the frozen snapshot and append every micro-batch to the
+    * persisted index's `codes` relation. A streaming frame cannot drive
+    * `DataFrameWriter` directly, so the append goes through
+    * `foreachBatch` — each micro-batch is a plain batch frame that
+    * [[graft.operators.IvfPq.appendToIndex]] writes (geometry-checked,
+    * cell-partitioned). Probes pick the new vectors up on their next
+    * `loadIndex`. Returns the started query (caller owns its
+    * lifecycle). */
+  def appendArrivals(vecs: DataFrame,
+      index: graft.operators.IvfPq.IvfPqIndex, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    encodeArrivals(vecs, index).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.operators.IvfPq.appendToIndex(batch.toDF(), indexPath))
+      .start()
+
   /** Stateless PII scrub: text redacted in place, match counts appended —
     * a pure map, so it adds no streaming state at all. */
   def scrubbed(docs: DataFrame): DataFrame =

@@ -171,12 +171,14 @@ class ProductQuantizerSpec extends AnyFunSuite {
       assert(scores(id + 100000L) == scores(id),
         s"twin of $id scored ${scores(id + 100000L)} vs ${scores(id)}")
     }
-    // geometry mismatch is rejected before touching the layout
+    // geometry mismatch raises on the first bad row of the write pass
     val badCodes = IvfPq.encodeMapSide(arrivals, "item", "v", frozen)
       .withColumn("codes", slice(col("codes"), 1, 2))
-    intercept[IllegalArgumentException] {
-      IvfPq.appendToIndex(badCodes, dir)
-    }
+    val e = intercept[Exception] { IvfPq.appendToIndex(badCodes, dir) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("codes length")), e.getMessage)
   }
 
   test("batch ADC equals the single-query probe for every query") {

@@ -50,6 +50,36 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
+  test("streaming append commits arrivals into the persisted index") {
+    import graft.operators.IvfPq
+    val emb = graft.Tables.embeddings(spark, Dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = IvfPq.build(emb, "vec_id", "v", nCells = 4,
+      coarseIters = 0, pqIters = 0)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("encs").toString
+      IvfPq.writeIndex(idx, s"$root/idx")
+      val frozen = IvfPq.loadIndex(spark, s"$root/idx")
+      val before = frozen.codes.count()
+      // re-ingest the whole table under shifted ids THROUGH THE STREAM,
+      // committing each micro-batch via foreachBatch
+      val arrivals = DocStreams
+        .vecFileSource(spark, s"$Dir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + 500000L)
+      val q = DocStreams.appendArrivals(arrivals, frozen, s"$root/idx",
+        s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val after = IvfPq.loadIndex(spark, s"$root/idx")
+      assert(after.codes.count() == before * 2)
+      // a shifted twin carries exactly its original's codes and cell
+      def keyOf(df: org.apache.spark.sql.DataFrame, id: Long) = df
+        .filter(col("pq_id") === id)
+        .select(col("cell").cast("long"),
+          col("codes").cast("array<int>")).head()
+      assert(keyOf(after.codes, 500007L) == keyOf(after.codes, 7L))
+    } finally idx.release()
+  }
+
   test("streaming PII scrub matches the batch scrub row for row") {
     val got = EventStreams.runToCompletion(
       DocStreams.scrubbed(stream).select("doc_id", "text", "n_emails", "n_ips"),
