@@ -33,6 +33,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT merge_pair(split_words('a a b'), 'a', 'b') AS m")
         .head().getSeq[String](0) == Seq("a", "a b"))
+      // ...including the round-8 tokenizer family (the advisor's r7
+      // finding: extension-built sessions must carry EVERY kernel)
+      assert(spark.sql(
+        "SELECT adjacent_pairs(split_words('a b c')) AS p")
+        .head().getSeq[org.apache.spark.sql.Row](0).size == 2)
+      assert(spark.sql(
+        "SELECT apply_bpe_table(split_words('a b c'), array('a'), array('b')) AS t")
+        .head().getSeq[String](0) == Seq("a b", "c"))
+      assert(spark.sql(
+        "SELECT wordpiece('abc', array('ab', 'c')) AS w")
+        .head().getSeq[String](0) == Seq("ab", "c"))
+      assert(spark.sql(
+        "SELECT viterbi_segment('abc', array('ab', 'c'), array(5L, 3L)).n_pieces AS n")
+        .head().getLong(0) == 2L)
+      assert(spark.sql("SELECT char_ngrams('ab', 2) AS g")
+        .head().getSeq[String](0) == Seq("a", "ab", "b"))
+      assert(spark.sql("SELECT ngram_hashes('a b c', 2) AS h")
+        .head().getSeq[Long](0).size == 2)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
