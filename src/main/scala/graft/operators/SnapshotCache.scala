@@ -55,6 +55,24 @@ private[graft] object SnapshotCache {
     f.delete(): Unit
   }
 
+  private val memos =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+
+  /** Snapshot-validated DRIVER-VALUE memo — the in-memory sibling of
+    * [[resolve]] for parameter-sized artifacts (a vocabulary, a stats
+    * row) that several gates derive from the same corpus: computed once
+    * per (session, purpose, inputPath) while the file listing is
+    * unchanged, recomputed when it moves. Values must be bounded (they
+    * live on the driver for the session). */
+  def memo[T <: AnyRef](s: SparkSession, purpose: String,
+      inputPath: String)(compute: => T): T = {
+    val key = s"${sessionId(s)}#$purpose#$inputPath"
+    val snap = snapshotOf(inputPath)
+    memos.compute(key, (_, old) => {
+      if (old != null && old._1 == snap) old else (snap, compute)
+    })._2.asInstanceOf[T]
+  }
+
   /** The persisted-index path for (session, purpose, inputPath) over
     * the corpus at `inputPath`: cached while the corpus snapshot is
     * current; on a changed snapshot the stale index directory is

@@ -570,10 +570,20 @@ object TextQueries {
     * scales with the lexicon, not the corpus (re-tokenizing a 100 TB
     * crawl touches each distinct word once). Output: (piece, n) top-30
     * corpus-wide, (n desc, piece asc). */
+  /** One vocabulary harvest per (session, corpus snapshot) — d36 and
+    * d37 score against the SAME vocabulary by construction, so the
+    * gram-harvest aggregation runs once, not once per gate
+    * ([[graft.operators.SnapshotCache.memo]]; the value is
+    * parameter-sized: topK + alphabet pairs). */
+  private def gateVocab(s: SparkSession, dir: String): Seq[(String, Long)] =
+    SnapshotCache.memo(s, "wpvocab", s"$dir/documents.parquet") {
+      CorpusOps.wordpieceVocabWithFreqs(documents(s, dir), "text")
+    }
+
   def d36Wordpiece(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExprs.register(s)
     val docs = documents(s, dir)
-    val vocab = CorpusOps.wordpieceVocab(docs, "text")
+    val vocab = gateVocab(s, dir).map(_._1)
     val words = docs
       .select(explode(call_function("split_words", col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
@@ -594,7 +604,7 @@ object TextQueries {
   def d37ViterbiSegment(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExprs.register(s)
     val docs = documents(s, dir)
-    val vocab = CorpusOps.wordpieceVocabWithFreqs(docs, "text")
+    val vocab = gateVocab(s, dir)
     val sel = docs
       .select(explode(call_function("split_words", col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
