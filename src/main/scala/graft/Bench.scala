@@ -136,6 +136,19 @@ object Bench {
       s""""sf":"$sfDir","n_queries":${results.size},""" +
       s""""total_sec":${fmt(total)}}"""
     println(line)
+    // The driver artifact keeps only the last ~2 KB of stdout, so the
+    // full line above always arrives head-clipped (113 queries ≈ 3 KB)
+    // and its JSON never parses. Print a SHORT self-contained summary
+    // line LAST — it fits whole inside the tail window, so the driver
+    // finally gets a parseable object; the full per-query map is in the
+    // committed BENCH_local.json (and in the clipped tail itself).
+    val slow = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${results.size},""" +
+      s""""total_sec":${fmt(total)},"pbf_monaco_convert_sec":${fmt(pbfSec)},""" +
+      s""""slowest":$slow,"full":"BENCH_local.json"}""")
     // belt-and-braces against driver-side stdout truncation: the same
     // line lands in the repo as a file artifact too
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),

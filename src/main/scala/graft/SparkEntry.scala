@@ -1559,10 +1559,19 @@ object SparkEntry {
         (1 to 12).map(viterbiLayerCte).mkString(",") + ",\n" +
         "fin AS (" + (1 to 12).map(k =>
           s"SELECT w, c FROM b$k WHERE len(w) = $k").mkString(" UNION ALL ") +
-        ")\n" +
-        """SELECT w, CAST((c + 1099511627776 - 1) // 1099511627776 AS BIGINT) AS n_pieces,
+        "),\n" +
+        // the packed objective c = n_pieces*2^40 - freq_sum orders
+        // correctly only while every candidate freq_sum < 2^40; the
+        // tightest cheap bound is max piece freq × max word length
+        // (12) — guard it so a corpus big enough to break the packing
+        // fails LOUDLY instead of silently mis-ranking segmentations
+        """guard AS (
+          |  SELECT CASE WHEN max(f) * 12 >= 1099511627776
+          |    THEN error('d37 oracle: freq_sum may reach 2^40 — packing invalid at this scale')
+          |    ELSE 0 END AS ok FROM vocabf)
+          |SELECT w, CAST((c + 1099511627776 - 1) // 1099511627776 AS BIGINT) AS n_pieces,
           |  CAST(((c + 1099511627776 - 1) // 1099511627776) * 1099511627776 - c AS BIGINT) AS freq_sum
-          |FROM fin ORDER BY w""".stripMargin),
+          |FROM fin, guard ORDER BY w""".stripMargin),
     // character-level BPE: per-word-occurrence symbol rows (chars +
     // </w>), keyed (doc_id, wi) so merges never cross word boundaries
     "d33_bpe_chars" -> ("WITH d AS (\n" +

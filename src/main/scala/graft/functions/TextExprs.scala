@@ -329,7 +329,13 @@ case class ViterbiSegmentExpr(first: Expression, second: Expression,
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, ArrayType(StringType, _), ArrayType(LongType, _))
           if second.foldable && third.foldable =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // a typed NULL literal passes the shape match but would NPE at
+        // first eval — turn it into an analysis-time error instead
+        if (second.eval() == null || third.eval() == null)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "vocabulary/frequency literal must not be null")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (StringType, ArrayType(StringType, _), ArrayType(LongType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           "vocabulary arrays must be literal (foldable)")
@@ -430,7 +436,13 @@ case class WordpieceExpr(first: Expression, second: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (first.dataType, second.dataType) match {
       case (StringType, ArrayType(StringType, _)) if second.foldable =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // a typed NULL literal passes the shape match but would NPE at
+        // first eval — turn it into an analysis-time error instead
+        if (second.eval() == null)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "vocabulary literal must not be null")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (StringType, ArrayType(StringType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           "vocabulary must be a literal (foldable) array")

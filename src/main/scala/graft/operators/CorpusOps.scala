@@ -1174,8 +1174,15 @@ object CorpusOps {
     val s = cur0.sparkSession
     val base = cur0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var baseLive = true
-    val cutRoot = cutDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_bpe_cut").toString)
+    // a caller-provided cutDir is a SHARED location (the documented
+    // cluster usage) — two concurrent trainers writing fixed cut1..cutN
+    // names there would overwrite each other's live cut mid-read, so
+    // every run owns a unique subdirectory, removed whole in `finally`
+    val cutRoot = cutDir match {
+      case Some(d) => s"$d/run-${java.util.UUID.randomUUID()}"
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft_bpe_cut").toString
+    }
     // delete through the Hadoop FileSystem: cutDir is documented as "a
     // shared filesystem on a real cluster", and java.io.File silently
     // no-ops on hdfs:// / s3a:// paths — every cut would leak
@@ -1229,7 +1236,9 @@ object CorpusOps {
       merges.toSeq.toDF("round", "wa", "wb", "n")
     } finally {
       if (baseLive) base.unpersist()
-      if (cutDir.isEmpty) rmrf(cutRoot) else if (lastCut != null) rmrf(lastCut)
+      // cutRoot is per-run in BOTH arms now (temp dir or UUID subdir of
+      // the caller's shared location) — remove the whole run directory
+      rmrf(cutRoot)
     }
   }
 

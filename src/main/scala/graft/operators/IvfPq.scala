@@ -112,10 +112,23 @@ object IvfPq {
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqIndex = {
     val meta = spark.read.parquet(s"$path/meta").head()
+    val codes = spark.read.parquet(s"$path/codes")
+    // streaming appends live under appends/batch=<id>/cell=<c> (one
+    // directory per committed micro-batch — see [[appendToIndex]]); the
+    // batch partition column exists only for replay idempotence and is
+    // dropped here. Probes prune on `cell` identically on both sides.
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
+    val fs = appendsPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val all =
+      if (fs.exists(appendsPath))
+        codes.unionByName(spark.read.parquet(s"$path/appends")
+          .select(codes.columns.map(col): _*))
+      else codes
     IvfPqIndex(
       spark.read.parquet(s"$path/cents"),
       spark.read.parquet(s"$path/codebook"),
-      spark.read.parquet(s"$path/codes"),
+      all,
       meta.getInt(0), meta.getInt(1))
   }
 
@@ -250,8 +263,18 @@ object IvfPq {
     * no corpus-global statistics by design, so append invalidates
     * nothing — the centroids/codebook stay frozen, which is the
     * standard serving trade (re-train + rebuild only when residual
-    * drift degrades recall, measured by the x25 sweep). */
-  def appendToIndex(encoded: DataFrame, path: String): Unit = {
+    * drift degrades recall, measured by the x25 sweep).
+    *
+    * `batchId` makes the commit IDEMPOTENT for at-least-once callers
+    * (foreachBatch replays a micro-batch after a mid-write failure):
+    * batch `b`'s rows land in their own `appends/batch=b` directory
+    * written with mode=overwrite, so a replay REPLACES the partial
+    * write instead of appending duplicate (pq_id, cell, codes) rows —
+    * probes never see a doubled id. [[loadIndex]] unions these in.
+    * `batchId = None` is the plain batch-append path (direct write into
+    * `codes/`) for one-shot bulk loads the caller does not retry. */
+  def appendToIndex(encoded: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit = {
     val spark = encoded.sparkSession
     val m = spark.read.parquet(s"$path/meta").head().getInt(0)
     // geometry check rides INSIDE the single write pass (raise_error on
@@ -259,15 +282,24 @@ object IvfPq {
     // evaluate the whole encode twice. A STREAMING frame cannot drive
     // DataFrameWriter — commit micro-batches through
     // [[graft.streaming.DocStreams.appendArrivals]] (foreachBatch).
-    encoded.select(col("pq_id"),
-        when(size(col("codes")) === m, col("codes"))
-          .otherwise(raise_error(concat(
-            lit(s"appendToIndex: codes length != index m=$m (got "),
-            size(col("codes")).cast("string"),
-            lit(") — encoded against a different index geometry?"))))
-          .as("codes"),
-        col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    val checked = encoded.select(col("pq_id"),
+      when(size(col("codes")) === m, col("codes"))
+        .otherwise(raise_error(concat(
+          lit(s"appendToIndex: codes length != index m=$m (got "),
+          size(col("codes")).cast("string"),
+          lit(") — encoded against a different index geometry?"))))
+        .as("codes"),
+      col("cell"))
+    batchId match {
+      case Some(b) =>
+        // static overwrite truncates exactly this batch's directory —
+        // the idempotence unit — leaving other batches' commits intact
+        checked.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/appends/batch=$b")
+      case None =>
+        checked.write.mode("append").partitionBy("cell")
+          .parquet(s"$path/codes")
+    }
   }
 
   /** The x15 probe at an arbitrary nprobe with the query vector

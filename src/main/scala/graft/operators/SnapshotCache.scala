@@ -10,12 +10,25 @@ import org.apache.spark.sql.SparkSession
   *  - the session key is a per-session random UUID held in a weak map
   *    (`System.identityHashCode` — the previous key — can collide after
   *    GC reuses an address);
-  *  - the corpus snapshot is the input's file listing (name/len/mtime),
-  *    so a changed corpus REBUILDS instead of serving a stale index;
+  *  - the corpus snapshot is the input's file listing (name/len/mtime)
+  *    taken through the HADOOP FileSystem, so it is correct for
+  *    `hdfs://`/`s3a://` corpora too — a `java.io.File` probe (the
+  *    previous implementation) reports a remote path as missing and
+  *    would pin the first index forever, silently serving stale
+  *    results on exactly the cluster deployments this layer targets
+  *    (spec: SnapshotCacheSpec rebuild-on-remote-style-URI case);
   *  - a rebuild DELETES the replaced index's temp directory — a
   *    long-lived process re-indexing over a changing corpus holds at
   *    most one live index per (session, purpose), not one per snapshot
-  *    ever seen.
+  *    ever seen;
+  *  - builds run OUTSIDE any map lock: the per-key cell installs a
+  *    future under `compute` (cheap), then the installing thread runs
+  *    the Spark build with no ConcurrentHashMap bin held — unrelated
+  *    keys that hash to the same bin never block behind a minutes-long
+  *    index build, and a reentrant resolve/memo reached from inside a
+  *    build (e.g. a build whose oracle-side helper memoizes a
+  *    vocabulary over the same corpus) recurses safely instead of
+  *    throwing ConcurrentHashMap's "recursive update".
   */
 private[graft] object SnapshotCache {
 
@@ -32,19 +45,26 @@ private[graft] object SnapshotCache {
     }
   }
 
-  private final case class Entry(snapshot: String, tmpRoot: String,
-      path: String)
-
-  private val entries =
-    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
-
-  /** The file-listing fingerprint of a parquet path (file or directory). */
-  def snapshotOf(inputPath: String): String = {
-    val f = new java.io.File(inputPath)
-    if (!f.exists()) "missing"
-    else if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
-    else f.listFiles().sortBy(_.getName)
-      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+  /** The file-listing fingerprint of a parquet path (file or directory),
+    * resolved through the Hadoop FileSystem so remote URIs fingerprint
+    * their real listing. Scheme-less paths stay on the local FS (the
+    * default `fs.defaultFS` is `file:///` in local mode; on a cluster
+    * they resolve against the deployment's default FS, which is where
+    * a scheme-less corpus path actually points). */
+  def snapshotOf(spark: SparkSession, inputPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(inputPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "missing"
+    else {
+      val st = fs.getFileStatus(p)
+      if (st.isFile)
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      else
+        fs.listStatus(p).sortBy(_.getPath.getName)
+          .map(x =>
+            s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
+          .mkString("|")
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -55,8 +75,64 @@ private[graft] object SnapshotCache {
     f.delete(): Unit
   }
 
+  /** One cache cell: the snapshot it was computed against plus the
+    * (possibly still in-flight) value. The FUTURE goes into the map so
+    * map mutation is O(1); the value computation happens outside. */
+  private final class Cell[V](val snapshot: String) {
+    val fut = new java.util.concurrent.CompletableFuture[V]()
+  }
+
+  /** The generic install-then-build-outside-the-lock loop shared by
+    * [[memo]] and [[resolve]]. Exactly one thread per (key, snapshot)
+    * runs `make`; losers await the winner's future. A failed build
+    * removes its cell so the next call retries instead of caching the
+    * exception forever. `onReplace` runs (outside the lock, winner
+    * only) on the superseded cell's value before the new build. */
+  private def throughCells[V](map: java.util.concurrent.ConcurrentHashMap[String, Cell[V]],
+      key: String, snap: String)(onReplace: V => Unit)(make: => V): V = {
+    while (true) {
+      val cur = map.get(key)
+      if (cur != null && cur.snapshot == snap) {
+        try return cur.fut.join()
+        catch { case _: java.util.concurrent.CompletionException |
+            _: java.util.concurrent.CancellationException =>
+          // the winning builder failed and removed the cell; retry
+          map.remove(key, cur): Unit
+        }
+      } else {
+        val fresh = new Cell[V](snap)
+        val installed =
+          if (cur == null) map.putIfAbsent(key, fresh) == null
+          else map.replace(key, cur, fresh)
+        if (installed) {
+          // this thread owns the build; the map is NOT locked here
+          try {
+            if (cur != null) {
+              // the superseded snapshot's value is only safe to clean up
+              // once its build finished (it did: replace() only succeeds
+              // against the cell we read, and a mid-build cell would have
+              // the same snapshot for the same unchanged input — a
+              // DIFFERENT snapshot means its input already moved on)
+              try onReplace(cur.fut.join())
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            val v = make
+            fresh.fut.complete(v): Unit
+            return v
+          } catch { case t: Throwable =>
+            fresh.fut.completeExceptionally(t): Unit
+            map.remove(key, fresh): Unit
+            throw t
+          }
+        }
+        // lost the install race; loop and await the winner
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private val memos =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Cell[AnyRef]]()
 
   /** Snapshot-validated DRIVER-VALUE memo — the in-memory sibling of
     * [[resolve]] for parameter-sized artifacts (a vocabulary, a stats
@@ -67,11 +143,14 @@ private[graft] object SnapshotCache {
   def memo[T <: AnyRef](s: SparkSession, purpose: String,
       inputPath: String)(compute: => T): T = {
     val key = s"${sessionId(s)}#$purpose#$inputPath"
-    val snap = snapshotOf(inputPath)
-    memos.compute(key, (_, old) => {
-      if (old != null && old._1 == snap) old else (snap, compute)
-    })._2.asInstanceOf[T]
+    val snap = snapshotOf(s, inputPath)
+    throughCells(memos, key, snap)(_ => ())(compute).asInstanceOf[T]
   }
+
+  private final case class Entry(tmpRoot: String, path: String)
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, Cell[Entry]]()
 
   /** The persisted-index path for (session, purpose, inputPath) over
     * the corpus at `inputPath`: cached while the corpus snapshot is
@@ -89,22 +168,19 @@ private[graft] object SnapshotCache {
   def resolve(s: SparkSession, purpose: String, inputPath: String)(
       build: String => Unit): String = {
     val key = s"${sessionId(s)}#$purpose#$inputPath"
-    val snap = snapshotOf(inputPath)
-    entries.compute(key, (_, old) => {
-      if (old != null && old.snapshot == snap) old
-      else {
-        if (old != null) deleteRecursively(new java.io.File(old.tmpRoot))
-        val root = java.nio.file.Files
-          .createTempDirectory(s"graft_$purpose").toString
-        val out = s"$root/idx"
-        // a failed build must not orphan its half-written directory (the
-        // entry is not recorded, so nothing would ever delete it)
-        try build(out)
-        catch { case t: Throwable =>
-          deleteRecursively(new java.io.File(root)); throw t
-        }
-        Entry(snap, root, out)
+    val snap = snapshotOf(s, inputPath)
+    throughCells(entries, key, snap)(
+      old => deleteRecursively(new java.io.File(old.tmpRoot))) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_$purpose").toString
+      val out = s"$root/idx"
+      // a failed build must not orphan its half-written directory (the
+      // entry is not recorded, so nothing would ever delete it)
+      try build(out)
+      catch { case t: Throwable =>
+        deleteRecursively(new java.io.File(root)); throw t
       }
-    }).path
+      Entry(root, out)
+    }.path
   }
 }

@@ -85,8 +85,12 @@ object DocStreams {
     * `DataFrameWriter` directly, so the append goes through
     * `foreachBatch` — each micro-batch is a plain batch frame that
     * [[graft.operators.IvfPq.appendToIndex]] writes (geometry-checked,
-    * cell-partitioned). Probes pick the new vectors up on their next
-    * `loadIndex`. Returns the started query (caller owns its
+    * cell-partitioned). foreachBatch is AT-LEAST-ONCE — a restart from
+    * checkpoint mid-write replays the batch — so the commit keys on the
+    * batchId: a replay overwrites its own `appends/batch=<id>`
+    * directory instead of appending duplicate rows (spec-held:
+    * DocStreamsSpec replay case). Probes pick the new vectors up on
+    * their next `loadIndex`. Returns the started query (caller owns its
     * lifecycle). */
   def appendArrivals(vecs: DataFrame,
       index: graft.operators.IvfPq.IvfPqIndex, indexPath: String,
@@ -94,8 +98,9 @@ object DocStreams {
     encodeArrivals(vecs, index).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
-        graft.operators.IvfPq.appendToIndex(batch.toDF(), indexPath))
+          batchId: Long) =>
+        graft.operators.IvfPq.appendToIndex(batch.toDF(), indexPath,
+          batchId = Some(batchId)))
       .start()
 
   /** Stateless PII scrub: text redacted in place, match counts appended —

@@ -170,6 +170,20 @@ class TextExprsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("foldable") ||
       e.getMessage.toLowerCase.contains("literal"))
+    // a TYPED NULL literal is foldable and shape-correct — it must fail
+    // at analysis with a clear message, not NPE at execution
+    val nullVocab = lit(null).cast("array<string>")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x")).toDF("w")
+        .select(call_function("wordpiece", col("w"), nullVocab)).head()
+    }
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x")).toDF("w")
+        .select(call_function("viterbi_segment", col("w"),
+          lit(Array("x")), lit(null).cast("array<bigint>"))).head()
+    }
+    assert(e3.getMessage.contains("null"), e3.getMessage)
   }
 
   test("viterbi_segment: optimal beats greedy, OOV chars score zero") {

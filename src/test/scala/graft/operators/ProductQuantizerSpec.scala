@@ -181,6 +181,37 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("codes length")), e.getMessage)
   }
 
+  test("a replayed micro-batch commit is idempotent (at-least-once safe)") {
+    val idx = IvfPq.build(renamed, "item", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidem").toString
+    IvfPq.writeIndex(idx, dir)
+    idx.release()
+    val frozen = IvfPq.loadIndex(spark, dir)
+    val baseN = frozen.codes.count()
+    val arrivals = renamed.filter(col("item").isin(5L, 9L, 23L))
+      .select((col("item") + 200000L).as("item"),
+        col("vec").cast("array<double>").as("v"))
+    val encoded = IvfPq.encodeMapSide(arrivals, "item", "v", frozen)
+    // foreachBatch replays a batch after a mid-write failure: the same
+    // batchId committed twice must leave exactly one copy of its rows
+    IvfPq.appendToIndex(encoded, dir, batchId = Some(7L))
+    IvfPq.appendToIndex(encoded, dir, batchId = Some(7L))
+    IvfPq.appendToIndex(encoded.withColumn("pq_id", col("pq_id") + 1000L),
+      dir, batchId = Some(8L))
+    val reloaded = IvfPq.loadIndex(spark, dir)
+    assert(reloaded.codes.count() == baseN + 6,
+      "replayed batch 7 must not duplicate its 3 rows")
+    val ids = reloaded.codes.select("pq_id").collect().map(_.getLong(0))
+    assert(ids.count(_ == 200005L) == 1, "no duplicate appended ids")
+    // the appended rows serve: exact-distance twins of their originals
+    val query = renamed.filter(col("item") === 0L)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val scores = IvfPq.topK(reloaded, query, topK = 1000, nProbe = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(200005L) == scores(5L))
+    assert(scores(201005L) == scores(5L))
+  }
+
   test("batch ADC equals the single-query probe for every query") {
     val idx = IvfPq.build(renamed, "item", "vec")
     val qids = Seq(0L, 7L, 23L)

@@ -471,6 +471,35 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"lineage grew past the cut cadence: $maxDepth merge_pair nodes > $k")
   }
 
+  test("concurrent trainers sharing one cutDir never clash, and clean up") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val solo = CorpusOps.trainBpe(docs, "text", rounds = 8,
+        materializeEvery = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    // a caller-provided cutDir is a SHARED cluster location: two runs
+    // writing there at once must not overwrite each other's live cut
+    // (each owns a per-run UUID subdirectory, removed in finally)
+    val shared = java.nio.file.Files.createTempDirectory("bpecuts").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[(Long, String, String, Long)]] {
+          def call() = CorpusOps.trainBpe(docs, "text", rounds = 8,
+              materializeEvery = 3, cutDir = Some(shared))
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+        })
+      }
+      futs.foreach { f =>
+        assert(f.get(300, java.util.concurrent.TimeUnit.SECONDS) == solo)
+      }
+    } finally pool.shutdownNow()
+    val leftovers = new java.io.File(shared).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      s"cut run dirs leaked: ${leftovers.map(_.getName).mkString(",")}")
+  }
+
   test("index probes of an EMPTY corpus return empty, never crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val path = java.nio.file.Files.createTempDirectory("emptyidx").toString + "/idx"
