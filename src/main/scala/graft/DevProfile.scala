@@ -504,6 +504,55 @@ object DevProfile {
         .x13FingerprintOverlap(spark, sfDir).count())
       t("full_query2")(operators.SimilarityQueries
         .x13FingerprintOverlap(spark, sfDir).count())
+    } else if (name == "idxprofile") {
+      // x21/x23 build-cost split: tokenize-only vs postings write vs
+      // stats job, fresh output path per rep (no SnapshotCache reuse) —
+      // the attribution harness for the r8 build regression
+      import org.apache.spark.sql.functions._
+      graft.functions.TextExprs.register(spark)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      val tokenized = docs.select(col("doc_id").cast("long").as("id"),
+        call_function("split_words", col("text")).as("_g_ws"))
+      t("tokenize_only")(tokenized.count())
+      t("tokenize_again")(tokenized.count())
+      for (r <- 1 to reps) {
+        val out = java.nio.file.Files.createTempDirectory("idxprof").toString
+        t(s"r$r bm25_build")({ operators.RetrievalOps.indexCorpus(
+          docs, "doc_id", "text", s"$out/i1"); 1L })
+        t(s"r$r positional_build")({ operators.RetrievalOps.indexCorpus(
+          docs, "doc_id", "text", s"$out/i2", withPositions = true); 1L })
+        t(s"r$r probe")(operators.RetrievalOps.bm25TopKIndexed(
+          spark, s"$out/i1", operators.RetrievalOps.GateTerms).count())
+        // sub-job split of the same build (fresh path)
+        val base = docs
+          .select(col("doc_id").cast("long").as("id"),
+            call_function("split_words", col("text")).as("_g_ws"))
+          .select(col("id"), col("_g_ws"),
+            size(col("_g_ws")).cast("long").as("dl"))
+        val postings = base
+          .select(col("id"), col("dl"), explode(col("_g_ws")).as("term"))
+          .groupBy(col("id"), col("term"))
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+          .withColumn("pt", pmod(xxhash64(col("term")), lit(64L)))
+        t(s"r$r   agg_only")(postings.count())
+        t(s"r$r   write_straight")({ postings
+          .write.mode("overwrite").partitionBy("pt")
+          .parquet(s"$out/s1/postings"); 1L })
+        t(s"r$r   write_repart")({ postings.repartition(64, col("pt"))
+          .write.mode("overwrite").partitionBy("pt")
+          .parquet(s"$out/s2/postings"); 1L })
+        t(s"r$r   n_count")(docs.count())
+        t(s"r$r   stats_from_idx")({ spark.read.parquet(s"$out/s2/postings")
+          .agg(sum(col("tf"))).head(); 1L })
+        t(s"r$r   stats_old_pass")({ base.agg(count(lit(1)).as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+            .as("avgdl")).head(); 1L })
+      }
     } else if (name == "seq") {
       // time a comma list of queries in order, `reps` passes — mirrors the
       // bench's sequential timed pass (cache effects included)

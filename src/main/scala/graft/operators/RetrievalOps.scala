@@ -282,17 +282,42 @@ object RetrievalOps {
         Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
           sort_array(collect_list(col("pos"))).as("positions"))
       else Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // the pre-write repartition pins the output-file geometry to the
+    // BUCKET count instead of (upstream tasks × buckets): partitionBy
+    // from T aggregate tasks writes up to T files per bucket — at
+    // cluster scale (1000 tasks × 64 buckets) a 64k-small-file spray
+    // that object stores and probe listings both pay for. One extra
+    // shuffle of the compact (id, term, tf, dl) rows buys exactly one
+    // file per occupied bucket
     tokens.groupBy(col("id"), col("term"))
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("pt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartition(nBuckets, col("pt"))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$path/postings")
     // stats LAST — it is the commit marker: a failure mid-postings-write
     // leaves no stats/, so readStats raises a clear not-an-index error
-    // instead of probes tripping over a half-built postings directory
-    base.agg(count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
-          .as("avgdl"))
-      .withColumn("n_buckets", lit(nBuckets))
+    // instead of probes tripping over a half-built postings directory.
+    // Derived from the WRITTEN index, not the corpus: sum(tf) over all
+    // postings equals sum(dl) over the corpus (each document's term
+    // frequencies sum to its token count), so the corpus is tokenized
+    // exactly ONCE per build — the old stats job re-ran split_words over
+    // every document (a second full corpus pass; at 100 TB, the whole
+    // input re-read to compute two numbers). n comes from a count-only
+    // corpus scan (no columns read). Null-text documents count dl = 0
+    // here (the old pass counted size(null) = -1 into the sum).
+    val spark = docs.sparkSession
+    val n = docs.count()
+    // explicit schema: an empty corpus writes a postings directory with
+    // no files, where schema inference has nothing to infer
+    val sumRow = spark.read.schema("tf BIGINT")
+      .parquet(s"$path/postings")
+      .agg(sum(col("tf"))).head()
+    val sumDl = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    val avgdl: java.lang.Double =
+      if (n == 0) null else java.lang.Double.valueOf(sumDl.toDouble / n)
+    import spark.implicits._
+    Seq((n, Option(avgdl).map(_.doubleValue), nBuckets))
+      .toDF("n", "avgdl", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
