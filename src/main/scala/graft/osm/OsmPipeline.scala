@@ -170,8 +170,12 @@ object OsmPipeline {
     // the setting.
     val spark = {
       val bytes = inputBytes(spark0, pbfPaths)
-      val aqeOn = spark0.conf.get("spark.sql.adaptive.enabled", "true") == "true"
-      if (aqeOn && bytes >= 0 && bytes < AqeMinInputBytes) {
+      // applies whether or not the caller's session already has AQE off:
+      // the shuffle-partition sizing below matters on its own (a caller
+      // that disabled AQE for ITS small workload would otherwise run the
+      // conversion's ~12 shuffle stages at its full partition count —
+      // measured 6.1 s vs 5.0 s on monaco at 32 vs 4 partitions)
+      if (bytes >= 0 && bytes < AqeMinInputBytes) {
         cloneSession(spark0).map { s =>
           s.conf.set("spark.sql.adaptive.enabled", "false")
           // without AQE's partition coalescing, size the shuffles to the
