@@ -553,6 +553,93 @@ object DevProfile {
           (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
             .as("avgdl")).head(); 1L })
       }
+    } else if (name == "vocabscale") {
+      // tokenizer-serving kernels at PRODUCTION vocabulary sizes: the
+      // gates run 200-piece vocabularies; a real WordPiece/unigram/BPE
+      // vocab is 30-50k pieces riding as array literals into the kernel
+      // expressions. Measures encode wall-clock at 200 -> 32k pieces
+      // with codegen fallback DISABLED (a Janino limit would fail
+      // loudly, not silently fall back to interpreted). Also pins the
+      // ranked-vs-sequential apply_bpe_table gap: a one-dummy-merge
+      // INCONSISTENT prefix forces the sequential fold through the same
+      // expression, so the two timings share plan/codegen overheads.
+      graft.functions.TextExprs.register(spark)
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val words = docs
+        .select(explode(call_function("split_words", col("text"))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"word occurrences: ${words.count()}")
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pieces)")
+      }
+      for (k <- Seq(200, 2000, 32000)) {
+        // harvested top grams + synthetic tail when the corpus has fewer
+        // distinct grams than k — tail pieces are realistic-length
+        // never-matching strings that size the hash maps, the plan
+        // literal, and task serialization honestly
+        val harvested = operators.CorpusOps
+          .wordpieceVocabWithFreqs(docs, "text", k, 4)
+        val vocab = (harvested ++
+          (harvested.size until k).map(i => (s"zq${i}x", 1L))).take(k)
+        val ps = vocab.map(_._1).toArray
+        val fs = vocab.map(_._2).toArray
+        for (r <- 1 to reps) {
+          t(s"k=$k r$r wordpiece")(words
+            .select(call_function("wordpiece", col("w"), lit(ps)).as("p"))
+            .agg(sum(size(col("p")))).head().getLong(0))
+          t(s"k=$k r$r viterbi")(words
+            .select(call_function("viterbi_segment", col("w"), lit(ps),
+              lit(fs)).as("v"))
+            .agg(sum(col("v.n_pieces"))).head().getLong(0))
+        }
+      }
+      // BPE merge table: character-chain merges of the top corpus words
+      // (these FIRE on real text) + a consistent synthetic tail to reach
+      // k. chars -> symbols via char_ngrams(w, 1)
+      val topWords = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc).limit(400)
+        .collect().map(_.getString(0)).filter(_.length >= 2)
+      val seen = scala.collection.mutable.Set[String]()
+      val chain = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      for (w <- topWords) {
+        var acc = w.substring(0, 1)
+        for (c <- w.substring(1)) {
+          val wb = c.toString
+          if (seen.add(s"$acc $wb")) chain += ((acc, wb))
+          acc = s"$acc $wb"
+        }
+      }
+      for (k <- Seq(200, 2000, 32000)) {
+        val real = chain.take(k).toSeq
+        val table = real ++ (real.size until k).map(i => (s"zzq$i", s"zzr$i"))
+        val was = table.map(_._1).toArray
+        val wbs = table.map(_._2).toArray
+        // dummy rank-0 pair referencing the LAST output: inconsistent ->
+        // sequential fold; never fires (the token cannot exist during
+        // the pass), so both modes do identical merge work
+        val lastOut = table.last._1 + " " + table.last._2
+        val sWas = (lastOut +: table.map(_._1)).toArray
+        val sWbs = ("zznever" +: table.map(_._2)).toArray
+        val chars = words.select(col("w"),
+          call_function("char_ngrams", col("w"), lit(1)).as("cs"))
+        for (r <- 1 to reps) {
+          t(s"k=$k r$r bpe_ranked")(chars
+            .select(call_function("apply_bpe_table", col("cs"), lit(was),
+              lit(wbs)).as("p"))
+            .agg(sum(size(col("p")))).head().getLong(0))
+          // sequential is O(k·|word|)/word: at 32k it is minutes — only
+          // measured where it terminates in reasonable time
+          if (k <= 2000)
+            t(s"k=$k r$r bpe_sequential")(chars
+              .select(call_function("apply_bpe_table", col("cs"), lit(sWas),
+                lit(sWbs)).as("p"))
+              .agg(sum(size(col("p")))).head().getLong(0))
+        }
+      }
     } else if (name == "seq") {
       // time a comma list of queries in order, `reps` passes — mirrors the
       // bench's sequential timed pass (cache effects included)

@@ -19,6 +19,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * the DuckDB-oracle contract) in one pass per document inside
   * whole-stage codegen.
   */
+/** Rank-indexed merge table: [[apply]] encodes one symbol sequence by
+  * repeatedly merging the LOWEST-RANK adjacent pair present — the
+  * production BPE serving algorithm (Sennrich et al. 2016 §3; per-word
+  * cost O(|word|²) hash probes, INDEPENDENT of table size) versus the
+  * sequential fold's O(n_merges · |word|), which at a real 32k-merge
+  * vocabulary is ~3000× more work per word.
+  *
+  * Only constructed for CONSISTENT tables ([[TextKernels.rankedBpe]]
+  * verifies: every pair refers only to tokens created at strictly
+  * earlier ranks, or base tokens), where min-rank-first is provably
+  * bit-identical to table-order application: with ranks < r absent, a
+  * rank-r pass only creates pairs involving its output token, whose
+  * table ranks are all > r by consistency — so no lower rank ever
+  * reappears, which is exactly the invariant the sequential fold leaves
+  * behind after step r. */
+final class RankedBpe(
+    ranks: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]],
+    was: Array[UTF8String], wbs: Array[UTF8String]) extends Serializable {
+  def apply(arr: ArrayData): ArrayData = {
+    var cur = arr
+    var done = false
+    while (!done) {
+      val n = cur.numElements()
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < n) {
+        val inner = ranks.get(cur.getUTF8String(i))
+        if (inner != null) {
+          val r = inner.get(cur.getUTF8String(i + 1))
+          if (r != null && r.intValue() < best) best = r.intValue()
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else cur = TextKernels.mergePair(cur, was(best), wbs(best))
+    }
+    cur
+  }
+}
+
 object TextKernels {
 
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
@@ -200,13 +240,58 @@ object TextKernels {
         bestNp(n).toLong, bestFs(n)))
   }
 
+  /** Build a [[RankedBpe]] for a merge table, or null when the table is
+    * INCONSISTENT (some pair references a token that a same-or-later
+    * rank creates — only possible in hand-built tables; every trained
+    * table is consistent) and the caller must keep the sequential fold
+    * to preserve its exact semantics. */
+  def rankedBpe(was: ArrayData, wbs: ArrayData): RankedBpe = {
+    val n = was.numElements()
+    val space = UTF8String.fromString(" ")
+    // max rank at which each output token string is (re)created
+    val createdMax = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      createdMax.put(UTF8String.concat(was.getUTF8String(i), space,
+        wbs.getUTF8String(i)).clone(), Integer.valueOf(i))
+      i += 1
+    }
+    val ranks =
+      new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]](n * 2)
+    val wasArr = new Array[UTF8String](n)
+    val wbsArr = new Array[UTF8String](n)
+    i = 0
+    while (i < n) {
+      val wa = was.getUTF8String(i).clone()
+      val wb = wbs.getUTF8String(i).clone()
+      val ca = createdMax.get(wa)
+      val cb = createdMax.get(wb)
+      if ((ca != null && ca.intValue() >= i) ||
+          (cb != null && cb.intValue() >= i)) return null
+      wasArr(i) = wa
+      wbsArr(i) = wb
+      var inner = ranks.get(wa)
+      if (inner == null) {
+        inner = new java.util.HashMap[UTF8String, Integer](4)
+        ranks.put(wa, inner)
+      }
+      // first occurrence wins (a duplicate pair is a no-op in both modes)
+      if (inner.get(wb) == null) inner.put(wb, Integer.valueOf(i))
+      i += 1
+    }
+    new RankedBpe(ranks, wasArr, wbsArr)
+  }
+
   /** Sequential application of a WHOLE merge table — semantically the
     * left fold of [[mergePair]] over (wa_i, wb_i) in table order, as ONE
     * kernel call. The serving-scale point: a real trained vocabulary is
     * 10k-50k merges, and folding that many `merge_pair` Expressions
     * builds a 10k-node plan whose generated code blows Janino's method
     * limits; here the table rides as two array literals (constant-size
-    * plan at any vocab size) and the loop runs in JVM code. */
+    * plan at any vocab size) and the loop runs in JVM code. This form
+    * is the per-row-table / inconsistent-table fallback; a FOLDABLE
+    * consistent table dispatches to [[RankedBpe]] instead (same result,
+    * table-size-independent per-row cost). */
   def applyMerges(arr: ArrayData, was: ArrayData, wbs: ArrayData): ArrayData = {
     var cur = arr
     val n = was.numElements()
@@ -497,7 +582,11 @@ case class WordpieceExpr(first: Expression, second: Expression)
   * order ([[TextKernels.applyMerges]]): identical results to folding
   * `merge_pair` per merge, but the plan holds two array literals instead
   * of one expression node per merge — the only codegen-viable shape at
-  * real (10k-50k merge) vocabulary sizes. */
+  * real (10k-50k merge) vocabulary sizes. A foldable consistent table
+  * additionally dispatches per row to the rank-indexed encoder
+  * ([[RankedBpe]] — per-word cost independent of table size, the
+  * DevProfile `vocabscale` measurement); inconsistent or per-row tables
+  * keep the sequential fold bit-for-bit. */
 case class ApplyBpeTableExpr(first: Expression, second: Expression,
     third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -513,11 +602,28 @@ case class ApplyBpeTableExpr(first: Expression, second: Expression,
             s" got (${first.dataType.simpleString}, " +
             s"${second.dataType.simpleString}, ${third.dataType.simpleString})")
     }
+  /** Rank-indexed table, or null when either merge array is non-foldable
+    * (per-row tables), a foldable one is NULL (the expression then
+    * null-propagates per row), or the table is inconsistent. */
+  @transient private lazy val ranked: RankedBpe =
+    if (!(second.foldable && third.foldable)) null
+    else {
+      val was = second.eval().asInstanceOf[ArrayData]
+      val wbs = third.eval().asInstanceOf[ArrayData]
+      if (was == null || wbs == null || was.numElements() != wbs.numElements())
+        null
+      else TextKernels.rankedBpe(was, wbs)
+    }
   override protected def nullSafeEval(ws: Any, was: Any, wbs: Any): Any =
-    TextKernels.applyMerges(ws.asInstanceOf[ArrayData],
+    if (ranked != null) ranked.apply(ws.asInstanceOf[ArrayData])
+    else TextKernels.applyMerges(ws.asInstanceOf[ArrayData],
       was.asInstanceOf[ArrayData], wbs.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (ws, was, wbs) =>
+    if (ranked != null) {
+      val refName = ctx.addReferenceObj("rankedBpe", ranked,
+        "graft.functions.RankedBpe")
+      defineCodeGen(ctx, ev, (ws, _, _) => s"$refName.apply($ws)")
+    } else defineCodeGen(ctx, ev, (ws, was, wbs) =>
       s"graft.functions.TextKernels.applyMerges($ws, $was, $wbs)")
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =

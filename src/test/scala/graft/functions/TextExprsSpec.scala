@@ -259,6 +259,82 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("apply_bpe_table: ranked fast path is bit-identical to the sequential fold") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def toArrayData(xs: Seq[String]) =
+      new GenericArrayData(xs.map(x => UTF8String.fromString(x): Any).toArray)
+    // random CONSISTENT tables: each merge joins two tokens that already
+    // exist (base chars or earlier outputs) — the shape every trained
+    // table has
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val base = Seq("a", "b", "c", "d", "e")
+      val pool = scala.collection.mutable.ArrayBuffer(base: _*)
+      val seen = scala.collection.mutable.Set(base: _*)
+      // unique outputs, like a trained table: ("a","b c") and ("a b","c")
+      // both output "a b c", and a reused output string legitimately
+      // fails the consistency check (a pair ranked between the two
+      // creations could re-form after the later one)
+      val table = Iterator.continually {
+        val wa = pool(rnd.nextInt(pool.size))
+        val wb = pool(rnd.nextInt(pool.size))
+        (wa, wb)
+      }.filter { case (wa, wb) =>
+        val fresh = seen.add(s"$wa $wb")
+        if (fresh) pool += s"$wa $wb"
+        fresh
+      }.take(30).toSeq
+      val was = table.map(_._1)
+      val wbs = table.map(_._2)
+      // the fast path must actually engage on a consistent table
+      val ranked = TextKernels.rankedBpe(toArrayData(was), toArrayData(wbs))
+      assert(ranked != null, s"trial $trial: consistent table not ranked")
+      val words = (0 until 40).map(_ =>
+        (0 until (1 + rnd.nextInt(12))).map(_ => base(rnd.nextInt(base.size))))
+      for (w <- words) {
+        val seqRes = TextKernels.applyMerges(toArrayData(w),
+          toArrayData(was), toArrayData(wbs))
+        val fastRes = ranked.apply(toArrayData(w))
+        assert(seqRes.toSeq[UTF8String](org.apache.spark.sql.types.StringType) ==
+          fastRes.toSeq[UTF8String](org.apache.spark.sql.types.StringType),
+          s"trial $trial word ${w.mkString}")
+      }
+      // end-to-end through the expression (foldable literals -> ranked),
+      // codegen and interpreted both
+      val df = words.map(w => Tuple1(w)).toDF("ws")
+      def run() = df.select(call_function("apply_bpe_table", col("ws"),
+          lit(was.toArray), lit(wbs.toArray)))
+        .collect().map(_.getSeq[String](0)).toSeq
+      val expected = words.map(w =>
+        TextKernels.applyMerges(toArrayData(w), toArrayData(was),
+            toArrayData(wbs))
+          .toSeq[UTF8String](org.apache.spark.sql.types.StringType)
+          .map(_.toString))
+      try {
+        s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        assert(run() == expected)
+        s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        assert(run() == expected)
+      } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // an INCONSISTENT table (pair uses a token a later rank creates) must
+    // refuse the fast path and keep sequential semantics
+    val incWas = Seq("a b", "a")
+    val incWbs = Seq("c", "b")
+    assert(TextKernels.rankedBpe(toArrayData(incWas),
+      toArrayData(incWbs)) == null)
+    val df = Seq(Tuple1(Seq("a", "b", "c"))).toDF("ws")
+    val got = df.select(call_function("apply_bpe_table", col("ws"),
+        lit(incWas.toArray), lit(incWbs.toArray)))
+      .collect().map(_.getSeq[String](0)).head
+    // sequential: rank 0 ("a b","c") absent first; rank 1 merges a,b ->
+    // "a b"; the earlier rank is never revisited
+    assert(got == Seq("a b", "c"))
+  }
+
   test("codegen and interpreted evaluation agree") {
     val s = spark
     try {
