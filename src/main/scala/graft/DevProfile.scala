@@ -553,6 +553,71 @@ object DevProfile {
           (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
             .as("avgdl")).head(); 1L })
       }
+    } else if (name == "sjscale") {
+      // distributed spatial join under a dense-city distribution: 90% of
+      // `reps` million points in ONE grid cell, vs uniform. Pins the
+      // scaladoc's "hot cells are ordinary join skew — AQE splits them"
+      // with wall-clock: skew with skewJoin OFF vs ON (thresholds scaled
+      // to local data volume; the cluster uses the defaults, which sit
+      // in the same ratio to real partition sizes). Broadcast disabled —
+      // the big×big shuffle path is the one skew can hurt.
+      import org.apache.spark.sql.functions._
+      val n = reps.max(1) * 1000000L
+      val hotX = 7.4005; val hotY = 43.7005
+      def ptsOn(s: org.apache.spark.sql.SparkSession, skewed: Boolean) = {
+        val hot = col("id") % 10 < 9
+        s.range(0, n).select(col("id").as("pt_id"),
+          (if (skewed) when(hot, lit(hotX) + (rand(11) - 0.5) * 0.008)
+            .otherwise(lit(7.0) + rand(12) * 0.9)
+          else lit(7.0) + rand(12) * 0.9).as("x"),
+          (if (skewed) when(hot, lit(hotY) + (rand(13) - 0.5) * 0.008)
+            .otherwise(lit(43.0) + rand(14) * 0.9)
+          else lit(43.0) + rand(14) * 0.9).as("y"))
+      }
+      val rnd = new scala.util.Random(21)
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      val wkbW = new org.locationtech.jts.io.WKBWriter()
+      def boxWkb(cx: Double, cy: Double): Array[Byte] = wkbW.write(
+        gf.createPolygon(Array((cx, cy), (cx + 0.02, cy),
+          (cx + 0.02, cy + 0.02), (cx, cy + 0.02), (cx, cy)).map {
+          case (x, y) => new org.locationtech.jts.geom.Coordinate(x, y)
+        }))
+      val polyRows = (0 until 2000).map { i =>
+        val (cx, cy) =
+          if (i < 5) (hotX - 0.015 + rnd.nextDouble() * 0.01,
+            hotY - 0.015 + rnd.nextDouble() * 0.01)
+          else (7.0 + rnd.nextDouble() * 0.9, 43.0 + rnd.nextDouble() * 0.9)
+        (i.toLong, boxWkb(cx, cy))
+      }
+      def run(label: String, skewed: Boolean, skewJoin: Boolean): Unit = {
+        val s = spark.newSession()
+        import s.implicits._
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        s.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          (1 << 20).toString)
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          (1 << 20).toString)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val polys = polyRows.toDF("poly_id", "wkb")
+        val j = osm.SpatialJoin.pointInPolygon(ptsOn(s, skewed), "x", "y",
+          polys, "wkb", cellDeg = 0.01).select(col("pt_id"))
+        val t0 = System.nanoTime()
+        val rows = j.collect().length
+        val dt = (System.nanoTime() - t0) / 1e9
+        val plan = j.queryExecution.executedPlan.toString
+        val skewMark = if (plan.contains("skew=true")) "skew-split" else "no-split"
+        println(f"$label: $dt%.2f s ($rows pairs, $skewMark)")
+      }
+      run("uniform            ", skewed = false, skewJoin = true)
+      run("skew90 skewJoin=off", skewed = true, skewJoin = false)
+      run("skew90 skewJoin=on ", skewed = true, skewJoin = true)
+      run("uniform (rep2)     ", skewed = false, skewJoin = true)
+      run("skew90 off (rep2)  ", skewed = true, skewJoin = false)
+      run("skew90 on  (rep2)  ", skewed = true, skewJoin = true)
     } else if (name == "vocabscale") {
       // tokenizer-serving kernels at PRODUCTION vocabulary sizes: the
       // gates run 200-piece vocabularies; a real WordPiece/unigram/BPE

@@ -86,6 +86,64 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(rows.sorted == Seq(1L, 2L)) // once each, despite ~2400 cell replicas
   }
 
+  test("hot-cell skew: AQE skew-split engages and results are unchanged") {
+    // 90% of all points land in ONE grid cell — the dense-city shape the
+    // scaladoc claims is "ordinary join skew — AQE splits them". Prove
+    // it: with skew thresholds scaled to test data volume (the 100 TB
+    // deployment uses the defaults, which sit in the same ratio to its
+    // partition sizes), the executed plan must carry the skew marker.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "65536")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    // both sides must shuffle: a broadcast join would (correctly) make
+    // skew irrelevant, but here we exercise the big×big path
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val hotX = 7.4005; val hotY = 43.7005
+    def ptsOn(sess: SparkSession) = sess.range(0, 120000).select(
+      col("id").as("pt_id"),
+      when(col("id") % 10 < 9,
+          lit(hotX) + (rand(11) - 0.5) * 0.008) // inside one 0.01° cell
+        .otherwise(lit(7.0) + rand(12) * 0.9).as("x"),
+      when(col("id") % 10 < 9,
+          lit(hotY) + (rand(13) - 0.5) * 0.008)
+        .otherwise(lit(43.0) + rand(14) * 0.9).as("y"))
+    val rnd = new scala.util.Random(21)
+    val polyRows = (0 until 60).map { i =>
+      // first few boxes cover the hot cell, the rest scatter
+      val (cx, cy) =
+        if (i < 5) (hotX - 0.01 + rnd.nextDouble() * 0.01,
+          hotY - 0.01 + rnd.nextDouble() * 0.01)
+        else (7.0 + rnd.nextDouble() * 0.9, 43.0 + rnd.nextDouble() * 0.9)
+      (i.toLong, poly((cx, cy), (cx + 0.02, cy), (cx + 0.02, cy + 0.02),
+        (cx, cy + 0.02)))
+    }
+    def polysOn(sess: SparkSession) = {
+      import sess.implicits._
+      polyRows.toDF("poly_id", "wkb")
+    }
+    // collect THIS queryExecution (count() would spawn its own), so the
+    // AQE-final plan — where skew decisions materialize — is inspectable
+    val joined = SpatialJoin.pointInPolygon(ptsOn(s), "x", "y", polysOn(s),
+      "wkb", cellDeg = 0.01).select("pt_id")
+    val nAqe = joined.collect().length.toLong
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), "AQE skew-split did not engage:\n" +
+      plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // same join without AQE (deterministic generators): identical count
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val nPlain = SpatialJoin.pointInPolygon(ptsOn(s2), "x", "y",
+      polysOn(s2), "wkb", cellDeg = 0.01).count()
+    assert(nAqe == nPlain && nAqe > 0)
+  }
+
   test("real monaco buildings: grid join equals the per-polygon filter") {
     val (features, cuts) = OsmPipeline.featuresWithCuts(spark,
       Seq("/root/reference/tests/test_files/monaco.osm.pbf"),
