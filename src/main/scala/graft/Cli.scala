@@ -91,6 +91,19 @@ object Cli {
         .map(h => GeometryFilters.geohashesToGeometry(h.split(",").map(_.trim).toSeq)))
       .orElse(flags.get("geom-filter-index-s2").map(t =>
         S2Cells.tokensToGeometry(t.split(",").toSeq)))
+      // PERMANENT descope (decided round 9): the reference resolves H3
+      // cells by shelling into DuckDB's community h3 extension
+      // (cli.py:190-225) — no such dependency exists here, and a
+      // hand-ported icosahedral cellToBoundary would ship unverifiable
+      // (no offline oracle). Fail with the supported alternatives
+      // instead of silently ignoring the flag.
+      .orElse(flags.get("geom-filter-index-h3").map(_ =>
+        throw new IllegalArgumentException(
+          "--geom-filter-index-h3 is not supported (the reference " +
+            "delegates H3 to DuckDB's community h3 extension; no " +
+            "offline equivalent). Use --geom-filter-index-geohash, " +
+            "--geom-filter-index-s2, --geom-filter-bbox, " +
+            "--geom-filter-wkt or --geom-filter-geojson-file.")))
       // the reference geocodes through Nominatim (cli.py:144-160); offline
       // the same flag resolves against a local gazetteer GeoJSON
       .orElse(flags.get("geom-filter-geocode").map { q =>
@@ -102,6 +115,13 @@ object Cli {
           new Geocode.GazetteerGeocoder(gaz))
       })
     geom.foreach(g => opts = opts.copy(geometryWkt = Some(g.toText)))
+    // reference parity (pbf_file_reader.py:4029,4089): a geometry filter
+    // clamps the spatial-sort curve frame to its bounds, so the same
+    // region tiles identically across runs over different extracts
+    val sortExtent = geom.map { g =>
+      val e = g.getEnvelopeInternal
+      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -150,7 +170,7 @@ object Cli {
           sortResult = flags.contains("sort"),
           wktResult = flags.contains("wkt-result"),
           ignoreCache = flags.contains("ignore-cache"),
-          sortAlgorithm = sortAlgorithm)
+          sortAlgorithm = sortAlgorithm, sortExtent = sortExtent)
         println(s"graft: wrote $out")
       } else {
         var (features, cuts) = OsmPipeline.featuresWithCuts(spark, positional, opts)
@@ -160,7 +180,7 @@ object Cli {
           if (flags.contains("wkt-result")) GeoParquet.writeWkt(features, output)
           else GeoParquet.write(features, output,
             sortSpatially = flags.contains("sort"),
-            sortAlgorithm = sortAlgorithm)
+            sortAlgorithm = sortAlgorithm, sortExtent = sortExtent)
         } finally cuts.release()
         println(s"graft: wrote $output")
       }

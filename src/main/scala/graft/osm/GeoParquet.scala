@@ -45,12 +45,26 @@ object GeoParquet {
     * post-pass. `singleFile=true` reproduces the reference's one-file
     * output (S4); false keeps one file per partition (S3).
     * `sortAlgorithm`: `"str"` (Sort-Tile-Recursive packing — the
-    * reference's DEFAULT, pbf_file_reader.py:347-376) or `"hilbert"`. */
+    * reference's DEFAULT, pbf_file_reader.py:347-376) or `"hilbert"`.
+    * `sortExtent` (reference `sort_extent`, pbf_file_reader.py:4369,
+    * populated from the geometry filter's bounds at 4029/4089): clamps
+    * the curve FRAME to a caller-provided (xmin, ymin, xmax, ymax)
+    * instead of the data's own bbox — the sort order of a region's
+    * features then no longer depends on which subset of them is present
+    * in this particular write (stable tiling across incremental runs of
+    * the same filter region). Out-of-extent centers saturate at the
+    * frame boundary. The FOOTER bbox stays the data's real extent (the
+    * GeoParquet-spec contract) regardless. */
   def write(features: DataFrame, path: String, singleFile: Boolean = true,
       sortSpatially: Boolean = false, covering: Boolean = false,
-      maxRecordsPerFile: Long = 0L, sortAlgorithm: String = "str"): Unit = {
+      maxRecordsPerFile: Long = 0L, sortAlgorithm: String = "str",
+      sortExtent: Option[(Double, Double, Double, Double)] = None): Unit = {
     require(Set("str", "hilbert")(sortAlgorithm),
       s"sortAlgorithm must be str|hilbert, got $sortAlgorithm")
+    sortExtent.foreach { case (x0, y0, x1, y1) =>
+      require(x0 <= x1 && y0 <= y1,
+        s"sortExtent must be (xmin, ymin, xmax, ymax), got ($x0,$y0,$x1,$y1)")
+    }
     val spark = features.sparkSession
     // The upstream plan (a full conversion DAG) is consumed two or three
     // times below (stats pass, optional sort, write) — materialize it
@@ -60,7 +74,7 @@ object GeoParquet {
     val mat = features.withColumn("_ext", extentUdf(col("geometry")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try writeMaterialized(spark, mat, path, singleFile, sortSpatially, covering,
-      maxRecordsPerFile, sortAlgorithm)
+      maxRecordsPerFile, sortAlgorithm, sortExtent)
     finally mat.unpersist(blocking = false)
   }
 
@@ -68,7 +82,8 @@ object GeoParquet {
   private def writeMaterialized(spark: org.apache.spark.sql.SparkSession,
       typed: DataFrame, path: String, singleFile: Boolean,
       sortSpatially: Boolean, covering: Boolean = false,
-      maxRecordsPerFile: Long = 0L, sortAlgorithm: String = "str"): Unit = {
+      maxRecordsPerFile: Long = 0L, sortAlgorithm: String = "str",
+      sortExtent: Option[(Double, Double, Double, Double)] = None): Unit = {
     // one combined stats pass: bbox (4 min/max) + distinct geometry types
     // + row count (STR needs it for its slice count)
     val stats = typed.agg(
@@ -90,8 +105,8 @@ object GeoParquet {
     val sorted =
       if (!sortSpatially) typed
       else if (sortAlgorithm == "hilbert")
-        spatialSortWithExt(typed, bbox, singleFile)
-      else strSortWithExt(typed, n, StrLeafRows, singleFile)
+        spatialSortWithExt(typed, sortExtent.getOrElse(bbox), singleFile)
+      else strSortWithExt(typed, n, StrLeafRows, singleFile, sortExtent)
     // GeoParquet 1.1 per-row bbox covering column: with the spatial sort,
     // parquet row-group min/max stats on these four doubles prune
     // row groups on bbox reads ([[readCovered]]) — the at-scale spatial
@@ -250,11 +265,18 @@ object GeoParquet {
       singleOutput: Boolean = false): DataFrame = {
     val extentUdf = udf(GeomUdfs.extent)
     val typed = features.withColumn("_ext", extentUdf(col("geometry")))
-    strSortWithExt(typed, typed.count(), leafRows, singleOutput).drop("_ext")
+    strSortWithExt(typed, typed.count(), leafRows, singleOutput, None)
+      .drop("_ext")
   }
 
+  /** `sortExtent`: saturate feature centers into the caller's frame
+    * before slicing — STR's equal-count slicing is data-driven either
+    * way, so the extent's effect is pinning every OUT-of-extent feature
+    * to the frame boundary (deterministic placement independent of how
+    * far outside it sits), matching the Hilbert path's clamp. */
   private def strSortWithExt(typed: DataFrame, n: Long, leafRows: Int,
-      singleOutput: Boolean): DataFrame = {
+      singleOutput: Boolean,
+      sortExtent: Option[(Double, Double, Double, Double)]): DataFrame = {
     val canonical = math.max(1,
       math.ceil(math.sqrt(n.toDouble / leafRows)).toInt)
     // Multi-file output: never let the canonical slice count UNDERshoot the
@@ -270,9 +292,15 @@ object GeoParquet {
           math.max(canonical.toLong, parallel.toLong),
           n / 10000L)).toInt
       }
+    def clampX(c: org.apache.spark.sql.Column) = sortExtent
+      .map { case (x0, _, x1, _) => least(greatest(c, lit(x0)), lit(x1)) }
+      .getOrElse(c)
+    def clampY(c: org.apache.spark.sql.Column) = sortExtent
+      .map { case (_, y0, _, y1) => least(greatest(c, lit(y0)), lit(y1)) }
+      .getOrElse(c)
     val cxed = typed
-      .withColumn("_cx", (col("_ext._1") + col("_ext._3")) / 2)
-      .withColumn("_cy", (col("_ext._2") + col("_ext._4")) / 2)
+      .withColumn("_cx", clampX((col("_ext._1") + col("_ext._3")) / 2))
+      .withColumn("_cy", clampY((col("_ext._2") + col("_ext._4")) / 2))
     val parted =
       if (slices == 1)
         (if (singleOutput) cxed.coalesce(1) else cxed.repartitionByRange(1, col("_cx")))

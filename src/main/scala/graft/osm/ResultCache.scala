@@ -110,7 +110,8 @@ object ResultCache {
       opts: OsmPipeline.Options = OsmPipeline.Options(),
       workDir: String = "files", explodeTags: Boolean = false,
       sortResult: Boolean = true, wktResult: Boolean = false,
-      ignoreCache: Boolean = false, sortAlgorithm: String = "str"): String = {
+      ignoreCache: Boolean = false, sortAlgorithm: String = "str",
+      sortExtent: Option[(Double, Double, Double, Double)] = None): String = {
     val out = resultFilePath(workDir, pbfPaths, opts, explodeTags,
       sortResult, wktResult)
     // marker through the Hadoop FileSystem, mirroring how GeoParquet.write
@@ -127,7 +128,7 @@ object ResultCache {
         features = OsmPipeline.dropEmptyColumns(OsmPipeline.explodeTags(features))
       if (wktResult) GeoParquet.writeWkt(features, out)
       else GeoParquet.write(features, out, sortSpatially = sortResult,
-        sortAlgorithm = sortAlgorithm)
+        sortAlgorithm = sortAlgorithm, sortExtent = sortExtent)
     } finally cuts.release()
     fs.create(marker, true).close()
     out

@@ -61,6 +61,19 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("H3 filter fails loudly naming the supported alternatives") {
+    // permanent descope (cli.py:190-225 shells into DuckDB's community h3
+    // extension): the flag must error with guidance, never be silently
+    // ignored (which would convert the WHOLE extract)
+    val e = intercept[IllegalArgumentException] {
+      Cli.main(Array(Monaco, "--output", "/tmp/never-written",
+        "--geom-filter-index-h3", "8a3969a40ac7fff"))
+    }
+    assert(e.getMessage.contains("geom-filter-index-h3") &&
+      e.getMessage.contains("geom-filter-index-s2") &&
+      e.getMessage.contains("geom-filter-index-geohash"))
+  }
+
   test("exploded CLI output has per-key columns") {
     val out = java.nio.file.Files.createTempDirectory("cli").toString + "/expl"
     Cli.main(Array(

@@ -93,6 +93,59 @@ class GeoParquetSpec extends AnyFunSuite {
       s"monotone fraction ${increasingRuns.toDouble / (ys.length - 1)}")
   }
 
+  test("sortExtent clamps the curve frame: subset order matches full-set order") {
+    // reference sort_extent semantics (pbf_file_reader.py:4029,4089,4369):
+    // the geometry filter's bounds fix the curve frame, so two writes over
+    // DIFFERENT subsets of a region order shared features identically —
+    // without the extent, each write's own data bbox warps the curve.
+    import spark.implicits._
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val w = new org.locationtech.jts.io.WKBWriter()
+    val rnd = new scala.util.Random(5)
+    val feats = (0 until 240).map { i =>
+      val x = 7.0 + rnd.nextDouble() * 0.8
+      val y = 43.0 + rnd.nextDouble() * 0.8
+      (i.toLong, w.write(gf.createPoint(
+        new org.locationtech.jts.geom.Coordinate(x, y))))
+    }
+    val frame = Some((7.0, 43.0, 8.0, 44.0))
+    def order(rows: Seq[(Long, Array[Byte])],
+        extent: Option[(Double, Double, Double, Double)]): Seq[Long] = {
+      val out = java.nio.file.Files.createTempDirectory("sortext").toString + "/f"
+      GeoParquet.write(rows.toDF("feature_id", "geometry"), out,
+        singleFile = true, sortSpatially = true, sortAlgorithm = "hilbert",
+        sortExtent = extent)
+      spark.read.parquet(out).select("feature_id")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val full = order(feats, frame)
+    // a skewed subset: the 80 lowest-x features (its own bbox is ~1/10th
+    // of the frame, so un-clamped curve indexes would differ wildly)
+    val subset = feats.sortBy { case (_, wkb) =>
+      new org.locationtech.jts.io.WKBReader(gf).read(wkb).getCoordinate.x
+    }.take(80)
+    val sub = order(subset, frame)
+    val subIds = subset.map(_._1).toSet
+    assert(sub == full.filter(subIds.contains),
+      "subset must inherit the full-set relative order under a fixed frame")
+    // STR path accepts the extent too: far-outlier centers saturate at the
+    // frame boundary instead of stretching the slicing
+    val withOutlier = feats :+ (999L, w.write(gf.createPoint(
+      new org.locationtech.jts.geom.Coordinate(170.0, 80.0))))
+    val out2 = java.nio.file.Files.createTempDirectory("sortext").toString + "/s"
+    GeoParquet.write(withOutlier.toDF("feature_id", "geometry"), out2,
+      singleFile = true, sortSpatially = true, sortAlgorithm = "str",
+      sortExtent = frame)
+    val back = spark.read.parquet(out2).select("feature_id")
+      .collect().map(_.getLong(0))
+    assert(back.length == 241 && back.contains(999L))
+    // bad extent fails loudly
+    intercept[IllegalArgumentException] {
+      GeoParquet.write(feats.toDF("feature_id", "geometry"),
+        out2 + "x", sortSpatially = true, sortExtent = Some((8.0, 43.0, 7.0, 44.0)))
+    }
+  }
+
   test("empty feature set still writes a GeoParquet file with geo footer") {
     val out = java.nio.file.Files.createTempDirectory("gpq").toString + "/empty"
     // a tag filter matching nothing → zero features, degenerate bbox;
