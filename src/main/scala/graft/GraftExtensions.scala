@@ -74,6 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.WordpieceExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("wordpiece_ids"),
+      new ExpressionInfo(classOf[graft.functions.WordpieceIdsExpr].getName,
+        "wordpiece_ids"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.WordpieceIdsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("viterbi_segment"),
       new ExpressionInfo(classOf[graft.functions.ViterbiSegmentExpr].getName,
         "viterbi_segment"),

@@ -137,6 +137,8 @@ object SparkEntry {
     "d35_bpe_deep" -> (T.d35BpeDeep _),
     "d36_wordpiece" -> (T.d36Wordpiece _),
     "d37_viterbi_segment" -> (T.d37ViterbiSegment _),
+    "d38_token_ids" -> (T.d38TokenIds _),
+    "d39_pack_ids" -> (T.d39PackIds _),
     "d33_bpe_chars" -> (T.d33BpeChars _),
     "d34_bpe_vocab" -> (T.d34BpeVocab _),
     // multimodal (binary payload) pipeline
@@ -1572,6 +1574,33 @@ object SparkEntry {
           |SELECT w, CAST((c + 1099511627776 - 1) // 1099511627776 AS BIGINT) AS n_pieces,
           |  CAST(((c + 1099511627776 - 1) // 1099511627776) * 1099511627776 - c AS BIGINT) AS freq_sum
           |FROM fin, guard ORDER BY w""".stripMargin),
+    // model-input token ids: greedy WordPiece against the d36 vocab in
+    // (count desc, piece asc) ID order; per-doc id-stream digest
+    "d38_token_ids" -> (tokenIdCtes +
+      """
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  md5(coalesce(array_to_string(ids, ','), '')) AS ids_md5,
+        |  CAST(ids[1] AS BIGINT) AS first_id,
+        |  CAST(ids[len(ids)] AS BIGINT) AS last_id
+        |FROM alldocs ORDER BY doc_id""".stripMargin),
+    // fixed-length LM packing: per-lang stream (doc_id order, one EOS =
+    // |vocab| after each doc) cut into exact 256-id rows. The oracle
+    // builds each shard's whole stream as one list (single-node
+    // privilege); the engine's slice-explode + (shard, seq) shuffle
+    // must produce identical rows
+    "d39_pack_ids" -> (tokenIdCtes +
+      """,
+        |dl AS (SELECT doc_id, lang,
+        |    list_append(ids, (SELECT CAST(count(*) AS INTEGER) FROM vid)) AS ids
+        |  FROM alldocs),
+        |stream AS (SELECT lang, flatten(list(ids ORDER BY doc_id)) AS st
+        |  FROM dl GROUP BY lang),
+        |chunks AS (SELECT lang, CAST(s // 256 AS BIGINT) AS seq_idx,
+        |    list_slice(st, s + 1, least(s + 256, len(st))) AS ids
+        |  FROM stream, unnest(range(0, len(st), 256)) r(s))
+        |SELECT lang, seq_idx, CAST(len(ids) AS BIGINT) AS n_ids,
+        |  md5(array_to_string(ids, ',')) AS ids_md5
+        |FROM chunks ORDER BY lang, seq_idx""".stripMargin),
     // character-level BPE: per-word-occurrence symbol rows (chars +
     // </w>), keyed (doc_id, wi) so merges never cross word boundaries
     "d33_bpe_chars" -> ("WITH d AS (\n" +
@@ -1722,6 +1751,48 @@ object SparkEntry {
   /** One DP layer of the d37 Viterbi oracle: the cheapest cost to
     * consume exactly `k` characters, relaxing from the 1..4 prior
     * layers through the frequency-weighted vocab. */
+  /** Shared d38/d39 oracle prefix: the d36 vocabulary with counts in ID
+    * order (count desc, piece asc → row_number - 1), greedy WordPiece
+    * segmentation of every DISTINCT word via the recursive longest-
+    * prefix CTE, per-word id lists, per-document id streams (empty docs
+    * keep an empty stream). */
+  private val tokenIdCtes: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |toks AS (SELECT unnest(ws) AS w FROM docs),
+      |gc AS (
+      |  SELECT substr(w, i, n) AS g, count(*) AS c
+      |  FROM toks, unnest(range(1, len(w) + 1)) r(i), unnest(range(1, 5)) s(n)
+      |  WHERE i + n - 1 <= len(w) GROUP BY 1),
+      |topg AS (SELECT g AS piece, c FROM (SELECT g, c FROM gc ORDER BY c DESC, g LIMIT 200) t),
+      |chars AS (SELECT g AS piece, c FROM gc WHERE len(g) = 1),
+      |vid AS (
+      |  SELECT piece, CAST(row_number() OVER (ORDER BY c DESC, piece) - 1 AS INTEGER) AS pid
+      |  FROM (SELECT DISTINCT piece, c FROM (SELECT * FROM topg UNION ALL SELECT * FROM chars)) v),
+      |words AS (SELECT DISTINCT w FROM toks),
+      |seg AS (
+      |  WITH RECURSIVE s(w, pos, piece) AS (
+      |    SELECT w, 0, CAST(NULL AS VARCHAR) FROM words
+      |    UNION ALL
+      |    SELECT s.w, s.pos + m.l, substr(s.w, s.pos + 1, m.l)
+      |    FROM s, LATERAL (
+      |      SELECT max(len(v.piece)) AS l FROM vid v
+      |      WHERE v.piece = substr(s.w, s.pos + 1, len(v.piece))) m
+      |    WHERE s.pos < len(s.w) AND m.l IS NOT NULL)
+      |  SELECT w, pos, piece FROM s WHERE piece IS NOT NULL),
+      |wids AS (
+      |  SELECT seg.w, list(vid.pid ORDER BY seg.pos) AS wid
+      |  FROM seg JOIN vid ON vid.piece = seg.piece GROUP BY seg.w),
+      |dw AS (SELECT doc_id, i AS wpos, ws[i] AS w
+      |  FROM docs, unnest(range(1, len(ws) + 1)) r(i)),
+      |dids AS (SELECT dw.doc_id, flatten(list(wids.wid ORDER BY dw.wpos)) AS ids
+      |  FROM dw JOIN wids ON wids.w = dw.w GROUP BY dw.doc_id),
+      |alldocs AS (
+      |  SELECT d.doc_id, d.lang, coalesce(i.ids, CAST([] AS INTEGER[])) AS ids
+      |  FROM documents d LEFT JOIN dids i ON i.doc_id = d.doc_id)""".stripMargin
+
   private def viterbiLayerCte(k: Int): String = {
     val parts = (1 to math.min(4, k)).map { l =>
       s"SELECT p.w, p.c + 1099511627776 - vf.f AS c FROM b${k - l} p " +

@@ -190,6 +190,33 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[wordpiece]] emitting vocabulary IDS (the model-input encoding):
+    * identical greedy longest-match walk, each emitted piece mapped to
+    * its index in the caller's vocabulary array; an out-of-vocabulary
+    * single character (the only possible OOV emission) encodes as -1. */
+  def wordpieceIds(w: UTF8String,
+      ids: java.util.HashMap[UTF8String, Integer], maxLen: Int): ArrayData = {
+    val n = w.numChars()
+    if (n == 0) return new GenericArrayData(new Array[Int](0))
+    val out = new java.util.ArrayList[Integer](n)
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var emitted = false
+      while (l >= 1 && !emitted) {
+        val id = ids.get(w.substring(pos, pos + l))
+        if (id != null) {
+          out.add(id); pos += l; emitted = true
+        } else l -= 1
+      }
+      if (!emitted) { out.add(Integer.valueOf(-1)); pos += 1 }
+    }
+    val arr = new Array[Int](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i).intValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Optimal (Viterbi) segmentation of one word against a frequency-
     * weighted vocabulary — the unigram-LM serving shape (Kudo 2018's
     * decode step with integer scores): among all segmentations into
@@ -391,6 +418,7 @@ object TextExprs {
       exprs => ApplyBpeTableExpr(exprs(0), exprs(1), exprs(2)))
     reg1("char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)))
     reg1("wordpiece", exprs => WordpieceExpr(exprs(0), exprs(1)))
+    reg1("wordpiece_ids", exprs => WordpieceIdsExpr(exprs(0), exprs(1)))
     reg1("viterbi_segment",
       exprs => ViterbiSegmentExpr(exprs(0), exprs(1), exprs(2)))
   }
@@ -570,6 +598,76 @@ case class WordpieceExpr(first: Expression, second: Expression)
         if (!${ev.isNull}) {
           ${ev.value} = graft.functions.TextKernels.wordpiece(
             ${wCode.value}, $setRef, $maxLen);
+        }"""
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(first = newLeft, second = newRight)
+}
+
+/** wordpiece_ids(w, vocab) — [[WordpieceExpr]]'s greedy longest-match
+  * walk emitting vocabulary IDS (array<int>): piece id = its index in
+  * the FOLDABLE vocab array (first occurrence wins on duplicates), an
+  * out-of-vocabulary character emits -1. The model-input encoding step:
+  * downstream packing ([[graft.operators.CorpusOps.packTokenIds]])
+  * consumes these arrays directly. */
+case class WordpieceIdsExpr(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = second
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if second.foldable =>
+        if (second.eval() == null)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "vocabulary literal must not be null")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "vocabulary must be a literal (foldable) array")
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arguments must be (string, array<string> literal), got " +
+            s"(${first.dataType.simpleString}, ${second.dataType.simpleString})")
+    }
+  @transient private lazy val idMap: java.util.HashMap[UTF8String, Integer] = {
+    val ad = second.eval().asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[UTF8String, Integer](ad.numElements() * 2)
+    var i = 0
+    while (i < ad.numElements()) {
+      m.putIfAbsent(ad.getUTF8String(i).clone(), Integer.valueOf(i)): Unit
+      i += 1
+    }
+    m
+  }
+  @transient private lazy val maxLen: Int = {
+    var m = 1
+    val it = idMap.keySet().iterator()
+    while (it.hasNext) m = math.max(m, it.next().numChars())
+    m
+  }
+  override def nullable: Boolean = first.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val w = first.eval(input)
+    if (w == null) null
+    else TextKernels.wordpieceIds(w.asInstanceOf[UTF8String], idMap, maxLen)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("wpIds", idMap,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String," +
+        "java.lang.Integer>")
+    val wCode = first.genCode(ctx)
+    val code =
+      code"""
+        ${wCode.code}
+        boolean ${ev.isNull} = ${wCode.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextKernels.wordpieceIds(
+            ${wCode.value}, $mapRef, $maxLen);
         }"""
     ev.copy(code = code)
   }

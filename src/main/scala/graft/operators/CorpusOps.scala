@@ -1085,6 +1085,78 @@ object CorpusOps {
     call_function("wordpiece", word, lit(vocab.toArray))
   }
 
+  /** Greedy WordPiece encoding straight to VOCABULARY IDS (piece id =
+    * index in `vocab`; an out-of-vocabulary character encodes -1) —
+    * the model-input form of [[wordpieceEncode]], one
+    * [[graft.functions.WordpieceIdsExpr]] kernel node. */
+  def wordpieceIdsEncode(word: org.apache.spark.sql.Column,
+      vocab: Seq[String]): org.apache.spark.sql.Column = {
+    require(vocab.nonEmpty, "wordpieceIdsEncode: empty vocabulary")
+    call_function("wordpiece_ids", word, lit(vocab.toArray))
+  }
+
+  /** Every document encoded to its token-ID array: split to words, each
+    * word WordPiece-encoded to ids ([[wordpieceIdsEncode]]), per-doc
+    * concatenation — entirely inside one codegen span (no shuffle, no
+    * explode): (idCol, ids array<int>). */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], extraCols: Seq[String] = Nil): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    docs.select(col(idCol) +: extraCols.map(col) :+
+      flatten(transform(call_function("split_words", col(textCol)),
+        w => wordpieceIdsEncode(w, vocab))).as("ids"): _*)
+  }
+
+  /** Fixed-length sequence packing — the LM-input tensor shape: per
+    * shard, documents in `idCol` order are concatenated (each followed
+    * by one `eosId`) into a token stream, cut into rows of EXACTLY
+    * `seqLen` ids (the shard's final row keeps its natural shorter
+    * length). Output: (shard, seq_idx, n_ids, ids).
+    *
+    * Distributed shape: one per-shard window (running offset — same
+    * bounded-state-per-shard contract as the d18 token-budget packer),
+    * then each document EXPLODES into only the sequences it touches
+    * (≤ len/seqLen + 1 rows) carrying the matching slice of its ids,
+    * and a (shard, seq) aggregation reassembles slices in stream order
+    * via sort_array on (position, slice) structs. Token arrays shuffle
+    * once, keyed by the high-cardinality (shard, seq) — no global sort,
+    * no driver assembly, no per-shard single task beyond the window's
+    * own (the 100 TB knob is shard granularity). */
+  def packTokenIds(docs: DataFrame, idCol: String, shardCol: String,
+      idsCol: String, seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen >= 1, s"packTokenIds: seqLen must be >= 1, got $seqLen")
+    val L = seqLen.toLong
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g_shard")).orderBy(col("_g_id"))
+    val off = docs
+      .select(col(shardCol).as("_g_shard"), col(idCol).as("_g_id"),
+        concat(coalesce(col(idsCol), array().cast("array<int>")),
+          array(lit(eosId))).as("_g_ids"))
+      .withColumn("_g_len", size(col("_g_ids")).cast("long"))
+      .withColumn("_g_end", sum(col("_g_len")).over(w))
+      .withColumn("_g_start", col("_g_end") - col("_g_len"))
+    // _g_len >= 1 always (the appended eos), so the touched-sequence
+    // range [start/L, (end-1)/L] is never descending
+    val spans = off
+      .withColumn("_g_seq", explode(sequence(
+        floor(col("_g_start") / L), floor((col("_g_end") - 1) / L))))
+      .withColumn("_g_from",
+        greatest(lit(0L), col("_g_seq") * L - col("_g_start")))
+      .withColumn("_g_to",
+        least(col("_g_len"), (col("_g_seq") + 1) * L - col("_g_start")))
+      .select(col("_g_shard"), col("_g_seq"),
+        (col("_g_start") + col("_g_from")).as("_g_pos"),
+        slice(col("_g_ids"), (col("_g_from") + 1).cast("int"),
+          (col("_g_to") - col("_g_from")).cast("int")).as("_g_slice"))
+    spans
+      .groupBy(col("_g_shard").as("shard"), col("_g_seq").as("seq_idx"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("_g_pos"), col("_g_slice")))),
+        x => x.getField("_g_slice"))).as("ids"))
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+      .select(col("shard"), col("seq_idx"), col("n_ids"), col("ids"))
+  }
+
   /** Viterbi-EM-style vocabulary refinement (the hard-EM loop of a
     * unigram tokenizer, run on integer usage counts): each round
     * segments every DISTINCT word with the current piece scores

@@ -618,6 +618,50 @@ object TextQueries {
       .orderBy(col("w"))
   }
 
+  /** The d36 vocabulary in ID order — (count desc, piece asc), piece id
+    * = position. The SAME deterministic ordering both engines replay
+    * (binary string collation on ties in Spark and DuckDB alike). */
+  private def gateIdVocab(s: SparkSession, dir: String): Seq[String] =
+    gateVocab(s, dir).sortBy { case (p, n) => (-n, p) }.map(_._1)
+
+  /** d38: documents encoded to MODEL-INPUT token ids — every word
+    * greedy-WordPiece-segmented against the d36 vocabulary, pieces
+    * mapped to their (freq desc, piece asc) vocabulary index, per-doc
+    * concatenation, all inside one codegen span
+    * ([[CorpusOps.encodeIds]]). Output per doc: token count, md5 of the
+    * comma-joined id stream, first/last id. */
+  def d38TokenIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val enc = CorpusOps.encodeIds(docs, "doc_id", "text", gateIdVocab(s, dir))
+    enc.select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .as("ids_md5"),
+        get(col("ids"), lit(0)).cast("long").as("first_id"),
+        when(size(col("ids")) > 0,
+          get(col("ids"), size(col("ids")) - 1)).cast("long").as("last_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d39: fixed-length LM sequence packing — the id streams of d38,
+    * one EOS (= vocab size) after each document, packed per language
+    * shard into rows of exactly 256 ids ([[CorpusOps.packTokenIds]]:
+    * per-shard running-offset window + slice-explode + one (shard, seq)
+    * shuffle — documents spanning a cut contribute a slice to each
+    * side). Output: (lang, seq_idx, n_ids, ids_md5). */
+  def d39PackIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val vocab = gateIdVocab(s, dir)
+    val enc = CorpusOps.encodeIds(docs, "doc_id", "text", vocab,
+      extraCols = Seq("lang"))
+    CorpusOps.packTokenIds(enc, "doc_id", "lang", "ids",
+        seqLen = 256, eosId = vocab.size)
+      .select(col("shard").as("lang"), col("seq_idx"), col("n_ids"),
+        md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .as("ids_md5"))
+      .orderBy(col("lang"), col("seq_idx"))
+  }
+
   /** d33: character-level BPE ([[CorpusOps.trainBpeChars]], 3 rounds) —
     * the canonical within-word formulation: chars + `</w>` markers,
     * merges never cross word boundaries. */

@@ -350,6 +350,10 @@ class TextExprsSpec extends AnyFunSuite {
         .select(call_function("wordpiece",
           get(call_function("split_words", col("text")), lit(0)), wpVocab))
         .collect().map(_.getSeq[String](0))
+      def wpi() = docs
+        .select(call_function("wordpiece_ids",
+          get(call_function("split_words", col("text")), lit(0)), wpVocab))
+        .collect().map(_.getSeq[Int](0))
       def cn() = docs
         .select(call_function("char_ngrams",
           get(call_function("split_words", col("text")), lit(0)), lit(3)))
@@ -363,6 +367,7 @@ class TextExprsSpec extends AnyFunSuite {
         .collect().map(r =>
           if (r.isNullAt(0)) null else (r.getLong(0), r.getLong(1)))
       val (interpWp, interpCn, interpVs) = (wp(), cn(), vs())
+      val interpWpi = wpi()
       s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       val gen = docs.select(call_function("word_ngrams", col("text"), lit(3)))
         .collect().map(_.getSeq[String](0))
@@ -371,6 +376,7 @@ class TextExprsSpec extends AnyFunSuite {
       assert(interp.zip(gen).forall { case (a, b) => a == b })
       assert(interpH.zip(genH).forall { case (a, b) => a == b })
       assert(interpWp.zip(wp()).forall { case (a, b) => a == b })
+      assert(interpWpi.zip(wpi()).forall { case (a, b) => a == b })
       assert(interpCn.zip(cn()).forall { case (a, b) => a == b })
       assert(interpVs.zip(vs()).forall { case (a, b) => a == b })
     } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")

@@ -572,4 +572,66 @@ class CorpusOpsSpec extends AnyFunSuite {
     val s3 = w("gamma")
     assert(out(3L)._2 == (if (s3 > 0) "keep" else "drop"))
   }
+
+  test("encodeIds: ids are vocab indexes of the wordpiece pieces, -1 on OOV") {
+    import spark.implicits._
+    graft.functions.TextExprs.register(spark)
+    val vocab = Seq("ab", "a", "b", "c")
+    val docs = Seq((1L, "ab abc"), (2L, "xa"), (3L, "")).toDF("item", "body")
+    val got = CorpusOps.encodeIds(docs, "item", "body", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // greedy: "ab"->0; "abc" -> ab,c -> 0,3; "xa": x OOV -> -1, a -> 1
+    assert(got(1L) == Seq(0, 0, 3))
+    assert(got(2L) == Seq(-1, 1))
+    assert(got(3L) == Seq())
+    // cross-check against the piece-string kernel on a corpus slice
+    val real = graft.Tables.documents(spark, Sf).limit(50)
+    val rv = CorpusOps.wordpieceVocab(real, "text", topK = 100)
+    val pieces = real.select(col("doc_id"),
+        flatten(transform(call_function("split_words", col("text")),
+          w => CorpusOps.wordpieceEncode(w, rv))).as("ps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ids = CorpusOps.encodeIds(real, "doc_id", "text", rv)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val idx = rv.zipWithIndex.toMap
+    assert(pieces.keySet == ids.keySet)
+    for ((d, ps) <- pieces)
+      assert(ids(d) == ps.map(p => idx.getOrElse(p, -1)))
+  }
+
+  test("packTokenIds: exact seqLen rows, order-preserving round-trip") {
+    import spark.implicits._
+    graft.functions.TextExprs.register(spark)
+    val docs = graft.Tables.documents(spark, Sf)
+    val vocab = CorpusOps.wordpieceVocab(docs, "text", topK = 100)
+    val eos = vocab.size
+    val enc = CorpusOps.encodeIds(docs, "doc_id", "text", vocab,
+      extraCols = Seq("lang"))
+    val L = 64
+    val packed = CorpusOps.packTokenIds(enc, "doc_id", "lang", "ids", L, eos)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3)))
+    // every sequence is exactly L ids except each shard's last
+    val byShard = packed.groupBy(_._1)
+    for ((_, rows) <- byShard) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq ==
+        (0L until sorted.length.toLong).toSeq) // dense
+      sorted.dropRight(1).foreach { r => assert(r._3 == L && r._4.size == L) }
+      assert(sorted.last._3 >= 1 && sorted.last._3 <= L)
+    }
+    // round-trip: concatenating a shard's sequences reproduces the
+    // doc-order id stream with one eos after each document
+    val encRows = enc.collect().map(r =>
+      (r.getString(1), r.getLong(0), r.getSeq[Int](2))).toSeq
+    for ((shard, rows) <- byShard) {
+      val expected = encRows.filter(_._1 == shard).sortBy(_._2)
+        .flatMap(x => x._3 :+ eos)
+      val got = rows.sortBy(_._2).flatMap(_._4).toSeq
+      assert(got == expected, s"shard $shard stream mismatch")
+    }
+    // at least one document must straddle a cut for the spec to bite
+    val lens = encRows.map(_._3.size + 1)
+    assert(lens.exists(_ > 1) && packed.exists(_._2 > 0))
+  }
 }
