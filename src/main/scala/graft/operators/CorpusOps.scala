@@ -1107,6 +1107,17 @@ object CorpusOps {
         w => wordpieceIdsEncode(w, vocab))).as("ids"): _*)
   }
 
+  /** Token-ID decode — the serving inverse of [[encodeIds]]: each id
+    * maps back to its vocabulary piece and the pieces concatenate (a
+    * flat id stream carries no word boundaries, so the round-trip
+    * contract is character-level: decode(encode(text)) equals the
+    * lowercased text with all whitespace removed — spec-held). An id
+    * outside [0, |vocab|) (e.g. the -1 OOV marker) renders as U+FFFD
+    * instead of silently vanishing. */
+  def decodeIds(ids: org.apache.spark.sql.Column,
+      vocab: Seq[String]): org.apache.spark.sql.Column =
+    array_join(transform(ids, i => get(lit(vocab.toArray), i)), "", "�")
+
   /** Fixed-length sequence packing — the LM-input tensor shape: per
     * shard, documents in `idCol` order are concatenated (each followed
     * by one `eosId`) into a token stream, cut into rows of EXACTLY

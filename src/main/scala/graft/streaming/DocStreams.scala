@@ -108,6 +108,17 @@ object DocStreams {
   def scrubbed(docs: DataFrame): DataFrame =
     graft.operators.CorpusOps.scrubPii(docs, "text")
 
+  /** Continuous model-input tokenization: arrivals encode to token-ID
+    * arrays against a FROZEN vocabulary ([[graft.operators.CorpusOps
+    * .encodeIds]] unchanged on the stream — pure map, zero state), the
+    * d38 batch path bit-for-bit. The vocabulary is a driver artifact
+    * (snapshot semantics like the IVF-PQ encode twin: re-tokenizing
+    * under a NEW vocab is a new stream, exactly like production
+    * tokenizer rollouts). */
+  def tokenizeArrivals(docs: DataFrame, vocab: Seq[String]): DataFrame =
+    graft.operators.CorpusOps.encodeIds(docs, "doc_id", "text", vocab,
+      extraCols = Seq("lang"))
+
   /** Exact content dedup within the watermark: the md5 digest is the
     * dedup key (16 bytes of state per distinct document, expired by
     * event time — the streaming twin of d1/d2). */

@@ -599,6 +599,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(ids(d) == ps.map(p => idx.getOrElse(p, -1)))
   }
 
+  test("decodeIds round-trips: lowercased text minus whitespace, OOV visible") {
+    import spark.implicits._
+    graft.functions.TextExprs.register(spark)
+    val docs = graft.Tables.documents(spark, Sf)
+    val vocab = CorpusOps.wordpieceVocab(docs, "text", topK = 100)
+    val enc = CorpusOps.encodeIds(docs, "doc_id", "text", vocab)
+    val decoded = enc
+      .select(col("doc_id"), CorpusOps.decodeIds(col("ids"), vocab).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", "").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded == expected && decoded.nonEmpty)
+    // an OOV char (absent from the harvested alphabet) decodes to U+FFFD
+    val oov = Seq((1L, "abþ")).toDF("item", "body")
+    val d = CorpusOps.encodeIds(oov, "item", "body", Seq("a", "b"))
+      .select(CorpusOps.decodeIds(col("ids"), Seq("a", "b")))
+      .head().getString(0)
+    assert(d == "ab�")
+  }
+
   test("packTokenIds: exact seqLen rows, order-preserving round-trip") {
     import spark.implicits._
     graft.functions.TextExprs.register(spark)

@@ -93,6 +93,18 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming tokenization equals the d38 batch encode bit-for-bit") {
+    val vocab = graft.operators.CorpusOps
+      .wordpieceVocab(batchDocs, "text", topK = 100)
+    val got = EventStreams.runToCompletion(
+      DocStreams.tokenizeArrivals(stream, vocab), "doc_tokenize")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val expected = graft.operators.CorpusOps
+      .encodeIds(batchDocs, "doc_id", "text", vocab, extraCols = Seq("lang"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("streaming dedup of a self-unioned feed keeps d2's unique count") {
     val doubled = stream.union(stream)
     val got = EventStreams.runToCompletion(
