@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.CharNgramsExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.CharGramHashesExpr].getName,
+        "char_gram_hashes"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CharGramHashesExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("wordpiece"),
       new ExpressionInfo(classOf[graft.functions.WordpieceExpr].getName,
         "wordpiece"),

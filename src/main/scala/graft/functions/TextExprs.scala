@@ -190,6 +190,29 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Sampled character-k-gram fingerprint hashes of one document — all
+    * positions' `md5Prefix28(substr(s, pos, k))` with only `h % modP
+    * == 0` kept (the winnowing-style 1/modP sample), in ONE kernel
+    * call. The composable form (`explode(sequence(...))` then
+    * `md5_prefix28(substr(text, pos, k))`) copies the WHOLE document
+    * text into every exploded row before the projection trims it —
+    * O(len²) bytes through the exchange-free pipeline; this emits the
+    * surviving longs directly. Bit-identical to the SQL form (same
+    * substring, same 28-bit md5 prefix), so the DuckDB oracle is
+    * unchanged. */
+  def charGramHashes(s: UTF8String, k: Int, modP: Int): ArrayData = {
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(new Array[Long](0))
+    val out = new java.util.ArrayList[Any](n / math.max(1, modP) + 8)
+    var pos = 0
+    while (pos + k <= n) {
+      val h = PortableHash.md5Prefix28(s.substring(pos, pos + k))
+      if (h % modP == 0) out.add(java.lang.Long.valueOf(h))
+      pos += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** [[wordpiece]] emitting vocabulary IDS (the model-input encoding):
     * identical greedy longest-match walk, each emitted piece mapped to
     * its index in the caller's vocabulary array; an out-of-vocabulary
@@ -417,6 +440,8 @@ object TextExprs {
     reg1("apply_bpe_table",
       exprs => ApplyBpeTableExpr(exprs(0), exprs(1), exprs(2)))
     reg1("char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)))
+    reg1("char_gram_hashes",
+      exprs => CharGramHashesExpr(exprs(0), exprs(1), exprs(2)))
     reg1("wordpiece", exprs => WordpieceExpr(exprs(0), exprs(1)))
     reg1("wordpiece_ids", exprs => WordpieceIdsExpr(exprs(0), exprs(1)))
     reg1("viterbi_segment",
@@ -604,6 +629,34 @@ case class WordpieceExpr(first: Expression, second: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression =
     copy(first = newLeft, second = newRight)
+}
+
+/** char_gram_hashes(s, k, modP) — sampled character-k-gram fingerprint
+  * hashes ([[TextKernels.charGramHashes]]); the x13 substring-dedup hot
+  * path in one codegen node. */
+case class CharGramHashesExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arguments must be (string, int, int), got " +
+            s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+            s"${third.dataType.simpleString})")
+    }
+  override protected def nullSafeEval(s: Any, k: Any, m: Any): Any =
+    TextKernels.charGramHashes(s.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k, m) =>
+      s"graft.functions.TextKernels.charGramHashes($s, $k, $m)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** wordpiece_ids(w, vocab) — [[WordpieceExpr]]'s greedy longest-match

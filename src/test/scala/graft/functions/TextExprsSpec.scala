@@ -259,6 +259,38 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("char_gram_hashes equals the explode/substr/md5_prefix28 form exactly") {
+    val s = spark
+    graft.functions.Md5Prefix28Expr.register(s)
+    val k = 5; val modP = 4
+    val composable = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"),
+        call_function("md5_prefix28", expr(s"substr(text, p, $k)")).as("h"))
+      .filter(pmod(col("h"), lit(modP.toLong)) === 0)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def kernel() = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), call_function("char_gram_hashes",
+        col("text"), lit(k), lit(modP)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    try {
+      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = kernel()
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = kernel()
+      assert(gen == interp)
+      // docs long enough to have grams AND surviving samples must agree
+      for ((d, hs) <- composable) assert(gen(d) == hs, s"doc $d")
+      // short docs yield an empty array, not an error
+      assert(gen.keySet.diff(composable.keySet)
+        .forall(d => gen(d).isEmpty))
+    } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("apply_bpe_table: ranked fast path is bit-identical to the sequential fold") {
     val s = spark
     import s.implicits._
