@@ -264,6 +264,38 @@ object DevProfile {
         println(f"pass$r: x2=${(t1 - t0) / 1e9}%.2f s ($nPairs pairs) " +
           f"x8=${(t2 - t1) / 1e9}%.2f s ($nClusters clusters)")
       }
+    } else if (name == "packscale") {
+      // tokenize-and-pack scaling: replicate documents `reps` times
+      // (offset ids, replica-suffixed lang so shard count grows with the
+      // corpus — the 100 TB deployment shape: many bounded shards, not
+      // one giant per-shard window) and time d38-style encode + d39
+      // packing. Both should scale near-linearly with the corpus; the
+      // vocab is harvested ONCE from the base corpus and frozen.
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nBase = base.count()
+      val vocab = operators.CorpusOps.wordpieceVocab(base, "text", topK = 2000)
+      val big = (0 until reps).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"), concat(col("lang"), lit(s"_$i")).as("lang"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"corpus: ${nBase * reps} docs (${reps}x), vocab ${vocab.size}")
+      try {
+        for (r <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val enc = operators.CorpusOps.encodeIds(big, "doc_id", "text",
+            vocab, extraCols = Seq("lang"))
+          val nTok = enc.agg(sum(size(col("ids")))).head().getLong(0)
+          val t1 = System.nanoTime()
+          val packed = operators.CorpusOps.packTokenIds(enc, "doc_id",
+            "lang", "ids", 2048, vocab.size)
+          val nSeq = packed.count()
+          val t2 = System.nanoTime()
+          println(f"pass$r: encode=${(t1 - t0) / 1e9}%.2f s ($nTok tokens) " +
+            f"pack=${(t2 - t1) / 1e9}%.2f s ($nSeq seqs)")
+        }
+      } finally big.unpersist()
     } else if (name == "retscale") {
       // retrieval scaling: replicate documents `reps` times (offset ids)
       // and compare BM25 full-scan vs persisted-index probe as the corpus
