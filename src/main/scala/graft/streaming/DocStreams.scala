@@ -108,6 +108,62 @@ object DocStreams {
   def scrubbed(docs: DataFrame): DataFrame =
     graft.operators.CorpusOps.scrubPii(docs, "text")
 
+  /** Per-shard packer state: next sequence index to emit + the ids still
+    * short of a full sequence. Bounded: `pending` is always < seqLen. */
+  case class PackState(seqIdx: Long, pending: Seq[Int])
+  case class PackedSeq(lang: String, seq_idx: Long, n_ids: Long,
+      ids: Seq[Int])
+
+  /** CONTINUOUS fixed-length sequence packing — the streaming twin of
+    * [[graft.operators.CorpusOps.packTokenIds]] via
+    * `flatMapGroupsWithState`: per language shard, arriving documents
+    * encode ([[tokenizeArrivals]] semantics, one EOS per doc) into a
+    * running token stream; every COMPLETE `seqLen`-id row emits
+    * immediately and the (< seqLen) remainder carries in state to meet
+    * the next micro-batch — a partial sequence is not an output, it is
+    * unfinished work, exactly the production contract of a continuous
+    * pretraining-data packer. State per shard is bounded by seqLen ids
+    * regardless of stream length.
+    *
+    * Ordering: documents pack in doc_id order WITHIN a micro-batch and
+    * in arrival order across batches — identical to the batch packer
+    * when the feed is id-ordered (the spec's single-batch case holds
+    * completed rows bit-for-bit to d39's). */
+  def packArrivals(docs: DataFrame, vocab: Seq[String],
+      seqLen: Int): org.apache.spark.sql.Dataset[PackedSeq] = {
+    require(seqLen >= 1, s"packArrivals: seqLen must be >= 1, got $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val eos = vocab.size
+    tokenizeArrivals(docs, vocab)
+      .select(col("lang"), col("doc_id"), col("ids"))
+      .as[(String, Long, Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedSeq](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, Long, Seq[Int])],
+            state: org.apache.spark.sql.streaming.GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, Vector.empty))
+          val buf = scala.collection.mutable.ArrayBuffer[Int]()
+          buf ++= st.pending
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, ids) =>
+            buf ++= ids; buf += eos
+          }
+          val out = scala.collection.mutable.ArrayBuffer[PackedSeq]()
+          var seq = st.seqIdx
+          var off = 0
+          while (buf.length - off >= seqLen) {
+            out += PackedSeq(lang, seq, seqLen.toLong,
+              buf.slice(off, off + seqLen).toVector)
+            seq += 1
+            off += seqLen
+          }
+          state.update(PackState(seq, buf.drop(off).toVector))
+          out.iterator
+      }
+  }
+
   /** Continuous model-input tokenization: arrivals encode to token-ID
     * arrays against a FROZEN vocabulary ([[graft.operators.CorpusOps
     * .encodeIds]] unchanged on the stream — pure map, zero state), the

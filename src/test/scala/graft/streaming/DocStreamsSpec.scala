@@ -105,6 +105,27 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming packer emits d39's complete sequences, partials stay in state") {
+    val vocab = graft.operators.CorpusOps
+      .wordpieceVocab(batchDocs, "text", topK = 100)
+    val L = 128
+    val got = EventStreams.runToCompletion(
+      DocStreams.packArrivals(stream, vocab, L).toDF(), "doc_pack")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getSeq[Int](3))).toMap
+    val enc = graft.operators.CorpusOps.encodeIds(batchDocs, "doc_id",
+      "text", vocab, extraCols = Seq("lang"))
+    val batch = graft.operators.CorpusOps
+      .packTokenIds(enc, "doc_id", "lang", "ids", L, vocab.size)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getSeq[Int](3))).toMap
+    // the stream emits exactly the COMPLETE batch rows (each shard's
+    // trailing partial is unfinished work held in state, not output)
+    val completed = batch.filter(_._2._1 == L)
+    assert(got == completed && got.nonEmpty)
+    assert(batch.size > completed.size, "spec needs at least one partial")
+  }
+
   test("streaming dedup of a self-unioned feed keeps d2's unique count") {
     val doubled = stream.union(stream)
     val got = EventStreams.runToCompletion(
