@@ -201,9 +201,11 @@ object TextKernels {
     * substring, same 28-bit md5 prefix), so the DuckDB oracle is
     * unchanged. */
   def charGramHashes(s: UTF8String, k: Int, modP: Int): ArrayData = {
+    require(k >= 1 && modP >= 1,
+      s"char_gram_hashes: k and modP must be >= 1, got ($k, $modP)")
     val n = s.numChars()
     if (n < k) return new GenericArrayData(new Array[Long](0))
-    val out = new java.util.ArrayList[Any](n / math.max(1, modP) + 8)
+    val out = new java.util.ArrayList[Any](n / modP + 8)
     var pos = 0
     while (pos + k <= n) {
       val h = PortableHash.md5Prefix28(s.substring(pos, pos + k))

@@ -1135,6 +1135,9 @@ object CorpusOps {
     * own (the 100 TB knob is shard granularity). */
   def packTokenIds(docs: DataFrame, idCol: String, shardCol: String,
       idsCol: String, seqLen: Int, eosId: Int): DataFrame = {
+    // caller contract: idCol is unique within a shard (the running-offset
+    // window orders by it; a duplicate id would make the packing order,
+    // and therefore every downstream sequence, nondeterministic)
     require(seqLen >= 1, s"packTokenIds: seqLen must be >= 1, got $seqLen")
     val L = seqLen.toLong
     val w = org.apache.spark.sql.expressions.Window
