@@ -123,6 +123,7 @@ object SparkEntry {
     "x19_hard_negatives" -> (operators.RetrievalOps.x19HardNegatives _),
     "x20_mmr_rerank" -> (operators.RetrievalOps.x20MmrRerank _),
     "x21_bm25_indexed" -> (operators.RetrievalOps.x21Bm25Indexed _),
+    "x31_bm25_append" -> (operators.RetrievalOps.x31Bm25Append _),
     "x22_retrieval_eval" -> (operators.RetrievalOps.x22RetrievalEval _),
     "x23_phrase_match" -> (operators.RetrievalOps.x23PhraseMatch _),
     "x24_model_rerank" -> (operators.RetrievalOps.x24ModelRerank _),
@@ -1217,6 +1218,13 @@ object SparkEntry {
     // postings index — the oracle is x17's full-scan restatement, so a
     // hash match proves the pruned probe ranks identically
     "x21_bm25_indexed" -> (Bm25OracleCtes +
+      """
+        |SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""").stripMargin,
+    // incremental growth: base(80%) + appended(20%) must serve the FULL
+    // corpus's BM25 — the oracle is x21's over all documents, unchanged
+    "x31_bm25_append" -> (Bm25OracleCtes +
       """
         |SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
         |FROM contrib GROUP BY doc_id

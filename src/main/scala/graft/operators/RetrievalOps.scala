@@ -248,20 +248,21 @@ object RetrievalOps {
     * stored — it is exact and cheap at query time (a count over the
     * already-pruned postings), which keeps the build single-pass and the
     * index incrementally appendable. */
-  def indexCorpus(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64,
-      withPositions: Boolean = false): Unit = {
-    require(nBuckets >= 1, s"indexCorpus: nBuckets must be >= 1, got $nBuckets")
+  /** The one-shuffle inverted-index construction shared by the full
+    * build and the incremental append: explode → groupBy(id, term) →
+    * bucket-partitioned write. The pre-write repartition pins the
+    * output-file geometry to the BUCKET count instead of (upstream
+    * tasks × buckets): partitionBy from T aggregate tasks writes up to
+    * T files per bucket — at cluster scale (1000 tasks × 64 buckets) a
+    * 64k-small-file spray that object stores and probe listings both
+    * pay for; one extra shuffle of the compact rows buys exactly one
+    * file per occupied bucket. Returns (n, sum_dl) measured WITHOUT a
+    * second corpus pass: sum(tf) over the written postings equals
+    * sum(dl) over the corpus, and n is a count-only scan. */
+  private def writePostings(docs: DataFrame, idCol: String,
+      textCol: String, postingsPath: String, nBuckets: Int,
+      withPositions: Boolean): (Long, Long) = {
     graft.functions.TextExprs.register(docs.sparkSession)
-    // an in-place REBUILD must first retract the previous build's
-    // commit marker: with stale stats/ left standing, a failure midway
-    // through the postings overwrite would leave a readable stats over
-    // mixed-generation postings — probes would serve garbage instead of
-    // raising the rebuild-needed error
-    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
-    statsPath.getFileSystem(
-      docs.sparkSession.sessionState.newHadoopConf())
-      .delete(statsPath, true): Unit
     val base = docs
       .select(col(idCol).cast("long").as("id"),
         call_function("split_words", col(textCol)).as("_g_ws"))
@@ -282,43 +283,118 @@ object RetrievalOps {
         Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
           sort_array(collect_list(col("pos"))).as("positions"))
       else Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // the pre-write repartition pins the output-file geometry to the
-    // BUCKET count instead of (upstream tasks × buckets): partitionBy
-    // from T aggregate tasks writes up to T files per bucket — at
-    // cluster scale (1000 tasks × 64 buckets) a 64k-small-file spray
-    // that object stores and probe listings both pay for. One extra
-    // shuffle of the compact (id, term, tf, dl) rows buys exactly one
-    // file per occupied bucket
     tokens.groupBy(col("id"), col("term"))
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("pt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .repartition(nBuckets, col("pt"))
-      .write.mode("overwrite").partitionBy("pt").parquet(s"$path/postings")
-    // stats LAST — it is the commit marker: a failure mid-postings-write
-    // leaves no stats/, so readStats raises a clear not-an-index error
-    // instead of probes tripping over a half-built postings directory.
-    // Derived from the WRITTEN index, not the corpus: sum(tf) over all
-    // postings equals sum(dl) over the corpus (each document's term
-    // frequencies sum to its token count), so the corpus is tokenized
-    // exactly ONCE per build — the old stats job re-ran split_words over
-    // every document (a second full corpus pass; at 100 TB, the whole
-    // input re-read to compute two numbers). n comes from a count-only
-    // corpus scan (no columns read). Null-text documents count dl = 0
-    // here (the old pass counted size(null) = -1 into the sum).
+      .write.mode("overwrite").partitionBy("pt").parquet(postingsPath)
     val spark = docs.sparkSession
     val n = docs.count()
     // explicit schema: an empty corpus writes a postings directory with
     // no files, where schema inference has nothing to infer
-    val sumRow = spark.read.schema("tf BIGINT")
-      .parquet(s"$path/postings")
+    val sumRow = spark.read.schema("tf BIGINT").parquet(postingsPath)
+      .agg(sum(col("tf"))).head()
+    (n, if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0))
+  }
+
+  /** The stats commit-marker row: (n, avgdl, n_buckets, sum_dl,
+    * with_positions). `sum_dl` is the exact integer the appended-index
+    * arithmetic folds (avgdl alone would re-round); `with_positions`
+    * records the layout so appends can never mix geometries. */
+  private def writeStats(spark: SparkSession, statsPath: String, n: Long,
+      sumDl: Long, nBuckets: Int, withPositions: Boolean): Unit = {
+    import spark.implicits._
+    val avgdl: Option[Double] =
+      if (n == 0) None else Some(sumDl.toDouble / n)
+    Seq((n, avgdl, nBuckets, sumDl, withPositions))
+      .toDF("n", "avgdl", "n_buckets", "sum_dl", "with_positions")
+      .write.mode("overwrite").parquet(statsPath)
+  }
+
+  def indexCorpus(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64,
+      withPositions: Boolean = false): Unit = {
+    require(nBuckets >= 1, s"indexCorpus: nBuckets must be >= 1, got $nBuckets")
+    // an in-place REBUILD must first retract the previous build's
+    // commit marker AND its appends: with stale stats/ left standing, a
+    // failure midway through the postings overwrite would leave a
+    // readable stats over mixed-generation postings — probes would
+    // serve garbage instead of raising the rebuild-needed error; stale
+    // appends would double-serve the old corpus's increments
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsPath.getFileSystem(conf)
+    fs.delete(statsPath, true): Unit
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends"), true): Unit
+    val (n, sumDl) = writePostings(docs, idCol, textCol,
+      s"$path/postings", nBuckets, withPositions)
+    // stats LAST — it is the commit marker: a failure mid-postings-write
+    // leaves no stats/, so readStats raises a clear not-an-index error
+    // instead of probes tripping over a half-built postings directory
+    writeStats(docs.sparkSession, s"$path/stats", n, sumDl, nBuckets,
+      withPositions)
+  }
+
+  /** INCREMENTAL index growth — the lexical analog of
+    * [[IvfPq.appendToIndex]]: new documents' postings land in their own
+    * `appends/batch=<id>/` generation (same bucket hash and layout as
+    * the base, read back by every probe via [[loadPostings]]), and the
+    * per-batch stats row is its commit marker written LAST. Because the
+    * probes compute per-term df over the (pruned) union and fold the
+    * appended (n, sum_dl) into the corpus constants, an appended index
+    * ranks BIT-FOR-BIT like a full rebuild over the grown corpus
+    * (spec-held) — no rebuild, no reread of the base corpus.
+    *
+    * `batchId` keys the generation directory (overwrite semantics), so
+    * a foreachBatch replay after a mid-write failure overwrites its own
+    * append instead of duplicating rows — the same at-least-once
+    * contract as the IVF-PQ streaming append. Without it each call gets
+    * a UUID generation. Caller contract: ids disjoint from the base
+    * corpus (a re-ingested doc belongs in dedupeIncrement's admit path,
+    * not here). Many small appends degrade probe listings — fold them
+    * with [[compactTo]]. */
+  def appendToPostings(docs: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    val (nBuckets, withPositions) = {
+      val r = readBaseStats(spark, path)
+      (r.getAs[Int]("n_buckets"), r.getAs[Boolean]("with_positions"))
+    }
+    val gen = batchId.map(i => s"batch=$i").getOrElse(
+      s"batch=${java.util.UUID.randomUUID().toString}")
+    val dir = s"$path/appends/$gen"
+    // retract THIS generation's marker first: a replay that died between
+    // postings and stats must not leave a committed half-write
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(statsPath, true): Unit
+    val (n, sumDl) = writePostings(docs, idCol, textCol,
+      s"$dir/postings", nBuckets, withPositions)
+    writeStats(spark, s"$dir/stats", n, sumDl, nBuckets, withPositions)
+  }
+
+  /** Fold an index and all its committed appends into ONE fresh index
+    * at `dest` (full-rebuild layout: single postings generation, merged
+    * stats, no appends) — the compaction that keeps probe listings flat
+    * under continuous ingestion. `dest` is a NEW directory, written
+    * postings-first / stats-last, so a crash mid-compaction leaves dest
+    * unreadable-as-an-index and `path` untouched: the caller flips its
+    * serving path only after this returns. */
+  def compactTo(spark: SparkSession, path: String, dest: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(dest).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(path).toUri.getPath,
+      "compactTo: dest must be a different directory")
+    val base = readBaseStats(spark, path)
+    val nBuckets = base.getAs[Int]("n_buckets")
+    val withPositions = base.getAs[Boolean]("with_positions")
+    val (n, _, _) = readStats(spark, path)
+    val all = loadPostings(spark, path)
+    all.repartition(nBuckets, col("pt"))
+      .write.mode("overwrite").partitionBy("pt").parquet(s"$dest/postings")
+    val sumRow = spark.read.schema("tf BIGINT").parquet(s"$dest/postings")
       .agg(sum(col("tf"))).head()
     val sumDl = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-    val avgdl: java.lang.Double =
-      if (n == 0) null else java.lang.Double.valueOf(sumDl.toDouble / n)
-    import spark.implicits._
-    Seq((n, Option(avgdl).map(_.doubleValue), nBuckets))
-      .toDF("n", "avgdl", "n_buckets")
-      .write.mode("overwrite").parquet(s"$path/stats")
+    writeStats(spark, s"$dest/stats", n, sumDl, nBuckets, withPositions)
   }
 
   /** Exact phrase search over a positions-bearing postings index
@@ -342,7 +418,7 @@ object RetrievalOps {
       return emptyResult(spark, "id BIGINT, n_occurrences BIGINT")
     val terms = phrase.distinct
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = loadPostings(spark, path)
     require(postings.columns.contains("positions"),
       s"phraseTopK: the index at $path was built without positions — " +
         "rebuild with indexCorpus(..., withPositions = true)")
@@ -374,22 +450,64 @@ object RetrievalOps {
   /** Index stats row as (n, avgdl, nBuckets); an index built over an
     * EMPTY corpus has a null avgdl (no rows to average) — surfaced as
     * 0.0 so probes can early-return instead of NPE-ing. */
-  private def readStats(spark: SparkSession,
-      path: String): (Long, Double, Int) = {
+  /** The base generation's stats row, appends NOT folded in. */
+  private def readBaseStats(spark: SparkSession,
+      path: String): org.apache.spark.sql.Row = {
     // stats/ is written LAST by indexCorpus — its absence means "not an
     // index / interrupted build", which deserves a rebuild-needed error
     // rather than a confusing partial-postings read further down
-    val r =
-      try spark.read.parquet(s"$path/stats").head()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalStateException(
-            s"no postings index at $path (missing stats/ commit marker — " +
-              "an interrupted indexCorpus build leaves no stats); rebuild " +
-              "with indexCorpus(...)", e)
-      }
-    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1), r.getInt(2))
+    try spark.read.parquet(s"$path/stats").head()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"no postings index at $path (missing stats/ commit marker — " +
+            "an interrupted indexCorpus build leaves no stats); rebuild " +
+            "with indexCorpus(...)", e)
+    }
   }
+
+  /** COMMITTED append generations under `path/appends` — directories
+    * whose own stats marker exists; a half-written append (crash between
+    * postings and stats) is invisible to every probe. */
+  private def committedAppends(spark: SparkSession,
+      path: String): Seq[String] = {
+    val appends = new org.apache.hadoop.fs.Path(s"$path/appends")
+    val fs = appends.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(appends)) Nil
+    else fs.listStatus(appends).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "stats")))
+      .map(_.toString).sorted
+  }
+
+  /** Index constants with every committed append folded in: n and avgdl
+    * are the GROWN corpus's (exact integer sum_dl arithmetic — identical
+    * to what a full rebuild over the union would compute), bucket count
+    * is invariant across generations by construction. */
+  private def readStats(spark: SparkSession,
+      path: String): (Long, Double, Int) = {
+    val base = readBaseStats(spark, path)
+    var n = base.getAs[Long]("n")
+    var sumDl = base.getAs[Long]("sum_dl")
+    val nBuckets = base.getAs[Int]("n_buckets")
+    committedAppends(spark, path).foreach { dir =>
+      val r = spark.read.parquet(s"$dir/stats").head()
+      n += r.getAs[Long]("n")
+      sumDl += r.getAs[Long]("sum_dl")
+    }
+    (n, if (n == 0) 0.0 else sumDl.toDouble / n, nBuckets)
+  }
+
+  /** The postings relation probes read: the base generation UNION every
+    * committed append. Bucket/term filters push into each branch's scan,
+    * so partition pruning holds per generation; with no appends this is
+    * exactly the single base scan. */
+  private def loadPostings(spark: SparkSession, path: String): DataFrame =
+    committedAppends(spark, path).foldLeft(
+      spark.read.parquet(s"$path/postings")) { (acc, dir) =>
+      acc.unionByName(spark.read.parquet(s"$dir/postings"))
+    }
 
   /** Typed empty result for probes of an empty index (its postings dir
     * has no parquet files, so even a schema read would fail). */
@@ -427,7 +545,7 @@ object RetrievalOps {
     val (nDocs, avgdl, nBuckets) = readStats(spark, path)
     if (nDocs == 0L) return emptyResult(spark, "id BIGINT, bm25 DOUBLE")
     val buckets = terms0.map(termBucket(_, nBuckets)).distinct
-    val pruned = spark.read.parquet(s"$path/postings")
+    val pruned = loadPostings(spark, path)
       .filter(col("pt").isin(buckets: _*) &&
         col("term").isin(terms0: _*))
       .select(col("id"), col("term"), col("tf"), col("dl"))
@@ -480,7 +598,7 @@ object RetrievalOps {
       .collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "bm25TopKIndexedBatch: queries carry no terms")
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val pruned = spark.read.parquet(s"$path/postings")
+    val pruned = loadPostings(spark, path)
       .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("id"), col("term"), col("tf"), col("dl"))
     val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
@@ -518,7 +636,7 @@ object RetrievalOps {
     val (nDocs, avgdl, nBuckets) = readStats(spark, path)
     if (nDocs == 0L) return (0L, 0.0, Map.empty)
     val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
-    val dfs = spark.read.parquet(s"$path/postings")
+    val dfs = loadPostings(spark, path)
       .filter(col("pt").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -711,6 +829,25 @@ object RetrievalOps {
   def x21Bm25Indexed(s: SparkSession, dir: String): DataFrame =
     bm25TopKIndexed(s, snapshotIndexPath(s, dir), GateTerms, k = 10)
       .select(col("id").as("doc_id"), col("bm25"))
+
+  /** x31: INCREMENTAL index growth end-to-end — the base index is built
+    * over 80% of the corpus (doc_id % 5 != 0), the remaining 20% arrives
+    * later through [[appendToPostings]], and the probe runs over the
+    * grown index. The oracle is x21's unchanged (full-corpus BM25): a
+    * hash match proves the appended generations fold into df/n/avgdl
+    * EXACTLY like a full rebuild — the no-rebuild ingestion contract. */
+  def x31Bm25Append(s: SparkSession, dir: String): DataFrame = {
+    val path = SnapshotCache.resolve(s, "x31", s"$dir/documents.parquet") {
+      out =>
+        val docs = documents(s, dir)
+        indexCorpus(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          out)
+        appendToPostings(docs.filter(col("doc_id") % 5 === 0), "doc_id",
+          "text", out, batchId = Some(0L))
+    }
+    bm25TopKIndexed(s, path, GateTerms, k = 10)
+      .select(col("id").as("doc_id"), col("bm25"))
+  }
 
   /** Query table of the x27 batch gate: three term bags of different
     * sizes, one with no overlap with the others' buckets. */

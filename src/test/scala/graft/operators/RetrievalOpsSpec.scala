@@ -151,6 +151,54 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "probe must prune postings partitions on the bucket column")
   }
 
+  test("appendToPostings: grown index serves the full corpus bit-for-bit") {
+    val path = java.nio.file.Files.createTempDirectory("bmapp").toString + "/idx"
+    val base = corpus.filter(col("doc_id") <= 3)
+    val delta = corpus.filter(col("doc_id") > 3)
+    RetrievalOps.indexCorpus(base, "doc_id", "text", path, nBuckets = 8)
+    RetrievalOps.appendToPostings(delta, "doc_id", "text", path,
+      batchId = Some(7L))
+    val terms = Seq("apple", "cherry", "durian")
+    def probe(p: String) = RetrievalOps.bm25TopKIndexed(spark, p, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the grown index must score EXACTLY like a full rebuild: df, n and
+    // avgdl all reflect the union
+    val rebuilt = java.nio.file.Files.createTempDirectory("bmapp").toString + "/r"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", rebuilt, nBuckets = 8)
+    assert(probe(path) == probe(rebuilt))
+    // a replayed batch (same batchId) overwrites its own generation —
+    // scores unchanged, no duplicate rows
+    RetrievalOps.appendToPostings(delta, "doc_id", "text", path,
+      batchId = Some(7L))
+    assert(probe(path) == probe(rebuilt))
+    // a SECOND distinct batch of new docs folds in too
+    val more = Seq((6L, "apple fig"), (7L, "grape grape cherry"))
+      .toDF("doc_id", "text")
+    RetrievalOps.appendToPostings(more, "doc_id", "text", path,
+      batchId = Some(8L))
+    val rebuilt2 = java.nio.file.Files.createTempDirectory("bmapp").toString + "/r2"
+    RetrievalOps.indexCorpus(corpus.unionByName(more), "doc_id", "text",
+      rebuilt2, nBuckets = 8)
+    assert(probe(path) == probe(rebuilt2))
+    // compaction folds the generations into one fresh index with
+    // identical probes and no appends directory
+    val dest = java.nio.file.Files.createTempDirectory("bmapp").toString + "/c"
+    RetrievalOps.compactTo(spark, path, dest)
+    assert(probe(dest) == probe(rebuilt2))
+    assert(!new java.io.File(s"$dest/appends").exists())
+    // positional geometry carries through appends: phrase probes see
+    // appended occurrences
+    val ppath = java.nio.file.Files.createTempDirectory("bmapp").toString + "/p"
+    RetrievalOps.indexCorpus(base, "doc_id", "text", ppath, nBuckets = 4,
+      withPositions = true)
+    RetrievalOps.appendToPostings(
+      Seq((9L, "banana apple banana apple")).toDF("doc_id", "text"),
+      "doc_id", "text", ppath)
+    val hits = RetrievalOps.phraseTopK(spark, ppath, Seq("banana", "apple"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits.contains((9L, 2L)), hits.toString)
+  }
+
   test("postings index: single-term probe and unknown terms behave") {
     val path = java.nio.file.Files.createTempDirectory("bmidx2").toString + "/idx"
     RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
