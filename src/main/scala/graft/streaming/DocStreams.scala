@@ -108,6 +108,26 @@ object DocStreams {
   def scrubbed(docs: DataFrame): DataFrame =
     graft.operators.CorpusOps.scrubPii(docs, "text")
 
+  /** Continuous LEXICAL index ingestion — the postings twin of
+    * [[appendArrivals]]: each micro-batch of arriving documents appends
+    * its postings generation to a persisted BM25 index
+    * ([[graft.operators.RetrievalOps.appendToPostings]], keyed by the
+    * batchId so foreachBatch's at-least-once replays overwrite
+    * themselves). Probes pick new documents up on their next query —
+    * df/n/avgdl fold exactly as a rebuild would. Returns the started
+    * query (caller owns its lifecycle; compact with
+    * [[graft.operators.RetrievalOps.compactTo]] when generations pile
+    * up). */
+  def indexArrivals(docs: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.operators.RetrievalOps.appendToPostings(batch.toDF(),
+          "doc_id", "text", indexPath, batchId = Some(batchId)))
+      .start()
+
   /** Per-shard packer state: next sequence index to emit + the ids still
     * short of a full sequence. Bounded: `pending` is always < seqLen. */
   case class PackState(seqIdx: Long, pending: Seq[Int])

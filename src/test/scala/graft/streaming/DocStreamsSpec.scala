@@ -93,6 +93,27 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming postings ingestion: probes equal a full rebuild") {
+    import graft.operators.RetrievalOps
+    val root = java.nio.file.Files.createTempDirectory("sidx").toString
+    // base index over the even docs; the odd docs arrive via the stream
+    val base = batchDocs.filter(col("doc_id") % 2 === 0)
+    RetrievalOps.indexCorpus(base, "doc_id", "text", s"$root/idx",
+      nBuckets = 8)
+    val arrivals = stream.filter(col("doc_id") % 2 === 1)
+    val q = DocStreams.indexArrivals(arrivals, s"$root/idx", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val grown = RetrievalOps
+      .bm25TopKIndexed(spark, s"$root/idx", RetrievalOps.GateTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    RetrievalOps.indexCorpus(batchDocs, "doc_id", "text", s"$root/full",
+      nBuckets = 8)
+    val rebuilt = RetrievalOps
+      .bm25TopKIndexed(spark, s"$root/full", RetrievalOps.GateTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(grown == rebuilt && grown.nonEmpty)
+  }
+
   test("streaming tokenization equals the d38 batch encode bit-for-bit") {
     val vocab = graft.operators.CorpusOps
       .wordpieceVocab(batchDocs, "text", topK = 100)
