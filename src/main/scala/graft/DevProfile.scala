@@ -264,6 +264,47 @@ object DevProfile {
         println(f"pass$r: x2=${(t1 - t0) / 1e9}%.2f s ($nPairs pairs) " +
           f"x8=${(t2 - t1) / 1e9}%.2f s ($nClusters clusters)")
       }
+    } else if (name == "appendscale") {
+      // the incremental-ingestion economics: a `reps`x replicated corpus
+      // is indexed once, then ONE base-corpus-sized delta arrives —
+      // compare append cost (delta-proportional) against the full
+      // rebuild (corpus-proportional), and the probe over the grown
+      // 2-generation index against the compacted one
+      import org.apache.spark.sql.functions._
+      val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nBase = base0.count()
+      val big = (0 until reps).map { i =>
+        base0.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val delta = base0.select(
+        (col("doc_id") + lit(reps.toLong * 10000000L)).as("doc_id"),
+        col("text"))
+      println(s"base corpus: ${nBase * reps} docs (${reps}x), delta: $nBase")
+      val root = java.nio.file.Files.createTempDirectory("appsc").toString
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
+      }
+      t("index_base")({ operators.RetrievalOps.indexCorpus(big, "doc_id",
+        "text", s"$root/idx"); 1L })
+      t("append_delta")({ operators.RetrievalOps.appendToPostings(delta,
+        "doc_id", "text", s"$root/idx"); 1L })
+      t("rebuild_union")({ operators.RetrievalOps.indexCorpus(
+        big.unionByName(delta), "doc_id", "text", s"$root/full"); 1L })
+      for (r <- 1 to 2) {
+        t(s"r$r probe_grown")(operators.RetrievalOps.bm25TopKIndexed(spark,
+          s"$root/idx", operators.RetrievalOps.GateTerms).count())
+        t(s"r$r probe_rebuilt")(operators.RetrievalOps.bm25TopKIndexed(spark,
+          s"$root/full", operators.RetrievalOps.GateTerms).count())
+      }
+      t("compact")({ operators.RetrievalOps.compactTo(spark, s"$root/idx",
+        s"$root/cmp"); 1L })
+      t("probe_compacted")(operators.RetrievalOps.bm25TopKIndexed(spark,
+        s"$root/cmp", operators.RetrievalOps.GateTerms).count())
+      big.unpersist(): Unit
     } else if (name == "packscale") {
       // tokenize-and-pack scaling: replicate documents `reps` times
       // (offset ids, replica-suffixed lang so shard count grows with the
