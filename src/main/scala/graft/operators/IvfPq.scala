@@ -302,6 +302,22 @@ object IvfPq {
     }
   }
 
+  /** Fold an index and all its appended micro-batch generations into
+    * ONE fresh single-generation index at `dest` — the vector twin of
+    * [[graft.operators.RetrievalOps.compactTo]], keeping probe listings
+    * flat under continuous [[appendToIndex]] ingestion. Geometry,
+    * centroids and codebook copy frozen; `dest` is a NEW directory the
+    * caller flips its serving path to only after this returns (a crash
+    * mid-compaction leaves `path` untouched). */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      dest: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(dest).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(path).toUri.getPath,
+      "compactTo: dest must be a different directory")
+    // loadIndex's codes already union every committed append generation
+    writeIndex(loadIndex(spark, path), dest)
+  }
+
   /** The x15 probe at an arbitrary nprobe with the query vector
     * excluded — the ranking form the x25 accuracy-vs-cost sweep scores
     * against exact cosine ground truth. */

@@ -210,6 +210,16 @@ class ProductQuantizerSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scores(200005L) == scores(5L))
     assert(scores(201005L) == scores(5L))
+    // compaction folds the generations into a fresh single-generation
+    // index: identical probes, no appends directory left to list
+    val dest = java.nio.file.Files.createTempDirectory("ivfpqcmp").toString + "/c"
+    IvfPq.compactTo(spark, dir, dest)
+    val compacted = IvfPq.loadIndex(spark, dest)
+    assert(compacted.codes.count() == baseN + 6)
+    val cScores = IvfPq.topK(compacted, query, topK = 1000, nProbe = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cScores == scores)
+    assert(!new java.io.File(s"$dest/appends").exists())
   }
 
   test("batch ADC equals the single-query probe for every query") {
