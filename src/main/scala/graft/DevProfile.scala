@@ -778,6 +778,33 @@ object DevProfile {
               .agg(sum(size(col("p")))).head().getLong(0))
         }
       }
+    } else if (name == "x13profile") {
+      // x13 stage split: kernel hash emit vs bucket agg vs pair explode
+      import org.apache.spark.sql.functions._
+      graft.functions.TextExprs.register(spark)
+      graft.functions.Md5Prefix28Expr.register(spark)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      for (r <- 1 to reps) {
+        val hashes = docs
+          .filter(length(col("text")) >= 24)
+          .select(col("doc_id"), explode(call_function("char_gram_hashes",
+            col("text"), lit(24), lit(8))).as("h"))
+        t(s"r$r hashes_only")(hashes.count())
+        val boundedSet = udaf(
+          new graft.functions.BoundedCollectSet(50),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val buckets = hashes.groupBy(col("h"))
+          .agg(boundedSet(col("doc_id")).as("ds"))
+          .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+        t(s"r$r buckets")(buckets.count())
+        t(s"r$r full_x13")(operators.SimilarityQueries
+          .x13FingerprintOverlap(spark, sfDir).count())
+      }
     } else if (name == "seq") {
       // time a comma list of queries in order, `reps` passes — mirrors the
       // bench's sequential timed pass (cache effects included)

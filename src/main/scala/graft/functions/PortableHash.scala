@@ -25,6 +25,12 @@ object PortableHash {
   private val md5s: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  /** This thread's reusable MD5 instance — for kernels that digest many
+    * byte ranges per row ([[TextKernels.charGramHashes]]) without paying
+    * the per-call ThreadLocal lookup and digest allocation. The instance
+    * self-resets on `digest(...)`; callers must not interleave. */
+  def threadDigest(): java.security.MessageDigest = md5s.get()
+
   /** First 7 hex digits (28 bits) of md5(s), as a long. */
   def md5Prefix28(s: UTF8String): Long = {
     val d = md5s.get()
