@@ -388,6 +388,12 @@ object RetrievalOps {
     val nBuckets = base.getAs[Int]("n_buckets")
     val withPositions = base.getAs[Boolean]("with_positions")
     val (n, _, _) = readStats(spark, path)
+    if (n == 0) {
+      // an empty index has a postings dir with no files (nothing to
+      // infer a schema from, nothing to move) — dest is just its stats
+      writeStats(spark, s"$dest/stats", 0L, 0L, nBuckets, withPositions)
+      return
+    }
     val all = loadPostings(spark, path)
     all.repartition(nBuckets, col("pt"))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$dest/postings")

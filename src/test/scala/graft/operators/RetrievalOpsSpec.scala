@@ -197,6 +197,15 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val hits = RetrievalOps.phraseTopK(spark, ppath, Seq("banana", "apple"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(hits.contains((9L, 2L)), hits.toString)
+    // an EMPTY index compacts to an empty index (no postings files to
+    // move — just the stats marker) and probes stay well-defined
+    val epath = java.nio.file.Files.createTempDirectory("bmapp").toString + "/e"
+    RetrievalOps.indexCorpus(corpus.filter(col("doc_id") < 0), "doc_id",
+      "text", epath, nBuckets = 4)
+    val edest = epath + "c"
+    RetrievalOps.compactTo(spark, epath, edest)
+    assert(RetrievalOps.bm25TopKIndexed(spark, edest, Seq("apple"))
+      .count() == 0)
   }
 
   test("postings index: single-term probe and unknown terms behave") {
