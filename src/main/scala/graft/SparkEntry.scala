@@ -140,6 +140,7 @@ object SparkEntry {
     "d37_viterbi_segment" -> (T.d37ViterbiSegment _),
     "d38_token_ids" -> (T.d38TokenIds _),
     "d39_pack_ids" -> (T.d39PackIds _),
+    "d40_decode_roundtrip" -> (T.d40DecodeRoundtrip _),
     "d33_bpe_chars" -> (T.d33BpeChars _),
     "d34_bpe_vocab" -> (T.d34BpeVocab _),
     // multimodal (binary payload) pipeline
@@ -1609,6 +1610,15 @@ object SparkEntry {
         |SELECT lang, seq_idx, CAST(len(ids) AS BIGINT) AS n_ids,
         |  md5(array_to_string(ids, ',')) AS ids_md5
         |FROM chunks ORDER BY lang, seq_idx""".stripMargin),
+    // the serving round-trip: n_tokens from the segmentation replay,
+    // decoded content INDEPENDENTLY as lower(text) minus whitespace —
+    // a hash match proves the engine's encode-then-decode is lossless
+    "d40_decode_roundtrip" -> (tokenIdCtes +
+      """
+        |SELECT a.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tokens,
+        |  md5(regexp_replace(lower(coalesce(d.text, '')), '\s+', '', 'g')) AS decoded_md5
+        |FROM alldocs a JOIN documents d ON d.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin),
     // character-level BPE: per-word-occurrence symbol rows (chars +
     // </w>), keyed (doc_id, wi) so merges never cross word boundaries
     "d33_bpe_chars" -> ("WITH d AS (\n" +

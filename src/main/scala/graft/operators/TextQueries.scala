@@ -662,6 +662,22 @@ object TextQueries {
       .orderBy(col("lang"), col("seq_idx"))
   }
 
+  /** d40: the SERVING ROUND-TRIP — every document encoded to token ids
+    * ([[CorpusOps.encodeIds]], the d38 path) and decoded back
+    * ([[CorpusOps.decodeIds]]); the oracle computes the expected decode
+    * INDEPENDENTLY (lowercased text with whitespace removed — the
+    * character-level content a flat id stream preserves), so a hash
+    * match proves encode∘decode loses nothing, corpus-wide. */
+  def d40DecodeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val vocab = gateIdVocab(s, dir)
+    CorpusOps.encodeIds(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        md5(CorpusOps.decodeIds(col("ids"), vocab)).as("decoded_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d33: character-level BPE ([[CorpusOps.trainBpeChars]], 3 rounds) —
     * the canonical within-word formulation: chars + `</w>` markers,
     * merges never cross word boundaries. */
