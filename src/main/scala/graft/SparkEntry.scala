@@ -80,6 +80,7 @@ object SparkEntry {
     "d8_token_count" -> (T.d8TokenCount _),
     "d9_stratified_sample" -> (T.d9StratifiedSample _),
     "d10_decontaminate" -> (T.d10Decontaminate _),
+    "x32_contamination" -> (operators.SimilarityQueries.x32Contamination _),
     "d11_repetition_quality" -> (T.d11RepetitionQuality _),
     "d12_boilerplate_ngrams" -> (T.d12BoilerplateNgrams _),
     "d13_pii_scrub" -> (T.d13PiiScrub _),
@@ -640,6 +641,20 @@ object SparkEntry {
         |JOIN (SELECT DISTINCT shash FROM shash WHERE doc_id % 97 = 0) b USING (shash)
         |WHERE c.doc_id % 97 <> 0
         |ORDER BY doc_id""").stripMargin,
+    // containment scoring: the fraction of each corpus doc's distinct
+    // grams found in the benchmark set (d10 refined to HOW contaminated)
+    "x32_contamination" -> (MinhashOracleCtes +
+      """,
+        |ds AS (SELECT DISTINCT doc_id, shash FROM shash WHERE doc_id % 97 <> 0),
+        |bs AS (SELECT DISTINCT shash AS bsh FROM shash WHERE doc_id % 97 = 0),
+        |agg AS (
+        |  SELECT d.doc_id, count(*) AS n_grams, count(b.bsh) AS n_hit
+        |  FROM ds d LEFT JOIN bs b ON b.bsh = d.shash GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  round(n_hit::DOUBLE / n_grams::DOUBLE, 6) AS containment
+        |FROM agg WHERE n_hit > 0
+        |ORDER BY containment DESC, doc_id LIMIT 20""").stripMargin,
     // within-doc repetition: words hashed with the same portable 28-bit
     // md5 prefix the engine uses map-side (collisions identical per engine)
     "d11_repetition_quality" ->

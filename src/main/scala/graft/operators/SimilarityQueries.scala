@@ -628,6 +628,33 @@ object SimilarityQueries {
   def x11Int8Quantize(s: SparkSession, dir: String): DataFrame =
     quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
 
+  /** x32: contamination CONTAINMENT scoring — d10's binary verdict
+    * refined to the fraction of each corpus document's distinct word
+    * 3-grams that appear in the benchmark set (the Brown/GPT-3-style
+    * contamination report: HOW contaminated, not just whether). The
+    * benchmark gram set broadcasts (benchmarks are tiny next to a
+    * training corpus); per-doc distinct grams shuffle once on doc_id —
+    * already docShingles' partitioning — and the aggregation is
+    * co-partitioned. Output: top-20 (doc_id, n_grams, n_hit,
+    * containment), containment desc. */
+  def x32Contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(col("shash")).distinct()
+      .withColumn("_g_hit", lit(1L))
+    sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      .select(col("doc_id"), col("shash")).distinct()
+      .join(broadcast(bench), Seq("shash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_g_hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"),
+          6).as("containment"))
+      .orderBy(col("containment").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** x13: substring-level near-dup pairs over the documents table —
     * [[CorpusOps.fingerprintOverlap]] at k=24 chars, 1/8 sampling,
     * boilerplate cap 50, 3 shared fingerprints minimum (all mirrored
