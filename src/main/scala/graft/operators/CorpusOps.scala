@@ -1107,6 +1107,44 @@ object CorpusOps {
         w => wordpieceIdsEncode(w, vocab))).as("ids"): _*)
   }
 
+  /** Persist a trained tokenizer as a self-describing parquet artifact —
+    * what ships NEXT TO a packed corpus so any later job (or cluster)
+    * re-encodes identically: the ID-ordered piece vocabulary with
+    * frequencies and, for BPE tokenizers, the ordered merge table.
+    * Layout under `path`: `pieces/` (pid, piece, freq — pid is the
+    * [[encodeIds]] vocabulary index), `merges/` (rank, wa, wb; empty
+    * for WordPiece/unigram tokenizers), written pieces-first /
+    * merges-last. Row order is carried by explicit pid/rank columns,
+    * never by file order. */
+  def saveTokenizer(spark: org.apache.spark.sql.SparkSession, path: String,
+      vocab: Seq[(String, Long)],
+      merges: Seq[(String, String)] = Nil): Unit = {
+    import spark.implicits._
+    require(vocab.nonEmpty, "saveTokenizer: empty vocabulary")
+    vocab.zipWithIndex.map { case ((p, f), i) => (i, p, f) }
+      .toDF("pid", "piece", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
+    merges.zipWithIndex.map { case ((wa, wb), r) => (r, wa, wb) }
+      .toDF("rank", "wa", "wb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Load a persisted tokenizer: (vocab in pid order, merges in rank
+    * order) — encoding with the loaded artifact is bit-identical to
+    * encoding with the originals (spec-held round-trip). */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[(String, Long)], Seq[(String, String)]) = {
+    val pieces = spark.read.parquet(s"$path/pieces")
+      .orderBy(col("pid"))
+      .collect().map(r => (r.getAs[String]("piece"), r.getAs[Long]("freq")))
+      .toSeq
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getAs[String]("wa"), r.getAs[String]("wb")))
+      .toSeq
+    (pieces, merges)
+  }
+
   /** Token-ID decode — the serving inverse of [[encodeIds]]: each id
     * maps back to its vocabulary piece and the pieces concatenate (a
     * flat id stream carries no word boundaries, so the round-trip

@@ -599,6 +599,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(ids(d) == ps.map(p => idx.getOrElse(p, -1)))
   }
 
+  test("tokenizer artifact round-trips: loaded vocab/merges encode identically") {
+    import spark.implicits._
+    graft.functions.TextExprs.register(spark)
+    val docs = graft.Tables.documents(spark, Sf)
+    val vocab = CorpusOps.wordpieceVocabWithFreqs(docs, "text", topK = 100)
+    val merges = CorpusOps.trainBpeChars(docs, "text", rounds = 3)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    val path = java.nio.file.Files.createTempDirectory("tok").toString + "/t"
+    CorpusOps.saveTokenizer(spark, path, vocab, merges)
+    val (lv, lm) = CorpusOps.loadTokenizer(spark, path)
+    assert(lv == vocab && lm == merges)
+    // encoding with the LOADED artifact is bit-identical
+    val a = CorpusOps.encodeIds(docs, "doc_id", "text", vocab.map(_._1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = CorpusOps.encodeIds(docs, "doc_id", "text", lv.map(_._1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    // a merge-free tokenizer persists with an empty merges relation
+    val p2 = java.nio.file.Files.createTempDirectory("tok").toString + "/w"
+    CorpusOps.saveTokenizer(spark, p2, vocab)
+    assert(CorpusOps.loadTokenizer(spark, p2)._2.isEmpty)
+  }
+
   test("decodeIds round-trips: lowercased text minus whitespace, OOV visible") {
     import spark.implicits._
     graft.functions.TextExprs.register(spark)
