@@ -642,8 +642,15 @@ object SimilarityQueries {
     val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
       .select(col("shash")).distinct()
       .withColumn("_g_hit", lit(1L))
+    // per-doc dedup as collect_set on the shingle view's EXISTING doc_id
+    // partitioning (docShingles repartitions by doc_id), so neither this
+    // aggregation, the explode, the broadcast join nor the final count
+    // aggregation adds an exchange — a `(doc_id, shash) distinct` would
+    // re-shuffle the whole gram relation twice. The set is document-
+    // sized, never corpus-sized.
     sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
-      .select(col("doc_id"), col("shash")).distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("shash")).as("_g_set"))
+      .select(col("doc_id"), explode(col("_g_set")).as("shash"))
       .join(broadcast(bench), Seq("shash"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("_g_hit")).as("n_hit"))
