@@ -81,6 +81,21 @@ object Cli {
         case Right(g) => opts = opts.copy(groupedFilter = Some(g))
       }
     }
+    // PERMANENT descope (decided round 9): the reference resolves H3
+    // cells by shelling into DuckDB's community h3 extension
+    // (cli.py:190-225) — no such dependency exists here, and a
+    // hand-ported icosahedral cellToBoundary would ship unverifiable
+    // (no offline oracle). Fail with the supported alternatives instead
+    // of silently ignoring the flag — checked UNCONDITIONALLY, before
+    // the precedence chain, so combining it with a supported geometry
+    // flag errors too rather than quietly dropping the h3 filter.
+    if (flags.contains("geom-filter-index-h3"))
+      throw new IllegalArgumentException(
+        "--geom-filter-index-h3 is not supported (the reference " +
+          "delegates H3 to DuckDB's community h3 extension; no " +
+          "offline equivalent). Use --geom-filter-index-geohash, " +
+          "--geom-filter-index-s2, --geom-filter-bbox, " +
+          "--geom-filter-wkt or --geom-filter-geojson-file.")
     val geom = flags.get("geom-filter-bbox").map(GeometryFilters.parseBbox)
       .orElse(flags.get("geom-filter-wkt").map(GeometryFilters.parseWkt))
       .orElse(flags.get("geom-filter-geojson-file").map(p =>
@@ -91,19 +106,6 @@ object Cli {
         .map(h => GeometryFilters.geohashesToGeometry(h.split(",").map(_.trim).toSeq)))
       .orElse(flags.get("geom-filter-index-s2").map(t =>
         S2Cells.tokensToGeometry(t.split(",").toSeq)))
-      // PERMANENT descope (decided round 9): the reference resolves H3
-      // cells by shelling into DuckDB's community h3 extension
-      // (cli.py:190-225) — no such dependency exists here, and a
-      // hand-ported icosahedral cellToBoundary would ship unverifiable
-      // (no offline oracle). Fail with the supported alternatives
-      // instead of silently ignoring the flag.
-      .orElse(flags.get("geom-filter-index-h3").map(_ =>
-        throw new IllegalArgumentException(
-          "--geom-filter-index-h3 is not supported (the reference " +
-            "delegates H3 to DuckDB's community h3 extension; no " +
-            "offline equivalent). Use --geom-filter-index-geohash, " +
-            "--geom-filter-index-s2, --geom-filter-bbox, " +
-            "--geom-filter-wkt or --geom-filter-geojson-file.")))
       // the reference geocodes through Nominatim (cli.py:144-160); offline
       // the same flag resolves against a local gazetteer GeoJSON
       .orElse(flags.get("geom-filter-geocode").map { q =>

@@ -86,6 +86,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.WordpieceIdsExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("wordpiece_doc_ids"),
+      new ExpressionInfo(classOf[graft.functions.WordpieceDocIdsExpr].getName,
+        "wordpiece_doc_ids"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.WordpieceDocIdsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("viterbi_segment"),
       new ExpressionInfo(classOf[graft.functions.ViterbiSegmentExpr].getName,
         "viterbi_segment"),

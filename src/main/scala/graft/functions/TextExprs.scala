@@ -241,11 +241,13 @@ object TextKernels {
     * identical greedy longest-match walk, each emitted piece mapped to
     * its index in the caller's vocabulary array; an out-of-vocabulary
     * single character (the only possible OOV emission) encodes as -1. */
-  def wordpieceIds(w: UTF8String,
-      ids: java.util.HashMap[UTF8String, Integer], maxLen: Int): ArrayData = {
+  /** The greedy longest-match id loop of [[wordpieceIds]], appending to
+    * a caller-owned buffer so the whole-document kernel reuses it
+    * without per-word array churn. */
+  private def appendWordpieceIds(w: UTF8String,
+      ids: java.util.HashMap[UTF8String, Integer], maxLen: Int,
+      out: java.util.ArrayList[Integer]): Unit = {
     val n = w.numChars()
-    if (n == 0) return new GenericArrayData(new Array[Int](0))
-    val out = new java.util.ArrayList[Integer](n)
     var pos = 0
     while (pos < n) {
       var l = math.min(maxLen, n - pos)
@@ -253,15 +255,49 @@ object TextKernels {
       while (l >= 1 && !emitted) {
         val id = ids.get(w.substring(pos, pos + l))
         if (id != null) {
-          out.add(id); pos += l; emitted = true
+          out.add(id): Unit; pos += l; emitted = true
         } else l -= 1
       }
-      if (!emitted) { out.add(Integer.valueOf(-1)); pos += 1 }
+      if (!emitted) { out.add(Integer.valueOf(-1)): Unit; pos += 1 }
     }
+  }
+
+  private def packIds(out: java.util.ArrayList[Integer]): ArrayData = {
     val arr = new Array[Int](out.size())
     var i = 0
     while (i < arr.length) { arr(i) = out.get(i).intValue(); i += 1 }
     new GenericArrayData(arr)
+  }
+
+  def wordpieceIds(w: UTF8String,
+      ids: java.util.HashMap[UTF8String, Integer], maxLen: Int): ArrayData = {
+    val n = w.numChars()
+    if (n == 0) return new GenericArrayData(new Array[Int](0))
+    val out = new java.util.ArrayList[Integer](n)
+    appendWordpieceIds(w, ids, maxLen, out)
+    packIds(out)
+  }
+
+  /** Whole-DOCUMENT WordPiece-to-ids encode: split to words
+    * ([[splitWords]]' exact semantics) and greedy-encode each, ids
+    * concatenated in word order — bit-identical to
+    * `flatten(transform(split_words(text), w → wordpiece_ids(w, v)))`
+    * (spec-held), but ONE codegen kernel call per document instead of a
+    * higher-order-function lambda whose inner expression Spark
+    * evaluates on the interpreted path once per word — on the
+    * model-input encode of a 100 TB corpus, that per-element
+    * interpreted dispatch is the hot loop. */
+  def wordpieceDocIds(text: UTF8String,
+      ids: java.util.HashMap[UTF8String, Integer], maxLen: Int): ArrayData = {
+    val ws = splitWords(text)
+    if (ws.length == 0) return new GenericArrayData(new Array[Int](0))
+    val out = new java.util.ArrayList[Integer](math.max(16, text.numChars()))
+    var i = 0
+    while (i < ws.length) {
+      appendWordpieceIds(UTF8String.fromString(ws(i)), ids, maxLen, out)
+      i += 1
+    }
+    packIds(out)
   }
 
   /** Optimal (Viterbi) segmentation of one word against a frequency-
@@ -468,6 +504,8 @@ object TextExprs {
       exprs => CharGramHashesExpr(exprs(0), exprs(1), exprs(2)))
     reg1("wordpiece", exprs => WordpieceExpr(exprs(0), exprs(1)))
     reg1("wordpiece_ids", exprs => WordpieceIdsExpr(exprs(0), exprs(1)))
+    reg1("wordpiece_doc_ids",
+      exprs => WordpieceDocIdsExpr(exprs(0), exprs(1)))
     reg1("viterbi_segment",
       exprs => ViterbiSegmentExpr(exprs(0), exprs(1), exprs(2)))
   }
@@ -584,17 +622,21 @@ case class CharNgramsExpr(first: Expression, second: Expression)
     copy(first = newLeft, second = newRight)
 }
 
-/** wordpiece(w, vocab) — greedy longest-match tokenization against a
-  * FOLDABLE vocabulary array ([[TextKernels.wordpiece]]). The vocab
-  * child must be a literal: it is evaluated ONCE into a hash set (plus
-  * the max piece length) that rides into codegen as a reference object —
-  * per-row work is O(|word| · maxLen) set probes, independent of
-  * vocabulary size. */
-case class WordpieceExpr(first: Expression, second: Expression)
+/** The shared machinery of the (string, FOLDABLE array<string> vocab)
+  * kernel expressions — one copy of the analysis-time checks (shape,
+  * literal-ness, the typed-NULL probe), the fold-once vocabulary
+  * structures, and the addReferenceObj codegen template, so a fix to
+  * any of them lands in every vocabulary expression at once. The vocab
+  * child is evaluated ONCE into a hash structure (plus the max piece
+  * length) that rides into codegen as a reference object — per-row
+  * work is O(|word| · maxLen) probes, independent of vocabulary size,
+  * and plan size is constant at any vocab size. */
+trait FoldableVocabExpression
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  def first: Expression
+  def second: Expression
   override def left: Expression = first
   override def right: Expression = second
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (first.dataType, second.dataType) match {
       case (StringType, ArrayType(StringType, _)) if second.foldable =>
@@ -613,31 +655,38 @@ case class WordpieceExpr(first: Expression, second: Expression)
           s"arguments must be (string, array<string> literal), got " +
             s"(${first.dataType.simpleString}, ${second.dataType.simpleString})")
     }
-  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+  /** piece → its FIRST index in the vocab array (the token id). */
+  @transient protected lazy val idMap: java.util.HashMap[UTF8String, Integer] = {
     val ad = second.eval().asInstanceOf[ArrayData]
-    val s = new java.util.HashSet[UTF8String](ad.numElements() * 2)
+    val m = new java.util.HashMap[UTF8String, Integer](ad.numElements() * 2)
     var i = 0
     while (i < ad.numElements()) {
       // clone: the source ArrayData may be backed by reused buffers
-      s.add(ad.getUTF8String(i).clone()); i += 1
+      m.putIfAbsent(ad.getUTF8String(i).clone(), Integer.valueOf(i)): Unit
+      i += 1
     }
-    s
+    m
   }
-  @transient private lazy val maxLen: Int = {
+  @transient protected lazy val maxLen: Int = {
     var m = 1
-    val it = vocabSet.iterator()
+    val it = idMap.keySet().iterator()
     while (it.hasNext) m = math.max(m, it.next().numChars())
     m
   }
+  /** The fold-once object codegen references, its java type, and the
+    * kernel: eval and the generated source MUST call the same static
+    * method (the codegen==interpreted specs hold each pair equal). */
+  protected def refObj: AnyRef
+  protected def refJavaType: String
+  protected def kernelEval(w: UTF8String): Any
+  protected def kernelJava(w: String, ref: String): String
   override def nullable: Boolean = first.nullable
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val w = first.eval(input)
-    if (w == null) null
-    else TextKernels.wordpiece(w.asInstanceOf[UTF8String], vocabSet, maxLen)
+    if (w == null) null else kernelEval(w.asInstanceOf[UTF8String])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("wpVocab", vocabSet,
-      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    val ref = ctx.addReferenceObj("vocabRef", refObj, refJavaType)
     val wCode = first.genCode(ctx)
     val code =
       code"""
@@ -645,11 +694,26 @@ case class WordpieceExpr(first: Expression, second: Expression)
         boolean ${ev.isNull} = ${wCode.isNull};
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = graft.functions.TextKernels.wordpiece(
-            ${wCode.value}, $setRef, $maxLen);
+          ${ev.value} = ${kernelJava(wCode.value.toString, ref)};
         }"""
     ev.copy(code = code)
   }
+}
+
+/** wordpiece(w, vocab) — greedy longest-match tokenization against a
+  * FOLDABLE vocabulary array ([[TextKernels.wordpiece]]). */
+case class WordpieceExpr(first: Expression, second: Expression)
+    extends FoldableVocabExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] =
+    new java.util.HashSet[UTF8String](idMap.keySet())
+  override protected def refObj: AnyRef = vocabSet
+  override protected def refJavaType: String =
+    "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>"
+  override protected def kernelEval(w: UTF8String): Any =
+    TextKernels.wordpiece(w, vocabSet, maxLen)
+  override protected def kernelJava(w: String, ref: String): String =
+    s"graft.functions.TextKernels.wordpiece($w, $ref, $maxLen)"
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression =
     copy(first = newLeft, second = newRight)
@@ -690,68 +754,45 @@ case class CharGramHashesExpr(first: Expression, second: Expression,
   * downstream packing ([[graft.operators.CorpusOps.packTokenIds]])
   * consumes these arrays directly. */
 case class WordpieceIdsExpr(first: Expression, second: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  override def left: Expression = first
-  override def right: Expression = second
+    extends FoldableVocabExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    (first.dataType, second.dataType) match {
-      case (StringType, ArrayType(StringType, _)) if second.foldable =>
-        if (second.eval() == null)
-          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-            "vocabulary literal must not be null")
-        else
-          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case (StringType, ArrayType(StringType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          "vocabulary must be a literal (foldable) array")
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"arguments must be (string, array<string> literal), got " +
-            s"(${first.dataType.simpleString}, ${second.dataType.simpleString})")
-    }
-  @transient private lazy val idMap: java.util.HashMap[UTF8String, Integer] = {
-    val ad = second.eval().asInstanceOf[ArrayData]
-    val m = new java.util.HashMap[UTF8String, Integer](ad.numElements() * 2)
-    var i = 0
-    while (i < ad.numElements()) {
-      m.putIfAbsent(ad.getUTF8String(i).clone(), Integer.valueOf(i)): Unit
-      i += 1
-    }
-    m
-  }
-  @transient private lazy val maxLen: Int = {
-    var m = 1
-    val it = idMap.keySet().iterator()
-    while (it.hasNext) m = math.max(m, it.next().numChars())
-    m
-  }
-  override def nullable: Boolean = first.nullable
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val w = first.eval(input)
-    if (w == null) null
-    else TextKernels.wordpieceIds(w.asInstanceOf[UTF8String], idMap, maxLen)
-  }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mapRef = ctx.addReferenceObj("wpIds", idMap,
-      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String," +
-        "java.lang.Integer>")
-    val wCode = first.genCode(ctx)
-    val code =
-      code"""
-        ${wCode.code}
-        boolean ${ev.isNull} = ${wCode.isNull};
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
-        if (!${ev.isNull}) {
-          ${ev.value} = graft.functions.TextKernels.wordpieceIds(
-            ${wCode.value}, $mapRef, $maxLen);
-        }"""
-    ev.copy(code = code)
-  }
+  override protected def refObj: AnyRef = idMap
+  override protected def refJavaType: String =
+    "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String," +
+      "java.lang.Integer>"
+  override protected def kernelEval(w: UTF8String): Any =
+    TextKernels.wordpieceIds(w, idMap, maxLen)
+  override protected def kernelJava(w: String, ref: String): String =
+    s"graft.functions.TextKernels.wordpieceIds($w, $ref, $maxLen)"
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression =
     copy(first = newLeft, second = newRight)
 }
+
+/** wordpiece_doc_ids(text, vocab) — the whole-DOCUMENT encode:
+  * [[TextKernels.wordpieceDocIds]] splits to words and greedy-encodes
+  * each in one kernel call, bit-identical to
+  * `flatten(transform(split_words(text), w → wordpiece_ids(w, v)))`
+  * but without the higher-order-function lambda whose inner expression
+  * Spark evaluates on the interpreted path once per word — the form
+  * [[graft.operators.CorpusOps.encodeIds]] puts on the model-input hot
+  * path. */
+case class WordpieceDocIdsExpr(first: Expression, second: Expression)
+    extends FoldableVocabExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def refObj: AnyRef = idMap
+  override protected def refJavaType: String =
+    "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String," +
+      "java.lang.Integer>"
+  override protected def kernelEval(w: UTF8String): Any =
+    TextKernels.wordpieceDocIds(w, idMap, maxLen)
+  override protected def kernelJava(w: String, ref: String): String =
+    s"graft.functions.TextKernels.wordpieceDocIds($w, $ref, $maxLen)"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(first = newLeft, second = newRight)
+}
+
 
 /** apply_bpe_table(ws, was, wbs) — a trained merge TABLE applied in
   * order ([[TextKernels.applyMerges]]): identical results to folding

@@ -1054,7 +1054,13 @@ object CorpusOps {
     try {
       val top = counts.orderBy(col("n").desc, col("g").asc).limit(topK)
         .collect().map(r => r.getString(0) -> r.getLong(1))
+      // the single-char tail sorts the same way the top-K does: a bare
+      // collect() returns shuffle-partition order, which varies with
+      // partition count / AQE / cluster layout — and these indices ARE
+      // the token ids of encodeIds/saveTokenizer, so their order is a
+      // reproducibility contract, not a cosmetic one
       val chars = counts.filter(length(col("g")) === 1)
+        .orderBy(col("n").desc, col("g").asc)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       (top ++ chars).distinctBy(_._1).toSeq
     } finally counts.unpersist()
@@ -1102,9 +1108,15 @@ object CorpusOps {
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[String], extraCols: Seq[String] = Nil): DataFrame = {
     graft.functions.TextExprs.register(docs.sparkSession)
+    // ONE fused kernel call per document — the equivalent
+    // flatten(transform(split_words(text), w → wordpiece_ids(w, v)))
+    // evaluates the inner kernel on Spark's INTERPRETED path once per
+    // word (higher-order-function lambdas never enter codegen), which
+    // on the corpus-wide model-input encode is the hot loop
+    // (bit-equality with the HOF form is spec-held)
     docs.select(col(idCol) +: extraCols.map(col) :+
-      flatten(transform(call_function("split_words", col(textCol)),
-        w => wordpieceIdsEncode(w, vocab))).as("ids"): _*)
+      call_function("wordpiece_doc_ids", col(textCol),
+        lit(vocab.toArray)).as("ids"): _*)
   }
 
   /** Persist a trained tokenizer as a self-describing parquet artifact —

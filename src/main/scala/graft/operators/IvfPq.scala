@@ -120,11 +120,20 @@ object IvfPq {
     val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
     val fs = appendsPath.getFileSystem(
       spark.sessionState.newHadoopConf())
+    // the appends tree is read with an EXPLICIT schema (the base codes
+    // schema + the batch partition column): a committed batch whose
+    // micro-batch was empty leaves a file-less batch=<id> directory,
+    // and schema inference over a file-less tree throws — explicitly it
+    // is what it semantically is, zero appended vectors, so one empty
+    // batch can never brick every subsequent load of the index
     val all =
-      if (fs.exists(appendsPath))
-        codes.unionByName(spark.read.parquet(s"$path/appends")
-          .select(codes.columns.map(col): _*))
-      else codes
+      if (fs.exists(appendsPath)) {
+        val appendSchema = codes.schema
+          .add("batch", org.apache.spark.sql.types.StringType)
+        codes.unionByName(spark.read.schema(appendSchema)
+          .parquet(s"$path/appends")
+          .select(codes.columns.toIndexedSeq.map(col): _*))
+      } else codes
     IvfPqIndex(
       spark.read.parquet(s"$path/cents"),
       spark.read.parquet(s"$path/codebook"),

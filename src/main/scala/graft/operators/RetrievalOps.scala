@@ -387,14 +387,14 @@ object RetrievalOps {
     val base = readBaseStats(spark, path)
     val nBuckets = base.getAs[Int]("n_buckets")
     val withPositions = base.getAs[Boolean]("with_positions")
-    val (n, _, _) = readStats(spark, path)
+    val (n, _, _, _) = readStats(spark, path)
     if (n == 0) {
       // an empty index has a postings dir with no files (nothing to
-      // infer a schema from, nothing to move) — dest is just its stats
+      // move) — dest is just its stats
       writeStats(spark, s"$dest/stats", 0L, 0L, nBuckets, withPositions)
       return
     }
-    val all = loadPostings(spark, path)
+    val all = loadPostings(spark, path, withPositions)
     all.repartition(nBuckets, col("pt"))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$dest/postings")
     val sumRow = spark.read.schema("tf BIGINT").parquet(s"$dest/postings")
@@ -419,15 +419,15 @@ object RetrievalOps {
       k: Int = 10, slop: Int = 0): DataFrame = {
     require(phrase.size >= 2, "phraseTopK: phrase needs >= 2 words")
     require(slop >= 0, s"phraseTopK: slop must be >= 0, got $slop")
-    val (nDocs, _, nBuckets) = readStats(spark, path)
+    val (nDocs, _, nBuckets, withPositions) = readStats(spark, path)
+    require(withPositions,
+      s"phraseTopK: the index at $path was built without positions — " +
+        "rebuild with indexCorpus(..., withPositions = true)")
     if (nDocs == 0L)
       return emptyResult(spark, "id BIGINT, n_occurrences BIGINT")
     val terms = phrase.distinct
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val postings = loadPostings(spark, path)
-    require(postings.columns.contains("positions"),
-      s"phraseTopK: the index at $path was built without positions — " +
-        "rebuild with indexCorpus(..., withPositions = true)")
+    val postings = loadPostings(spark, path, withPositions)
     val pruned = postings
       .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("id"), col("term"), col("positions"))
@@ -462,14 +462,26 @@ object RetrievalOps {
     // stats/ is written LAST by indexCorpus — its absence means "not an
     // index / interrupted build", which deserves a rebuild-needed error
     // rather than a confusing partial-postings read further down
-    try spark.read.parquet(s"$path/stats").head()
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalStateException(
-          s"no postings index at $path (missing stats/ commit marker — " +
-            "an interrupted indexCorpus build leaves no stats); rebuild " +
-            "with indexCorpus(...)", e)
-    }
+    val row =
+      try spark.read.parquet(s"$path/stats").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"no postings index at $path (missing stats/ commit marker — " +
+              "an interrupted indexCorpus build leaves no stats); rebuild " +
+              "with indexCorpus(...)", e)
+      }
+    // a stats row missing the newer fields is a PREVIOUS-LAYOUT index:
+    // fail with the rebuild story, not a raw "sum_dl does not exist"
+    // five frames down in the middle of a probe
+    val have = row.schema.fieldNames.toSet
+    val need = Seq("n", "avgdl", "n_buckets", "sum_dl", "with_positions")
+    val missing = need.filterNot(have)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"the postings index at $path was built by an older layout " +
+        s"(stats missing ${missing.mkString(", ")}); rebuild with " +
+        "indexCorpus(...)")
+    row
   }
 
   /** COMMITTED append generations under `path/appends` — directories
@@ -492,28 +504,47 @@ object RetrievalOps {
     * to what a full rebuild over the union would compute), bucket count
     * is invariant across generations by construction. */
   private def readStats(spark: SparkSession,
-      path: String): (Long, Double, Int) = {
+      path: String): (Long, Double, Int, Boolean) = {
     val base = readBaseStats(spark, path)
     var n = base.getAs[Long]("n")
     var sumDl = base.getAs[Long]("sum_dl")
     val nBuckets = base.getAs[Int]("n_buckets")
+    val withPositions = base.getAs[Boolean]("with_positions")
     committedAppends(spark, path).foreach { dir =>
       val r = spark.read.parquet(s"$dir/stats").head()
       n += r.getAs[Long]("n")
       sumDl += r.getAs[Long]("sum_dl")
     }
-    (n, if (n == 0) 0.0 else sumDl.toDouble / n, nBuckets)
+    (n, if (n == 0) 0.0 else sumDl.toDouble / n, nBuckets, withPositions)
   }
+
+  /** The on-disk postings schema, stated EXPLICITLY for every read: a
+    * generation whose documents all tokenized to zero words (an empty
+    * streaming micro-batch, an all-whitespace corpus slice) writes a
+    * postings directory with no parquet files, and schema INFERENCE on
+    * a file-less directory throws — an explicit schema makes it what it
+    * semantically is, an empty relation, so one empty committed
+    * generation can never brick every subsequent probe of the index. */
+  private def postingsSchema(withPositions: Boolean)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      if (withPositions)
+        "id BIGINT, term STRING, tf BIGINT, dl BIGINT, " +
+          "positions ARRAY<INT>, pt BIGINT"
+      else "id BIGINT, term STRING, tf BIGINT, dl BIGINT, pt BIGINT")
 
   /** The postings relation probes read: the base generation UNION every
     * committed append. Bucket/term filters push into each branch's scan,
     * so partition pruning holds per generation; with no appends this is
     * exactly the single base scan. */
-  private def loadPostings(spark: SparkSession, path: String): DataFrame =
+  private def loadPostings(spark: SparkSession, path: String,
+      withPositions: Boolean): DataFrame = {
+    val schema = postingsSchema(withPositions)
     committedAppends(spark, path).foldLeft(
-      spark.read.parquet(s"$path/postings")) { (acc, dir) =>
-      acc.unionByName(spark.read.parquet(s"$dir/postings"))
+      spark.read.schema(schema).parquet(s"$path/postings")) { (acc, dir) =>
+      acc.unionByName(spark.read.schema(schema).parquet(s"$dir/postings"))
     }
+  }
 
   /** Typed empty result for probes of an empty index (its postings dir
     * has no parquet files, so even a schema read would fail). */
@@ -548,10 +579,10 @@ object RetrievalOps {
     // a repeated term must not double-count: normalize once here so the
     // aggregation scorer, the index probe and the column scorer agree
     val terms0 = queryTerms.distinct
-    val (nDocs, avgdl, nBuckets) = readStats(spark, path)
+    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, path)
     if (nDocs == 0L) return emptyResult(spark, "id BIGINT, bm25 DOUBLE")
     val buckets = terms0.map(termBucket(_, nBuckets)).distinct
-    val pruned = loadPostings(spark, path)
+    val pruned = loadPostings(spark, path, withPositions)
       .filter(col("pt").isin(buckets: _*) &&
         col("term").isin(terms0: _*))
       .select(col("id"), col("term"), col("tf"), col("dl"))
@@ -591,7 +622,7 @@ object RetrievalOps {
   def bm25TopKIndexedBatch(spark: SparkSession, path: String,
       queries: DataFrame, qIdCol: String, termsCol: String, k: Int = 10,
       k1: Double = K1, b: Double = B): DataFrame = {
-    val (nDocs, avgdl, nBuckets) = readStats(spark, path)
+    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, path)
     if (nDocs == 0L) return emptyResult(spark,
       "query_id BIGINT, rank BIGINT, id BIGINT, bm25 DOUBLE")
     // array_distinct: a repeated term in one query's bag must contribute
@@ -604,7 +635,7 @@ object RetrievalOps {
       .collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "bm25TopKIndexedBatch: queries carry no terms")
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val pruned = loadPostings(spark, path)
+    val pruned = loadPostings(spark, path, withPositions)
       .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("id"), col("term"), col("tf"), col("dl"))
     val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
@@ -639,10 +670,10 @@ object RetrievalOps {
     * driver query over the query terms' buckets only. */
   def frozenStats(spark: SparkSession, path: String,
       queryTerms: Seq[String]): (Long, Double, Map[String, Long]) = {
-    val (nDocs, avgdl, nBuckets) = readStats(spark, path)
+    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, path)
     if (nDocs == 0L) return (0L, 0.0, Map.empty)
     val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
-    val dfs = loadPostings(spark, path)
+    val dfs = loadPostings(spark, path, withPositions)
       .filter(col("pt").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -82,17 +82,37 @@ private[graft] object SnapshotCache {
     val fut = new java.util.concurrent.CompletableFuture[V]()
   }
 
+  /** Keys whose build THIS thread currently owns — a same-key reentrant
+    * resolve/memo (a build whose body resolves its own key) would join
+    * its own incomplete future and deadlock forever; the guard turns
+    * that into an immediate, named error. Cross-key reentrancy (a build
+    * memoizing a DIFFERENT artifact over the same corpus) stays legal. */
+  private val building = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+
   /** The generic install-then-build-outside-the-lock loop shared by
     * [[memo]] and [[resolve]]. Exactly one thread per (key, snapshot)
     * runs `make`; losers await the winner's future. A failed build
     * removes its cell so the next call retries instead of caching the
-    * exception forever. `onReplace` runs (outside the lock, winner
-    * only) on the superseded cell's value before the new build. */
+    * exception forever. `onReplace` runs on the superseded cell's value
+    * (outside the lock, winner only) AFTER the replacement build
+    * succeeded — so a failed rebuild never destroys the index it was
+    * replacing — and also on the failure path, so "at most one live
+    * index per key" holds either way. NOTE the serving contract this
+    * implies: a caller still scanning the OLD path while the corpus
+    * changes underneath it races the replacement's cleanup — callers
+    * that need overlap-safe swaps own their paths and use compactTo's
+    * write-to-new-dir-then-flip discipline instead. */
   private def throughCells[V](map: java.util.concurrent.ConcurrentHashMap[String, Cell[V]],
       key: String, snap: String)(onReplace: V => Unit)(make: => V): V = {
     while (true) {
       val cur = map.get(key)
       if (cur != null && cur.snapshot == snap) {
+        if (!cur.fut.isDone && building.get.contains(key))
+          throw new IllegalStateException(
+            s"reentrant SnapshotCache build of '$key': the build body " +
+              "resolved its own key (would self-join and deadlock)")
         try return cur.fut.join()
         catch { case _: java.util.concurrent.CompletionException |
             _: java.util.concurrent.CancellationException =>
@@ -100,30 +120,37 @@ private[graft] object SnapshotCache {
           map.remove(key, cur): Unit
         }
       } else {
+        if (building.get.contains(key))
+          throw new IllegalStateException(
+            s"reentrant SnapshotCache build of '$key': the build body " +
+              "resolved its own key (would self-join and deadlock)")
         val fresh = new Cell[V](snap)
         val installed =
           if (cur == null) map.putIfAbsent(key, fresh) == null
           else map.replace(key, cur, fresh)
         if (installed) {
           // this thread owns the build; the map is NOT locked here
+          // (superseded-cell note: replace() only succeeds against the
+          // cell we read, and a mid-build cell would carry the same
+          // snapshot for the same unchanged input — a DIFFERENT
+          // snapshot means its build already completed and its input
+          // moved on, so joining it below cannot block on a builder)
+          def replaced(): Unit = if (cur != null) {
+            try onReplace(cur.fut.join())
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          building.get.add(key): Unit
           try {
-            if (cur != null) {
-              // the superseded snapshot's value is only safe to clean up
-              // once its build finished (it did: replace() only succeeds
-              // against the cell we read, and a mid-build cell would have
-              // the same snapshot for the same unchanged input — a
-              // DIFFERENT snapshot means its input already moved on)
-              try onReplace(cur.fut.join())
-              catch { case scala.util.control.NonFatal(_) => () }
-            }
             val v = make
             fresh.fut.complete(v): Unit
+            replaced()
             return v
           } catch { case t: Throwable =>
             fresh.fut.completeExceptionally(t): Unit
             map.remove(key, fresh): Unit
+            replaced()
             throw t
-          }
+          } finally building.get.remove(key): Unit
         }
         // lost the install race; loop and await the winner
       }

@@ -19,48 +19,36 @@ import org.apache.spark.sql.functions._
   * semantics under test are identical either way. */
 object DocStreams {
 
-  /** The documents parquet as a bounded stream with a synthetic
-    * per-document ingest timestamp (see the object scaladoc). */
-  def fileSource(spark: SparkSession, dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("lang",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("source",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars",
-        org.apache.spark.sql.types.LongType)))
+  /** The shared file-stream plumbing of [[fileSource]] and
+    * [[vecFileSource]]: schema-pinned parquet stream over a file or a
+    * directory glob, with the synthetic per-row ingest timestamp keyed
+    * by `idCol` (see the object scaladoc) — ONE copy, so the glob
+    * resolution and the timeline convention can never diverge between
+    * the document and vector feeds. */
+  private def parquetStream(spark: SparkSession, dir: String,
+      schemaDdl: String, idCol: String): DataFrame = {
     val p = new java.io.File(dir)
     val (base, glob) =
       if (p.isFile) (p.getParent, p.getName) else (dir, "*.parquet")
-    spark.readStream.schema(schema)
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       .option("pathGlobFilter", glob).parquet(base)
       .withColumn("ingest_ts",
-        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+        timestamp_seconds(lit(1700000000L) + col(idCol)))
   }
+
+  /** The documents parquet as a bounded stream with a synthetic
+    * per-document ingest timestamp (see the object scaladoc). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    parquetStream(spark, dir,
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT", "doc_id")
 
   /** The embeddings parquet as a bounded stream (same synthetic ingest
     * timeline convention as [[fileSource]], keyed by vec_id). */
-  def vecFileSource(spark: SparkSession, dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType)),
-      org.apache.spark.sql.types.StructField("label",
-        org.apache.spark.sql.types.StringType)))
-    val p = new java.io.File(dir)
-    val (base, glob) =
-      if (p.isFile) (p.getParent, p.getName) else (dir, "*.parquet")
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(base)
-      .withColumn("ingest_ts",
-        timestamp_seconds(lit(1700000000L) + col("vec_id")))
-  }
+  def vecFileSource(spark: SparkSession, dir: String): DataFrame =
+    parquetStream(spark, dir,
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, label STRING", "vec_id")
 
   /** IVF-PQ encode as vectors arrive — the continuous index-ingestion
     * path: each arrival is routed to its coarse cell and PQ-coded

@@ -72,6 +72,15 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("geom-filter-index-h3") &&
       e.getMessage.contains("geom-filter-index-s2") &&
       e.getMessage.contains("geom-filter-index-geohash"))
+    // COMBINED with a supported geometry flag it must STILL error: the
+    // check is unconditional, not a low-precedence arm of the geometry
+    // chain that a bbox would shadow (silently dropping the h3 filter)
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.main(Array(Monaco, "--output", "/tmp/never-written",
+        "--geom-filter-bbox", "7.41,43.72,7.42,43.73",
+        "--geom-filter-index-h3", "8a3969a40ac7fff"))
+    }
+    assert(e2.getMessage.contains("geom-filter-index-h3"))
   }
 
   test("exploded CLI output has per-key columns") {

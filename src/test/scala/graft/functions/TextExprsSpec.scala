@@ -367,6 +367,36 @@ class TextExprsSpec extends AnyFunSuite {
     assert(got == Seq("a b", "c"))
   }
 
+  test("wordpiece_doc_ids equals the flatten/transform HOF composition " +
+      "exactly (including empty, whitespace-only and unicode docs)") {
+    val vocab = lit(Array("the", "qu", "i", "c", "k", "a", "b", "e",
+      "o", "n", "t", "w", "s", "ü", "ö", "é", "ß", "à", "î", "d"))
+    val hof = docs.select(col("doc_id"),
+      flatten(transform(call_function("split_words", col("text")),
+        w => call_function("wordpiece_ids", w, vocab))).as("ids"))
+      .orderBy("doc_id").collect().map(_.getSeq[Int](1))
+    val fused = docs.select(col("doc_id"),
+      call_function("wordpiece_doc_ids", col("text"), vocab).as("ids"))
+      .orderBy("doc_id").collect().map(_.getSeq[Int](1))
+    assert(hof.length == fused.length)
+    hof.zip(fused).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("wordpiece_doc_ids: null text is null; null vocab literal is an " +
+      "analysis error") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = d.select(call_function("wordpiece_doc_ids", col("text"),
+      lit(Array("a")))).collect()
+    assert(got.head.isNullAt(0))
+    val e = intercept[Exception] {
+      docs.select(call_function("wordpiece_doc_ids", col("text"),
+        lit(null).cast("array<string>"))).collect()
+    }
+    assert(e.getMessage.contains("must not be null"), e.getMessage)
+  }
+
   test("codegen and interpreted evaluation agree") {
     val s = spark
     try {
@@ -386,6 +416,9 @@ class TextExprsSpec extends AnyFunSuite {
         .select(call_function("wordpiece_ids",
           get(call_function("split_words", col("text")), lit(0)), wpVocab))
         .collect().map(_.getSeq[Int](0))
+      def wpd() = docs
+        .select(call_function("wordpiece_doc_ids", col("text"), wpVocab))
+        .collect().map(_.getSeq[Int](0))
       def cn() = docs
         .select(call_function("char_ngrams",
           get(call_function("split_words", col("text")), lit(0)), lit(3)))
@@ -400,6 +433,7 @@ class TextExprsSpec extends AnyFunSuite {
           if (r.isNullAt(0)) null else (r.getLong(0), r.getLong(1)))
       val (interpWp, interpCn, interpVs) = (wp(), cn(), vs())
       val interpWpi = wpi()
+      val interpWpd = wpd()
       s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       val gen = docs.select(call_function("word_ngrams", col("text"), lit(3)))
         .collect().map(_.getSeq[String](0))
@@ -409,6 +443,7 @@ class TextExprsSpec extends AnyFunSuite {
       assert(interpH.zip(genH).forall { case (a, b) => a == b })
       assert(interpWp.zip(wp()).forall { case (a, b) => a == b })
       assert(interpWpi.zip(wpi()).forall { case (a, b) => a == b })
+      assert(interpWpd.zip(wpd()).forall { case (a, b) => a == b })
       assert(interpCn.zip(cn()).forall { case (a, b) => a == b })
       assert(interpVs.zip(vs()).forall { case (a, b) => a == b })
     } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")

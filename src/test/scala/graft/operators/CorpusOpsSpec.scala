@@ -599,6 +599,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(ids(d) == ps.map(p => idx.getOrElse(p, -1)))
   }
 
+  test("wordpieceVocabWithFreqs is order-DETERMINISTIC: the single-char " +
+      "tail sorts (freq desc, piece asc), never collect() shuffle order") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, Sf)
+    // indices are token ids (encodeIds / saveTokenizer): the same corpus
+    // on a different partitioning must assign the same piece → id map
+    val v1 = CorpusOps.wordpieceVocabWithFreqs(docs, "text", topK = 50)
+    val v2 = CorpusOps.wordpieceVocabWithFreqs(
+      docs.repartition(17, col("doc_id")), "text", topK = 50)
+    assert(v1 == v2, "vocab order must not depend on input partitioning")
+    // and the tail's internal order is the documented sort
+    val tail = v1.drop(50)
+    assert(tail == tail.sortBy { case (p, f) => (-f, p) },
+      s"single-char tail must sort (freq desc, piece asc): $tail")
+  }
+
   test("tokenizer artifact round-trips: loaded vocab/merges encode identically") {
     import spark.implicits._
     graft.functions.TextExprs.register(spark)

@@ -222,6 +222,38 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dest/appends").exists())
   }
 
+  test("an EMPTY committed micro-batch never bricks the index load") {
+    // the first replayed/filtered foreachBatch batch can be empty: its
+    // batch=<id> directory then holds no cell partitions and no parquet
+    // files — schema inference over that tree would throw on EVERY
+    // subsequent load; the explicit-schema read keeps it what it is,
+    // zero appended vectors
+    val idx = IvfPq.build(renamed, "item", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqempt").toString
+    IvfPq.writeIndex(idx, dir)
+    idx.release()
+    val frozen = IvfPq.loadIndex(spark, dir)
+    val baseN = frozen.codes.count()
+    val none = renamed.filter(col("item") < 0L)
+      .select(col("item"), col("vec").cast("array<double>").as("v"))
+    IvfPq.appendToIndex(IvfPq.encodeMapSide(none, "item", "v", frozen),
+      dir, batchId = Some(0L))
+    val reloaded = IvfPq.loadIndex(spark, dir)
+    assert(reloaded.codes.count() == baseN)
+    // a later real batch still folds in, and compaction works over the
+    // mixed (empty + non-empty) generations
+    val arrivals = renamed.filter(col("item") === 5L)
+      .select((col("item") + 300000L).as("item"),
+        col("vec").cast("array<double>").as("v"))
+    IvfPq.appendToIndex(IvfPq.encodeMapSide(arrivals, "item", "v", frozen),
+      dir, batchId = Some(1L))
+    val grown = IvfPq.loadIndex(spark, dir)
+    assert(grown.codes.count() == baseN + 1)
+    val dest = java.nio.file.Files.createTempDirectory("ivfpqempt").toString + "/c"
+    IvfPq.compactTo(spark, dir, dest)
+    assert(IvfPq.loadIndex(spark, dest).codes.count() == baseN + 1)
+  }
+
   test("batch ADC equals the single-query probe for every query") {
     val idx = IvfPq.build(renamed, "item", "vec")
     val qids = Seq(0L, 7L, 23L)

@@ -208,6 +208,58 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("an EMPTY committed append generation never bricks the index") {
+    // a streaming micro-batch whose docs all tokenize to zero words
+    // commits a postings directory with NO parquet files; probes,
+    // growth and compaction must all keep working (schema inference
+    // over a file-less directory would throw)
+    val path = java.nio.file.Files.createTempDirectory("bmemp").toString + "/idx"
+    val base = corpus.filter(col("doc_id") <= 3)
+    RetrievalOps.indexCorpus(base, "doc_id", "text", path, nBuckets = 8)
+    RetrievalOps.appendToPostings(
+      Seq((99L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = Some(0L))
+    val terms = Seq("apple", "cherry")
+    def probe(p: String) = RetrievalOps.bm25TopKIndexed(spark, p, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the empty generation still counts its (zero-word) document in n —
+    // exactly like a full rebuild over the union would
+    val rebuilt = java.nio.file.Files.createTempDirectory("bmemp").toString + "/r"
+    RetrievalOps.indexCorpus(
+      base.unionByName(Seq((99L, "   ")).toDF("doc_id", "text")),
+      "doc_id", "text", rebuilt, nBuckets = 8)
+    assert(probe(path) == probe(rebuilt))
+    // a real batch after the empty one folds in fine
+    RetrievalOps.appendToPostings(
+      Seq((100L, "apple apple")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = Some(1L))
+    assert(probe(path).nonEmpty)
+    // and compaction over the mixed generations works
+    val dest = java.nio.file.Files.createTempDirectory("bmemp").toString + "/c"
+    RetrievalOps.compactTo(spark, path, dest)
+    assert(probe(dest) == probe(path))
+  }
+
+  test("an index persisted by an older stats layout fails with the " +
+      "rebuild story, not a raw field-not-found") {
+    val path = java.nio.file.Files.createTempDirectory("bmold").toString + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    // regress the stats to the pre-sum_dl layout
+    val old = spark.read.parquet(s"$path/stats")
+      .select(col("n"), col("avgdl"), col("n_buckets"))
+    old.write.mode("overwrite").parquet(s"$path/stats_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/stats_tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/stats"))
+    val e = intercept[IllegalStateException] {
+      RetrievalOps.bm25TopKIndexed(spark, path, Seq("apple")).collect()
+    }
+    assert(e.getMessage.contains("older layout") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("postings index: single-term probe and unknown terms behave") {
     val path = java.nio.file.Files.createTempDirectory("bmidx2").toString + "/idx"
     RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)

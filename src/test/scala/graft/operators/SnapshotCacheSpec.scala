@@ -82,6 +82,58 @@ class SnapshotCacheSpec extends AnyFunSuite {
     assert(spark.read.parquet(p).count() == 5L)
   }
 
+  test("a SAME-KEY reentrant build errors instead of self-deadlocking") {
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("snapself").toString
+    writeCorpus(s"$corpusDir/s.parquet", 0L until 4L)
+    val uri = s"file:$corpusDir/s.parquet"
+    // a build whose body resolves its OWN key would join its own
+    // incomplete future — without the guard that is a silent permanent
+    // hang, not an exception anything could catch
+    val e = intercept[IllegalStateException] {
+      SnapshotCache.resolve(spark, "selftest", uri) { out =>
+        SnapshotCache.resolve(spark, "selftest", uri) { out2 =>
+          spark.read.parquet(uri).write.parquet(out2)
+        }
+        spark.read.parquet(uri).write.parquet(out)
+      }
+    }
+    assert(e.getMessage.contains("reentrant"))
+    // the failed outer build must not poison the key: a fresh resolve works
+    val p = SnapshotCache.resolve(spark, "selftest", uri) { out =>
+      spark.read.parquet(uri).write.parquet(out)
+    }
+    assert(spark.read.parquet(p).count() == 4L)
+  }
+
+  test("a failed REBUILD leaves the superseded index directory deleted " +
+      "only after its replacement exists (never before the new build)") {
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("snapswap").toString
+    writeCorpus(s"$corpusDir/w.parquet", 0L until 6L)
+    val uri = s"file:$corpusDir/w.parquet"
+    var firstPath: String = null
+    firstPath = SnapshotCache.resolve(spark, "swaptest", uri) { out =>
+      spark.read.parquet(uri).write.parquet(out)
+    }
+    writeCorpus(s"$corpusDir/w.parquet", 0L until 9L)
+    // rebuild that FAILS: the old index files must still be on disk at
+    // the moment the build body runs (delete is deferred past success)
+    intercept[RuntimeException] {
+      SnapshotCache.resolve(spark, "swaptest", uri) { _ =>
+        assert(new java.io.File(new java.net.URI("file://" + firstPath))
+          .exists() || new java.io.File(firstPath).exists(),
+          "superseded index must survive until the replacement build succeeds")
+        sys.error("rebuild boom")
+      }
+    }
+    // successful rebuild: serves fresh data and cleans the old root up
+    val p2 = SnapshotCache.resolve(spark, "swaptest", uri) { out =>
+      spark.read.parquet(uri).write.parquet(out)
+    }
+    assert(spark.read.parquet(p2).count() == 9L)
+  }
+
   test("a failed build is not cached; the next call retries") {
     val corpusDir = java.nio.file.Files
       .createTempDirectory("snapfail").toString
