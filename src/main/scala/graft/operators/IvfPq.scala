@@ -26,6 +26,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object IvfPq {
 
+  /** Commit marker a batch append writes LAST — [[loadIndex]] serves
+    * only batch directories carrying it, so a crash mid-append (never
+    * replayed) leaves an invisible half-write, not a served torn one.
+    * A deliberate file of our own rather than Hadoop's `_SUCCESS`: the
+    * job-success marker is disabled on some deployments
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`), and
+    * the commit contract must not depend on a tunable. */
+  private val CommitMarker = "_GRAFT_COMMIT"
+
   /** The built index: `cents` (cid, cv) coarse centroids, `codebook`
     * (sub, code, cv) shared residual codebooks — both driver-local after
     * [[build]] — and `codes` (pq_id, cell, codes), the compressed serving
@@ -117,23 +126,28 @@ object IvfPq {
     // directory per committed micro-batch — see [[appendToIndex]]); the
     // batch partition column exists only for replay idempotence and is
     // dropped here. Probes prune on `cell` identically on both sides.
-    val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
-    val fs = appendsPath.getFileSystem(
-      spark.sessionState.newHadoopConf())
-    // the appends tree is read with an EXPLICIT schema (the base codes
-    // schema + the batch partition column): a committed batch whose
+    // Only COMMITTED batch directories are served (the [[CommitMarker]]
+    // appendToIndex writes last, mirroring the lexical side's stats
+    // marker): a crash mid-append that is never replayed leaves a
+    // half-written batch directory whose partial/torn files must stay
+    // invisible to every probe, not crash or corrupt them. Each batch
+    // reads with an EXPLICIT schema: a committed batch whose
     // micro-batch was empty leaves a file-less batch=<id> directory,
     // and schema inference over a file-less tree throws — explicitly it
     // is what it semantically is, zero appended vectors, so one empty
     // batch can never brick every subsequent load of the index
-    val all =
-      if (fs.exists(appendsPath)) {
-        val appendSchema = codes.schema
-          .add("batch", org.apache.spark.sql.types.StringType)
-        codes.unionByName(spark.read.schema(appendSchema)
-          .parquet(s"$path/appends")
-          .select(codes.columns.toIndexedSeq.map(col): _*))
-      } else codes
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
+    val fs = appendsPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val committed =
+      if (!fs.exists(appendsPath)) Nil
+      else fs.listStatus(appendsPath).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
+        .map(_.toString).sorted
+    val all = committed.foldLeft(codes) { (acc, dir) =>
+      acc.unionByName(spark.read.schema(codes.schema).parquet(dir))
+    }
     IvfPqIndex(
       spark.read.parquet(s"$path/cents"),
       spark.read.parquet(s"$path/codebook"),
@@ -302,9 +316,15 @@ object IvfPq {
     batchId match {
       case Some(b) =>
         // static overwrite truncates exactly this batch's directory —
-        // the idempotence unit — leaving other batches' commits intact
-        checked.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$path/appends/batch=$b")
+        // the idempotence unit — leaving other batches' commits intact;
+        // a replay therefore also retracts the marker before rewriting
+        val dir = s"$path/appends/batch=$b"
+        checked.write.mode("overwrite").partitionBy("cell").parquet(dir)
+        // marker LAST: the batch becomes visible to loadIndex only
+        // once every file of the overwrite landed
+        val mk = new org.apache.hadoop.fs.Path(dir, CommitMarker)
+        mk.getFileSystem(spark.sessionState.newHadoopConf())
+          .create(mk, true).close()
       case None =>
         checked.write.mode("append").partitionBy("cell")
           .parquet(s"$path/codes")

@@ -389,8 +389,14 @@ object RetrievalOps {
     val withPositions = base.getAs[Boolean]("with_positions")
     val (n, _, _, _) = readStats(spark, path)
     if (n == 0) {
-      // an empty index has a postings dir with no files (nothing to
-      // move) — dest is just its stats
+      // an empty index still gets the FULL rebuild layout — a postings
+      // directory (file-less, like indexCorpus over an empty corpus
+      // writes) plus stats: documents appended to dest later must find
+      // the base postings path readable, not a missing-path crash on
+      // the first probe
+      val postingsPath = new org.apache.hadoop.fs.Path(s"$dest/postings")
+      postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .mkdirs(postingsPath): Unit
       writeStats(spark, s"$dest/stats", 0L, 0L, nBuckets, withPositions)
       return
     }

@@ -50,7 +50,12 @@ private[graft] object SnapshotCache {
     * their real listing. Scheme-less paths stay on the local FS (the
     * default `fs.defaultFS` is `file:///` in local mode; on a cluster
     * they resolve against the deployment's default FS, which is where
-    * a scheme-less corpus path actually points). */
+    * a scheme-less corpus path actually points). Directories list their
+    * LEAF FILES recursively (relative path + len + mtime): a
+    * hive-partitioned corpus (`pt=NN/` subdirs) fingerprints the files
+    * themselves, so an in-place rewrite that preserves the top-level
+    * listing shape — which need not bump the parent directory's mtime
+    * on every filesystem — still changes the fingerprint. */
   def snapshotOf(spark: SparkSession, inputPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(inputPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -59,20 +64,26 @@ private[graft] object SnapshotCache {
       val st = fs.getFileStatus(p)
       if (st.isFile)
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-      else
-        fs.listStatus(p).sortBy(_.getPath.getName)
-          .map(x =>
-            s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
-          .mkString("|")
+      else {
+        val rootUri = st.getPath.toUri.getPath
+        val it = fs.listFiles(st.getPath, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val x = it.next()
+          val rel = x.getPath.toUri.getPath.stripPrefix(rootUri)
+          entries += s"$rel:${x.getLen}:${x.getModificationTime}"
+        }
+        entries.sorted.mkString("|")
+      }
     }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRecursively)
-    }
-    f.delete(): Unit
+  /** FS-native recursive delete — index roots may live on a remote
+    * filesystem (the `graft.index.workDir` deployment), where a
+    * `java.io.File` delete silently no-ops. */
+  private def deletePath(s: SparkSession, pathStr: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
   }
 
   /** One cache cell: the snapshot it was computed against plus the
@@ -129,15 +140,21 @@ private[graft] object SnapshotCache {
           if (cur == null) map.putIfAbsent(key, fresh) == null
           else map.replace(key, cur, fresh)
         if (installed) {
-          // this thread owns the build; the map is NOT locked here
-          // (superseded-cell note: replace() only succeeds against the
-          // cell we read, and a mid-build cell would carry the same
-          // snapshot for the same unchanged input — a DIFFERENT
-          // snapshot means its build already completed and its input
-          // moved on, so joining it below cannot block on a builder)
+          // this thread owns the build; the map is NOT locked here.
+          // Superseded-cell cleanup is NON-BLOCKING: if the old cell's
+          // build is somehow still in flight (input changed while it
+          // ran), whenComplete defers onReplace until that build
+          // finishes instead of joining — the replacing thread never
+          // blocks behind the build it is replacing. A FAILED old build
+          // has nothing to clean (it deleted its own root on the way
+          // out), so the error arm is a no-op.
           def replaced(): Unit = if (cur != null) {
-            try onReplace(cur.fut.join())
-            catch { case scala.util.control.NonFatal(_) => () }
+            cur.fut.whenComplete { (v, err) =>
+              if (err == null) {
+                try onReplace(v)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }: Unit
           }
           building.get.add(key): Unit
           try {
@@ -179,35 +196,56 @@ private[graft] object SnapshotCache {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Cell[Entry]]()
 
+  /** Spark conf key naming the base directory index roots are created
+    * under — any Hadoop FS URI (`hdfs://…`, `s3a://…`, `file:/…`). */
+  val WorkDirKey = "graft.index.workDir"
+
+  /** The base directory new index roots are created under: the
+    * [[WorkDirKey]] conf when set, else the driver-local temp dir.
+    * A MULTI-NODE deployment must set the conf to a filesystem every
+    * executor can reach — with the driver-local default, executors
+    * writing `file:/tmp/graft_…` land on their own local disks and the
+    * index is scattered and unreadable (the same shared-FS contract as
+    * `trainOnSymbols`' `cutDir`). Local mode is correct either way. */
+  private def workBase(s: SparkSession): org.apache.hadoop.fs.Path =
+    s.conf.getOption(WorkDirKey).map(_.trim).filter(_.nonEmpty)
+      .map(new org.apache.hadoop.fs.Path(_))
+      .getOrElse(new org.apache.hadoop.fs.Path(
+        new java.io.File(sys.props("java.io.tmpdir")).toURI))
+
   /** The persisted-index path for (session, purpose, inputPath) over
     * the corpus at `inputPath`: cached while the corpus snapshot is
     * current; on a changed snapshot the stale index directory is
-    * deleted and `build` re-runs into a fresh temp path. `build`
-    * receives the output path and must write the complete index there.
+    * deleted and `build` re-runs into a fresh root under [[workBase]].
+    * `build` receives the output path and must write the complete
+    * index there. Roots are created and deleted through the Hadoop
+    * FileSystem of the configured base, so a cluster pointing
+    * [[WorkDirKey]] at `hdfs://`/`s3a://` gets executor-reachable
+    * index storage AND real cleanup (a `java.io` delete would silently
+    * no-op on a remote path).
     *
     * The key includes `inputPath`, so two corpora served alternately in
     * one session each keep their own live index (keying on purpose
     * alone would rebuild — and delete the other's files — per call);
     * deletion happens only when THE SAME corpus path's listing changed,
-    * where any still-lazy frame over the old index was already stale.
-    * Temp roots are always driver-local (createTempDirectory), so the
-    * java.io recursive delete is the right tool here. */
+    * where any still-lazy frame over the old index was already stale. */
   def resolve(s: SparkSession, purpose: String, inputPath: String)(
       build: String => Unit): String = {
     val key = s"${sessionId(s)}#$purpose#$inputPath"
     val snap = snapshotOf(s, inputPath)
-    throughCells(entries, key, snap)(
-      old => deleteRecursively(new java.io.File(old.tmpRoot))) {
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft_$purpose").toString
+    throughCells(entries, key, snap)(old => deletePath(s, old.tmpRoot)) {
+      val base = workBase(s)
+      val fs = base.getFileSystem(s.sessionState.newHadoopConf())
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(base,
+        s"graft_${purpose}_${java.util.UUID.randomUUID().toString.take(13)}"))
+      if (!fs.mkdirs(root))
+        throw new java.io.IOException(s"cannot create index work dir $root")
       val out = s"$root/idx"
       // a failed build must not orphan its half-written directory (the
       // entry is not recorded, so nothing would ever delete it)
       try build(out)
-      catch { case t: Throwable =>
-        deleteRecursively(new java.io.File(root)); throw t
-      }
-      Entry(root, out)
+      catch { case t: Throwable => fs.delete(root, true); throw t }
+      Entry(root.toString, out)
     }.path
   }
 }

@@ -76,10 +76,21 @@ object ResultCache {
 
   /** Mirrors the reference's naming:
     * {stems}_{filterhash|nofilter}_{geomhash|noclip}_{exploded|compact}
-    * {_idshash}{_sorted}{_wkt}.parquet */
+    * {_idshash}{_sorted}{_wkt}.parquet
+    *
+    * `sortAlgorithm`/`sortExtent` at their DEFAULTS ("str", None) keep
+    * the reference-parity path (the reference encodes only WHETHER the
+    * result is sorted — pbf_file_reader.py:1294-1340); a NON-default
+    * algorithm or custom extent folds into the sorted segment's hash,
+    * so a direct convert() caller varying them gets a distinct result
+    * path instead of silently being served a file sorted under
+    * different parameters. Via the CLI the extent derives from the
+    * (already-keyed) geometry filter, so CLI paths are unchanged. */
   def resultFilePath(workDir: String, pbfPaths: Seq[String],
       opts: OsmPipeline.Options, explodeTags: Boolean = false,
-      sortResult: Boolean = true, wktResult: Boolean = false): String = {
+      sortResult: Boolean = true, wktResult: Boolean = false,
+      sortAlgorithm: String = "str",
+      sortExtent: Option[(Double, Double, Double, Double)] = None): String = {
     val stems = pbfPaths.map(p =>
       new org.apache.hadoop.fs.Path(p).getName.stripSuffix(".osm.pbf"))
       .mkString("_")
@@ -98,7 +109,12 @@ object ResultCache {
     val idsPart =
       if (opts.osmIds.isEmpty) ""
       else "_" + sha8(opts.osmIds.sorted.distinct.mkString(","))
-    val sortPart = if (sortResult) "_sorted" else ""
+    val sortPart =
+      if (!sortResult) ""
+      else if (sortAlgorithm == "str" && sortExtent.isEmpty) "_sorted"
+      else "_sorted" + sha8(sortAlgorithm + sortExtent.map { e =>
+        f":${e._1}%.7f,${e._2}%.7f,${e._3}%.7f,${e._4}%.7f"
+      }.getOrElse(""))
     val wktPart = if (wktResult) "_wkt" else ""
     s"$workDir/${stems}_${filterPart}_${geomPart}_$tagsPart$idsPart$sortPart$wktPart.parquet"
   }
@@ -113,14 +129,11 @@ object ResultCache {
       ignoreCache: Boolean = false, sortAlgorithm: String = "str",
       sortExtent: Option[(Double, Double, Double, Double)] = None): String = {
     val out = resultFilePath(workDir, pbfPaths, opts, explodeTags,
-      sortResult, wktResult)
+      sortResult, wktResult, sortAlgorithm, sortExtent)
     // marker through the Hadoop FileSystem, mirroring how GeoParquet.write
     // resolves paths — caching works for hdfs://, s3a://, … workDirs too
     val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS_GRAFT")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    // reference parity: the path encodes WHETHER the result is sorted, not
-    // the algorithm — a warm cache serves whichever algorithm wrote it,
-    // exactly like the reference (pbf_file_reader.py:1294-1340)
     if (!ignoreCache && fs.exists(marker)) return out
     var (features, cuts) = OsmPipeline.featuresWithCuts(spark, pbfPaths, opts)
     try {

@@ -222,6 +222,31 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dest/appends").exists())
   }
 
+  test("an UNCOMMITTED append batch (crash before the marker) is " +
+      "invisible to loadIndex until its commit marker exists") {
+    val idx = IvfPq.build(renamed, "item", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqtorn").toString
+    IvfPq.writeIndex(idx, dir)
+    idx.release()
+    val frozen = IvfPq.loadIndex(spark, dir)
+    val baseN = frozen.codes.count()
+    // simulate a crash mid-appendToIndex: the batch directory holds
+    // data files but the commit marker was never written (replicate the
+    // writer's layout directly, stopping before the marker step)
+    val arrivals = renamed.filter(col("item") === 9L)
+      .select((col("item") + 400000L).as("item"),
+        col("vec").cast("array<double>").as("v"))
+    IvfPq.encodeMapSide(arrivals, "item", "v", frozen)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/appends/batch=99")
+    assert(IvfPq.loadIndex(spark, dir).codes.count() == baseN,
+      "a markerless batch directory must not be served")
+    // the marker landing (the write's final step) makes it visible
+    new java.io.File(s"$dir/appends/batch=99/_GRAFT_COMMIT")
+      .createNewFile()
+    assert(IvfPq.loadIndex(spark, dir).codes.count() == baseN + 1)
+  }
+
   test("an EMPTY committed micro-batch never bricks the index load") {
     // the first replayed/filtered foreachBatch batch can be empty: its
     // batch=<id> directory then holds no cell partitions and no parquet

@@ -206,6 +206,15 @@ class RetrievalOpsSpec extends AnyFunSuite {
     RetrievalOps.compactTo(spark, epath, edest)
     assert(RetrievalOps.bm25TopKIndexed(spark, edest, Seq("apple"))
       .count() == 0)
+    // the compacted empty index carries the FULL rebuild layout: docs
+    // appended to it later must probe fine (a stats-only dest would
+    // report n > 0 and then crash reading the missing postings path)
+    RetrievalOps.appendToPostings(
+      Seq((200L, "apple apple fig")).toDF("doc_id", "text"),
+      "doc_id", "text", edest, batchId = Some(0L))
+    val grown = RetrievalOps.bm25TopKIndexed(spark, edest, Seq("apple"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(grown.map(_._1) == Seq(200L), grown.toString)
   }
 
   test("an EMPTY committed append generation never bricks the index") {

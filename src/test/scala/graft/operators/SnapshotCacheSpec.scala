@@ -151,6 +151,80 @@ class SnapshotCacheSpec extends AnyFunSuite {
     assert(attempts == 2 && spark.read.parquet(p).count() == 3L)
   }
 
+  test("graft.index.workDir places index roots under the configured " +
+      "FS dir and rebuild cleanup goes through the FS API") {
+    val work = java.nio.file.Files.createTempDirectory("snapwork").toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("snapworkcorpus").toString
+    writeCorpus(s"$corpusDir/c.parquet", 0L until 20L)
+    val uri = s"file:$corpusDir/c.parquet"
+    spark.conf.set(SnapshotCache.WorkDirKey, s"file:$work")
+    try {
+      def serve(): String =
+        SnapshotCache.resolve(spark, "workdirtest", uri) { out =>
+          spark.read.parquet(uri).write.parquet(out)
+        }
+      val p1 = serve()
+      assert(p1.contains(work),
+        s"index root must live under the configured work dir, got $p1")
+      assert(spark.read.parquet(p1).count() == 20L)
+      val rootsAfterBuild = new java.io.File(work).listFiles()
+        .filter(_.getName.startsWith("graft_workdirtest"))
+      assert(rootsAfterBuild.length == 1)
+      // a changed corpus rebuilds into a FRESH root under the same work
+      // dir and deletes the superseded one — through the Hadoop FS of
+      // the configured URI, not java.io (which this spec can't
+      // distinguish on file:, but the path flows through fs.delete)
+      writeCorpus(s"$corpusDir/c.parquet", 0L until 30L)
+      val p2 = serve()
+      assert(p2 != p1 && p2.contains(work))
+      assert(spark.read.parquet(p2).count() == 30L)
+      val rootsAfterRebuild = new java.io.File(work).listFiles()
+        .filter(_.getName.startsWith("graft_workdirtest"))
+      assert(rootsAfterRebuild.length == 1,
+        "exactly one live root per key: the superseded root must be deleted")
+      assert(!rootsAfterBuild.head.exists(),
+        "the superseded index root must be gone")
+    } finally spark.conf.unset(SnapshotCache.WorkDirKey)
+  }
+
+  test("a hive-partitioned corpus fingerprints its LEAF files: an " +
+      "in-place rewrite that preserves the top-level listing rebuilds") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("snappart").toString
+    val corpus = s"$corpusDir/p.parquet"
+    (0L until 40L).map(i => (i, i % 4)).toDF("v", "pt")
+      .repartition(1).write.partitionBy("pt").parquet(corpus)
+    var builds = 0
+    def serve(): Unit = {
+      SnapshotCache.resolve(spark, "parttest", s"file:$corpus") { out =>
+        builds += 1
+        spark.range(1).write.parquet(out)
+      }: Unit
+    }
+    serve()
+    assert(builds == 1)
+    serve()
+    assert(builds == 1, "unchanged partitioned corpus must hit the cache")
+    // rewrite ONE leaf file in place (different length), then restore
+    // every DIRECTORY mtime — the old one-level fingerprint (subdir
+    // name/len/mtime) sees an identical listing and would serve stale
+    val ptDir = new java.io.File(corpus).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pt=")).minBy(_.getName)
+    val rootM = new java.io.File(corpus).lastModified()
+    val ptM = ptDir.lastModified()
+    val leaf = ptDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.write(leaf.toPath,
+      ("not a parquet file but a longer payload than before " * 20)
+        .getBytes("UTF-8"))
+    assert(ptDir.setLastModified(ptM))
+    assert(new java.io.File(corpus).setLastModified(rootM))
+    serve()
+    assert(builds == 2,
+      "an in-place leaf rewrite must invalidate the cached index")
+  }
+
   test("concurrent resolves of one key build once; of two keys, in parallel") {
     val corpusDir = java.nio.file.Files
       .createTempDirectory("snapconc").toString

@@ -39,6 +39,33 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(marker.lastModified() > mtime1)
   }
 
+  test("non-default sort algorithm / extent re-key the result path; " +
+      "defaults keep the reference-parity path") {
+    val work = "files"
+    def path(alg: String,
+        ext: Option[(Double, Double, Double, Double)]) =
+      ResultCache.resultFilePath(work, Seq(Monaco), OsmPipeline.Options(),
+        sortAlgorithm = alg, sortExtent = ext)
+    val default = path("str", None)
+    // the 2-arg legacy form and explicit defaults agree — existing
+    // cached conversions stay addressable
+    assert(ResultCache.resultFilePath(work, Seq(Monaco),
+      OsmPipeline.Options()) == default)
+    assert(default.endsWith("_sorted.parquet"))
+    // switching algorithm or pinning a custom extent must not silently
+    // serve a file sorted under different parameters
+    assert(path("hilbert", None) != default)
+    val ext = Some((7.40, 43.72, 7.44, 43.76))
+    assert(path("str", ext) != default)
+    assert(path("hilbert", ext) != path("str", ext))
+    assert(path("hilbert", None) == path("hilbert", None))
+    // unsorted results never carry a sort segment at all
+    assert(ResultCache.resultFilePath(work, Seq(Monaco),
+      OsmPipeline.Options(), sortResult = false, sortAlgorithm = "hilbert")
+      == ResultCache.resultFilePath(work, Seq(Monaco),
+        OsmPipeline.Options(), sortResult = false))
+  }
+
   test("geometry hash is orientation-canonical (reference :1412-1458)") {
     val work = "files"
     def path(wkt: String) = ResultCache.resultFilePath(work, Seq(Monaco),
