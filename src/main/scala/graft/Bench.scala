@@ -97,12 +97,28 @@ object Bench {
     try spark.catalog.clearCache()
     catch { case scala.util.control.NonFatal(_) => () }
     System.gc()
-    // deterministic alphabetical order — timings comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case scala.util.control.NonFatal(_) => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // deterministic alphabetical order — timings comparable across rounds.
+    // PER-GATE MEDIAN of `reps` back-to-back runs: this host shows
+    // ±35-45% ambient variance on single captures (PLANS.md r9 note —
+    // four same-day captures of identical code spanned 46-87 s), so a
+    // single-rep artifact is untrustworthy as a number. The first rep
+    // carries any once-per-snapshot build (x15/x21/x23/x31 index
+    // builds, d26's annotated view); later reps measure the warm
+    // serving path — the median is the steady-state cost, and the
+    // rep-1 map is kept alongside so the cold/build cost stays visible.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case scala.util.control.NonFatal(_) => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, times)
     }
+    val results = timed.map { case (n, ts) => n -> median(ts) }
+    val rep1 = timed.map { case (n, ts) => n -> ts.head }
     // 4-decimal seconds: halves the JSON line length (84 queries) so
     // driver-side log tailing cannot clip the head of the line
     def fmt(v: Double): String = f"$v%.4f"
@@ -115,25 +131,32 @@ object Bench {
     val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
     val pbfSec =
       if (new java.io.File(monaco).exists()) {
-        val out = java.nio.file.Files.createTempDirectory("graftbench")
-          .toString + "/monaco"
-        val t0 = System.nanoTime()
-        try {
-          val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, Seq(monaco),
-            osm.OsmPipeline.Options())
-          // release in finally: a write failure must not leave the persisted
-          // cuts pinned in the CacheManager while the timed queries run
-          try osm.GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
-          finally fcuts.release()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(_) => -1.0 }
+        val runs = (0 until reps).map { i =>
+          val out = java.nio.file.Files.createTempDirectory("graftbench")
+            .toString + s"/monaco$i"
+          val t0 = System.nanoTime()
+          try {
+            val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, Seq(monaco),
+              osm.OsmPipeline.Options())
+            // release in finally: a write failure must not leave the persisted
+            // cuts pinned in the CacheManager while the timed queries run
+            try osm.GeoParquet.write(f, out, singleFile = true, sortSpatially = true)
+            finally fcuts.release()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case scala.util.control.NonFatal(_) => -1.0 }
+        }
+        median(runs)
       } else -1.0
     // totals appear at BOTH ends of the line: the r7 driver artifact kept
     // the line's tail and clipped its head (losing "value"), so a
     // truncated capture from either side still carries the summary
+    val coldTotal = rep1.map(_._2).sum
+    val qs1 = rep1.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"pbf_monaco_convert_sec":${fmt(pbfSec)},""" +
-      s""""sf":"$sfDir","n_queries":${results.size},""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"reps":$reps,""" +
+      s""""queries_rep1":$qs1,"cold_total_sec":${fmt(coldTotal)},""" +
       s""""total_sec":${fmt(total)}}"""
     println(line)
     // The driver artifact keeps only the last ~2 KB of stdout, so the
@@ -146,8 +169,9 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${results.size},""" +
-      s""""total_sec":${fmt(total)},"pbf_monaco_convert_sec":${fmt(pbfSec)},""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"reps":$reps,""" +
+      s""""total_sec":${fmt(total)},"cold_total_sec":${fmt(coldTotal)},""" +
+      s""""pbf_monaco_convert_sec":${fmt(pbfSec)},""" +
       s""""slowest":$slow,"full":"BENCH_local.json"}""")
     // belt-and-braces against driver-side stdout truncation: the same
     // line lands in the repo as a file artifact too

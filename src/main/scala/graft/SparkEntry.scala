@@ -142,6 +142,7 @@ object SparkEntry {
     "d38_token_ids" -> (T.d38TokenIds _),
     "d39_pack_ids" -> (T.d39PackIds _),
     "d40_decode_roundtrip" -> (T.d40DecodeRoundtrip _),
+    "d41_artifact_encode" -> (T.d41ArtifactEncode _),
     "d33_bpe_chars" -> (T.d33BpeChars _),
     "d34_bpe_vocab" -> (T.d34BpeVocab _),
     // multimodal (binary payload) pipeline
@@ -1601,6 +1602,16 @@ object SparkEntry {
     // model-input token ids: greedy WordPiece against the d36 vocab in
     // (count desc, piece asc) ID order; per-doc id-stream digest
     "d38_token_ids" -> (tokenIdCtes +
+      """
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  md5(coalesce(array_to_string(ids, ','), '')) AS ids_md5,
+        |  CAST(ids[1] AS BIGINT) AS first_id,
+        |  CAST(ids[len(ids)] AS BIGINT) AS last_id
+        |FROM alldocs ORDER BY doc_id""".stripMargin),
+    // d41 encodes through the persisted tokenizer artifact (save → load
+    // → encode); the oracle is EXACTLY d38's — the artifact round-trip
+    // must be invisible in the output
+    "d41_artifact_encode" -> (tokenIdCtes +
       """
         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
         |  md5(coalesce(array_to_string(ids, ','), '')) AS ids_md5,

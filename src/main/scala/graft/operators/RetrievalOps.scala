@@ -356,13 +356,20 @@ object RetrievalOps {
   def appendToPostings(docs: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
+    val root = activeRoot(spark, path)
+    // at-least-once across COMPACTION: a replayed batch whose rows were
+    // already folded into the current generation by compactInPlace must
+    // no-op — its append directory no longer exists to overwrite, so
+    // re-appending would duplicate every row. Batch ids are monotonic
+    // (foreachBatch), so the folded high-water mark decides exactly.
+    if (batchId.exists(_ <= foldedMax(spark, root))) return
     val (nBuckets, withPositions) = {
-      val r = readBaseStats(spark, path)
+      val r = readBaseStats(spark, root)
       (r.getAs[Int]("n_buckets"), r.getAs[Boolean]("with_positions"))
     }
     val gen = batchId.map(i => s"batch=$i").getOrElse(
       s"batch=${java.util.UUID.randomUUID().toString}")
-    val dir = s"$path/appends/$gen"
+    val dir = s"$root/appends/$gen"
     // retract THIS generation's marker first: a replay that died between
     // postings and stats must not leave a committed half-write
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
@@ -373,6 +380,104 @@ object RetrievalOps {
     writeStats(spark, s"$dir/stats", n, sumDl, nBuckets, withPositions)
   }
 
+  /** The generation an index path currently SERVES: `path` itself (the
+    * plain [[indexCorpus]] layout) until the first [[compactInPlace]],
+    * afterwards the `generations/g<k>` subdirectory named by the
+    * `CURRENT` pointer file. Every probe / append / compaction entry
+    * point resolves through this once, so a flip between two of a
+    * probe's reads cannot mix generations. */
+  private def activeRoot(spark: SparkSession, path: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(cur)) path
+    else {
+      val in = fs.open(cur)
+      val rel =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim
+        finally in.close()
+      s"$path/$rel"
+    }
+  }
+
+  /** Highest batchId ever folded into `root` by a compaction (−1 when
+    * none): the replay guard [[appendToPostings]] consults. */
+  private def foldedMax(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/folded_max")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Fold the active generation and its committed appends into a FRESH
+    * generation under `path/generations/` and atomically flip the
+    * `CURRENT` pointer to it — in-place compaction for a SERVED index
+    * path: probes before the flip read the old generation's intact
+    * files, probes after it the new single-generation layout, and the
+    * path callers hold never changes. Generations older than the one
+    * just superseded are deleted (one overlapping cycle of grace for
+    * in-flight scans). Single-writer contract: appends and compactions
+    * must be sequenced by one writer (the foreachBatch loop), as with
+    * [[appendToPostings]] itself. Returns the new active root. */
+  def compactInPlace(spark: SparkSession, path: String): String = {
+    val root = activeRoot(spark, path)
+    val curGen =
+      if (root == path) 0L
+      else root.substring(root.lastIndexOf("/g") + 2).toLong
+    val nextRel = s"generations/g${curGen + 1}"
+    compactTo(spark, path, s"$path/$nextRel")
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
+    val fs = cur.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(nextRel.getBytes("UTF-8")) finally out.close()
+    // FileContext.rename(OVERWRITE) is the atomic pointer flip where
+    // the filesystem supports one (HDFS, local); readers see either
+    // the old target or the new, never a torn file
+    org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri, conf)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retire everything OLDER than the generation just superseded: the
+    // superseded one itself survives until the next flip so probes that
+    // resolved it mid-compaction finish against intact files
+    val gens = new org.apache.hadoop.fs.Path(s"$path/generations")
+    fs.listStatus(gens).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("g") && nm.drop(1).forall(_.isDigit) &&
+        nm.drop(1).toLong < curGen)
+        fs.delete(st.getPath, true): Unit
+    }
+    if (curGen >= 1L) Seq("postings", "stats", "appends").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true): Unit
+    }
+    s"$path/$nextRel"
+  }
+
+  /** The auto-compaction policy dial: fold when the active generation
+    * has accumulated at least `maxGenerations` committed appends —
+    * probe cost grows with generation count (each adds a listing + a
+    * union branch per probe; appendscale measured ~+0.2 s/generation at
+    * sf-bench scale), so continuous ingestion calls this after each
+    * commit ([[graft.streaming.DocStreams.indexArrivals]]'s
+    * `compactEvery`). Returns whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxGenerations: Int): Boolean = {
+    require(maxGenerations >= 1,
+      s"maybeCompact: maxGenerations must be >= 1, got $maxGenerations")
+    val root = activeRoot(spark, path)
+    if (committedAppends(spark, root).size >= maxGenerations) {
+      compactInPlace(spark, path): Unit
+      true
+    } else false
+  }
+
   /** Fold an index and all its committed appends into ONE fresh index
     * at `dest` (full-rebuild layout: single postings generation, merged
     * stats, no appends) — the compaction that keeps probe listings flat
@@ -381,26 +486,41 @@ object RetrievalOps {
     * unreadable-as-an-index and `path` untouched: the caller flips its
     * serving path only after this returns. */
   def compactTo(spark: SparkSession, path: String, dest: String): Unit = {
+    val root = activeRoot(spark, path)
     require(new org.apache.hadoop.fs.Path(dest).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(path).toUri.getPath,
+      new org.apache.hadoop.fs.Path(path).toUri.getPath &&
+      new org.apache.hadoop.fs.Path(dest).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(root).toUri.getPath,
       "compactTo: dest must be a different directory")
-    val base = readBaseStats(spark, path)
+    val base = readBaseStats(spark, root)
     val nBuckets = base.getAs[Int]("n_buckets")
     val withPositions = base.getAs[Boolean]("with_positions")
-    val (n, _, _, _) = readStats(spark, path)
+    val (n, _, _, _) = readStats(spark, root)
+    // carry the replay guard forward: dest's folded mark covers every
+    // batchId-keyed generation this compaction folds PLUS everything a
+    // previous compaction already folded into `root`'s base
+    val folded = (foldedMax(spark, root) +:
+      committedAppends(spark, root).map(d =>
+        new org.apache.hadoop.fs.Path(d).getName.stripPrefix("batch="))
+        .filter(_.forall(_.isDigit)).filter(_.nonEmpty).map(_.toLong)).max
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (folded >= 0L) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dest/folded_max"), true)
+      try out.write(folded.toString.getBytes("UTF-8")) finally out.close()
+    }
     if (n == 0) {
       // an empty index still gets the FULL rebuild layout — a postings
       // directory (file-less, like indexCorpus over an empty corpus
       // writes) plus stats: documents appended to dest later must find
       // the base postings path readable, not a missing-path crash on
       // the first probe
-      val postingsPath = new org.apache.hadoop.fs.Path(s"$dest/postings")
-      postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
-        .mkdirs(postingsPath): Unit
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dest/postings")): Unit
       writeStats(spark, s"$dest/stats", 0L, 0L, nBuckets, withPositions)
       return
     }
-    val all = loadPostings(spark, path, withPositions)
+    val all = loadPostings(spark, root, withPositions)
     all.repartition(nBuckets, col("pt"))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$dest/postings")
     val sumRow = spark.read.schema("tf BIGINT").parquet(s"$dest/postings")
@@ -425,7 +545,8 @@ object RetrievalOps {
       k: Int = 10, slop: Int = 0): DataFrame = {
     require(phrase.size >= 2, "phraseTopK: phrase needs >= 2 words")
     require(slop >= 0, s"phraseTopK: slop must be >= 0, got $slop")
-    val (nDocs, _, nBuckets, withPositions) = readStats(spark, path)
+    val root = activeRoot(spark, path)
+    val (nDocs, _, nBuckets, withPositions) = readStats(spark, root)
     require(withPositions,
       s"phraseTopK: the index at $path was built without positions — " +
         "rebuild with indexCorpus(..., withPositions = true)")
@@ -433,7 +554,7 @@ object RetrievalOps {
       return emptyResult(spark, "id BIGINT, n_occurrences BIGINT")
     val terms = phrase.distinct
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val postings = loadPostings(spark, path, withPositions)
+    val postings = loadPostings(spark, root, withPositions)
     val pruned = postings
       .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("id"), col("term"), col("positions"))
@@ -585,10 +706,11 @@ object RetrievalOps {
     // a repeated term must not double-count: normalize once here so the
     // aggregation scorer, the index probe and the column scorer agree
     val terms0 = queryTerms.distinct
-    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, path)
+    val root = activeRoot(spark, path)
+    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, root)
     if (nDocs == 0L) return emptyResult(spark, "id BIGINT, bm25 DOUBLE")
     val buckets = terms0.map(termBucket(_, nBuckets)).distinct
-    val pruned = loadPostings(spark, path, withPositions)
+    val pruned = loadPostings(spark, root, withPositions)
       .filter(col("pt").isin(buckets: _*) &&
         col("term").isin(terms0: _*))
       .select(col("id"), col("term"), col("tf"), col("dl"))
@@ -628,7 +750,8 @@ object RetrievalOps {
   def bm25TopKIndexedBatch(spark: SparkSession, path: String,
       queries: DataFrame, qIdCol: String, termsCol: String, k: Int = 10,
       k1: Double = K1, b: Double = B): DataFrame = {
-    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, path)
+    val root = activeRoot(spark, path)
+    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, root)
     if (nDocs == 0L) return emptyResult(spark,
       "query_id BIGINT, rank BIGINT, id BIGINT, bm25 DOUBLE")
     // array_distinct: a repeated term in one query's bag must contribute
@@ -641,7 +764,7 @@ object RetrievalOps {
       .collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "bm25TopKIndexedBatch: queries carry no terms")
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val pruned = loadPostings(spark, path, withPositions)
+    val pruned = loadPostings(spark, root, withPositions)
       .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("id"), col("term"), col("tf"), col("dl"))
     val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
@@ -676,10 +799,11 @@ object RetrievalOps {
     * driver query over the query terms' buckets only. */
   def frozenStats(spark: SparkSession, path: String,
       queryTerms: Seq[String]): (Long, Double, Map[String, Long]) = {
-    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, path)
+    val root = activeRoot(spark, path)
+    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, root)
     if (nDocs == 0L) return (0L, 0.0, Map.empty)
     val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
-    val dfs = loadPostings(spark, path, withPositions)
+    val dfs = loadPostings(spark, root, withPositions)
       .filter(col("pt").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -630,9 +630,14 @@ object TextQueries {
     * concatenation, all inside one codegen span
     * ([[CorpusOps.encodeIds]]). Output per doc: token count, md5 of the
     * comma-joined id stream, first/last id. */
-  def d38TokenIds(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
-    val enc = CorpusOps.encodeIds(docs, "doc_id", "text", gateIdVocab(s, dir))
+  def d38TokenIds(s: SparkSession, dir: String): DataFrame =
+    tokenIdSummary(CorpusOps.encodeIds(documents(s, dir), "doc_id", "text",
+      gateIdVocab(s, dir)))
+
+  /** The d38 presentation: per-doc token count, id-stream digest,
+    * first/last id — shared with d41 so both encode paths answer the
+    * SAME oracle. */
+  private def tokenIdSummary(enc: DataFrame): DataFrame =
     enc.select(col("doc_id"),
         size(col("ids")).cast("long").as("n_tokens"),
         md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
@@ -641,6 +646,26 @@ object TextQueries {
         when(size(col("ids")) > 0,
           get(col("ids"), size(col("ids")) - 1)).cast("long").as("last_id"))
       .orderBy(col("doc_id"))
+
+  /** d41: encode from the PERSISTED tokenizer artifact — the production
+    * serving path: the trained vocabulary ships as a self-describing
+    * parquet artifact ([[CorpusOps.saveTokenizer]], built once per
+    * corpus snapshot), a fresh consumer loads it back
+    * ([[CorpusOps.loadTokenizer]], pid order) and encodes the corpus
+    * with the LOADED pieces. The oracle is d38's, unchanged: a hash
+    * match proves the artifact round-trip preserves the vocabulary's
+    * content AND its id order — what any later job (or cluster) needs
+    * to re-encode identically. */
+  def d41ArtifactEncode(s: SparkSession, dir: String): DataFrame = {
+    val art = SnapshotCache.resolve(s, "d41tok", s"$dir/documents.parquet") {
+      out =>
+        // ID order (count desc, piece asc) becomes the artifact's pid
+        CorpusOps.saveTokenizer(s, out,
+          gateVocab(s, dir).sortBy { case (p, n) => (-n, p) })
+    }
+    val vocab = CorpusOps.loadTokenizer(s, art)._1.map(_._1)
+    tokenIdSummary(CorpusOps.encodeIds(documents(s, dir), "doc_id", "text",
+      vocab))
   }
 
   /** d39: fixed-length LM sequence packing — the id streams of d38,

@@ -103,17 +103,31 @@ object DocStreams {
     * batchId so foreachBatch's at-least-once replays overwrite
     * themselves). Probes pick new documents up on their next query —
     * df/n/avgdl fold exactly as a rebuild would. Returns the started
-    * query (caller owns its lifecycle; compact with
-    * [[graft.operators.RetrievalOps.compactTo]] when generations pile
-    * up). */
+    * query (caller owns its lifecycle).
+    *
+    * `compactEvery = Some(n)` is the AUTO-COMPACTION dial: after each
+    * commit, once the active generation carries ≥ n committed appends,
+    * the loop folds them into a fresh single generation and atomically
+    * flips the index's CURRENT pointer
+    * ([[graft.operators.RetrievalOps.maybeCompact]]) — probe cost stays
+    * flat under unbounded micro-batch ingestion instead of growing a
+    * listing + union branch per batch forever. Replays stay idempotent
+    * across the fold (the folded high-water mark); probes of `indexPath`
+    * need no coordination — they resolve the pointer per query. */
   def indexArrivals(docs: DataFrame, indexPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
+          batchId: Long) => {
         graft.operators.RetrievalOps.appendToPostings(batch.toDF(),
-          "doc_id", "text", indexPath, batchId = Some(batchId)))
+          "doc_id", "text", indexPath, batchId = Some(batchId))
+        compactEvery.foreach { n =>
+          graft.operators.RetrievalOps.maybeCompact(
+            batch.sparkSession, indexPath, n): Unit
+        }
+      })
       .start()
 
   /** Per-shard packer state: next sequence index to emit + the ids still

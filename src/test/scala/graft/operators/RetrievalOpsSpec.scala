@@ -217,6 +217,68 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(grown.map(_._1) == Seq(200L), grown.toString)
   }
 
+  test("in-place auto-compaction: CURRENT flips atomically, probes stay " +
+      "bit-identical, replays stay idempotent, old generations retire") {
+    val path = java.nio.file.Files.createTempDirectory("bmgen").toString + "/idx"
+    val terms = Seq("apple", "cherry", "durian")
+    def probe(p: String) = RetrievalOps.bm25TopKIndexed(spark, p, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def rebuildOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] = {
+      val r = java.nio.file.Files.createTempDirectory("bmgen").toString + "/r"
+      RetrievalOps.indexCorpus(df, "doc_id", "text", r, nBuckets = 8)
+      probe(r)
+    }
+    val base = corpus.filter(col("doc_id") <= 3)
+    RetrievalOps.indexCorpus(base, "doc_id", "text", path, nBuckets = 8)
+    val b0 = corpus.filter(col("doc_id") === 4)
+    val b1 = corpus.filter(col("doc_id") === 5)
+    // the ingestion loop's sequence: append, then maybeCompact(2)
+    RetrievalOps.appendToPostings(b0, "doc_id", "text", path,
+      batchId = Some(0L))
+    assert(!RetrievalOps.maybeCompact(spark, path, 2),
+      "1 generation < threshold 2: no compaction yet")
+    RetrievalOps.appendToPostings(b1, "doc_id", "text", path,
+      batchId = Some(1L))
+    assert(RetrievalOps.maybeCompact(spark, path, 2))
+    // the SAME path now serves the compacted generation via CURRENT
+    assert(new java.io.File(s"$path/CURRENT").exists())
+    assert(probe(path) == rebuildOf(corpus))
+    // a foreachBatch REPLAY of an already-folded batch must not
+    // duplicate its rows (its appends directory no longer exists)
+    RetrievalOps.appendToPostings(b1, "doc_id", "text", path,
+      batchId = Some(1L))
+    assert(probe(path) == rebuildOf(corpus),
+      "replay of a folded batch must no-op")
+    // further ingestion appends under the NEW root and folds again
+    val more = Seq((6L, "apple fig"), (7L, "grape cherry cherry"))
+      .toDF("doc_id", "text")
+    RetrievalOps.appendToPostings(more.filter(col("doc_id") === 6),
+      "doc_id", "text", path, batchId = Some(2L))
+    RetrievalOps.appendToPostings(more.filter(col("doc_id") === 7),
+      "doc_id", "text", path, batchId = Some(3L))
+    assert(probe(path) == rebuildOf(corpus.unionByName(more)),
+      "appends on a generational index fold into scores exactly")
+    assert(RetrievalOps.maybeCompact(spark, path, 2))
+    assert(probe(path) == rebuildOf(corpus.unionByName(more)))
+    // generation hygiene: at most the current + one superseded root
+    // remain; the base layout's data dirs are retired
+    val gens = new java.io.File(s"$path/generations").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(gens == Seq("g1", "g2"), gens.toString)
+    assert(!new java.io.File(s"$path/postings").exists(),
+      "base-layout postings must retire once a generation supersedes them")
+    // a third cycle retires g1
+    RetrievalOps.appendToPostings(
+      Seq((8L, "honeydew apple")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = Some(4L))
+    assert(RetrievalOps.maybeCompact(spark, path, 1))
+    val gens2 = new java.io.File(s"$path/generations").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(gens2 == Seq("g2", "g3"), gens2.toString)
+    assert(probe(path) == rebuildOf(corpus.unionByName(more).unionByName(
+      Seq((8L, "honeydew apple")).toDF("doc_id", "text"))))
+  }
+
   test("an EMPTY committed append generation never bricks the index") {
     // a streaming micro-batch whose docs all tokenize to zero words
     // commits a postings directory with NO parquet files; probes,

@@ -114,6 +114,35 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(grown == rebuilt && grown.nonEmpty)
   }
 
+  test("streaming postings ingestion with compactEvery folds generations " +
+      "and keeps probes exact") {
+    import graft.operators.RetrievalOps
+    val root = java.nio.file.Files.createTempDirectory("sidxc").toString
+    val base = batchDocs.filter(col("doc_id") % 2 === 0)
+    RetrievalOps.indexCorpus(base, "doc_id", "text", s"$root/idx",
+      nBuckets = 8)
+    val arrivals = stream.filter(col("doc_id") % 2 === 1)
+    // threshold 1: every committed micro-batch triggers a fold — the
+    // maximal-churn case for the pointer flip + replay guard
+    val q = DocStreams.indexArrivals(arrivals, s"$root/idx", s"$root/ckpt",
+      compactEvery = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    assert(new java.io.File(s"$root/idx/CURRENT").exists(),
+      "at least one auto-compaction must have run")
+    val grown = RetrievalOps
+      .bm25TopKIndexed(spark, s"$root/idx", RetrievalOps.GateTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    RetrievalOps.indexCorpus(batchDocs, "doc_id", "text", s"$root/full",
+      nBuckets = 8)
+    val rebuilt = RetrievalOps
+      .bm25TopKIndexed(spark, s"$root/full", RetrievalOps.GateTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(grown == rebuilt && grown.nonEmpty)
+    // generation listings stay flat: current + at most one superseded
+    assert(new java.io.File(s"$root/idx/generations").listFiles()
+      .count(_.getName.startsWith("g")) <= 2)
+  }
+
   test("streaming tokenization equals the d38 batch encode bit-for-bit") {
     val vocab = graft.operators.CorpusOps
       .wordpieceVocab(batchDocs, "text", topK = 100)
