@@ -305,6 +305,112 @@ object DevProfile {
       t("probe_compacted")(operators.RetrievalOps.bm25TopKIndexed(spark,
         s"$root/cmp", operators.RetrievalOps.GateTerms).count())
       big.unpersist(): Unit
+    } else if (name == "genscale") {
+      // many-generation probe decay (the steady streaming case: one
+      // committed append per micro-batch) → the auto-compaction
+      // threshold's evidence. Base index over the corpus, then `reps`
+      // small appended generations, warm-probing after each; finally
+      // compactInPlace and probe the folded index.
+      import org.apache.spark.sql.functions._
+      val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val root = java.nio.file.Files.createTempDirectory("gensc").toString
+      val path = s"$root/idx"
+      def t(label: String)(f: => Long): Double = {
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$label: $dt%.2f s ($n)")
+        dt
+      }
+      operators.RetrievalOps.indexCorpus(base0, "doc_id", "text", path)
+      def probeOnce(): Long = operators.RetrievalOps.bm25TopKIndexed(spark,
+        path, operators.RetrievalOps.GateTerms).count()
+      probeOnce(); probeOnce() // warm
+      t("probe_gen0")(probeOnce())
+      for (g <- 1 to reps) {
+        val delta = base0.filter(col("doc_id") % 100 === (g % 100))
+          .select((col("doc_id") + g.toLong * 10000000L).as("doc_id"),
+            col("text"))
+        operators.RetrievalOps.appendToPostings(delta, "doc_id", "text",
+          path, batchId = Some(g.toLong))
+        probeOnce() // warm
+        t(s"probe_gen$g")(probeOnce())
+      }
+      t("compact_in_place")({
+        operators.RetrievalOps.compactInPlace(spark, path); 1L })
+      probeOnce()
+      t("probe_compacted")(probeOnce())
+    } else if (name == "pbfblobs") {
+      // S1 split parallelism evidence: a multi-blob PBF (PbfWriter's
+      // 8k-element blocks → one blob per block) must scan as >1 input
+      // partition and speed up with the cores engaged; coalesce(1)
+      // forces the same work through one task as the serial baseline.
+      val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+      val base = pbf.PbfWriter.fromRows(
+        spark.read.format("osmpbf").load(monaco)).collect()
+      val big = java.nio.file.Files.createTempDirectory("pbfblobs")
+        .toString + "/big.osm.pbf"
+      val n = pbf.PbfWriter.write((0 until reps).iterator.flatMap { i =>
+        val off = i.toLong * 100000000000L
+        base.iterator.map { e =>
+          e.copy(id = e.id + off,
+            refs = if (e.refs == null) null else e.refs.map(_ + off),
+            lon = if (e.lon.isNaN) e.lon else e.lon + 0.2 * i)
+        }
+      }, big)
+      println(f"wrote $n elements, ${new java.io.File(big).length() / 1e6}%.1f MB")
+      val scan = spark.read.format("osmpbf").load(big)
+      println(s"scan partitions (natural splits): ${scan.rdd.getNumPartitions}")
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val c = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+      }
+      for (r <- 1 to 2) t(s"parallel_scan r$r")(
+        scan.filter("tags IS NOT NULL OR kind = 'node'").count())
+      for (r <- 1 to 2) t(s"single_task_scan r$r")(
+        scan.filter("tags IS NOT NULL OR kind = 'node'")
+          .coalesce(1).count())
+    } else if (name == "x13prof") {
+      // x13 stage decomposition at the gate parameters (k=24, 1/8
+      // sample, cap 50): where do the seconds go — kernel+explode,
+      // the count-style aggregation baseline, the BoundedCollectSet
+      // aggregation, or the pair explode + pair aggregation?
+      import org.apache.spark.sql.functions._
+      graft.functions.Md5Prefix28Expr.register(spark)
+      graft.functions.TextExprs.register(spark)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val c = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c)")
+      }
+      for (r <- 1 to reps) t(s"full_gate r$r")(
+        operators.CorpusOps.fingerprintOverlap(docs, "doc_id", "text")
+          .count())
+      val filtered = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("text").as("_t")).filter(length(col("_t")) >= 24)
+      val exploded = filtered.select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.call_function(
+          "char_gram_hashes", col("_t"), lit(24), lit(8))).as("h"))
+      for (r <- 1 to reps) t(s"scan_kernel_explode r$r")(exploded.count())
+      for (r <- 1 to reps) t(s"plus_count_agg r$r")(
+        exploded.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).count())
+      val boundedSet = udaf(new graft.functions.BoundedCollectSet(50),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val buckets = exploded.groupBy(col("h"))
+        .agg(boundedSet(col("doc_id")).as("ds"))
+        .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+      for (r <- 1 to reps) t(s"plus_bounded_set r$r")(buckets.count())
+      val pairs = buckets.select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+      for (r <- 1 to reps) t(s"plus_pairs_no_spread r$r")(pairs.count())
     } else if (name == "packscale") {
       // tokenize-and-pack scaling: replicate documents `reps` times
       // (offset ids, replica-suffixed lang so shard count grows with the

@@ -365,14 +365,23 @@ object CorpusOps {
     * self-join) measured 3.8 s cold at sf0.1; this shape ~halves it and
     * removes three shuffles plus the corpus-scale cache. */
   /** Ensure at least default-parallelism partitions before a ×k map-side
-    * gram explode: a small corpus scanning as ONE parquet split would
-    * otherwise serialize the whole explode+hash blowup on one core (the
-    * blowup happens AFTER the scan, so input size says nothing about the
-    * work). Corpus-scale inputs already exceed the bound — there this is
-    * a no-op and costs no shuffle. */
+    * gram explode — but only when the input is big enough for the
+    * shuffle to pay for itself: a mid-size corpus scanning as fewer
+    * splits than cores would serialize the explode+hash blowup, while a
+    * SMALL corpus explodes faster on its natural partitioning than its
+    * text can round-trip a repartition (measured, x13prof at sf0.1:
+    * the unconditional repartition cost ~0.5 s of a 1.3 s gate — the
+    * whole pipeline runs ~0.75 s without it). The size gate reuses the
+    * conversion path's small-input threshold
+    * ([[graft.osm.OsmPipeline.AqeMinInputBytes]]: the measured point
+    * where per-stage fixed costs stop dominating); corpus-scale inputs
+    * exceed both the gate and the partition bound — there this is a
+    * no-op and costs no shuffle. */
   private def spread(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      graft.osm.OsmPipeline.AqeMinInputBytes
+    if (!small && df.rdd.getNumPartitions < p) df.repartition(p, key) else df
   }
 
   def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,

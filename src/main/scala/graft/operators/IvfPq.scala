@@ -114,14 +114,31 @@ object IvfPq {
       .partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** COMMITTED append batch directories under `root/appends` — those
+    * carrying the [[CommitMarker]]; sorted for deterministic unions. */
+  private def committedBatches(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[String] = {
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$root/appends")
+    val fs = appendsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(appendsPath)) Nil
+    else fs.listStatus(appendsPath).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
+      .map(_.toString).sorted
+  }
+
   /** Load a persisted index; the geometry comes from the stored meta,
     * never from caller guesses. `cell` comes back as a hive partition
     * column; probes compare it with an equality literal, so the
-    * inferred narrower integer type is harmless. */
+    * inferred narrower integer type is harmless. A generationally
+    * compacted index ([[compactInPlace]]) resolves through its CURRENT
+    * pointer first — the caller's path never changes across
+    * compactions. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val codes = spark.read.parquet(s"$path/codes")
+    val root = IndexLayout.activeRoot(spark, path)
+    val meta = spark.read.parquet(s"$root/meta").head()
+    val codes = spark.read.parquet(s"$root/codes")
     // streaming appends live under appends/batch=<id>/cell=<c> (one
     // directory per committed micro-batch — see [[appendToIndex]]); the
     // batch partition column exists only for replay idempotence and is
@@ -136,21 +153,12 @@ object IvfPq {
     // and schema inference over a file-less tree throws — explicitly it
     // is what it semantically is, zero appended vectors, so one empty
     // batch can never brick every subsequent load of the index
-    val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
-    val fs = appendsPath.getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val committed =
-      if (!fs.exists(appendsPath)) Nil
-      else fs.listStatus(appendsPath).toSeq
-        .filter(_.isDirectory).map(_.getPath)
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
-        .map(_.toString).sorted
-    val all = committed.foldLeft(codes) { (acc, dir) =>
+    val all = committedBatches(spark, root).foldLeft(codes) { (acc, dir) =>
       acc.unionByName(spark.read.schema(codes.schema).parquet(dir))
     }
     IvfPqIndex(
-      spark.read.parquet(s"$path/cents"),
-      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$root/cents"),
+      spark.read.parquet(s"$root/codebook"),
       all,
       meta.getInt(0), meta.getInt(1))
   }
@@ -232,6 +240,21 @@ object IvfPq {
       .limit(topK)
   }
 
+  /** The frozen index with its PARAMETER-SIZED reference tables
+    * (centroids, codebook) pinned to driver-local in-memory relations —
+    * what a long-lived streaming encoder must hold: a disk-backed
+    * index's frames re-read their files per micro-batch, and once
+    * in-place compaction retires the generation those files live in
+    * (two flips of grace), every later micro-batch would crash. `codes`
+    * stays as-is — the encode path never reads it. */
+  def localizeIndex(index: IvfPqIndex): IvfPqIndex = {
+    val s = index.cents.sparkSession
+    def local(df: DataFrame): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    index.copy(cents = local(index.cents),
+      codebook = local(index.codebook))
+  }
+
   /** Map-side IVF-PQ ENCODE against a frozen index — the streaming
     * ingestion path ([[graft.streaming.DocStreams.encodeArrivals]]):
     * assign the coarse cell, subtract its centroid, and pick each
@@ -299,7 +322,13 @@ object IvfPq {
   def appendToIndex(encoded: DataFrame, path: String,
       batchId: Option[Long] = None): Unit = {
     val spark = encoded.sparkSession
-    val m = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val root = IndexLayout.activeRoot(spark, path)
+    // at-least-once across COMPACTION: a replayed batch whose rows were
+    // already folded into the current generation must no-op — its own
+    // appends directory no longer exists to overwrite, so re-appending
+    // would double-serve every row (the lexical twin's guard)
+    if (batchId.exists(_ <= IndexLayout.foldedMax(spark, root))) return
+    val m = spark.read.parquet(s"$root/meta").head().getInt(0)
     // geometry check rides INSIDE the single write pass (raise_error on
     // the first mismatched row) — a separate validation scan would
     // evaluate the whole encode twice. A STREAMING frame cannot drive
@@ -318,7 +347,7 @@ object IvfPq {
         // static overwrite truncates exactly this batch's directory —
         // the idempotence unit — leaving other batches' commits intact;
         // a replay therefore also retracts the marker before rewriting
-        val dir = s"$path/appends/batch=$b"
+        val dir = s"$root/appends/batch=$b"
         checked.write.mode("overwrite").partitionBy("cell").parquet(dir)
         // marker LAST: the batch becomes visible to loadIndex only
         // once every file of the overwrite landed
@@ -327,7 +356,7 @@ object IvfPq {
           .create(mk, true).close()
       case None =>
         checked.write.mode("append").partitionBy("cell")
-          .parquet(s"$path/codes")
+          .parquet(s"$root/codes")
     }
   }
 
@@ -340,11 +369,56 @@ object IvfPq {
     * mid-compaction leaves `path` untouched). */
   def compactTo(spark: org.apache.spark.sql.SparkSession, path: String,
       dest: String): Unit = {
+    val root = IndexLayout.activeRoot(spark, path)
     require(new org.apache.hadoop.fs.Path(dest).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(path).toUri.getPath,
+      new org.apache.hadoop.fs.Path(path).toUri.getPath &&
+      new org.apache.hadoop.fs.Path(dest).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(root).toUri.getPath,
       "compactTo: dest must be a different directory")
+    // the replay guard carries forward: dest's folded mark covers every
+    // batchId-keyed generation folded here plus anything folded before
+    IndexLayout.writeFoldedMax(spark, dest,
+      IndexLayout.foldedMarkFor(spark, root,
+        committedBatches(spark, root)
+          .map(d => new org.apache.hadoop.fs.Path(d).getName)))
     // loadIndex's codes already union every committed append generation
     writeIndex(loadIndex(spark, path), dest)
+  }
+
+  /** Fold the active generation and its committed appends into a FRESH
+    * generation under `path/generations/` and atomically flip the
+    * CURRENT pointer — the vector twin of
+    * [[graft.operators.RetrievalOps.compactInPlace]] (same
+    * [[IndexLayout]] mechanics, same single-writer contract; one
+    * superseded generation of grace for in-flight readers — an
+    * [[IvfPqIndex]] loaded before the PREVIOUS flip must be reloaded).
+    * Returns the new active root. */
+  def compactInPlace(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val root = IndexLayout.activeRoot(spark, path)
+    val curGen = IndexLayout.currentGen(path, root)
+    val nextRel = s"generations/g${curGen + 1}"
+    compactTo(spark, path, s"$path/$nextRel")
+    IndexLayout.flipCurrent(spark, path, nextRel)
+    IndexLayout.retireOlder(spark, path, curGen,
+      Seq("meta", "cents", "codebook", "codes", "appends"))
+    s"$path/$nextRel"
+  }
+
+  /** Auto-compaction dial, mirroring
+    * [[graft.operators.RetrievalOps.maybeCompact]]: fold when the
+    * active generation carries ≥ `maxGenerations` committed append
+    * batches (each adds a listing + a union branch to every load).
+    * Returns whether a compaction ran. */
+  def maybeCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxGenerations: Int): Boolean = {
+    require(maxGenerations >= 1,
+      s"maybeCompact: maxGenerations must be >= 1, got $maxGenerations")
+    val root = IndexLayout.activeRoot(spark, path)
+    if (committedBatches(spark, root).size >= maxGenerations) {
+      compactInPlace(spark, path): Unit
+      true
+    } else false
   }
 
   /** The x15 probe at an arbitrary nprobe with the query vector

@@ -380,41 +380,19 @@ object RetrievalOps {
     writeStats(spark, s"$dir/stats", n, sumDl, nBuckets, withPositions)
   }
 
-  /** The generation an index path currently SERVES: `path` itself (the
-    * plain [[indexCorpus]] layout) until the first [[compactInPlace]],
-    * afterwards the `generations/g<k>` subdirectory named by the
-    * `CURRENT` pointer file. Every probe / append / compaction entry
-    * point resolves through this once, so a flip between two of a
-    * probe's reads cannot mix generations. */
-  private def activeRoot(spark: SparkSession, path: String): String = {
-    val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(cur)) path
-    else {
-      val in = fs.open(cur)
-      val rel =
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").trim
-        finally in.close()
-      s"$path/$rel"
-    }
-  }
+  /** The generation an index path currently SERVES ([[IndexLayout]]):
+    * `path` itself (the plain [[indexCorpus]] layout) until the first
+    * [[compactInPlace]], afterwards the `generations/g<k>` named by the
+    * `CURRENT` pointer. Every probe / append / compaction entry point
+    * resolves through this once, so a flip between two of a probe's
+    * reads cannot mix generations. */
+  private def activeRoot(spark: SparkSession, path: String): String =
+    IndexLayout.activeRoot(spark, path)
 
   /** Highest batchId ever folded into `root` by a compaction (−1 when
     * none): the replay guard [[appendToPostings]] consults. */
-  private def foldedMax(spark: SparkSession, root: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/folded_max")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        "UTF-8").trim.toLong
-      finally in.close()
-    }
-  }
+  private def foldedMax(spark: SparkSession, root: String): Long =
+    IndexLayout.foldedMax(spark, root)
 
   /** Fold the active generation and its committed appends into a FRESH
     * generation under `path/generations/` and atomically flip the
@@ -428,45 +406,25 @@ object RetrievalOps {
     * [[appendToPostings]] itself. Returns the new active root. */
   def compactInPlace(spark: SparkSession, path: String): String = {
     val root = activeRoot(spark, path)
-    val curGen =
-      if (root == path) 0L
-      else root.substring(root.lastIndexOf("/g") + 2).toLong
+    val curGen = IndexLayout.currentGen(path, root)
     val nextRel = s"generations/g${curGen + 1}"
     compactTo(spark, path, s"$path/$nextRel")
-    val conf = spark.sessionState.newHadoopConf()
-    val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
-    val fs = cur.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(nextRel.getBytes("UTF-8")) finally out.close()
-    // FileContext.rename(OVERWRITE) is the atomic pointer flip where
-    // the filesystem supports one (HDFS, local); readers see either
-    // the old target or the new, never a torn file
-    org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri, conf)
-      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // retire everything OLDER than the generation just superseded: the
-    // superseded one itself survives until the next flip so probes that
-    // resolved it mid-compaction finish against intact files
-    val gens = new org.apache.hadoop.fs.Path(s"$path/generations")
-    fs.listStatus(gens).foreach { st =>
-      val nm = st.getPath.getName
-      if (nm.startsWith("g") && nm.drop(1).forall(_.isDigit) &&
-        nm.drop(1).toLong < curGen)
-        fs.delete(st.getPath, true): Unit
-    }
-    if (curGen >= 1L) Seq("postings", "stats", "appends").foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true): Unit
-    }
+    IndexLayout.flipCurrent(spark, path, nextRel)
+    IndexLayout.retireOlder(spark, path, curGen,
+      Seq("postings", "stats", "appends"))
     s"$path/$nextRel"
   }
 
   /** The auto-compaction policy dial: fold when the active generation
     * has accumulated at least `maxGenerations` committed appends —
-    * probe cost grows with generation count (each adds a listing + a
-    * union branch per probe; appendscale measured ~+0.2 s/generation at
-    * sf-bench scale), so continuous ingestion calls this after each
-    * commit ([[graft.streaming.DocStreams.indexArrivals]]'s
-    * `compactEvery`). Returns whether a compaction ran. */
+    * probe cost grows LINEARLY with generation count (each adds a
+    * listing + a union branch per probe; genscale measured
+    * ~+0.15 s/generation at sf0.1, 5× the compacted probe by 20
+    * generations — PLANS.md r10), so continuous ingestion calls this
+    * after each commit ([[graft.streaming.DocStreams.indexArrivals]]'s
+    * `compactEvery`). `maxGenerations = 8` is a good default: probe
+    * stays within ~2× its compacted floor while compaction cost
+    * amortizes over the 8 batches. Returns whether a compaction ran. */
   def maybeCompact(spark: SparkSession, path: String,
       maxGenerations: Int): Boolean = {
     require(maxGenerations >= 1,
@@ -499,17 +457,12 @@ object RetrievalOps {
     // carry the replay guard forward: dest's folded mark covers every
     // batchId-keyed generation this compaction folds PLUS everything a
     // previous compaction already folded into `root`'s base
-    val folded = (foldedMax(spark, root) +:
-      committedAppends(spark, root).map(d =>
-        new org.apache.hadoop.fs.Path(d).getName.stripPrefix("batch="))
-        .filter(_.forall(_.isDigit)).filter(_.nonEmpty).map(_.toLong)).max
+    IndexLayout.writeFoldedMax(spark, dest,
+      IndexLayout.foldedMarkFor(spark, root,
+        committedAppends(spark, root)
+          .map(d => new org.apache.hadoop.fs.Path(d).getName)))
     val fs = new org.apache.hadoop.fs.Path(dest)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (folded >= 0L) {
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$dest/folded_max"), true)
-      try out.write(folded.toString.getBytes("UTF-8")) finally out.close()
-    }
     if (n == 0) {
       // an empty index still gets the FULL rebuild layout — a postings
       // directory (file-less, like indexCorpus over an empty corpus

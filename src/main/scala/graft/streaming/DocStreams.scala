@@ -82,14 +82,28 @@ object DocStreams {
     * lifecycle). */
   def appendArrivals(vecs: DataFrame,
       index: graft.operators.IvfPq.IvfPqIndex, indexPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    encodeArrivals(vecs, index).writeStream
+      checkpoint: String, compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // with auto-compaction the encoder must NOT hold disk-backed
+    // reference frames: a flip retires old generations (after the
+    // grace cycle) out from under a file-scanning plan — localize the
+    // parameter-sized centroids/codebook once, up front
+    val frozen =
+      if (compactEvery.isDefined) graft.operators.IvfPq.localizeIndex(index)
+      else index
+    encodeArrivals(vecs, frozen).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
+          batchId: Long) => {
         graft.operators.IvfPq.appendToIndex(batch.toDF(), indexPath,
-          batchId = Some(batchId)))
+          batchId = Some(batchId))
+        compactEvery.foreach { n =>
+          graft.operators.IvfPq.maybeCompact(
+            batch.sparkSession, indexPath, n): Unit
+        }
+      })
       .start()
+  }
 
   /** Stateless PII scrub: text redacted in place, match counts appended —
     * a pure map, so it adds no streaming state at all. */

@@ -222,6 +222,51 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dest/appends").exists())
   }
 
+  test("vector-side in-place compaction: CURRENT flips, probes stay " +
+      "exact, replays stay idempotent, old generations retire") {
+    val idx = IvfPq.build(renamed, "item", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqgen").toString
+    IvfPq.writeIndex(idx, dir)
+    idx.release()
+    val frozen = IvfPq.localizeIndex(IvfPq.loadIndex(spark, dir))
+    val baseN = frozen.codes.count()
+    def arrivalsAt(off: Long) = renamed.filter(col("item").isin(5L, 9L))
+      .select((col("item") + off).as("item"),
+        col("vec").cast("array<double>").as("v"))
+    IvfPq.appendToIndex(IvfPq.encodeMapSide(arrivalsAt(500000L), "item",
+      "v", frozen), dir, batchId = Some(0L))
+    assert(!IvfPq.maybeCompact(spark, dir, 2))
+    IvfPq.appendToIndex(IvfPq.encodeMapSide(arrivalsAt(600000L), "item",
+      "v", frozen), dir, batchId = Some(1L))
+    assert(IvfPq.maybeCompact(spark, dir, 2))
+    assert(new java.io.File(s"$dir/CURRENT").exists())
+    val query = renamed.filter(col("item") === 0L)
+      .head().getSeq[Float](1).map(_.toDouble)
+    def probe() = IvfPq.topK(IvfPq.loadIndex(spark, dir), query,
+        topK = 1000, nProbe = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val afterFold = probe()
+    assert(afterFold.size == baseN + 4)
+    assert(afterFold(500005L) == afterFold(5L) &&
+      afterFold(600009L) == afterFold(9L))
+    // a replay of a FOLDED batch must no-op (its appends directory was
+    // folded away; re-appending would double-serve every row)
+    IvfPq.appendToIndex(IvfPq.encodeMapSide(arrivalsAt(600000L), "item",
+      "v", frozen), dir, batchId = Some(1L))
+    assert(probe() == afterFold, "replay of a folded batch must no-op")
+    // further ingestion + a second fold: probes exact, g1 retires
+    IvfPq.appendToIndex(IvfPq.encodeMapSide(arrivalsAt(700000L), "item",
+      "v", frozen), dir, batchId = Some(2L))
+    assert(IvfPq.maybeCompact(spark, dir, 1))
+    val after2 = probe()
+    assert(after2.size == baseN + 6 && after2(700005L) == after2(5L))
+    val gens = new java.io.File(s"$dir/generations").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(gens == Seq("g1", "g2"), gens.toString)
+    assert(!new java.io.File(s"$dir/codes").exists(),
+      "base-layout codes must retire once a generation supersedes them")
+  }
+
   test("an UNCOMMITTED append batch (crash before the marker) is " +
       "invisible to loadIndex until its commit marker exists") {
     val idx = IvfPq.build(renamed, "item", "vec")

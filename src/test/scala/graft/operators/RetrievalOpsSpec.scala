@@ -624,6 +624,59 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows(("ivf", 2L)) >= rows(("ivfpq", 2L)))
   }
 
+  test("trained k-means IVF-PQ reaches production-grade recall " +
+      "(the x25 sweep's credible operating point)") {
+    // the GATE sweep uses the deterministic untrained geometry (first-k
+    // donors, oracle-replayable) whose IVF-PQ row reads recall ~0.4 —
+    // a floor, not the dial's real operating point. This pins what the
+    // TRAINED path (Lloyd-iterated coarse centroids + trained residual
+    // codebooks, IvfAnn.trainCentroids → IvfPq.build) delivers on the
+    // same corpus: the number a deployment actually tunes against.
+    graft.functions.VectorExprs.register(spark)
+    // L2-NORMALIZE first — the production recipe for cosine ANN: on
+    // unit vectors cosine order == L2 order, so the PQ's residual-L2
+    // ADC ranking approximates the cosine ground truth it is scored
+    // against (on raw vectors with varying norms the two orderings
+    // legitimately diverge and recall measures the metric mismatch,
+    // not the quantizer)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+          "sqrt(aggregate(embedding, 0D, (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))")
+          .as("v"))
+    // m=32/k=64 on 64-dim = 32 bytes/vector (16× compression) —
+    // measured dial on this corpus: m=16 (32×) recall@10 0.6, m=32
+    // (16×) 0.8, flat across nprobe 2→8 both times (quantization-bound,
+    // never routing-bound: the trained coarse cells are lossless from
+    // nprobe=2). The synthetic vectors are weakly clustered, so these
+    // floors are conservative for real embedding distributions.
+    val idx = IvfPq.build(emb, "vec_id", "v", nCells = 8,
+      m = 32, k = 64, coarseIters = 3, pqIters = 3)
+    try {
+      val q = emb.filter(col("vec_id") === 0L).head().getSeq[Double](1)
+      val exact = emb.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          call_function("vec_cosine", col("v"), typedLit(q)).as("c"))
+        .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      def recallAt(np: Int): Double = {
+        val approx = IvfPq.topK(idx, q, topK = 10, nProbe = np,
+          excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+        exact.count(approx.contains) / 10.0
+      }
+      val r2 = recallAt(2)
+      val r4 = recallAt(4)
+      val r8 = recallAt(8)
+      val all = s"recall@10 nprobe 2/4/8 = $r2/$r4/$r8"
+      // deterministic (first-k init + fixed Lloyd rounds): the floors
+      // pin the measured operating point with slack for nothing — a
+      // regression in training or ADC scoring moves them
+      assert(r8 >= r2 && r4 >= r2, s"more probes must not lose recall: $all")
+      assert(r2 >= 0.75, all)
+      assert(r8 >= 0.8, all)
+    } finally idx.release()
+  }
+
   test("trainBpe linearization: cuts bound lineage, results unchanged") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // reference run: materialization effectively off (one long chain)

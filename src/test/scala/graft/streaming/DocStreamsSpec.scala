@@ -80,6 +80,40 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
+  test("streaming vector append with compactEvery folds generations and " +
+      "serves exact codes") {
+    import graft.operators.IvfPq
+    val emb = graft.Tables.embeddings(spark, Dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = IvfPq.build(emb, "vec_id", "v", nCells = 4,
+      coarseIters = 0, pqIters = 0)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("encc").toString
+      IvfPq.writeIndex(idx, s"$root/idx")
+      val frozen = IvfPq.loadIndex(spark, s"$root/idx")
+      val before = frozen.codes.count()
+      val arrivals = DocStreams
+        .vecFileSource(spark, s"$Dir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + 500000L)
+      // compact after EVERY micro-batch — maximal churn for the
+      // pointer flip + the localized encoder reference tables
+      val q = DocStreams.appendArrivals(arrivals, frozen, s"$root/idx",
+        s"$root/ckpt", compactEvery = Some(1))
+      try q.processAllAvailable() finally q.stop()
+      assert(new java.io.File(s"$root/idx/CURRENT").exists(),
+        "at least one auto-compaction must have run")
+      val after = IvfPq.loadIndex(spark, s"$root/idx")
+      assert(after.codes.count() == before * 2)
+      def keyOf(df: org.apache.spark.sql.DataFrame, id: Long) = df
+        .filter(col("pq_id") === id)
+        .select(col("cell").cast("long"),
+          col("codes").cast("array<int>")).head()
+      assert(keyOf(after.codes, 500007L) == keyOf(after.codes, 7L))
+      assert(new java.io.File(s"$root/idx/generations").listFiles()
+        .count(_.getName.startsWith("g")) <= 2)
+    } finally idx.release()
+  }
+
   test("streaming PII scrub matches the batch scrub row for row") {
     val got = EventStreams.runToCompletion(
       DocStreams.scrubbed(stream).select("doc_id", "text", "n_emails", "n_ips"),
