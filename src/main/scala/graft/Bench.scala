@@ -106,9 +106,18 @@ object Bench {
     // builds, d26's annotated view); later reps measure the warm
     // serving path — the median is the steady-state cost, and the
     // rep-1 map is kept alongside so the cold/build cost stays visible.
+    // tolerant parse: a malformed env var must not abort the bench
+    // after the (expensive) warmup already ran — fall back to 3
     val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+        .trim.toInt).getOrElse(3))
+    // true median: even counts average the two middle samples (taking
+    // the upper-middle would systematically report the MAX at reps=2)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

@@ -364,23 +364,33 @@ object CorpusOps {
     * Earlier formulation (distinct → persist → cap semi-join → hash
     * self-join) measured 3.8 s cold at sf0.1; this shape ~halves it and
     * removes three shuffles plus the corpus-scale cache. */
+  /** Below this estimated input size, [[spread]] keeps the natural
+    * partitioning: the repartition's ~0.5 s fixed stage cost (measured,
+    * x13prof at sf0.1 — it was ~40% of a 1.3 s gate on a 0.6 MB corpus
+    * that runs 0.75 s without it) exceeds what serializing the explode
+    * of this much text on few cores can lose. The threshold is LOW on
+    * purpose — asymmetric risk: spreading a too-small input wastes the
+    * fixed ~0.5 s once, while NOT spreading a too-large one serializes
+    * work that grows with text × k without bound (a 100 MB single-split
+    * corpus on 1 of 32 cores is a ~30× stall). Deliberately not the
+    * conversion path's 256 MB `AqeMinInputBytes` — that calibrates AQE
+    * stage-materialization overhead against input SCAN cost, whereas
+    * the explode's work is text_len × k, unrelated to compressed scan
+    * size. */
+  private[operators] val SpreadMinInputBytes: Long = 8L << 20
+
   /** Ensure at least default-parallelism partitions before a ×k map-side
     * gram explode — but only when the input is big enough for the
-    * shuffle to pay for itself: a mid-size corpus scanning as fewer
-    * splits than cores would serialize the explode+hash blowup, while a
-    * SMALL corpus explodes faster on its natural partitioning than its
-    * text can round-trip a repartition (measured, x13prof at sf0.1:
-    * the unconditional repartition cost ~0.5 s of a 1.3 s gate — the
-    * whole pipeline runs ~0.75 s without it). The size gate reuses the
-    * conversion path's small-input threshold
-    * ([[graft.osm.OsmPipeline.AqeMinInputBytes]]: the measured point
-    * where per-stage fixed costs stop dominating); corpus-scale inputs
-    * exceed both the gate and the partition bound — there this is a
-    * no-op and costs no shuffle. */
+    * shuffle to pay for itself ([[SpreadMinInputBytes]]): a mid-size
+    * corpus scanning as fewer splits than cores would serialize the
+    * explode+hash blowup, while a SMALL corpus explodes faster on its
+    * natural partitioning than its text can round-trip a repartition.
+    * Corpus-scale inputs exceed both the gate and the partition bound —
+    * there this is a no-op and costs no shuffle. */
   private def spread(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      graft.osm.OsmPipeline.AqeMinInputBytes
+    val small =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < SpreadMinInputBytes
     if (!small && df.rdd.getNumPartitions < p) df.repartition(p, key) else df
   }
 

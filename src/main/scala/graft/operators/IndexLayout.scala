@@ -78,6 +78,85 @@ private[operators] object IndexLayout {
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     }
 
+  /** Retract the generational layout at `path` — CURRENT pointer (and
+    * any torn tmp) plus every `generations/` directory — so a fresh
+    * BASE layout written at `path` is what readers resolve. An in-place
+    * rebuild over a previously compacted path MUST call this first:
+    * with a stale CURRENT left standing, every probe/append would keep
+    * resolving the retired generation and silently serve the OLD
+    * corpus, ignoring the rebuild entirely. Delete order is
+    * crash-safe: the pointer goes first, so a failure mid-retraction
+    * leaves readers on the (incomplete, marker-less) base layout —
+    * a clear rebuild-needed error, never the wrong data. */
+  def retract(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("CURRENT", "CURRENT.tmp", "generations").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      p.getFileSystem(conf).delete(p, true): Unit
+    }
+  }
+
+  /** The shared in-place compaction sequence (fold → flip → retire):
+    * `compact(path, dest)` writes the folded single-generation layout
+    * at `dest` (index-kind specific), then the CURRENT pointer flips to
+    * it and everything older than the superseded generation retires.
+    * Returns the new active root. Both index kinds delegate here so the
+    * flip ordering and grace policy cannot drift between them. */
+  def compactInPlace(spark: SparkSession, path: String,
+      baseDirs: Seq[String], compact: (String, String) => Unit): String = {
+    val root = activeRoot(spark, path)
+    val curGen = currentGen(path, root)
+    val nextRel = s"generations/g${curGen + 1}"
+    compact(path, s"$path/$nextRel")
+    flipCurrent(spark, path, nextRel)
+    retireOlder(spark, path, curGen, baseDirs)
+    s"$path/$nextRel"
+  }
+
+  /** The shared auto-compaction policy: fold when the active generation
+    * carries ≥ `maxGenerations` committed appends (`committed` lists
+    * them, index-kind specific). Returns whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, path: String, maxGenerations: Int,
+      committed: String => Seq[String], compactIP: () => String): Boolean = {
+    require(maxGenerations >= 1,
+      s"maybeCompact: maxGenerations must be >= 1, got $maxGenerations")
+    val root = activeRoot(spark, path)
+    if (committed(root).size >= maxGenerations) {
+      compactIP(): Unit
+      true
+    } else false
+  }
+
+  /** The at-least-once append guard both index kinds apply before
+    * writing a batch generation ([[foldedMax]] doc): a batchId EQUAL to
+    * the folded high-water mark is the one genuine replay shape — the
+    * batch in flight when the fold ran, re-delivered after a crash
+    * before its checkpoint offset committed — and must no-op (its rows
+    * are already in the folded generation). A batchId BELOW the mark
+    * can never be a replay from the same checkpoint lineage (offsets
+    * commit strictly in order, so every earlier batch's commit
+    * preceded the fold): it means a DIFFERENT stream — typically a
+    * fresh checkpoint restarting ids at 0 against a long-lived index —
+    * and silently dropping its batches would lose real data, so it
+    * throws. Returns true when the caller should skip the append. */
+  def replayGuard(spark: SparkSession, root: String,
+      batchId: Option[Long], what: String): Boolean = {
+    val fm = foldedMax(spark, root)
+    batchId match {
+      case Some(b) if b < fm =>
+        throw new IllegalStateException(
+          s"$what: batch $b predates this index's folded history " +
+            s"(compacted through batch $fm). Batch ids restart only " +
+            "when a NEW stream (fresh checkpoint) feeds an existing " +
+            "index — silently skipping would drop its data, and " +
+            "appending would break replay idempotence. Point the new " +
+            "stream at a new index path, or keep the original " +
+            "checkpoint when resuming ingestion.")
+      case Some(b) => b == fm
+      case None => false
+    }
+  }
+
   /** Atomically point `path/CURRENT` at `rel` (see object doc). */
   def flipCurrent(spark: SparkSession, path: String, rel: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()

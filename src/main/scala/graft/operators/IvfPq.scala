@@ -106,6 +106,17 @@ object IvfPq {
   def writeIndex(index: IvfPqIndex, path: String): Unit = {
     val spark = index.cents.sparkSession
     import spark.implicits._
+    // an in-place REBUILD over a served path must retract the previous
+    // lifecycle first: a stale CURRENT would keep every loadIndex on
+    // the retired generation (ignoring this rebuild entirely), and
+    // stale appends/ batches would union the OLD corpus's vectors into
+    // the fresh base. For a fresh dest (compactTo's generations/g<k>)
+    // both are no-ops — and folded_max, written by compactTo before
+    // this call, is untouched.
+    IndexLayout.retract(spark, path)
+    val ap = new org.apache.hadoop.fs.Path(s"$path/appends")
+    ap.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(ap, true): Unit
     Seq((index.m, index.k)).toDF("m", "k")
       .write.mode("overwrite").parquet(s"$path/meta")
     index.cents.write.mode("overwrite").parquet(s"$path/cents")
@@ -123,7 +134,16 @@ object IvfPq {
     if (!fs.exists(appendsPath)) Nil
     else fs.listStatus(appendsPath).toSeq
       .filter(_.isDirectory).map(_.getPath)
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)))
+      // _SUCCESS grandfathers batches written before the explicit
+      // marker existed: the Hadoop job committer writes it only at
+      // job commit (data complete), so it IS a commit marker when
+      // present — without it, upgrading would silently drop (and the
+      // next compaction permanently fold away) every pre-marker
+      // appended vector. The explicit marker remains the primary gate
+      // because deployments can disable _SUCCESS emission.
+      .filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
       .map(_.toString).sorted
   }
 
@@ -323,11 +343,12 @@ object IvfPq {
       batchId: Option[Long] = None): Unit = {
     val spark = encoded.sparkSession
     val root = IndexLayout.activeRoot(spark, path)
-    // at-least-once across COMPACTION: a replayed batch whose rows were
-    // already folded into the current generation must no-op — its own
-    // appends directory no longer exists to overwrite, so re-appending
-    // would double-serve every row (the lexical twin's guard)
-    if (batchId.exists(_ <= IndexLayout.foldedMax(spark, root))) return
+    // at-least-once across COMPACTION: the one genuine replay of a
+    // folded batch (id == the folded mark) no-ops; an id BELOW the
+    // mark is a different stream's and throws — silently dropping it
+    // would lose real data (IndexLayout.replayGuard doc)
+    if (IndexLayout.replayGuard(spark, root, batchId, "appendToIndex"))
+      return
     val m = spark.read.parquet(s"$root/meta").head().getInt(0)
     // geometry check rides INSIDE the single write pass (raise_error on
     // the first mismatched row) — a separate validation scan would
@@ -394,16 +415,10 @@ object IvfPq {
     * [[IvfPqIndex]] loaded before the PREVIOUS flip must be reloaded).
     * Returns the new active root. */
   def compactInPlace(spark: org.apache.spark.sql.SparkSession,
-      path: String): String = {
-    val root = IndexLayout.activeRoot(spark, path)
-    val curGen = IndexLayout.currentGen(path, root)
-    val nextRel = s"generations/g${curGen + 1}"
-    compactTo(spark, path, s"$path/$nextRel")
-    IndexLayout.flipCurrent(spark, path, nextRel)
-    IndexLayout.retireOlder(spark, path, curGen,
-      Seq("meta", "cents", "codebook", "codes", "appends"))
-    s"$path/$nextRel"
-  }
+      path: String): String =
+    IndexLayout.compactInPlace(spark, path,
+      Seq("meta", "cents", "codebook", "codes", "appends"),
+      compactTo(spark, _, _))
 
   /** Auto-compaction dial, mirroring
     * [[graft.operators.RetrievalOps.maybeCompact]]: fold when the
@@ -411,15 +426,9 @@ object IvfPq {
     * batches (each adds a listing + a union branch to every load).
     * Returns whether a compaction ran. */
   def maybeCompact(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxGenerations: Int): Boolean = {
-    require(maxGenerations >= 1,
-      s"maybeCompact: maxGenerations must be >= 1, got $maxGenerations")
-    val root = IndexLayout.activeRoot(spark, path)
-    if (committedBatches(spark, root).size >= maxGenerations) {
-      compactInPlace(spark, path): Unit
-      true
-    } else false
-  }
+      maxGenerations: Int): Boolean =
+    IndexLayout.maybeCompact(spark, path, maxGenerations,
+      committedBatches(spark, _), () => compactInPlace(spark, path))
 
   /** The x15 probe at an arbitrary nprobe with the query vector
     * excluded — the ranking form the x25 accuracy-vs-cost sweep scores

@@ -326,6 +326,11 @@ object RetrievalOps {
     val fs = statsPath.getFileSystem(conf)
     fs.delete(statsPath, true): Unit
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends"), true): Unit
+    // and retract any generational layout: a rebuild over a previously
+    // compactInPlace'd path must not leave a stale CURRENT standing, or
+    // every probe/append would keep resolving the retired generation
+    // and silently serve the OLD corpus (IndexLayout.retract doc)
+    IndexLayout.retract(docs.sparkSession, path)
     val (n, sumDl) = writePostings(docs, idCol, textCol,
       s"$path/postings", nBuckets, withPositions)
     // stats LAST — it is the commit marker: a failure mid-postings-write
@@ -357,12 +362,13 @@ object RetrievalOps {
       path: String, batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     val root = activeRoot(spark, path)
-    // at-least-once across COMPACTION: a replayed batch whose rows were
-    // already folded into the current generation by compactInPlace must
-    // no-op — its append directory no longer exists to overwrite, so
-    // re-appending would duplicate every row. Batch ids are monotonic
-    // (foreachBatch), so the folded high-water mark decides exactly.
-    if (batchId.exists(_ <= foldedMax(spark, root))) return
+    // at-least-once across COMPACTION: the one genuine replay of a
+    // FOLDED batch (id == the folded high-water mark) no-ops — its
+    // rows are already in the folded generation and its own appends
+    // directory no longer exists to overwrite; an id BELOW the mark is
+    // a different stream's and throws (IndexLayout.replayGuard doc)
+    if (IndexLayout.replayGuard(spark, root, batchId, "appendToPostings"))
+      return
     val (nBuckets, withPositions) = {
       val r = readBaseStats(spark, root)
       (r.getAs[Int]("n_buckets"), r.getAs[Boolean]("with_positions"))
@@ -404,16 +410,9 @@ object RetrievalOps {
     * in-flight scans). Single-writer contract: appends and compactions
     * must be sequenced by one writer (the foreachBatch loop), as with
     * [[appendToPostings]] itself. Returns the new active root. */
-  def compactInPlace(spark: SparkSession, path: String): String = {
-    val root = activeRoot(spark, path)
-    val curGen = IndexLayout.currentGen(path, root)
-    val nextRel = s"generations/g${curGen + 1}"
-    compactTo(spark, path, s"$path/$nextRel")
-    IndexLayout.flipCurrent(spark, path, nextRel)
-    IndexLayout.retireOlder(spark, path, curGen,
-      Seq("postings", "stats", "appends"))
-    s"$path/$nextRel"
-  }
+  def compactInPlace(spark: SparkSession, path: String): String =
+    IndexLayout.compactInPlace(spark, path,
+      Seq("postings", "stats", "appends"), compactTo(spark, _, _))
 
   /** The auto-compaction policy dial: fold when the active generation
     * has accumulated at least `maxGenerations` committed appends —
@@ -426,15 +425,9 @@ object RetrievalOps {
     * stays within ~2× its compacted floor while compaction cost
     * amortizes over the 8 batches. Returns whether a compaction ran. */
   def maybeCompact(spark: SparkSession, path: String,
-      maxGenerations: Int): Boolean = {
-    require(maxGenerations >= 1,
-      s"maybeCompact: maxGenerations must be >= 1, got $maxGenerations")
-    val root = activeRoot(spark, path)
-    if (committedAppends(spark, root).size >= maxGenerations) {
-      compactInPlace(spark, path): Unit
-      true
-    } else false
-  }
+      maxGenerations: Int): Boolean =
+    IndexLayout.maybeCompact(spark, path, maxGenerations,
+      committedAppends(spark, _), () => compactInPlace(spark, path))
 
   /** Fold an index and all its committed appends into ONE fresh index
     * at `dest` (full-rebuild layout: single postings generation, merged

@@ -78,14 +78,18 @@ object ResultCache {
     * {stems}_{filterhash|nofilter}_{geomhash|noclip}_{exploded|compact}
     * {_idshash}{_sorted}{_wkt}.parquet
     *
-    * `sortAlgorithm`/`sortExtent` at their DEFAULTS ("str", None) keep
-    * the reference-parity path (the reference encodes only WHETHER the
-    * result is sorted — pbf_file_reader.py:1294-1340); a NON-default
-    * algorithm or custom extent folds into the sorted segment's hash,
-    * so a direct convert() caller varying them gets a distinct result
-    * path instead of silently being served a file sorted under
-    * different parameters. Via the CLI the extent derives from the
-    * (already-keyed) geometry filter, so CLI paths are unchanged. */
+    * `sortAlgorithm`/`sortExtent` at their DEFAULTS keep the
+    * reference-parity path (the reference encodes only WHETHER the
+    * result is sorted — pbf_file_reader.py:1294-1340): default means
+    * "str" with either no extent or the extent the CLI always derives
+    * from the (already-keyed) geometry filter — that envelope adds
+    * zero discrimination over geomPart, and hashing it would re-key
+    * every geometry-filtered sorted CLI run away from the reference's
+    * `…_sorted.parquet` naming and its own warm cache. A genuinely
+    * NON-default algorithm or extent (a direct convert() caller
+    * varying them independently) folds into the sorted segment's hash,
+    * so such a caller gets a distinct result path instead of silently
+    * being served a file sorted under different parameters. */
   def resultFilePath(workDir: String, pbfPaths: Seq[String],
       opts: OsmPipeline.Options, explodeTags: Boolean = false,
       sortResult: Boolean = true, wktResult: Boolean = false,
@@ -109,9 +113,14 @@ object ResultCache {
     val idsPart =
       if (opts.osmIds.isEmpty) ""
       else "_" + sha8(opts.osmIds.sorted.distinct.mkString(","))
+    val derivedExtent = opts.geometryWkt.map { w =>
+      val e = GeometryFilters.parseWkt(w).getEnvelopeInternal
+      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }
+    val defaultExtent = sortExtent.isEmpty || sortExtent == derivedExtent
     val sortPart =
       if (!sortResult) ""
-      else if (sortAlgorithm == "str" && sortExtent.isEmpty) "_sorted"
+      else if (sortAlgorithm == "str" && defaultExtent) "_sorted"
       else "_sorted" + sha8(sortAlgorithm + sortExtent.map { e =>
         f":${e._1}%.7f,${e._2}%.7f,${e._3}%.7f,${e._4}%.7f"
       }.getOrElse(""))

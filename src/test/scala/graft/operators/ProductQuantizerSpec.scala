@@ -265,6 +265,31 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(gens == Seq("g1", "g2"), gens.toString)
     assert(!new java.io.File(s"$dir/codes").exists(),
       "base-layout codes must retire once a generation supersedes them")
+    // a batch id below the folded mark = a different stream's: throws
+    // instead of silently dropping its vectors
+    val err = intercept[IllegalStateException] {
+      IvfPq.appendToIndex(IvfPq.encodeMapSide(arrivalsAt(800000L), "item",
+        "v", frozen), dir, batchId = Some(0L))
+    }
+    assert(err.getMessage.contains("folded history"), err.getMessage)
+    // an in-place REBUILD (writeIndex over the compacted path) retracts
+    // the pointer and stale appends: loadIndex serves the fresh base,
+    // and a fresh stream restarts from batch 0
+    val idx2 = IvfPq.build(renamed.filter(col("item") < 400L), "item", "vec")
+    IvfPq.writeIndex(idx2, dir)
+    idx2.release()
+    assert(!new java.io.File(s"$dir/CURRENT").exists(),
+      "rebuild must retract the generational pointer")
+    val rebuilt = IvfPq.loadIndex(spark, dir)
+    assert(rebuilt.codes.count() == 400L,
+      "rebuild must serve the fresh base, not the retired generation")
+    val frozen2 = IvfPq.localizeIndex(rebuilt)
+    IvfPq.appendToIndex(IvfPq.encodeMapSide(
+      renamed.filter(col("item") === 5L)
+        .select((col("item") + 900000L).as("item"),
+          col("vec").cast("array<double>").as("v")), "item", "v", frozen2),
+      dir, batchId = Some(0L))
+    assert(IvfPq.loadIndex(spark, dir).codes.count() == 401L)
   }
 
   test("an UNCOMMITTED append batch (crash before the marker) is " +
@@ -284,9 +309,21 @@ class ProductQuantizerSpec extends AnyFunSuite {
     IvfPq.encodeMapSide(arrivals, "item", "v", frozen)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/appends/batch=99")
+    // a TRUE torn write (crash mid-parquet-job) leaves neither the
+    // job committer's _SUCCESS nor the explicit marker
+    new java.io.File(s"$dir/appends/batch=99/_SUCCESS").delete()
     assert(IvfPq.loadIndex(spark, dir).codes.count() == baseN,
       "a markerless batch directory must not be served")
-    // the marker landing (the write's final step) makes it visible
+    // a batch written BEFORE the explicit marker existed carries only
+    // the job committer's _SUCCESS — it committed fully, so it is
+    // grandfathered in rather than silently dropped (and permanently
+    // folded away by the next compaction)
+    new java.io.File(s"$dir/appends/batch=99/_SUCCESS").createNewFile()
+    assert(IvfPq.loadIndex(spark, dir).codes.count() == baseN + 1,
+      "a legacy _SUCCESS-only batch must stay visible")
+    new java.io.File(s"$dir/appends/batch=99/_SUCCESS").delete()
+    // the explicit marker (the write's final step) also makes it
+    // visible — the primary gate where _SUCCESS emission is disabled
     new java.io.File(s"$dir/appends/batch=99/_GRAFT_COMMIT")
       .createNewFile()
     assert(IvfPq.loadIndex(spark, dir).codes.count() == baseN + 1)

@@ -277,6 +277,28 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(gens2 == Seq("g2", "g3"), gens2.toString)
     assert(probe(path) == rebuildOf(corpus.unionByName(more).unionByName(
       Seq((8L, "honeydew apple")).toDF("doc_id", "text"))))
+    // a batch id BELOW the folded mark can only be a DIFFERENT stream
+    // (a fresh checkpoint restarting ids against this index) — it must
+    // throw, not silently drop the new stream's data
+    val err = intercept[IllegalStateException] {
+      RetrievalOps.appendToPostings(b0, "doc_id", "text", path,
+        batchId = Some(0L))
+    }
+    assert(err.getMessage.contains("folded history"), err.getMessage)
+    // an in-place REBUILD over the compacted path must retract the
+    // CURRENT pointer: probes serve the NEW corpus, not the retired
+    // generation the stale pointer would keep resolving
+    val fresh = Seq((50L, "quince apple apple"), (51L, "cherry quince"))
+      .toDF("doc_id", "text")
+    RetrievalOps.indexCorpus(fresh, "doc_id", "text", path, nBuckets = 8)
+    assert(!new java.io.File(s"$path/CURRENT").exists(),
+      "rebuild must retract the generational pointer")
+    assert(probe(path) == rebuildOf(fresh),
+      "a rebuild over a compacted path must serve the rebuilt corpus")
+    // and the retracted index accepts a fresh stream from batch 0
+    RetrievalOps.appendToPostings(b0, "doc_id", "text", path,
+      batchId = Some(0L))
+    assert(probe(path) == rebuildOf(fresh.unionByName(b0)))
   }
 
   test("an EMPTY committed append generation never bricks the index") {

@@ -64,6 +64,20 @@ class ResultCacheSpec extends AnyFunSuite {
       OsmPipeline.Options(), sortResult = false, sortAlgorithm = "hilbert")
       == ResultCache.resultFilePath(work, Seq(Monaco),
         OsmPipeline.Options(), sortResult = false))
+    // the CLI always derives sortExtent from the geometry filter's
+    // envelope (Cli.scala) — that extent is the DEFAULT for a filtered
+    // conversion, already keyed via the geometry hash, so the path
+    // keeps the reference's plain `_sorted` naming and a pre-r10 warm
+    // cache stays addressable; a DIFFERENT extent still re-keys
+    val wkt = "POLYGON ((7.40 43.72, 7.44 43.72, 7.44 43.76, " +
+      "7.40 43.76, 7.40 43.72))"
+    val gopts = OsmPipeline.Options(geometryWkt = Some(wkt))
+    val cliShaped = ResultCache.resultFilePath(work, Seq(Monaco), gopts,
+      sortExtent = Some((7.40, 43.72, 7.44, 43.76)))
+    assert(cliShaped.endsWith("_sorted.parquet"), cliShaped)
+    assert(cliShaped == ResultCache.resultFilePath(work, Seq(Monaco), gopts))
+    assert(ResultCache.resultFilePath(work, Seq(Monaco), gopts,
+      sortExtent = Some((7.0, 43.0, 8.0, 44.0))) != cliShaped)
   }
 
   test("geometry hash is orientation-canonical (reference :1412-1458)") {
