@@ -371,6 +371,44 @@ object DevProfile {
       for (r <- 1 to 2) t(s"single_task_scan r$r")(
         scan.filter("tags IS NOT NULL OR kind = 'node'")
           .coalesce(1).count())
+    } else if (name == "spreadsweep") {
+      // Pin CorpusOps.SpreadMinInputBytes with data: the serial-vs-
+      // spread crossover of the ×k gram explode on a SINGLE-SPLIT
+      // input (the adversarial layout the spread() helper exists for).
+      // Replicates the sf corpus to several sizes, writes each as ONE
+      // parquet file, and times the explode+count on (a) the natural
+      // 1-partition scan vs (b) repartition(32, doc_id) first.
+      import org.apache.spark.sql.functions._
+      graft.functions.TextExprs.register(spark)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def explodeCount(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(length(col("text")) >= 24)
+          .select(explode(call_function("char_gram_hashes",
+            col("text"), lit(24), lit(8))).as("h"))
+          .count()
+      for (mult <- Seq(1, 4, 16, 64)) {
+        val rep = docs.crossJoin(
+            spark.range(mult.toLong).select(col("id").as("r")))
+          .select((col("doc_id") * mult + col("r")).as("doc_id"),
+            col("text"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("spreadsweep").toString + "/one"
+        rep.coalesce(1).write.parquet(dir)
+        val bytes = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        val one = spark.read.parquet(dir)
+        for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val n = explodeCount(one)
+          val t1 = System.nanoTime()
+          val m = explodeCount(one.repartition(32, col("doc_id")))
+          val t2 = System.nanoTime()
+          println(f"mult=$mult%3d (${bytes / 1048576.0}%6.1f MB, 1 split) " +
+            f"r$r natural ${(t1 - t0) / 1e9}%6.2f s  " +
+            f"spread ${(t2 - t1) / 1e9}%6.2f s  ($n/$m rows)")
+        }
+      }
     } else if (name == "x13prof") {
       // x13 stage decomposition at the gate parameters (k=24, 1/8
       // sample, cap 50): where do the seconds go — kernel+explode,

@@ -365,19 +365,21 @@ object CorpusOps {
     * self-join) measured 3.8 s cold at sf0.1; this shape ~halves it and
     * removes three shuffles plus the corpus-scale cache. */
   /** Below this estimated input size, [[spread]] keeps the natural
-    * partitioning: the repartition's ~0.5 s fixed stage cost (measured,
-    * x13prof at sf0.1 — it was ~40% of a 1.3 s gate on a 0.6 MB corpus
-    * that runs 0.75 s without it) exceeds what serializing the explode
+    * partitioning: the repartition's fixed stage cost (measured,
+    * x13prof at sf0.1 — ~0.5 s of a 1.3 s gate on the 0.6 MB corpus
+    * that runs ~0.9 s without it) exceeds what serializing the explode
     * of this much text on few cores can lose. The threshold is LOW on
-    * purpose — asymmetric risk: spreading a too-small input wastes the
-    * fixed ~0.5 s once, while NOT spreading a too-large one serializes
-    * work that grows with text × k without bound (a 100 MB single-split
-    * corpus on 1 of 32 cores is a ~30× stall). Deliberately not the
+    * purpose — asymmetric risk, measured (`DevProfile spreadsweep`,
+    * single-split replicas of the sf0.1 corpus): at 1.2 MB compressed
+    * the serial explode already costs 2.9 s vs 0.5 s spread, at 3.2 MB
+    * 11.0 s vs 1.5 s (7×) — the blowup's work is text × k and parquet
+    * compression UNDERSTATES repetitive text badly (the 3.2 MB replica
+    * is ~88 MB raw), so erring high serializes without bound while
+    * erring low wastes one sub-second shuffle. Deliberately not the
     * conversion path's 256 MB `AqeMinInputBytes` — that calibrates AQE
-    * stage-materialization overhead against input SCAN cost, whereas
-    * the explode's work is text_len × k, unrelated to compressed scan
-    * size. */
-  private[operators] val SpreadMinInputBytes: Long = 8L << 20
+    * stage-materialization overhead against input SCAN cost, unrelated
+    * to explode work. */
+  private[operators] val SpreadMinInputBytes: Long = 1L << 20
 
   /** Ensure at least default-parallelism partitions before a ×k map-side
     * gram explode — but only when the input is big enough for the

@@ -301,6 +301,83 @@ object DocStreams {
         Seq("_g_h", "_g_exact", "_g_gh", "_g_sig"): _*)
   }
 
+  /** Every COMMITTED admitted batch under an [[admitArrivals]] corpus
+    * path, as one frame with `schema` (explicit — a committed batch
+    * whose admit set was empty leaves a file-less directory that would
+    * brick schema inference). Commit marker = the job committer's
+    * `_SUCCESS` (written at job commit, so a torn write is invisible);
+    * `excludeBatch` masks a batch's OWN directory while recomputing it
+    * on replay. */
+  private def committedAdmitted(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      excludeBatch: Option[Long]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(d => d.getName.startsWith("batch=") &&
+          excludeBatch.forall(b => d.getName != s"batch=$b") &&
+          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+        .map(_.toString).sorted
+    dirs.foldLeft(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)) {
+      (acc, d) => acc.unionByName(spark.read.schema(schema).parquet(d))
+    }
+  }
+
+  /** The admitted rows an [[admitArrivals]] loop has accumulated at
+    * `path` — what a downstream training-data job reads. */
+  def admittedDocs(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    committedAdmitted(spark, path, schema, None)
+
+  /** CONTINUOUS crawl-frontier admission with a SELF-GROWING corpus —
+    * the accumulation loop [[admitNew]] (static existing set) feeds
+    * into: each micro-batch is exact+near-dup checked against the seed
+    * corpus PLUS everything ADMITTED SO FAR
+    * ([[graft.operators.CorpusOps.dedupeIncrement]], the d27 operator),
+    * within-batch exact copies collapse first
+    * ([[graft.operators.CorpusOps.exactDeduplicate]] — the increment
+    * operator's contract leaves intra-increment dups to the caller),
+    * and the survivors land in their own `batch=<id>` directory under
+    * `path` — so a document admitted in batch 3 correctly REJECTS its
+    * re-crawl in batch 7, the property the static-gate twin cannot
+    * give. Downstream readers take [[admittedDocs]] (committed batches
+    * only).
+    *
+    * At-least-once: the batchId keys the output directory (a replay
+    * overwrites its own), and recomputation EXCLUDES the batch's own
+    * previous write from "admitted so far" — otherwise the replay
+    * would see its own docs as existing, admit nothing, and erase
+    * them. Prior batches are immutable by the time a replay runs
+    * (foreachBatch is sequential), so the recomputed admit set is
+    * identical. Single-writer contract, like every accumulation loop
+    * here. Scale: the admit joins are existing-corpus-sized per batch
+    * (broadcast digest/band tables for a bounded seed; bucket-join
+    * beyond), and the accumulated corpus is re-listed, not re-written —
+    * each batch writes only its own survivors. */
+  def admitArrivals(docs: DataFrame, seed: DataFrame, path: String,
+      checkpoint: String, threshold: Double = 0.5, ngram: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = seed.schema
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => {
+        val s = batch.sparkSession
+        val existing = seed.unionByName(
+          committedAdmitted(s, path, schema, excludeBatch = Some(batchId)))
+        val admitted = graft.operators.CorpusOps.dedupeIncrement(
+          existing,
+          graft.operators.CorpusOps.exactDeduplicate(batch.toDF(),
+            "doc_id", "text"),
+          "doc_id", "text", threshold, ngram)
+        admitted.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      })
+      .start()
+  }
+
   /** BM25 relevance tags as documents arrive: score each doc against
     * driver-held query terms under FROZEN corpus-snapshot statistics
     * (N, avgdl, per-term df — e.g. from a persisted postings index via

@@ -301,6 +301,65 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("self-growing admit loop: batch-3 admissions reject their batch-7 " +
+      "re-crawl, accumulated corpus equals the batch d27 fold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sadmit").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet grey town every single autumn evening"
+    val tBnear = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet grey town every single autumn morning"
+    val tC = "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val tE = "one two three four five six seven eight nine ten eleven"
+    val seed = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    // two feed files = two micro-batches (maxFilesPerTrigger = 1);
+    // batch 0 carries an exact seed dup, a near seed dup, a new doc and
+    // its within-batch exact copy; batch 1 re-crawls the batch-0
+    // ADMISSION (the property the static-gate twin cannot test) plus
+    // one genuinely new doc
+    val feed = s"$root/feed"
+    Seq((10L, tA), (11L, tBnear), (12L, tC), (13L, tC))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/b0")
+    Seq((20L, tC), (21L, tE))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/b1")
+    val f0 = new java.io.File(s"$feed/b0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f1 = new java.io.File(s"$feed/b1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f0.toPath,
+      java.nio.file.Paths.get(s"$feed/0.parquet"))
+    java.nio.file.Files.move(f1.toPath,
+      java.nio.file.Paths.get(s"$feed/1.parquet"))
+    // deterministic batch order: the file source lists oldest-first
+    new java.io.File(s"$feed/0.parquet").setLastModified(1000000L)
+    new java.io.File(s"$feed/1.parquet").setLastModified(2000000L)
+    val arrivals = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet").parquet(feed)
+    val q = DocStreams.admitArrivals(arrivals, seed, s"$root/adm",
+      s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = DocStreams.admittedDocs(spark, s"$root/adm", seed.schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the loop must equal the batch d27 fold over the same two batches
+    import graft.operators.CorpusOps
+    val b0 = Seq((10L, tA), (11L, tBnear), (12L, tC), (13L, tC))
+      .toDF("doc_id", "text")
+    val b1 = Seq((20L, tC), (21L, tE)).toDF("doc_id", "text")
+    val adm0 = CorpusOps.dedupeIncrement(seed,
+      CorpusOps.exactDeduplicate(b0, "doc_id", "text"), "doc_id", "text")
+    val adm1 = CorpusOps.dedupeIncrement(seed.unionByName(adm0),
+      CorpusOps.exactDeduplicate(b1, "doc_id", "text"), "doc_id", "text")
+    val expected = adm0.unionByName(adm1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // and the fold admitted exactly the two novel texts: the exact dup,
+    // the near dup, the within-batch copy and the re-crawl all rejected
+    assert(got == Set((12L, tC), (21L, tE)), got.toString)
+  }
+
   test("streaming contamination flags equal the d10 batch decontamination") {
     graft.functions.Md5Prefix28Expr.register(spark)
     graft.functions.TextExprs.register(spark)
