@@ -120,10 +120,7 @@ object Cli {
     // reference parity (pbf_file_reader.py:4029,4089): a geometry filter
     // clamps the spatial-sort curve frame to its bounds, so the same
     // region tiles identically across runs over different extracts
-    val sortExtent = geom.map { g =>
-      val e = g.getEnvelopeInternal
-      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
-    }
+    val sortExtent = geom.map(GeometryFilters.envelopeOf)
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")

@@ -392,8 +392,8 @@ object DevProfile {
             spark.range(mult.toLong).select(col("id").as("r")))
           .select((col("doc_id") * mult + col("r")).as("doc_id"),
             col("text"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("spreadsweep").toString + "/one"
+        val tmp = java.nio.file.Files.createTempDirectory("spreadsweep")
+        val dir = tmp.toString + "/one"
         rep.coalesce(1).write.parquet(dir)
         val bytes = new java.io.File(dir).listFiles()
           .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
@@ -408,6 +408,8 @@ object DevProfile {
             f"r$r natural ${(t1 - t0) / 1e9}%6.2f s  " +
             f"spread ${(t2 - t1) / 1e9}%6.2f s  ($n/$m rows)")
         }
+        // up to 64 corpus replicas per sweep — don't strand them in /tmp
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
     } else if (name == "x13prof") {
       // x13 stage decomposition at the gate parameters (k=24, 1/8

@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   * Single-writer contract throughout: appends and compactions must be
   * sequenced by one writer (a foreachBatch loop); readers need no
   * coordination — they resolve the pointer per query. */
-private[operators] object IndexLayout {
+private[graft] object IndexLayout {
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -90,10 +90,41 @@ private[operators] object IndexLayout {
     * a clear rebuild-needed error, never the wrong data. */
   def retract(spark: SparkSession, path: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    Seq("CURRENT", "CURRENT.tmp", "generations").foreach { d =>
+    // stream_id goes too: a rebuild starts a NEW ingestion lifecycle
+    Seq("CURRENT", "CURRENT.tmp", "generations", "stream_id").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(conf).delete(p, true): Unit
     }
+  }
+
+  /** Bind an index path to ONE streaming lineage: the first keyed
+    * append records `streamId` (the loop's checkpoint location — the
+    * identity that survives restarts) in `path/stream_id`; every later
+    * keyed append from a DIFFERENT lineage throws. This closes the gap
+    * [[replayGuard]] cannot: batch ids alone make a fresh stream's
+    * batch k indistinguishable from a genuine replay of batch k, so an
+    * operator pointing a NEW checkpoint at a long-lived index would
+    * have its first batches silently swallowed as "replays". Lives at
+    * the PATH level (compactions retire generations, not this);
+    * [[retract]] clears it — a rebuild is a new lifecycle. No-op when
+    * the caller passes None (manual batch appends). */
+  def checkStreamId(spark: SparkSession, path: String,
+      streamId: Option[String], what: String): Unit = streamId.foreach {
+    sid =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/stream_id")
+      val fs = fsOf(spark, p)
+      if (fs.exists(p)) {
+        val stored = readSmall(spark, p)
+        if (stored != sid) throw new IllegalStateException(
+          s"$what: index at $path is fed by the stream checkpointed at " +
+            s"'$stored', but this append came from '$sid'. A new " +
+            "checkpoint restarts batch ids, which the replay guard " +
+            "would silently swallow — point the new stream at a new " +
+            "index path, or resume with the original checkpoint.")
+      } else {
+        val out = fs.create(p, true)
+        try out.write(sid.getBytes("UTF-8")) finally out.close()
+      }
   }
 
   /** The shared in-place compaction sequence (fold → flip → retire):

@@ -27,12 +27,20 @@ import org.apache.spark.storage.StorageLevel
 object IvfPq {
 
   /** Commit marker a batch append writes LAST — [[loadIndex]] serves
-    * only batch directories carrying it, so a crash mid-append (never
-    * replayed) leaves an invisible half-write, not a served torn one.
-    * A deliberate file of our own rather than Hadoop's `_SUCCESS`: the
-    * job-success marker is disabled on some deployments
-    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`), and
-    * the commit contract must not depend on a tunable. */
+    * batch directories carrying EITHER this file OR the job committer's
+    * `_SUCCESS` (both are written only once the batch's data is
+    * complete, so a torn write carries neither and stays invisible).
+    * The explicit marker exists because `_SUCCESS` emission is disabled
+    * on some deployments
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) and the
+    * commit contract must not DEPEND on that tunable; accepting
+    * `_SUCCESS` as well grandfathers batches written before the marker
+    * existed — dropping them would silently lose (and, at the next
+    * compaction, permanently fold away) their vectors. In default
+    * deployments a batch therefore becomes visible at parquet job
+    * commit, marginally before the marker lands — both points are
+    * after the data is complete, so the visibility contract holds
+    * either way. */
   private val CommitMarker = "_GRAFT_COMMIT"
 
   /** The built index: `cents` (cid, cv) coarse centroids, `codebook`
@@ -163,9 +171,9 @@ object IvfPq {
     // directory per committed micro-batch — see [[appendToIndex]]); the
     // batch partition column exists only for replay idempotence and is
     // dropped here. Probes prune on `cell` identically on both sides.
-    // Only COMMITTED batch directories are served (the [[CommitMarker]]
-    // appendToIndex writes last, mirroring the lexical side's stats
-    // marker): a crash mid-append that is never replayed leaves a
+    // Only COMMITTED batch directories are served (carrying the
+    // [[CommitMarker]] or the job committer's _SUCCESS — see the
+    // marker's doc): a crash mid-append that is never replayed leaves a
     // half-written batch directory whose partial/torn files must stay
     // invisible to every probe, not crash or corrupt them. Each batch
     // reads with an EXPLICIT schema: a committed batch whose
@@ -340,8 +348,11 @@ object IvfPq {
     * `batchId = None` is the plain batch-append path (direct write into
     * `codes/`) for one-shot bulk loads the caller does not retry. */
   def appendToIndex(encoded: DataFrame, path: String,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      streamId: Option[String] = None): Unit = {
     val spark = encoded.sparkSession
+    // one index path, one streaming lineage (IndexLayout.checkStreamId)
+    IndexLayout.checkStreamId(spark, path, streamId, "appendToIndex")
     val root = IndexLayout.activeRoot(spark, path)
     // at-least-once across COMPACTION: the one genuine replay of a
     // folded batch (id == the folded mark) no-ops; an id BELOW the

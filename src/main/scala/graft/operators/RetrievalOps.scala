@@ -359,8 +359,13 @@ object RetrievalOps {
     * not here). Many small appends degrade probe listings — fold them
     * with [[compactTo]]. */
   def appendToPostings(docs: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Option[Long] = None): Unit = {
+      path: String, batchId: Option[Long] = None,
+      streamId: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    // one index path, one streaming lineage: a keyed append from a
+    // DIFFERENT checkpoint throws before the replay guard can mistake
+    // its restarted ids for replays (IndexLayout.checkStreamId doc)
+    IndexLayout.checkStreamId(spark, path, streamId, "appendToPostings")
     val root = activeRoot(spark, path)
     // at-least-once across COMPACTION: the one genuine replay of a
     // FOLDED batch (id == the folded high-water mark) no-ops — its

@@ -27,6 +27,16 @@ object GeometryFilters {
 
   def parseWkt(s: String): Geometry = new WKTReader(gf).read(s)
 
+  /** The geometry's envelope as the (xmin, ymin, xmax, ymax) tuple the
+    * spatial-sort extent uses — the ONE derivation shared by the CLI
+    * (clamping the sort frame to the geometry filter) and
+    * [[graft.osm.ResultCache]] (recognizing that clamp as the default
+    * extent), so the two can never drift apart. */
+  def envelopeOf(g: Geometry): (Double, Double, Double, Double) = {
+    val e = g.getEnvelopeInternal
+    (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+  }
+
   /** Minimal GeoJSON geometry parser (Polygon / MultiPolygon / Point /
     * bbox-bearing Feature), enough for the reference's geo-file filter
     * inputs (cli.py:103-142). Uses Spark's bundled Jackson. */

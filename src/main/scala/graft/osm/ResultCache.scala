@@ -113,11 +113,10 @@ object ResultCache {
     val idsPart =
       if (opts.osmIds.isEmpty) ""
       else "_" + sha8(opts.osmIds.sorted.distinct.mkString(","))
-    val derivedExtent = opts.geometryWkt.map { w =>
-      val e = GeometryFilters.parseWkt(w).getEnvelopeInternal
-      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
-    }
-    val defaultExtent = sortExtent.isEmpty || sortExtent == derivedExtent
+    // lazy: the parse only runs when an extent is actually pinned
+    def derivedExtent = opts.geometryWkt
+      .map(w => GeometryFilters.envelopeOf(GeometryFilters.parseWkt(w)))
+    def defaultExtent = sortExtent.isEmpty || sortExtent == derivedExtent
     val sortPart =
       if (!sortResult) ""
       else if (sortAlgorithm == "str" && defaultExtent) "_sorted"

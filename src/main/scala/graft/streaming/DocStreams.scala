@@ -96,7 +96,7 @@ object DocStreams {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) => {
         graft.operators.IvfPq.appendToIndex(batch.toDF(), indexPath,
-          batchId = Some(batchId))
+          batchId = Some(batchId), streamId = Some(checkpoint))
         compactEvery.foreach { n =>
           graft.operators.IvfPq.maybeCompact(
             batch.sparkSession, indexPath, n): Unit
@@ -136,7 +136,8 @@ object DocStreams {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) => {
         graft.operators.RetrievalOps.appendToPostings(batch.toDF(),
-          "doc_id", "text", indexPath, batchId = Some(batchId))
+          "doc_id", "text", indexPath, batchId = Some(batchId),
+          streamId = Some(checkpoint))
         compactEvery.foreach { n =>
           graft.operators.RetrievalOps.maybeCompact(
             batch.sparkSession, indexPath, n): Unit
@@ -301,64 +302,110 @@ object DocStreams {
         Seq("_g_h", "_g_exact", "_g_gh", "_g_sig"): _*)
   }
 
-  /** Every COMMITTED admitted batch under an [[admitArrivals]] corpus
-    * path, as one frame with `schema` (explicit — a committed batch
-    * whose admit set was empty leaves a file-less directory that would
-    * brick schema inference). Commit marker = the job committer's
-    * `_SUCCESS` (written at job commit, so a torn write is invisible);
-    * `excludeBatch` masks a batch's OWN directory while recomputing it
-    * on replay. */
-  private def committedAdmitted(spark: SparkSession, path: String,
+  /** Commit marker an admitted batch writes LAST (same contract and
+    * rationale as the index appends: `_SUCCESS` also accepted — both
+    * land only after the data is complete — but the contract must not
+    * depend on that tunable). */
+  private val AdmitMarker = "_GRAFT_COMMIT"
+
+  /** COMMITTED admitted-batch directories under `root/appends`
+    * (carrying [[AdmitMarker]] or `_SUCCESS`); `excludeBatch` masks a
+    * batch's OWN directory while recomputing it on replay. */
+  private def committedAdmitted(spark: SparkSession, root: String,
+      excludeBatch: Option[Long]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/appends")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(d => d.getName.startsWith("batch=") &&
+        excludeBatch.forall(b => d.getName != s"batch=$b") &&
+        (fs.exists(new org.apache.hadoop.fs.Path(d, AdmitMarker)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))))
+      .map(_.toString).sorted
+  }
+
+  /** The admitted corpus at `root` as ONE multi-path scan (explicit
+    * `schema` — a committed batch whose admit set was empty is
+    * file-less, which would brick inference): the folded base
+    * (`root/docs`, present after a compaction) plus every committed
+    * append. One scan relation, not an N-branch union — the plan stays
+    * flat as batches accumulate. */
+  private def admittedAt(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       excludeBatch: Option[Long]): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs =
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(d => d.getName.startsWith("batch=") &&
-          excludeBatch.forall(b => d.getName != s"batch=$b") &&
-          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
-        .map(_.toString).sorted
-    dirs.foldLeft(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)) {
-      (acc, d) => acc.unionByName(spark.read.schema(schema).parquet(d))
-    }
+    val base = new org.apache.hadoop.fs.Path(s"$root/docs")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = (if (fs.exists(base)) Seq(s"$root/docs") else Nil) ++
+      committedAdmitted(spark, root, excludeBatch)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
   }
 
   /** The admitted rows an [[admitArrivals]] loop has accumulated at
-    * `path` — what a downstream training-data job reads. */
+    * `path` — what a downstream training-data job reads. Resolves the
+    * generational pointer, so the path is stable across compactions. */
   def admittedDocs(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    committedAdmitted(spark, path, schema, None)
+    admittedAt(spark,
+      graft.operators.IndexLayout.activeRoot(spark, path), schema, None)
+
+  /** Fold the admitted corpus's batch generations into one consolidated
+    * `docs` relation under a fresh generation and flip the CURRENT
+    * pointer — the admit-loop sibling of the index compactions (same
+    * [[graft.operators.IndexLayout]] mechanics, same single-writer
+    * contract): without it a long-lived loop re-lists N batch
+    * directories per micro-batch forever. */
+  def compactAdmitted(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): String =
+    graft.operators.IndexLayout.compactInPlace(spark, path,
+      Seq("docs", "appends"), (p, dest) => {
+        val root = graft.operators.IndexLayout.activeRoot(spark, p)
+        graft.operators.IndexLayout.writeFoldedMax(spark, dest,
+          graft.operators.IndexLayout.foldedMarkFor(spark, root,
+            committedAdmitted(spark, root, None)
+              .map(d => new org.apache.hadoop.fs.Path(d).getName)))
+        admittedAt(spark, root, schema, None)
+          .write.mode("overwrite").parquet(s"$dest/docs")
+      })
 
   /** CONTINUOUS crawl-frontier admission with a SELF-GROWING corpus —
     * the accumulation loop [[admitNew]] (static existing set) feeds
-    * into: each micro-batch is exact+near-dup checked against the seed
-    * corpus PLUS everything ADMITTED SO FAR
-    * ([[graft.operators.CorpusOps.dedupeIncrement]], the d27 operator),
-    * within-batch exact copies collapse first
-    * ([[graft.operators.CorpusOps.exactDeduplicate]] — the increment
-    * operator's contract leaves intra-increment dups to the caller),
-    * and the survivors land in their own `batch=<id>` directory under
-    * `path` — so a document admitted in batch 3 correctly REJECTS its
-    * re-crawl in batch 7, the property the static-gate twin cannot
-    * give. Downstream readers take [[admittedDocs]] (committed batches
-    * only).
+    * into: each micro-batch first collapses ITS OWN duplicates — exact
+    * copies ([[graft.operators.CorpusOps.exactDeduplicate]]) then
+    * near-dup clusters ([[graft.operators.CorpusOps.deduplicate]],
+    * min-id survivor), so admission does not depend on whether two
+    * near-copies arrive one batch apart or together — then dedups
+    * against the seed corpus PLUS everything ADMITTED SO FAR
+    * ([[graft.operators.CorpusOps.dedupeIncrement]], the d27
+    * operator), and the survivors commit to their own
+    * `appends/batch=<id>` generation (marker written last). A document
+    * admitted in batch 3 therefore REJECTS its re-crawl in batch 7 —
+    * the property the static-gate twin cannot give. Downstream readers
+    * take [[admittedDocs]].
     *
-    * At-least-once: the batchId keys the output directory (a replay
-    * overwrites its own), and recomputation EXCLUDES the batch's own
-    * previous write from "admitted so far" — otherwise the replay
-    * would see its own docs as existing, admit nothing, and erase
-    * them. Prior batches are immutable by the time a replay runs
-    * (foreachBatch is sequential), so the recomputed admit set is
-    * identical. Single-writer contract, like every accumulation loop
-    * here. Scale: the admit joins are existing-corpus-sized per batch
+    * At-least-once: `checkpoint` is also the stream identity
+    * ([[graft.operators.IndexLayout.checkStreamId]] — a different
+    * checkpoint pointed at this path throws instead of having its
+    * restarted ids swallowed as replays); the batchId keys the output
+    * directory (a replay retracts its own marker and overwrites), and
+    * recomputation EXCLUDES the batch's own previous write from
+    * "admitted so far" — otherwise the replay would see its own docs
+    * as existing, admit nothing, and erase them. Prior batches are
+    * immutable by the time a replay runs (foreachBatch is sequential),
+    * so the recomputed admit set is identical; replays of batches a
+    * [[compactAdmitted]] fold absorbed no-op via the folded mark.
+    *
+    * `compactEvery = Some(n)` auto-folds after each commit once ≥ n
+    * batch generations stand — the same dial as the index loops.
+    * Scale: the admit joins are existing-corpus-sized per batch
     * (broadcast digest/band tables for a bounded seed; bucket-join
-    * beyond), and the accumulated corpus is re-listed, not re-written —
-    * each batch writes only its own survivors. */
+    * beyond), the accumulated corpus is ONE multi-path scan, and each
+    * batch writes only its own survivors. */
   def admitArrivals(docs: DataFrame, seed: DataFrame, path: String,
-      checkpoint: String, threshold: Double = 0.5, ngram: Int = 3)
+      checkpoint: String, threshold: Double = 0.5, ngram: Int = 3,
+      compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = seed.schema
     docs.writeStream
@@ -366,14 +413,32 @@ object DocStreams {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) => {
         val s = batch.sparkSession
-        val existing = seed.unionByName(
-          committedAdmitted(s, path, schema, excludeBatch = Some(batchId)))
-        val admitted = graft.operators.CorpusOps.dedupeIncrement(
-          existing,
-          graft.operators.CorpusOps.exactDeduplicate(batch.toDF(),
-            "doc_id", "text"),
-          "doc_id", "text", threshold, ngram)
-        admitted.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        import graft.operators.{CorpusOps, IndexLayout}
+        IndexLayout.checkStreamId(s, path, Some(checkpoint),
+          "admitArrivals")
+        val root = IndexLayout.activeRoot(s, path)
+        if (!IndexLayout.replayGuard(s, root, Some(batchId),
+            "admitArrivals")) {
+          val existing = seed.unionByName(
+            admittedAt(s, root, schema, excludeBatch = Some(batchId)))
+          val admitted = CorpusOps.dedupeIncrement(
+            existing,
+            CorpusOps.deduplicate(
+              CorpusOps.exactDeduplicate(batch.toDF(), "doc_id", "text"),
+              "doc_id", "text", threshold = threshold, ngram = ngram),
+            "doc_id", "text", threshold, ngram)
+          val dir = s"$root/appends/batch=$batchId"
+          val mk = new org.apache.hadoop.fs.Path(dir, AdmitMarker)
+          val fs = mk.getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(mk, false): Unit
+          admitted.write.mode("overwrite").parquet(dir)
+          fs.create(mk, true).close()
+        }
+        compactEvery.foreach { n =>
+          IndexLayout.maybeCompact(s, path, n,
+            committedAdmitted(s, _, None),
+            () => compactAdmitted(s, path, schema)): Unit
+        }
       })
       .start()
   }

@@ -312,14 +312,21 @@ class DocStreamsSpec extends AnyFunSuite {
       "falls on the quiet grey town every single autumn morning"
     val tC = "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
     val tE = "one two three four five six seven eight nine ten eleven"
+    val tF = "red orange yellow green blue indigo violet cyan magenta " +
+      "amber coral jade pearl slate bronze copper silver golden brass iron"
+    val tFnear = "red orange yellow green blue indigo violet cyan magenta " +
+      "amber coral jade pearl slate bronze copper silver golden brass steel"
     val seed = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
     // two feed files = two micro-batches (maxFilesPerTrigger = 1);
-    // batch 0 carries an exact seed dup, a near seed dup, a new doc and
-    // its within-batch exact copy; batch 1 re-crawls the batch-0
-    // ADMISSION (the property the static-gate twin cannot test) plus
-    // one genuinely new doc
+    // batch 0 carries an exact seed dup, a near seed dup, a new doc
+    // with its within-batch exact copy, and a within-batch NEAR-dup
+    // pair (admission must not depend on those two arriving together
+    // vs one batch apart — min-id survives either way); batch 1
+    // re-crawls the batch-0 ADMISSION (the property the static-gate
+    // twin cannot test) plus one genuinely new doc
     val feed = s"$root/feed"
-    Seq((10L, tA), (11L, tBnear), (12L, tC), (13L, tC))
+    Seq((10L, tA), (11L, tBnear), (12L, tC), (13L, tC), (14L, tF),
+      (15L, tFnear))
       .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/b0")
     Seq((20L, tC), (21L, tE))
       .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/b1")
@@ -338,26 +345,66 @@ class DocStreamsSpec extends AnyFunSuite {
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet").parquet(feed)
+    // compactEvery = 1: every commit folds — the loop must stay exact
+    // through the generational churn, like its index siblings
     val q = DocStreams.admitArrivals(arrivals, seed, s"$root/adm",
-      s"$root/ckpt")
+      s"$root/ckpt", compactEvery = Some(1))
     try q.processAllAvailable() finally q.stop()
     val got = DocStreams.admittedDocs(spark, s"$root/adm", seed.schema)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    // the loop must equal the batch d27 fold over the same two batches
+    // the loop must equal the batch fold over the same two batches
+    // (same composition: within-batch exact + near-dup collapse, then
+    // the d27 increment admit against seed ∪ admitted-so-far)
     import graft.operators.CorpusOps
-    val b0 = Seq((10L, tA), (11L, tBnear), (12L, tC), (13L, tC))
-      .toDF("doc_id", "text")
+    def collapse(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.deduplicate(
+        CorpusOps.exactDeduplicate(df, "doc_id", "text"),
+        "doc_id", "text")
+    val b0 = Seq((10L, tA), (11L, tBnear), (12L, tC), (13L, tC),
+      (14L, tF), (15L, tFnear)).toDF("doc_id", "text")
     val b1 = Seq((20L, tC), (21L, tE)).toDF("doc_id", "text")
-    val adm0 = CorpusOps.dedupeIncrement(seed,
-      CorpusOps.exactDeduplicate(b0, "doc_id", "text"), "doc_id", "text")
+    val adm0 = CorpusOps.dedupeIncrement(seed, collapse(b0),
+      "doc_id", "text")
     val adm1 = CorpusOps.dedupeIncrement(seed.unionByName(adm0),
-      CorpusOps.exactDeduplicate(b1, "doc_id", "text"), "doc_id", "text")
+      collapse(b1), "doc_id", "text")
     val expected = adm0.unionByName(adm1)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == expected, s"got $got expected $expected")
-    // and the fold admitted exactly the two novel texts: the exact dup,
-    // the near dup, the within-batch copy and the re-crawl all rejected
-    assert(got == Set((12L, tC), (21L, tE)), got.toString)
+    // and the fold admitted exactly the three novel texts: the exact
+    // dup, the near dup, the within-batch copy, the within-batch
+    // near-dup's younger member and the re-crawl all rejected
+    assert(got == Set((12L, tC), (14L, tF), (21L, tE)), got.toString)
+    // the generational layout is live: CURRENT points at a fold and
+    // the folded generation carries the consolidated docs relation
+    assert(new java.io.File(s"$root/adm/CURRENT").exists())
+  }
+
+  test("a second stream (different checkpoint) pointed at a live admit " +
+      "path fails loudly instead of having its batches swallowed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sadmid").toString
+    val seed = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    Seq((10L, "one two three four five six seven"))
+      .toDF("doc_id", "text").coalesce(1).write
+      .parquet(s"$root/feed")
+    def arrivals = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("pathGlobFilter", "*.parquet").parquet(s"$root/feed")
+    val q1 = DocStreams.admitArrivals(arrivals, seed, s"$root/adm",
+      s"$root/ckptA")
+    try q1.processAllAvailable() finally q1.stop()
+    // a NEW checkpoint restarts batch ids at 0 — without the lineage
+    // guard its first batches would be silently treated as replays
+    val q2 = DocStreams.admitArrivals(arrivals, seed, s"$root/adm",
+      s"$root/ckptB")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m => m != null && m.contains("checkpointed")),
+      chain(err).mkString(" | "))
   }
 
   test("streaming contamination flags equal the d10 batch decontamination") {

@@ -12,9 +12,9 @@ Usage: python tools/bench_paired.py [sfdir] [bench_json] [oracle_json]
                                            or the path given)
 
 Prints one JSON line: total engine sec, total oracle sec, overall ratio,
-and the per-gate ratios sorted worst-first. DuckDB gets the same
-median-of-3 warm treatment the engine gets (first rep discarded as
-warmup when reps >= 3).
+the per-gate ratios sorted worst-first, and any gates whose oracle SQL
+failed. DuckDB gets the same treatment the engine gets: the median of 3
+back-to-back reps, cold rep included on both sides.
 """
 import sys, json, time, statistics
 import duckdb
@@ -57,6 +57,7 @@ for name, sql in sorted(oracle.items()):
                  round(engine[name] / osec, 2) if osec > 0 else None, None))
 
 paired = [r for r in rows if r[3] is not None]
+failed = {r[0]: r[4] for r in rows if r[4] is not None}
 etot = sum(r[1] for r in paired)
 otot = sum(r[2] for r in paired)
 worst = sorted(paired, key=lambda r: -r[3])[:10]
@@ -68,6 +69,8 @@ print(json.dumps({
     "ratio": round(etot / otot, 3) if otot else None,
     "worst_gates": {r[0]: {"engine": r[1], "oracle": r[2], "ratio": r[3]}
                     for r in worst},
+    "oracle_failed": failed,
+    "unpaired": sorted(set(oracle) - set(engine)),
     "note": "engine medians from " + bench_path +
             "; oracle timed in this session (median of %d)" % REPS,
 }))
