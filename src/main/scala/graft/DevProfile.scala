@@ -305,6 +305,75 @@ object DevProfile {
       t("probe_compacted")(operators.RetrievalOps.bm25TopKIndexed(spark,
         s"$root/cmp", operators.RetrievalOps.GateTerms).count())
       big.unpersist(): Unit
+    } else if (name == "admitscale") {
+      // the self-growing admit loop's economics: ONE batch admitted
+      // against a `reps`x-replicated existing corpus — the recompute
+      // path (dedupeIncrement: re-reads and re-shingles ALL corpus
+      // text per batch) vs the signature-store path
+      // (dedupeIncrementFromStore: one-time store build, then a
+      // ~150 B/doc store scan per batch). Per-replica Caesar rotation
+      // keeps replicas disjoint in shingle space (as docscale).
+      import org.apache.spark.sql.functions._
+      require(reps <= 25, s"admitscale: max 25 replicas, got $reps")
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      // ADMIT_TEXT_MULT=k lengthens every document k-fold (suffix-tagged
+      // self-concatenation, so the shingle set really grows): the sf
+      // corpora's ~100-char docs are far below real web-document size,
+      // and the store's core property — its bytes are INDEPENDENT of
+      // document length — only shows against realistic text
+      val mult = sys.env.get("ADMIT_TEXT_MULT").map(_.toInt).getOrElse(1)
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          concat_ws(" ", (0 until mult).map(k =>
+            if (k == 0) col("text")
+            else regexp_replace(col("text"), lit("(\\w+)"), lit(s"$$1x$k"))
+          ): _*).as("text"))
+      def rot(i: Int) = {
+        val r = i % 26
+        val to = lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r)
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          translate(col("text"), lower + upper, to).as("text"))
+      }
+      val root = java.nio.file.Files.createTempDirectory("admitsc").toString
+      (0 until reps).map(rot).reduce(_ unionByName _)
+        .coalesce(8).write.parquet(s"$root/ex")
+      val ex = spark.read.parquet(s"$root/ex")
+      val nEx = ex.count()
+      // the batch: 1/8 of a replica re-crawled (must reject) plus 1/8
+      // novel (a rotation the corpus never used)
+      val batch = rot(0).filter(pmod(col("doc_id"), lit(8L)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .unionByName(rot(reps).filter(pmod(col("doc_id"), lit(8L)) === 0))
+        .persist()
+      println(s"corpus: $nEx docs (${reps}x), batch: ${batch.count()}")
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
+      }
+      t("store_build_once")({ operators.CorpusOps.signatureStore(ex,
+        "doc_id", "text").write.parquet(s"$root/sig"); 1L })
+      val sigBytes = new java.io.File(s"$root/sig").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val exBytes = new java.io.File(s"$root/ex").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      println(s"store: $sigBytes B vs corpus text $exBytes B on disk")
+      val sig = spark.read.parquet(s"$root/sig")
+      for (r <- 1 to 2) {
+        t(s"r$r admit_recompute")(operators.CorpusOps.dedupeIncrement(
+          ex, batch, "doc_id", "text").count())
+        t(s"r$r admit_from_store")(operators.CorpusOps
+          .dedupeIncrementFromStore(sig, batch, "doc_id", "text").count())
+      }
+      val a = operators.CorpusOps.dedupeIncrement(ex, batch,
+        "doc_id", "text").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val b = operators.CorpusOps.dedupeIncrementFromStore(sig, batch,
+        "doc_id", "text").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      println(s"decisions_equal: ${a == b} (${a.size} admitted)")
+      batch.unpersist(): Unit
     } else if (name == "genscale") {
       // many-generation probe decay (the steady streaming case: one
       // committed append per micro-batch) → the auto-compaction

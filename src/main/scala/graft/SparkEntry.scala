@@ -143,6 +143,7 @@ object SparkEntry {
     "d39_pack_ids" -> (T.d39PackIds _),
     "d40_decode_roundtrip" -> (T.d40DecodeRoundtrip _),
     "d41_artifact_encode" -> (T.d41ArtifactEncode _),
+    "d42_admit_from_store" -> (T.d42AdmitFromStore _),
     "d33_bpe_chars" -> (T.d33BpeChars _),
     "d34_bpe_vocab" -> (T.d34BpeVocab _),
     // multimodal (binary payload) pipeline
@@ -930,6 +931,23 @@ object SparkEntry {
     // LSH near-duplicates at 0.5 — signatures are per-doc properties, so
     // the shared minhash chain over all documents serves both sides
     "d27_increment_admit" -> (MinhashOracleCtes +
+      """,
+        |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |en AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND md5(text) NOT IN (SELECT h FROM exh)),
+        |hits AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+        |  JOIN en ON a.doc_id = en.doc_id
+        |  WHERE b.doc_id % 5 <> 0
+        |    AND len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5)
+        |SELECT en.doc_id, CAST(len(en.text) AS BIGINT) AS text_len FROM en
+        |WHERE en.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""").stripMargin,
+    // d27's decision computed from the persisted signature store — the
+    // SAME oracle by design: the gate proves dedupeIncrementFromStore
+    // (digest + minhash signatures only, no corpus-text reads) admits
+    // the identical set dedupeIncrement derives from text
+    "d42_admit_from_store" -> (MinhashOracleCtes +
       """,
         |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
         |en AS (SELECT doc_id, text FROM documents

@@ -339,6 +339,87 @@ object CorpusOps {
       existing, idCol, textCol, threshold, ngram)
   }
 
+  /** The SIGNATURE STORE of a corpus — one row per document carrying
+    * everything incremental admission ([[dedupeIncrementFromStore]])
+    * ever reads of it: `(doc_id LONG, digest STRING, sig ARRAY<LONG>)`.
+    * `digest` = md5(text) (the exact-dup key); `sig` = the MinHash
+    * signature (the near-dup LSH key; NULL for documents too short to
+    * shingle — such documents produce no candidate pairs, exactly as
+    * they do on the recompute path). [[dedupeIncrement]] promises the
+    * existing corpus "is only ever read as 16-byte digests + minhash
+    * signatures" — but recomputes them from text on every call, so a
+    * loop admitting against a growing corpus re-reads and re-shingles
+    * ALL accumulated text per batch. Persisting THIS relation instead
+    * (~150 B/doc vs the text itself) makes per-batch admission cost
+    * proportional to the batch plus a compact store scan: each batch
+    * computes signatures only for ITSELF and appends its survivors'
+    * rows to the store ([[graft.streaming.DocStreams.admitArrivals]]
+    * stores them as extra columns on the admitted batch files, so the
+    * corpus and its store stay one write). Signatures are deterministic
+    * in (text, ngram, numPerms), so admit decisions are bit-identical
+    * to the recompute path — spec-held. */
+  def signatureStore(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3,
+      numPerms: Int = SimilarityQueries.NumPerms): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("digest"))
+      .join(minhashSignatures(docs, idCol, textCol, ngram, numPerms),
+        Seq("doc_id"), "left_outer")
+
+  /** [[dedupeIncrement]] against a PRECOMPUTED [[signatureStore]]
+    * instead of the existing corpus's text: same decisions (exact md5
+    * anti join, then banded LSH at `threshold` — signatures are
+    * deterministic, so the two paths admit the SAME set), but the
+    * existing side is the compact store relation — no text scan, no
+    * re-shingling, no per-existing-doc signature recompute. Returns the
+    * admitted `newDocs` rows with their `digest` and `sig` columns
+    * APPENDED, so the caller extends the store without recomputing
+    * (drop them if unwanted). `ngram`/`numPerms` must match the store's
+    * build parameters — stored and fresh signatures must come from one
+    * hash family ([[graft.streaming.DocStreams.admitArrivals]] pins
+    * them per path and fails loudly on drift).
+    *
+    * Scale shape: the increment drives both probes — its digest and
+    * band tables are batch-sized (AQE broadcasts them), so the store is
+    * scanned map-side, never shuffled; the store scan reads ~150 B/doc.
+    * Beyond memory-bounded increments, pre-bucket both sides on the
+    * band key. */
+  def dedupeIncrementFromStore(store: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      ngram: Int = 3, numPerms: Int = SimilarityQueries.NumPerms,
+      bandSize: Int = SimilarityQueries.BandSize): DataFrame = {
+    require(numPerms % bandSize == 0,
+      s"numPerms ($numPerms) must be a multiple of bandSize ($bandSize)")
+    require(!newDocs.columns.contains("digest") &&
+      !newDocs.columns.contains("sig"),
+      "dedupeIncrementFromStore appends `digest` and `sig` columns — " +
+        "rename the input's own columns of those names first")
+    // `_g_`-prefixed working keys keep every join unambiguous: the sig
+    // frame derives FROM newDocs (a self-join lineage), so joining on
+    // the raw idCol name would be ambiguous whenever idCol == "doc_id"
+    val nd = newDocs.withColumn("digest", md5(col(textCol)))
+      .withColumn("_g_nid", col(idCol).cast("long"))
+    val sigs = minhashSignatures(newDocs, idCol, textCol, ngram, numPerms)
+      .withColumnRenamed("doc_id", "_g_sid")
+    // left outer: a doc too short to shingle has no sig row — exactly
+    // the recompute path, where it produces no candidate pairs
+    val enriched = nd.join(sigs, col("_g_nid") === col("_g_sid"),
+      "left_outer").drop("_g_sid")
+    val exactNew = enriched.join(
+      store.select(col("digest")).distinct(), Seq("digest"), "left_anti")
+    val hits = SimilarityQueries.lshPairsAcross(
+        exactNew.filter(col("sig").isNotNull)
+          .select(col("_g_nid").as("doc_id"), col("sig")),
+        store.filter(col("sig").isNotNull).select(col("doc_id"), col("sig")),
+        numPerms, bandSize)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a").as("_g_hit")).distinct()
+    exactNew.join(hits, col("_g_nid") === col("_g_hit"), "left_anti")
+      // pin the documented order (the USING anti-join floats its key
+      // first): the input's own columns, then the appended store pair
+      .select(newDocs.columns.map(col) ++ Seq(col("digest"), col("sig")): _*)
+  }
+
   /** Partial-overlap (substring-level) near-duplicate pairs via sampled
     * character n-gram fingerprints — the MOSS/winnowing family (Manber
     * 1994; Schleimer et al. 2003): whole-document MinHash misses a page

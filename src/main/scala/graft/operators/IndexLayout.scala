@@ -90,8 +90,10 @@ private[graft] object IndexLayout {
     * a clear rebuild-needed error, never the wrong data. */
   def retract(spark: SparkSession, path: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    // stream_id goes too: a rebuild starts a NEW ingestion lifecycle
-    Seq("CURRENT", "CURRENT.tmp", "generations", "stream_id").foreach { d =>
+    // stream_id and seed_sig go too: a rebuild starts a NEW ingestion
+    // lifecycle (new checkpoint lineage, possibly a new seed corpus)
+    Seq("CURRENT", "CURRENT.tmp", "generations", "stream_id",
+      "seed_sig").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(conf).delete(p, true): Unit
     }

@@ -505,6 +505,27 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** d42: the d27 incremental admit computed FROM THE SIGNATURE STORE
+    * ([[graft.operators.CorpusOps.dedupeIncrementFromStore]]): the
+    * existing corpus is reduced to its store relation
+    * ([[graft.operators.CorpusOps.signatureStore]] — md5 digest +
+    * MinHash signature, ~150 B/doc) and admission never reads its
+    * text. Shares d27's oracle verbatim — the gate PROVES the store
+    * path reaches the identical admit decision from signatures alone,
+    * which is what lets [[graft.streaming.DocStreams.admitArrivals]]
+    * scale with doc count instead of corpus text. */
+  def d42AdmitFromStore(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    CorpusOps.dedupeIncrementFromStore(
+        CorpusOps.signatureStore(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+  }
+
   /** d28: deterministic 96/2/2 train/val/test assignment, seed 7 —
     * [[graft.operators.CorpusOps.splitCorpus]]. Hash-sliced per document
     * (no shuffle), so the assignment is stable under corpus growth and

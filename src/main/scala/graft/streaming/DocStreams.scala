@@ -345,11 +345,79 @@ object DocStreams {
 
   /** The admitted rows an [[admitArrivals]] loop has accumulated at
     * `path` — what a downstream training-data job reads. Resolves the
-    * generational pointer, so the path is stable across compactions. */
+    * generational pointer, so the path is stable across compactions.
+    * `schema` is the USER schema: the signature columns stored
+    * alongside ([[storedSchema]]) are pruned by the explicit-schema
+    * read. */
   def admittedDocs(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     admittedAt(spark,
       graft.operators.IndexLayout.activeRoot(spark, path), schema, None)
+
+  /** What an admitted batch PHYSICALLY stores: the user columns plus
+    * the document's signature-store row
+    * ([[graft.operators.CorpusOps.signatureStore]]) as `_g_`-prefixed
+    * columns — md5 digest and MinHash signature. Admission reads the
+    * existing corpus ONLY through these (~150 B/doc), so per-batch cost
+    * never re-scans or re-shingles the accumulated TEXT; they ride the
+    * same parquet files as the documents (one write, one commit marker)
+    * and [[admittedDocs]]' explicit user-schema read prunes them. */
+  private def storedSchema(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    schema
+      .add("_g_adm_digest", org.apache.spark.sql.types.StringType)
+      .add("_g_adm_sig", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+
+  /** The accumulated corpus's signature store — the stored columns of
+    * every admitted row, as the (doc_id, digest, sig) relation
+    * [[graft.operators.CorpusOps.dedupeIncrementFromStore]] takes. */
+  private def storedSigsAt(spark: SparkSession, root: String,
+      excludeBatch: Option[Long]): DataFrame =
+    admittedAt(spark, root, org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, _g_adm_digest STRING, _g_adm_sig ARRAY<BIGINT>"),
+      excludeBatch)
+      .select(col("doc_id"), col("_g_adm_digest").as("digest"),
+        col("_g_adm_sig").as("sig"))
+
+  /** The SEED corpus's signature store at `path/seed_sig`, built ONCE
+    * (first batch; marker written last, so a crash mid-write recomputes
+    * — the content is deterministic, so replays converge) and read per
+    * batch thereafter: the loop's whole point is that the seed — the
+    * big side, a full corpus — is never re-shingled per micro-batch.
+    * The marker records the signature parameters; a loop restarted with
+    * DIFFERENT ones fails loudly (stored and fresh signatures must come
+    * from one hash family, or near-dup checks silently degrade to
+    * noise). Lives at the PATH level, like `stream_id` — compactions
+    * fold batch generations, never the seed. */
+  private def ensureSeedSig(seed: DataFrame, path: String, ngram: Int,
+      numPerms: Int): DataFrame = {
+    val s = seed.sparkSession
+    val dir = s"$path/seed_sig"
+    val params = s"ngram=$ngram,numPerms=$numPerms"
+    val mk = new org.apache.hadoop.fs.Path(dir, AdmitMarker)
+    val fs = mk.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(mk)) {
+      val in = fs.open(mk)
+      val stored = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim finally in.close()
+      if (stored != params) throw new IllegalStateException(
+        s"admitArrivals: the signature store at $dir was built with " +
+          s"($stored) but this loop runs ($params) — signatures from " +
+          "different parameters cannot be compared. Resume with the " +
+          "original parameters, or start a new admit path.")
+    } else {
+      graft.operators.CorpusOps
+        .signatureStore(seed, "doc_id", "text", ngram, numPerms)
+        .write.mode("overwrite").parquet(dir)
+      val out = fs.create(mk, true)
+      try out.write(params.getBytes("UTF-8")) finally out.close()
+    }
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, digest STRING, sig ARRAY<BIGINT>"))
+      .parquet(dir)
+  }
 
   /** Fold the admitted corpus's batch generations into one consolidated
     * `docs` relation under a fresh generation and flip the CURRENT
@@ -366,7 +434,9 @@ object DocStreams {
           graft.operators.IndexLayout.foldedMarkFor(spark, root,
             committedAdmitted(spark, root, None)
               .map(d => new org.apache.hadoop.fs.Path(d).getName)))
-        admittedAt(spark, root, schema, None)
+        // fold the FULL stored schema — the signature columns must
+        // survive compaction or admission would lose its store
+        admittedAt(spark, root, storedSchema(schema), None)
           .write.mode("overwrite").parquet(s"$dest/docs")
       })
 
@@ -378,12 +448,24 @@ object DocStreams {
     * min-id survivor), so admission does not depend on whether two
     * near-copies arrive one batch apart or together — then dedups
     * against the seed corpus PLUS everything ADMITTED SO FAR
-    * ([[graft.operators.CorpusOps.dedupeIncrement]], the d27
-    * operator), and the survivors commit to their own
-    * `appends/batch=<id>` generation (marker written last). A document
-    * admitted in batch 3 therefore REJECTS its re-crawl in batch 7 —
-    * the property the static-gate twin cannot give. Downstream readers
-    * take [[admittedDocs]].
+    * (the d27 decision, via
+    * [[graft.operators.CorpusOps.dedupeIncrementFromStore]]), and the
+    * survivors commit to their own `appends/batch=<id>` generation
+    * (marker written last) WITH their signature-store columns
+    * ([[storedSchema]]). A document admitted in batch 3 therefore
+    * REJECTS its re-crawl in batch 7 — the property the static-gate
+    * twin cannot give. Downstream readers take [[admittedDocs]].
+    *
+    * The existing side is read as SIGNATURES, never text: the seed is
+    * shingled ONCE into `path/seed_sig` ([[ensureSeedSig]] — the seed
+    * must stay immutable for the life of the path; retract
+    * ([[graft.operators.IndexLayout.retract]]) and rebuild to change
+    * it), and each batch stores its survivors'
+    * digests + MinHash signatures alongside the documents. Signatures
+    * are deterministic, so decisions are bit-identical to recomputing
+    * from text (spec-held) — but a batch against an N-document corpus
+    * costs the batch's own shingling plus a ~150 B/doc store scan,
+    * instead of re-reading and re-shingling the whole corpus text.
     *
     * At-least-once: `checkpoint` is also the stream identity
     * ([[graft.operators.IndexLayout.checkStreamId]] — a different
@@ -399,10 +481,10 @@ object DocStreams {
     *
     * `compactEvery = Some(n)` auto-folds after each commit once ≥ n
     * batch generations stand — the same dial as the index loops.
-    * Scale: the admit joins are existing-corpus-sized per batch
-    * (broadcast digest/band tables for a bounded seed; bucket-join
-    * beyond), the accumulated corpus is ONE multi-path scan, and each
-    * batch writes only its own survivors. */
+    * Scale: the batch drives every probe (its digest and band tables
+    * broadcast under AQE), the store is scanned map-side — never
+    * shuffled — as ONE multi-path scan, and each batch writes only its
+    * own survivors. */
   def admitArrivals(docs: DataFrame, seed: DataFrame, path: String,
       checkpoint: String, threshold: Double = 0.5, ngram: Int = 3,
       compactEvery: Option[Int] = None)
@@ -419,14 +501,22 @@ object DocStreams {
         val root = IndexLayout.activeRoot(s, path)
         if (!IndexLayout.replayGuard(s, root, Some(batchId),
             "admitArrivals")) {
-          val existing = seed.unionByName(
-            admittedAt(s, root, schema, excludeBatch = Some(batchId)))
-          val admitted = CorpusOps.dedupeIncrement(
-            existing,
+          // the existing side is READ AS SIGNATURES ONLY (seed store +
+          // the stored columns of every admitted batch): per-batch cost
+          // is the batch's own work plus a ~150 B/doc store scan — the
+          // accumulated TEXT is never re-read, re-shingled or re-hashed
+          val store = ensureSeedSig(seed, path, ngram,
+            graft.operators.SimilarityQueries.NumPerms)
+            .unionByName(
+              storedSigsAt(s, root, excludeBatch = Some(batchId)))
+          val admitted = CorpusOps.dedupeIncrementFromStore(
+            store,
             CorpusOps.deduplicate(
               CorpusOps.exactDeduplicate(batch.toDF(), "doc_id", "text"),
               "doc_id", "text", threshold = threshold, ngram = ngram),
             "doc_id", "text", threshold, ngram)
+            .withColumnRenamed("digest", "_g_adm_digest")
+            .withColumnRenamed("sig", "_g_adm_sig")
           val dir = s"$root/appends/batch=$batchId"
           val mk = new org.apache.hadoop.fs.Path(dir, AdmitMarker)
           val fs = mk.getFileSystem(s.sessionState.newHadoopConf())

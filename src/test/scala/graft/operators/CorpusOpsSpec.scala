@@ -186,6 +186,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"unexpected survivors: $kept")
   }
 
+  test("dedupeIncrementFromStore admits exactly what dedupeIncrement " +
+      "does, from signatures alone") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def noise(nWords: Int): String =
+      Seq.fill(nWords)(
+        Seq.fill(3 + rng.nextInt(5))(('a' + rng.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    // the existing corpus includes a doc too short to shingle (no sig
+    // row on the recompute path, NULL sig in the store — both paths
+    // must still exact-match against its digest)
+    val existing = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id").as("item"), col("text").as("body"))
+      .unionByName(Seq((900000L, "tiny")).toDF("item", "body"))
+    val base = existing.filter(col("item") < 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val increment = (
+      base.take(3).map { case (id, t) => (id + 1000000L, t) } ++
+      base.drop(3).map { case (id, t) => (id + 2000000L, t + " zz1 zz2") } ++
+      Seq((4000000L, "tiny"), (4000001L, "ti ny")) ++ // short docs
+      (1L to 3L).map(i => (3000000L + i, noise(50)))
+    ).toSeq.toDF("item", "body")
+    val store = CorpusOps.signatureStore(existing, "item", "body")
+    val fromStore = CorpusOps.dedupeIncrementFromStore(store, increment,
+      "item", "body")
+    // the store columns ride along for the caller to persist
+    assert(fromStore.columns.toSeq == Seq("item", "body", "digest", "sig"))
+    val got = fromStore.select("item").collect().map(_.getLong(0)).toSet
+    val expected = CorpusOps.dedupeIncrement(existing, increment,
+      "item", "body").select("item").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"store path $got vs recompute $expected")
+    // the exact copy of the short existing doc was rejected by DIGEST
+    // (it has no signature on either path); the novel short doc admitted
+    assert(!got.contains(4000000L) && got.contains(4000001L), got.toString)
+    intercept[IllegalArgumentException] {
+      CorpusOps.dedupeIncrementFromStore(store,
+        increment.withColumn("sig", lit(1)), "item", "body")
+    }
+  }
+
   test("fingerprintOverlap catches an embedded copied paragraph") {
     import spark.implicits._
     val rng = new scala.util.Random(42)

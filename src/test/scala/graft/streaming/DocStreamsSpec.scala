@@ -377,6 +377,58 @@ class DocStreamsSpec extends AnyFunSuite {
     // the generational layout is live: CURRENT points at a fold and
     // the folded generation carries the consolidated docs relation
     assert(new java.io.File(s"$root/adm/CURRENT").exists())
+    // the signature store is live: the seed was shingled ONCE into
+    // seed_sig, every admitted row carries its store columns through
+    // the fold, and the stored signatures are bit-identical to a fresh
+    // signatureStore over the same documents — so no batch ever needs
+    // the accumulated TEXT to admit against
+    assert(new java.io.File(s"$root/adm/seed_sig/_GRAFT_COMMIT").exists())
+    val aroot = graft.operators.IndexLayout.activeRoot(spark, s"$root/adm")
+    val stored = spark.read.parquet(s"$aroot/docs")
+    assert(stored.columns.toSet ==
+      Set("doc_id", "text", "_g_adm_digest", "_g_adm_sig"))
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[scala.collection.Seq[Long]]
+          .toSeq))).toSet
+    val storedSigs = sigSet(stored.select(
+      col("doc_id"), col("_g_adm_digest"), col("_g_adm_sig")))
+    val freshSigs = sigSet(CorpusOps.signatureStore(
+      DocStreams.admittedDocs(spark, s"$root/adm", seed.schema),
+      "doc_id", "text"))
+    assert(storedSigs == freshSigs,
+      s"stored $storedSigs vs fresh $freshSigs")
+  }
+
+  test("an admit loop resumed with different signature parameters " +
+      "fails loudly instead of comparing incompatible hash families") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sadmpar").toString
+    val seed = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val feed = s"$root/feed"
+    Seq((10L, "one two three four five six seven"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(feed)
+    def arrivals = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("pathGlobFilter", "*.parquet").parquet(feed)
+    val q1 = DocStreams.admitArrivals(arrivals, seed, s"$root/adm",
+      s"$root/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    // same checkpoint (lineage guard passes), new batch, ngram drift:
+    // stored signatures were built at ngram=3 — silently banding them
+    // against ngram=2 signatures would degrade near-dup checks to noise
+    Seq((11L, "eight nine ten eleven twelve thirteen"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feed)
+    val q2 = DocStreams.admitArrivals(arrivals, seed, s"$root/adm",
+      s"$root/ckpt", ngram = 2)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m => m != null &&
+      m.contains("signature store")), chain(err).mkString(" | "))
   }
 
   test("a second stream (different checkpoint) pointed at a live admit " +
