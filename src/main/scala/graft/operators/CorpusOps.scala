@@ -379,11 +379,14 @@ object CorpusOps {
     * hash family ([[graft.streaming.DocStreams.admitArrivals]] pins
     * them per path and fails loudly on drift).
     *
-    * Scale shape: the increment drives both probes — its digest and
-    * band tables are batch-sized (AQE broadcasts them), so the store is
-    * scanned map-side, never shuffled; the store scan reads ~150 B/doc.
-    * Beyond memory-bounded increments, pre-bucket both sides on the
-    * band key. */
+    * Scale shape: the increment drives both probes. Exact: the store is
+    * semi-filtered by the BATCH's digests (broadcast) before the anti
+    * join, so the store's digest column is scanned map-side — never
+    * shuffled, never aggregated. Near-dup: the band join's small side
+    * is the batch (AQE broadcasts it), the store's banding explode is
+    * map-side. Total per-batch store cost: one ~150 B/doc columnar
+    * scan. Beyond memory-bounded increments, pre-bucket both sides on
+    * the band key. */
   def dedupeIncrementFromStore(store: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
       ngram: Int = 3, numPerms: Int = SimilarityQueries.NumPerms,
@@ -405,8 +408,17 @@ object CorpusOps {
     // the recompute path, where it produces no candidate pairs
     val enriched = nd.join(sigs, col("_g_nid") === col("_g_sid"),
       "left_outer").drop("_g_sid")
-    val exactNew = enriched.join(
-      store.select(col("digest")).distinct(), Seq("digest"), "left_anti")
+    // batch-driven exact probe: a naive anti join against
+    // store.digest.distinct() would SHUFFLE the whole store per batch
+    // (distinct over unique keys reduces nothing) and outgrow the
+    // broadcast limit at corpus scale. Semi-filtering the store by the
+    // BATCH's digests first broadcasts the batch side, scans the store
+    // map-side, and leaves a batch-bounded right side for the anti join
+    // (right-side duplicates cannot change an anti join's result).
+    val seen = store.join(
+      nd.select(col("digest")).distinct(), Seq("digest"), "left_semi")
+      .select(col("digest"))
+    val exactNew = enriched.join(seen, Seq("digest"), "left_anti")
     val hits = SimilarityQueries.lshPairsAcross(
         exactNew.filter(col("sig").isNotNull)
           .select(col("_g_nid").as("doc_id"), col("sig")),

@@ -424,7 +424,14 @@ object DocStreams {
     * pointer — the admit-loop sibling of the index compactions (same
     * [[graft.operators.IndexLayout]] mechanics, same single-writer
     * contract): without it a long-lived loop re-lists N batch
-    * directories per micro-batch forever. */
+    * directories per micro-batch forever. Cost note: unlike a probe
+    * against an index, the per-batch READ path here is one multi-path
+    * scan whatever the generation count — only driver-side listing
+    * (2 `exists` + a list per batch dir) grows — while the fold
+    * rewrites the whole corpus TEXT. So the admit loop wants a LARGE
+    * `compactEvery` (amortize the rewrite over many batches, e.g.
+    * hundreds) where the index loops want a small one (probe latency
+    * decays per generation — see the genscale curve). */
   def compactAdmitted(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): String =
     graft.operators.IndexLayout.compactInPlace(spark, path,
