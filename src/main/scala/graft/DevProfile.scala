@@ -374,6 +374,9 @@ object DevProfile {
         .collect().map(_.getLong(0)).toSet
       println(s"decisions_equal: ${a == b} (${a.size} admitted)")
       batch.unpersist(): Unit
+      // a 25x corpus at ADMIT_TEXT_MULT=8 is ~130 MB — don't strand it
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
     } else if (name == "genscale") {
       // many-generation probe decay (the steady streaming case: one
       // committed append per micro-batch) → the auto-compaction

@@ -930,36 +930,12 @@ object SparkEntry {
     // exact copies of the existing corpus (md5 anti) minus cross-corpus
     // LSH near-duplicates at 0.5 — signatures are per-doc properties, so
     // the shared minhash chain over all documents serves both sides
-    "d27_increment_admit" -> (MinhashOracleCtes +
-      """,
-        |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
-        |en AS (SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 5 = 0 AND md5(text) NOT IN (SELECT h FROM exh)),
-        |hits AS (
-        |  SELECT DISTINCT a.doc_id
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-        |  JOIN en ON a.doc_id = en.doc_id
-        |  WHERE b.doc_id % 5 <> 0
-        |    AND len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5)
-        |SELECT en.doc_id, CAST(len(en.text) AS BIGINT) AS text_len FROM en
-        |WHERE en.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""").stripMargin,
-    // d27's decision computed from the persisted signature store — the
-    // SAME oracle by design: the gate proves dedupeIncrementFromStore
-    // (digest + minhash signatures only, no corpus-text reads) admits
-    // the identical set dedupeIncrement derives from text
-    "d42_admit_from_store" -> (MinhashOracleCtes +
-      """,
-        |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
-        |en AS (SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 5 = 0 AND md5(text) NOT IN (SELECT h FROM exh)),
-        |hits AS (
-        |  SELECT DISTINCT a.doc_id
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-        |  JOIN en ON a.doc_id = en.doc_id
-        |  WHERE b.doc_id % 5 <> 0
-        |    AND len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5)
-        |SELECT en.doc_id, CAST(len(en.text) AS BIGINT) AS text_len FROM en
-        |WHERE en.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""").stripMargin,
+    "d27_increment_admit" -> IncrementAdmitOracle,
+    // d42 shares d27's oracle BY CONSTRUCTION (one val, divergence
+    // impossible): the gate proves dedupeIncrementFromStore (digest +
+    // minhash signatures only, no corpus-text reads) admits the
+    // identical set dedupeIncrement derives from text
+    "d42_admit_from_store" -> IncrementAdmitOracle,
     // hash-sliced split assignment: slot = portable hash of seed:id into
     // 100 integer slots; the CASE restates the cumulative 96/2/2 bounds
     "d28_split" ->
@@ -1976,4 +1952,25 @@ object SparkEntry {
       |    ('0x' || substr(md5(array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')), 1, 7))::BIGINT AS band_key
       |  FROM sig, range(0, 4) AS b(band)
       |)""".stripMargin
+
+  /** The incremental-admit decision, shared VERBATIM by d27 (text
+    * recompute) and d42 (signature store) — one definition, so the two
+    * gates can never validate against diverged oracles: the increment
+    * (doc_id % 5 == 0) minus exact md5 copies of the existing corpus
+    * minus cross-corpus LSH near-duplicates at 0.5. NOTE: declared
+    * AFTER [[MinhashOracleCtes]] — object vals initialize in source
+    * order. */
+  private val IncrementAdmitOracle: String = (MinhashOracleCtes +
+    """,
+      |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+      |en AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 5 = 0 AND md5(text) NOT IN (SELECT h FROM exh)),
+      |hits AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      |  JOIN en ON a.doc_id = en.doc_id
+      |  WHERE b.doc_id % 5 <> 0
+      |    AND len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5)
+      |SELECT en.doc_id, CAST(len(en.text) AS BIGINT) AS text_len FROM en
+      |WHERE en.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""").stripMargin
 }

@@ -432,6 +432,36 @@ object CorpusOps {
       .select(newDocs.columns.map(col) ++ Seq(col("digest"), col("sig")): _*)
   }
 
+  /** Within-set collapse of a frame that ALREADY CARRIES its
+    * signature-store columns (`digest`, `sig` — e.g.
+    * [[dedupeIncrementFromStore]] output): one survivor (min id) per
+    * exact digest group, then near-dup clusters from the stored
+    * signatures (cluster-minimum survivor) — the
+    * [[exactDeduplicate]]-then-[[deduplicate]] composition with ZERO
+    * text reads and no re-shingling. Decisions identical to the text
+    * path: `digest` IS the md5 the exact path hashes and `sig` IS the
+    * signature the LSH path aggregates (spec-held). */
+  def collapseEnriched(docs: DataFrame, idCol: String,
+      driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges,
+      threshold: Double = 0.5,
+      numPerms: Int = SimilarityQueries.NumPerms,
+      bandSize: Int = SimilarityQueries.BandSize): DataFrame = {
+    val keep = docs
+      .select(col("digest").as("_g_h"), col(idCol).cast("long").as(idCol))
+      .groupBy(col("_g_h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exact = docs.join(keep, Seq(idCol), "left_semi")
+    val drop = SimilarityQueries.clustersFromPairs(docs.sparkSession,
+        SimilarityQueries.lshPairs(
+          exact.filter(col("sig").isNotNull)
+            .select(col(idCol).cast("long").as("doc_id"), col("sig")),
+          numPerms, bandSize),
+        driverEdgeLimit, threshold)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").cast("long").as(idCol))
+    exact.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Partial-overlap (substring-level) near-duplicate pairs via sampled
     * character n-gram fingerprints — the MOSS/winnowing family (Manber
     * 1994; Schleimer et al. 2003): whole-document MinHash misses a page

@@ -78,6 +78,24 @@ private[graft] object IndexLayout {
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     }
 
+  /** Write `content` to `p` ATOMICALLY (sibling `<name>.tmp`, then
+    * `FileContext.rename(OVERWRITE)` — atomic where the FS supports
+    * one): readers of a content-bearing live marker must see the old
+    * value or the new, never a torn prefix — a crash between create()
+    * and write() would otherwise leave an empty file that reads as a
+    * VALUE (e.g. a stream_id of "" rejecting the legitimate stream
+    * forever). */
+  private[graft] def writeAtomic(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + ".tmp")
+    val out = p.getFileSystem(conf).create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Retract the generational layout at `path` — CURRENT pointer (and
     * any torn tmp) plus every `generations/` directory — so a fresh
     * BASE layout written at `path` is what readers resolve. An in-place
@@ -93,7 +111,7 @@ private[graft] object IndexLayout {
     // stream_id and seed_sig go too: a rebuild starts a NEW ingestion
     // lifecycle (new checkpoint lineage, possibly a new seed corpus)
     Seq("CURRENT", "CURRENT.tmp", "generations", "stream_id",
-      "seed_sig").foreach { d =>
+      "stream_id.tmp", "seed_sig").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(conf).delete(p, true): Unit
     }
@@ -112,9 +130,16 @@ private[graft] object IndexLayout {
     * the caller passes None (manual batch appends). */
   def checkStreamId(spark: SparkSession, path: String,
       streamId: Option[String], what: String): Unit = streamId.foreach {
-    sid =>
+    rawSid =>
       val p = new org.apache.hadoop.fs.Path(s"$path/stream_id")
       val fs = fsOf(spark, p)
+      // qualify the checkpoint location before comparing (as Spark
+      // does for checkpointLocation itself): "ckpt", "ckpt/" and
+      // "file:/abs/ckpt" naming ONE directory are one lineage — a raw
+      // string compare would reject a legitimate resume over spelling
+      val sidPath = new org.apache.hadoop.fs.Path(rawSid)
+      val sid = sidPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(sidPath).toString
       if (fs.exists(p)) {
         val stored = readSmall(spark, p)
         if (stored != sid) throw new IllegalStateException(
@@ -123,10 +148,7 @@ private[graft] object IndexLayout {
             "checkpoint restarts batch ids, which the replay guard " +
             "would silently swallow — point the new stream at a new " +
             "index path, or resume with the original checkpoint.")
-      } else {
-        val out = fs.create(p, true)
-        try out.write(sid.getBytes("UTF-8")) finally out.close()
-      }
+      } else writeAtomic(spark, p, sid)
   }
 
   /** The shared in-place compaction sequence (fold → flip → retire):
@@ -191,15 +213,9 @@ private[graft] object IndexLayout {
   }
 
   /** Atomically point `path/CURRENT` at `rel` (see object doc). */
-  def flipCurrent(spark: SparkSession, path: String, rel: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val cur = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
-    val out = cur.getFileSystem(conf).create(tmp, true)
-    try out.write(rel.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri, conf)
-      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  def flipCurrent(spark: SparkSession, path: String, rel: String): Unit =
+    writeAtomic(spark,
+      new org.apache.hadoop.fs.Path(s"$path/CURRENT"), rel)
 
   /** Retire everything OLDER than the generation just superseded:
     * `generations/g<j>` for j < curGen, and — once any generation

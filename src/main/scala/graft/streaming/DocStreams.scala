@@ -411,8 +411,9 @@ object DocStreams {
       graft.operators.CorpusOps
         .signatureStore(seed, "doc_id", "text", ngram, numPerms)
         .write.mode("overwrite").parquet(dir)
-      val out = fs.create(mk, true)
-      try out.write(params.getBytes("UTF-8")) finally out.close()
+      // atomic: a torn params write would brick every honest resume
+      // on a phantom "drift" (IndexLayout.writeAtomic doc)
+      graft.operators.IndexLayout.writeAtomic(s, mk, params)
     }
     s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, digest STRING, sig ARRAY<BIGINT>"))
@@ -449,19 +450,25 @@ object DocStreams {
 
   /** CONTINUOUS crawl-frontier admission with a SELF-GROWING corpus —
     * the accumulation loop [[admitNew]] (static existing set) feeds
-    * into: each micro-batch first collapses ITS OWN duplicates — exact
-    * copies ([[graft.operators.CorpusOps.exactDeduplicate]]) then
-    * near-dup clusters ([[graft.operators.CorpusOps.deduplicate]],
-    * min-id survivor), so admission does not depend on whether two
-    * near-copies arrive one batch apart or together — then dedups
-    * against the seed corpus PLUS everything ADMITTED SO FAR
-    * (the d27 decision, via
-    * [[graft.operators.CorpusOps.dedupeIncrementFromStore]]), and the
-    * survivors commit to their own `appends/batch=<id>` generation
-    * (marker written last) WITH their signature-store columns
-    * ([[storedSchema]]). A document admitted in batch 3 therefore
-    * REJECTS its re-crawl in batch 7 — the property the static-gate
-    * twin cannot give. Downstream readers take [[admittedDocs]].
+    * into: each micro-batch is first deduped against the seed corpus
+    * PLUS everything ADMITTED SO FAR (the d27 decision, via
+    * [[graft.operators.CorpusOps.dedupeIncrementFromStore]]), then the
+    * surviving batch collapses ITS OWN duplicates — exact digest
+    * groups and near-dup clusters, min-id survivor
+    * ([[graft.operators.CorpusOps.collapseEnriched]], reusing the
+    * signatures the filter step computed: the batch is shingled
+    * exactly once) — and the admitted set commits to its own
+    * `appends/batch=<id>` generation (marker written last) WITH its
+    * signature-store columns ([[storedSchema]]). A document admitted
+    * in batch 3 therefore REJECTS its re-crawl in batch 7 — the
+    * property the static-gate twin cannot give — and this
+    * filter-then-collapse order keeps admission independent of batch
+    * chunking for exact copies (transitive) and for near-dup PAIRS
+    * (X near a seed doc, batch-mate Y near only X: collapse-first
+    * would sacrifice Y to X's rejection; filter-first admits Y exactly
+    * as a one-batch-later crawl would). Longer non-transitive chains
+    * remain order-dependent — inherent to ANY single-pass admission,
+    * batched or streamed. Downstream readers take [[admittedDocs]].
     *
     * The existing side is read as SIGNATURES, never text: the seed is
     * shingled ONCE into `path/seed_sig` ([[ensureSeedSig]] — the seed
@@ -516,12 +523,20 @@ object DocStreams {
             graft.operators.SimilarityQueries.NumPerms)
             .unionByName(
               storedSigsAt(s, root, excludeBatch = Some(batchId)))
-          val admitted = CorpusOps.dedupeIncrementFromStore(
-            store,
-            CorpusOps.deduplicate(
-              CorpusOps.exactDeduplicate(batch.toDF(), "doc_id", "text"),
-              "doc_id", "text", threshold = threshold, ngram = ngram),
-            "doc_id", "text", threshold, ngram)
+          // order matters: filter against the EXISTING corpus first,
+          // then collapse the batch's own duplicates among the
+          // survivors. Collapsing first would make admission depend on
+          // batch boundaries in the non-transitive corner (X near-dups
+          // a seed doc, batch-mate Y near-dups only X: collapse-first
+          // keeps min-id X, the store filter kills it, and Y — which a
+          // one-batch-later crawl WOULD admit — is lost with it).
+          // The batch is shingled exactly once (the enrichment inside
+          // dedupeIncrementFromStore); collapseEnriched reuses the
+          // riding digest/sig columns
+          val admitted = CorpusOps.collapseEnriched(
+            CorpusOps.dedupeIncrementFromStore(store, batch.toDF(),
+              "doc_id", "text", threshold, ngram),
+            "doc_id", threshold = threshold)
             .withColumnRenamed("digest", "_g_adm_digest")
             .withColumnRenamed("sig", "_g_adm_sig")
           val dir = s"$root/appends/batch=$batchId"

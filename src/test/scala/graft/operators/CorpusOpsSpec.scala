@@ -226,6 +226,73 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("collapseEnriched equals the exact+near text collapse, from the " +
+      "riding signature columns alone") {
+    val docs = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"))
+    // an empty store filters nothing — dedupeIncrementFromStore then
+    // just enriches the frame with its digest/sig columns
+    val emptyStore = CorpusOps.signatureStore(
+      docs.filter(lit(false)), "doc_id", "text")
+    val enriched = CorpusOps.dedupeIncrementFromStore(
+      emptyStore, docs, "doc_id", "text")
+    val got = CorpusOps.collapseEnriched(enriched, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = CorpusOps.deduplicate(
+        CorpusOps.exactDeduplicate(docs, "doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.size < docs.count(),
+      s"got ${got.size} expected ${expected.size}")
+  }
+
+  test("filter-then-collapse admits the non-transitive pair corner " +
+      "exactly like a batch-apart crawl") {
+    import spark.implicits._
+    // X near-dups a seed doc, batch-mate Y near-dups only X: admitting
+    // {X, Y} together must equal crawling X then Y one batch apart —
+    // the collapse-first order would sacrifice Y to X's rejection
+    val tS = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tX = tS.replace(" tau upsilon", " tau waves") // near seed
+    val tY = tX.replace("alpha beta gamma delta epsilon ",
+      "storm cloud river forest ember ") // near X, far from seed
+    val seed = Seq((1L, tS)).toDF("doc_id", "text")
+    // minhash estimates are deterministic (fixed hash family): measure
+    // the three pairwise values and put the decision threshold in the
+    // structural gap — the premise assert below guards the gap exists
+    val est = CorpusOps.nearDupAgainst(
+        Seq((10L, tX), (11L, tY)).toDF("doc_id", "text"),
+        "doc_id", "text",
+        seed.unionByName(Seq((10L, tX)).toDF("doc_id", "text")),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val xs = est.getOrElse((10L, 1L), 0.0) // X ~ seed
+    val ys = est.getOrElse((11L, 1L), 0.0) // Y ~ seed (must be lowest)
+    val yx = est.getOrElse((11L, 10L), 0.0) // Y ~ X
+    assert(ys < math.min(xs, yx), s"premise gap: xs=$xs ys=$ys yx=$yx")
+    val t = (ys + math.min(xs, yx)) / 2.0
+    val store = CorpusOps.signatureStore(seed, "doc_id", "text")
+    def admit(batch: org.apache.spark.sql.DataFrame,
+        st: org.apache.spark.sql.DataFrame) =
+      CorpusOps.collapseEnriched(
+        CorpusOps.dedupeIncrementFromStore(st, batch, "doc_id", "text",
+          threshold = t),
+        "doc_id", threshold = t)
+    val together = admit(Seq((10L, tX), (11L, tY)).toDF("doc_id", "text"),
+      store).select("doc_id").collect().map(_.getLong(0)).toSet
+    // apart: X's batch admits nothing, so the store is unchanged when
+    // Y's batch arrives
+    val apartX = admit(Seq((10L, tX)).toDF("doc_id", "text"), store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val apartY = admit(Seq((11L, tY)).toDF("doc_id", "text"), store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(apartX.isEmpty, apartX.toString)
+    assert(together == apartY && together == Set(11L),
+      s"together $together apart $apartY (t=$t xs=$xs ys=$ys yx=$yx)")
+  }
+
   test("fingerprintOverlap catches an embedded copied paragraph") {
     import spark.implicits._
     val rng = new scala.util.Random(42)

@@ -353,20 +353,23 @@ class DocStreamsSpec extends AnyFunSuite {
     val got = DocStreams.admittedDocs(spark, s"$root/adm", seed.schema)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     // the loop must equal the batch fold over the same two batches
-    // (same composition: within-batch exact + near-dup collapse, then
-    // the d27 increment admit against seed ∪ admitted-so-far)
+    // (same composition: the d27 increment admit against seed ∪
+    // admitted-so-far FIRST, then the within-batch exact + near-dup
+    // collapse among the survivors — filter-then-collapse, the order
+    // that keeps pair admission independent of batch chunking)
     import graft.operators.CorpusOps
-    def collapse(df: org.apache.spark.sql.DataFrame) =
+    def admit(existing: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
       CorpusOps.deduplicate(
-        CorpusOps.exactDeduplicate(df, "doc_id", "text"),
+        CorpusOps.exactDeduplicate(
+          CorpusOps.dedupeIncrement(existing, b, "doc_id", "text"),
+          "doc_id", "text"),
         "doc_id", "text")
     val b0 = Seq((10L, tA), (11L, tBnear), (12L, tC), (13L, tC),
       (14L, tF), (15L, tFnear)).toDF("doc_id", "text")
     val b1 = Seq((20L, tC), (21L, tE)).toDF("doc_id", "text")
-    val adm0 = CorpusOps.dedupeIncrement(seed, collapse(b0),
-      "doc_id", "text")
-    val adm1 = CorpusOps.dedupeIncrement(seed.unionByName(adm0),
-      collapse(b1), "doc_id", "text")
+    val adm0 = admit(seed, b0)
+    val adm1 = admit(seed.unionByName(adm0), b1)
     val expected = adm0.unionByName(adm1)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == expected, s"got $got expected $expected")
