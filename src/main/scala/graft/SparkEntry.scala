@@ -81,6 +81,7 @@ object SparkEntry {
     "d9_stratified_sample" -> (T.d9StratifiedSample _),
     "d10_decontaminate" -> (T.d10Decontaminate _),
     "x32_contamination" -> (operators.SimilarityQueries.x32Contamination _),
+    "x33_vec_admit" -> (operators.SimilarityQueries.x33VecAdmit _),
     "d11_repetition_quality" -> (T.d11RepetitionQuality _),
     "d12_boilerplate_ngrams" -> (T.d12BoilerplateNgrams _),
     "d13_pii_scrub" -> (T.d13PiiScrub _),
@@ -592,6 +593,19 @@ object SparkEntry {
          |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // cross-corpus vector admission: the incoming split minus every
+    // vector with round-6 cosine >= 0.4 against ANY existing vector —
+    // exact (no bucketing), decisions on the rounded value both engines
+    // agree on (the x6 convention)
+    "x33_vec_admit" ->
+      """WITH inc AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |ex AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 <> 0),
+        |hits AS (
+        |  SELECT DISTINCT inc.vec_id FROM inc JOIN ex
+        |  ON round(list_cosine_similarity(inc.v, ex.v), 6) >= 0.4)
+        |SELECT vec_id, label FROM inc
+        |WHERE vec_id NOT IN (SELECT vec_id FROM hits) ORDER BY vec_id""".stripMargin,
     "x7_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

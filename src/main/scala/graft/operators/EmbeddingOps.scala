@@ -201,6 +201,57 @@ object EmbeddingOps {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** Cross-corpus VECTOR admission — the embedding analogue of the d27
+    * text increment admit: the subset of `incoming` whose cosine
+    * against EVERY existing vector stays below `threshold`. The
+    * embedding itself is the signature, so the existing corpus needs
+    * no auxiliary store: admission reads it as one (id, vector)
+    * columnar scan (~4·d B/row). Decisions compare on
+    * `round(cosine, 6)` — float32 inputs computed in double, rounded
+    * where every engine agrees (the x6 oracle convention), so the
+    * admit set is portable.
+    *
+    * Scale shape: the INCREMENT drives the probe — it broadcasts under
+    * AQE (batch-bounded, the streaming/crawl shape) and the existing
+    * corpus streams map-side through the cosine sweep, never shuffled.
+    * Per-batch cost is |existing|·|batch| d-dim dots; past
+    * memory-bounded increments, pre-bucket both sides (sign-LSH or IVF
+    * cells) before the sweep. */
+  def admitVectors(existing: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val ex = vecs(existing, idCol, vecCol).select(col("v").as("_g_ev"))
+    val in = vecs(incoming, idCol, vecCol)
+      .select(col("vec_id").as("_g_iid"), col("v").as("_g_iv"))
+    val hits = ex.crossJoin(in)
+      .filter(round(cosine(col("_g_ev"), col("_g_iv")), 6) >= threshold)
+      .select(col("_g_iid")).distinct()
+    incoming.join(hits, col(idCol).cast("long") === col("_g_iid"),
+      "left_anti")
+  }
+
+  /** Within-set vector collapse (min-id survivor per cosine-threshold
+    * cluster) — the [[CorpusOps.collapseEnriched]] analogue for
+    * embeddings, used by the streaming admit loop AFTER the
+    * cross-corpus filter. Exact all-pairs (`planes = 0` puts
+    * everything in one bucket), which is the right shape for its
+    * micro-batch-sized inputs; pass `planes > 0` to bucket a larger
+    * set. Same round-6 decision rule as [[admitVectors]]. */
+  def collapseVectors(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 0,
+      driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges): DataFrame = {
+    // prefilter a hair BELOW the threshold (nearDupPairs compares the
+    // unrounded cosine): anything that would round UP to the threshold
+    // survives into the rounded >= decision inside clustersFromPairs
+    val pairs = nearDupPairs(df, idCol, vecCol, threshold - 1e-6, planes)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("cosine"), 6).as("est_jaccard"))
+    val drop = SimilarityQueries.clustersFromPairs(df.sparkSession,
+        pairs, driverEdgeLimit, threshold)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").cast("long").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, candidates
     * from sign-LSH buckets (per-bucket self-join, never all-pairs):
     * (id_a, id_b, cosine). A vector has exactly one bucket, so a pair

@@ -534,7 +534,9 @@ object SimilarityQueries {
     dot(col("v"), typedLit(planeSigns(p).toSeq))
 
   private[operators] def lshBucket(nPlanes: Int): Column =
-    (0 until nPlanes).map(p =>
+    // 0 planes = one bucket holding everything (exact all-pairs mode)
+    if (nPlanes <= 0) lit(0L)
+    else (0 until nPlanes).map(p =>
       when(signProjection(p) > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
 
   /** Brute-force cosine top-k against the vec_id=0 query vector.
@@ -610,6 +612,24 @@ object SimilarityQueries {
           .as("cosine"))
       .filter(col("cosine") > 0.4)
       .orderBy("id_a", "id_b")
+  }
+
+  /** x33: cross-corpus vector admission
+    * ([[EmbeddingOps.admitVectors]]) — the embedding analogue of the
+    * d27/d42 increment admit: the incoming split (vec_id % 5 == 0)
+    * minus every vector whose round-6 cosine against ANY existing
+    * vector (the rest) reaches 0.4 (the x6 similarity regime). The
+    * batch twin of the streaming
+    * [[graft.streaming.DocStreams.vecAdmitArrivals]] loop. */
+  def x33VecAdmit(s: SparkSession, dir: String): DataFrame = {
+    vecExprs(s)
+    val emb = embeddings(s, dir)
+    EmbeddingOps.admitVectors(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.4)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
   }
 
   /** x11: int8 scalar quantization of the embedding column — per-vector

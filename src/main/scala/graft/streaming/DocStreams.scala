@@ -435,6 +435,19 @@ object DocStreams {
     * decays per generation — see the genscale curve). */
   def compactAdmitted(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): String =
+    // fold the FULL stored schema — the signature columns must
+    // survive compaction or admission would lose its store
+    foldAdmitted(spark, path, storedSchema(schema))
+
+  /** [[compactAdmitted]] for a [[vecAdmitArrivals]] corpus: the vector
+    * layout stores exactly the user schema (the embedding IS the
+    * signature), so the fold carries no extra columns. */
+  def compactAdmittedVecs(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): String =
+    foldAdmitted(spark, path, schema)
+
+  private def foldAdmitted(spark: SparkSession, path: String,
+      physicalSchema: org.apache.spark.sql.types.StructType): String =
     graft.operators.IndexLayout.compactInPlace(spark, path,
       Seq("docs", "appends"), (p, dest) => {
         val root = graft.operators.IndexLayout.activeRoot(spark, p)
@@ -442,11 +455,24 @@ object DocStreams {
           graft.operators.IndexLayout.foldedMarkFor(spark, root,
             committedAdmitted(spark, root, None)
               .map(d => new org.apache.hadoop.fs.Path(d).getName)))
-        // fold the FULL stored schema — the signature columns must
-        // survive compaction or admission would lose its store
-        admittedAt(spark, root, storedSchema(schema), None)
+        admittedAt(spark, root, physicalSchema, None)
           .write.mode("overwrite").parquet(s"$dest/docs")
       })
+
+  /** The shared batch-commit dance of the admit loops: retract the
+    * batch's own marker (a replay's stale marker must not make a
+    * half-rewritten directory visible), overwrite the data, marker
+    * LAST. */
+  private def commitAdmittedBatch(admitted: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val s = admitted.sparkSession
+    val dir = s"$root/appends/batch=$batchId"
+    val mk = new org.apache.hadoop.fs.Path(dir, AdmitMarker)
+    val fs = mk.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(mk, false): Unit
+    admitted.write.mode("overwrite").parquet(dir)
+    fs.create(mk, true).close()
+  }
 
   /** CONTINUOUS crawl-frontier admission with a SELF-GROWING corpus —
     * the accumulation loop [[admitNew]] (static existing set) feeds
@@ -539,17 +565,66 @@ object DocStreams {
             "doc_id", threshold = threshold)
             .withColumnRenamed("digest", "_g_adm_digest")
             .withColumnRenamed("sig", "_g_adm_sig")
-          val dir = s"$root/appends/batch=$batchId"
-          val mk = new org.apache.hadoop.fs.Path(dir, AdmitMarker)
-          val fs = mk.getFileSystem(s.sessionState.newHadoopConf())
-          fs.delete(mk, false): Unit
-          admitted.write.mode("overwrite").parquet(dir)
-          fs.create(mk, true).close()
+          commitAdmittedBatch(admitted, root, batchId)
         }
         compactEvery.foreach { n =>
           IndexLayout.maybeCompact(s, path, n,
             committedAdmitted(s, _, None),
             () => compactAdmitted(s, path, schema)): Unit
+        }
+      })
+      .start()
+  }
+
+  /** CONTINUOUS vector admission with a SELF-GROWING corpus — the
+    * embedding sibling of [[admitArrivals]], deduplicating a vector
+    * feed (crawl embeddings, image/audio features) as it arrives: each
+    * micro-batch is cosine-filtered against the seed corpus plus
+    * everything admitted so far
+    * ([[graft.operators.EmbeddingOps.admitVectors]], the x33 batch
+    * operator), THEN collapses its own near-duplicates among the
+    * survivors ([[graft.operators.EmbeddingOps.collapseVectors]] —
+    * filter-then-collapse, the same chunking-invariance order as the
+    * text loop), and the admitted set commits to a marker-gated
+    * `appends/batch=<id>` generation. The embedding IS the signature,
+    * so unlike the text loop no auxiliary store exists: admission
+    * reads the accumulated corpus as one (id, vector) columnar scan
+    * (~4·d B/row), never anything heavier. Same lineage
+    * ([[graft.operators.IndexLayout.checkStreamId]]), replay
+    * (batchId-keyed recompute excluding the batch's own previous
+    * write) and compaction (`compactEvery` →
+    * [[compactAdmittedVecs]]) contracts as [[admitArrivals]];
+    * downstream readers take [[admittedDocs]] with the vector schema.
+    * An exact duplicate is cosine 1.0, so one threshold handles both
+    * dedup classes. */
+  def vecAdmitArrivals(vecs: DataFrame, seed: DataFrame, path: String,
+      checkpoint: String, threshold: Double = 0.9,
+      compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = seed.schema
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => {
+        val s = batch.sparkSession
+        import graft.operators.{EmbeddingOps, IndexLayout}
+        IndexLayout.checkStreamId(s, path, Some(checkpoint),
+          "vecAdmitArrivals")
+        val root = IndexLayout.activeRoot(s, path)
+        if (!IndexLayout.replayGuard(s, root, Some(batchId),
+            "vecAdmitArrivals")) {
+          val existing = seed.unionByName(
+            admittedAt(s, root, schema, excludeBatch = Some(batchId)))
+          val admitted = EmbeddingOps.collapseVectors(
+            EmbeddingOps.admitVectors(existing, batch.toDF(),
+              "vec_id", "embedding", threshold),
+            "vec_id", "embedding", threshold)
+          commitAdmittedBatch(admitted, root, batchId)
+        }
+        compactEvery.foreach { n =>
+          IndexLayout.maybeCompact(s, path, n,
+            committedAdmitted(s, _, None),
+            () => compactAdmittedVecs(s, path, schema)): Unit
         }
       })
       .start()

@@ -434,6 +434,66 @@ class DocStreamsSpec extends AnyFunSuite {
       m.contains("signature store")), chain(err).mkString(" | "))
   }
 
+  test("self-growing vector admit loop: cosine re-crawls reject, " +
+      "accumulated corpus equals the batch x33 fold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("svadm").toString
+    def v(xs: Float*) = xs.toSeq
+    val seed = Seq((1L, v(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    // batch 0: an exact copy of the seed vector (cos 1.0), a near-dup
+    // of it (cos ≈ 0.99), a novel vector X and X's within-batch
+    // near-dup (filter-then-collapse keeps min id); batch 1: a
+    // re-crawl of the batch-0 ADMISSION plus one genuinely novel
+    val feed = s"$root/feed"
+    Seq((10L, v(1f, 0f, 0f, 0f)), (11L, v(0.95f, 0.1f, 0f, 0f)),
+      (12L, v(0f, 1f, 0f, 0f)), (13L, v(0.05f, 0.98f, 0f, 0f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$feed/b0")
+    Seq((20L, v(0f, 0.99f, 0.05f, 0f)), (21L, v(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$feed/b1")
+    // flatten to feed/<i>.parquet with pinned mtimes: the file source
+    // lists one directory level, oldest-first (as the text loop test)
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$feed/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$feed/$i.parquet"))
+      new java.io.File(s"$feed/$i.parquet")
+        .setLastModified(1000000L * (i + 1)): Unit
+    }
+    val arrivals = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet").parquet(feed)
+    val q = DocStreams.vecAdmitArrivals(arrivals, seed, s"$root/adm",
+      s"$root/ckpt", threshold = 0.9, compactEvery = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    val got = DocStreams.admittedDocs(spark, s"$root/adm", seed.schema)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the loop must equal the batch x33 composition over the same two
+    // batches (filter vs seed ∪ admitted-so-far, then collapse within)
+    import graft.operators.EmbeddingOps
+    def admit(existing: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      EmbeddingOps.collapseVectors(
+        EmbeddingOps.admitVectors(existing, b, "vec_id", "embedding", 0.9),
+        "vec_id", "embedding", 0.9)
+    val b0 = Seq((10L, v(1f, 0f, 0f, 0f)), (11L, v(0.95f, 0.1f, 0f, 0f)),
+      (12L, v(0f, 1f, 0f, 0f)), (13L, v(0.05f, 0.98f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq((20L, v(0f, 0.99f, 0.05f, 0f)), (21L, v(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val adm0 = admit(seed, b0)
+    val adm1 = admit(seed.unionByName(adm0), b1)
+    val expected = adm0.unionByName(adm1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // exactly the two novel directions: the exact copy, the seed
+    // near-dup, the within-batch near-dup and the re-crawl all rejected
+    assert(got == Set(12L, 21L), got.toString)
+    // generational fold ran (compactEvery = 1) and the reader resolves it
+    assert(new java.io.File(s"$root/adm/CURRENT").exists())
+  }
+
   test("a second stream (different checkpoint) pointed at a live admit " +
       "path fails loudly instead of having its batches swallowed") {
     import spark.implicits._
