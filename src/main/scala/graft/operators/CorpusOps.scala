@@ -415,18 +415,25 @@ object CorpusOps {
     // BATCH's digests first broadcasts the batch side, scans the store
     // map-side, and leaves a batch-bounded right side for the anti join
     // (right-side duplicates cannot change an anti join's result).
+    // Every broadcast below is an EXPLICIT hint, not an AQE guess: the
+    // increment is bounded by this operator's CONTRACT (the
+    // crawl-batch shape), which size estimates cannot know — the same
+    // lesson the x33 plan audit pinned for [[EmbeddingOps.admitVectors]].
     val seen = store.join(
-      nd.select(col("digest")).distinct(), Seq("digest"), "left_semi")
+      broadcast(nd.select(col("digest")).distinct()),
+      Seq("digest"), "left_semi")
       .select(col("digest"))
-    val exactNew = enriched.join(seen, Seq("digest"), "left_anti")
+    val exactNew = enriched.join(broadcast(seen), Seq("digest"),
+      "left_anti")
     val hits = SimilarityQueries.lshPairsAcross(
-        exactNew.filter(col("sig").isNotNull)
-          .select(col("_g_nid").as("doc_id"), col("sig")),
+        broadcast(exactNew.filter(col("sig").isNotNull)
+          .select(col("_g_nid").as("doc_id"), col("sig"))),
         store.filter(col("sig").isNotNull).select(col("doc_id"), col("sig")),
         numPerms, bandSize)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a").as("_g_hit")).distinct()
-    exactNew.join(hits, col("_g_nid") === col("_g_hit"), "left_anti")
+    exactNew.join(broadcast(hits), col("_g_nid") === col("_g_hit"),
+      "left_anti")
       // pin the documented order (the USING anti-join floats its key
       // first): the input's own columns, then the appended store pair
       .select(newDocs.columns.map(col) ++ Seq(col("digest"), col("sig")): _*)

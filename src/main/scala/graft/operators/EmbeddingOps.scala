@@ -222,11 +222,16 @@ object EmbeddingOps {
     val ex = vecs(existing, idCol, vecCol).select(col("v").as("_g_ev"))
     val in = vecs(incoming, idCol, vecCol)
       .select(col("vec_id").as("_g_iid"), col("v").as("_g_iv"))
-    val hits = ex.crossJoin(in)
+    // explicit hints, not AQE: the INCREMENT is batch-bounded by this
+    // operator's contract while `existing` is the corpus — left to
+    // size estimates, Spark happily builds the nested-loop broadcast
+    // from the corpus side (observed at gate scale), which at
+    // production scale means broadcasting the 100 TB side
+    val hits = ex.crossJoin(broadcast(in))
       .filter(round(cosine(col("_g_ev"), col("_g_iv")), 6) >= threshold)
       .select(col("_g_iid")).distinct()
-    incoming.join(hits, col(idCol).cast("long") === col("_g_iid"),
-      "left_anti")
+    incoming.join(broadcast(hits),
+      col(idCol).cast("long") === col("_g_iid"), "left_anti")
   }
 
   /** Within-set vector collapse (min-id survivor per cosine-threshold

@@ -143,4 +143,33 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == gate && got.nonEmpty)
   }
+
+  test("admitVectors: brute-force-exact decisions, and the corpus side " +
+      "is STREAMED (batch broadcast), never shuffled or broadcast") {
+    val existing = renamed.filter(col("item") % 5 =!= 0)
+    val incoming = renamed.filter(col("item") % 5 === 0)
+    val out = EmbeddingOps.admitVectors(existing, incoming,
+      "item", "emb", threshold = 0.4)
+    // decisions: exactly the incoming rows with NO round-6 cosine >= t
+    // against any existing row (driver-side brute force)
+    val ex = existing.collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = incoming.collect()
+      .filter(r => !ex.exists(e =>
+        cos(e, r.getSeq[Float](1).map(_.toDouble).toArray) >= 0.4))
+      .map(_.getLong(0)).toSet
+    assert(out.select("item").collect().map(_.getLong(0)).toSet == expected
+      && expected.nonEmpty && expected.size < incoming.count())
+    // plan: the nested-loop's BUILD side must be the increment — built
+    // from the corpus it would broadcast the 100 TB side at scale
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+    assert(!plan.contains("BuildLeft, Cross"), plan)
+  }
 }
