@@ -419,10 +419,14 @@ object CorpusOps {
     // increment is bounded by this operator's CONTRACT (the
     // crawl-batch shape), which size estimates cannot know — the same
     // lesson the x33 plan audit pinned for [[EmbeddingOps.admitVectors]].
+    // the trailing distinct keeps `seen` ≤ the batch's DISTINCT digest
+    // count even when the store itself carries duplicate digests
+    // (nothing forces a seed corpus to be pre-deduped): without it the
+    // forced broadcast would scale with the store's duplication factor
     val seen = store.join(
       broadcast(nd.select(col("digest")).distinct()),
       Seq("digest"), "left_semi")
-      .select(col("digest"))
+      .select(col("digest")).distinct()
     val exactNew = enriched.join(broadcast(seen), Seq("digest"),
       "left_anti")
     val hits = SimilarityQueries.lshPairsAcross(

@@ -216,7 +216,12 @@ object EmbeddingOps {
     * corpus streams map-side through the cosine sweep, never shuffled.
     * Per-batch cost is |existing|·|batch| d-dim dots; past
     * memory-bounded increments, pre-bucket both sides (sign-LSH or IVF
-    * cells) before the sweep. */
+    * cells) before the sweep.
+    *
+    * `idCol` must be unique AND castable to LONG (the repo-wide id
+    * contract, [[CorpusOps]] doc) — the hit set joins back on the
+    * cast value, so a non-castable id would null out and dodge its
+    * own rejection. */
   def admitVectors(existing: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val ex = vecs(existing, idCol, vecCol).select(col("v").as("_g_ev"))
@@ -226,9 +231,16 @@ object EmbeddingOps {
     // operator's contract while `existing` is the corpus — left to
     // size estimates, Spark happily builds the nested-loop broadcast
     // from the corpus side (observed at gate scale), which at
-    // production scale means broadcasting the 100 TB side
+    // production scale means broadcasting the 100 TB side.
+    // nanvl: a zero (or NaN-poisoned) vector has NaN cosine against
+    // everything, and Spark's NaN-greatest ordering makes NaN >= t
+    // TRUE — one bad embedding in the corpus would silently reject
+    // every future batch. NaN maps to -2 (below any threshold): a
+    // degenerate vector is near NOTHING, the same convention as a
+    // text document too short to shingle.
     val hits = ex.crossJoin(broadcast(in))
-      .filter(round(cosine(col("_g_ev"), col("_g_iv")), 6) >= threshold)
+      .filter(nanvl(round(cosine(col("_g_ev"), col("_g_iv")), 6),
+        lit(-2.0)) >= threshold)
       .select(col("_g_iid")).distinct()
     incoming.join(broadcast(hits),
       col(idCol).cast("long") === col("_g_iid"), "left_anti")
@@ -246,10 +258,13 @@ object EmbeddingOps {
       driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges): DataFrame = {
     // prefilter a hair BELOW the threshold (nearDupPairs compares the
     // unrounded cosine): anything that would round UP to the threshold
-    // survives into the rounded >= decision inside clustersFromPairs
+    // survives into the rounded >= decision inside clustersFromPairs.
+    // nanvl as in [[admitVectors]]: a degenerate vector's NaN edges
+    // would otherwise chain the WHOLE set into one cluster (NaN
+    // compares greatest) and collapse everything to the min id
     val pairs = nearDupPairs(df, idCol, vecCol, threshold - 1e-6, planes)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        round(col("cosine"), 6).as("est_jaccard"))
+        nanvl(round(col("cosine"), 6), lit(-2.0)).as("est_jaccard"))
     val drop = SimilarityQueries.clustersFromPairs(df.sparkSession,
         pairs, driverEdgeLimit, threshold)
       .filter(col("doc_id") =!= col("cluster_id"))

@@ -559,13 +559,25 @@ object DocStreams {
           // The batch is shingled exactly once (the enrichment inside
           // dedupeIncrementFromStore); collapseEnriched reuses the
           // riding digest/sig columns
-          val admitted = CorpusOps.collapseEnriched(
-            CorpusOps.dedupeIncrementFromStore(store, batch.toDF(),
-              "doc_id", "text", threshold, ngram),
-            "doc_id", threshold = threshold)
-            .withColumnRenamed("digest", "_g_adm_digest")
-            .withColumnRenamed("sig", "_g_adm_sig")
-          commitAdmittedBatch(admitted, root, batchId)
+          // persist the corpus-filtered batch: the collapse step's
+          // cluster solve is an eager driver collect and the commit is
+          // a second action — without the (batch-bounded) cache the
+          // corpus-sweep subtree would execute once per action.
+          // dropDuplicates first: an at-least-once upstream can
+          // re-deliver a row WITHIN one batch, and two same-id rows
+          // dodge both the digest collapse (semi join keeps every row
+          // of the surviving id) and the pair stage (no id < id pair)
+          val filtered = CorpusOps.dedupeIncrementFromStore(store,
+            batch.toDF().dropDuplicates("doc_id"),
+            "doc_id", "text", threshold, ngram)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val admitted = CorpusOps.collapseEnriched(filtered,
+              "doc_id", threshold = threshold)
+              .withColumnRenamed("digest", "_g_adm_digest")
+              .withColumnRenamed("sig", "_g_adm_sig")
+            commitAdmittedBatch(admitted, root, batchId)
+          } finally filtered.unpersist(blocking = false): Unit
         }
         compactEvery.foreach { n =>
           IndexLayout.maybeCompact(s, path, n,
@@ -615,11 +627,19 @@ object DocStreams {
             "vecAdmitArrivals")) {
           val existing = seed.unionByName(
             admittedAt(s, root, schema, excludeBatch = Some(batchId)))
-          val admitted = EmbeddingOps.collapseVectors(
-            EmbeddingOps.admitVectors(existing, batch.toDF(),
-              "vec_id", "embedding", threshold),
+          // persist + dropDuplicates for the same reasons as the text
+          // loop: the collapse's cluster solve and the commit are two
+          // actions over the corpus-sweep subtree, and same-id
+          // re-deliveries within one batch dodge the id-keyed stages
+          val filtered = EmbeddingOps.admitVectors(existing,
+            batch.toDF().dropDuplicates("vec_id"),
             "vec_id", "embedding", threshold)
-          commitAdmittedBatch(admitted, root, batchId)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val admitted = EmbeddingOps.collapseVectors(filtered,
+              "vec_id", "embedding", threshold)
+            commitAdmittedBatch(admitted, root, batchId)
+          } finally filtered.unpersist(blocking = false): Unit
         }
         compactEvery.foreach { n =>
           IndexLayout.maybeCompact(s, path, n,

@@ -172,4 +172,31 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
     assert(!plan.contains("BuildLeft, Cross"), plan)
   }
+
+  test("a degenerate zero vector never rejects or chains admission " +
+      "(NaN cosine maps below every threshold)") {
+    import spark.implicits._
+    def v(xs: Float*) = xs.toSeq
+    // one bad embedding in the corpus: NaN cosine against everything,
+    // and Spark's NaN-greatest ordering would otherwise make it
+    // "near" every incoming vector — rejecting all future admission
+    val existing = Seq((1L, v(1f, 0f)), (2L, v(0f, 0f)))
+      .toDF("vec_id", "emb")
+    val incoming = Seq((10L, v(0f, 1f)), (11L, v(0.99f, 0.05f)),
+      (12L, v(0f, 0f))).toDF("vec_id", "emb")
+    val out = EmbeddingOps.admitVectors(existing, incoming,
+      "vec_id", "emb", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // orthogonal 10 admitted, near-dup 11 rejected, zero 12 admitted
+    // (a degenerate vector is near NOTHING — not even another zero)
+    assert(out == Set(10L, 12L), out.toString)
+    // and within-set collapse: the zero vector's NaN edges must not
+    // chain two orthogonal directions into one cluster
+    val batch = Seq((20L, v(1f, 0f)), (21L, v(0f, 1f)), (22L, v(0f, 0f)))
+      .toDF("vec_id", "emb")
+    val kept = EmbeddingOps.collapseVectors(batch, "vec_id", "emb",
+      threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L, 21L, 22L), kept.toString)
+  }
 }
