@@ -377,6 +377,42 @@ object DevProfile {
       // a 25x corpus at ADMIT_TEXT_MULT=8 is ~130 MB — don't strand it
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
+    } else if (name == "vecadmitscale") {
+      // the vector admit sweep's economics: ONE fixed batch against a
+      // `reps`x-replicated embedding corpus — per-batch cost is the
+      // |existing|·|batch| d-dim dot sweep, map-side (batch broadcast,
+      // zero corpus exchanges), so it must grow LINEARLY in the corpus
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("vadmsc").toString
+      (0 until reps).map(i => base.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _).coalesce(8).write.parquet(s"$root/ex")
+      val ex = spark.read.parquet(s"$root/ex")
+      // batch: 1/5 re-crawled copies (must reject) + 1/5 negated
+      // (cosine −1 against everything — must admit)
+      val fifth = base.filter(pmod(col("vec_id"), lit(5L)) === 0)
+      val batch = fifth
+        .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+          col("embedding"))
+        .unionByName(fifth.select(
+          (col("vec_id") + lit(910000000L)).as("vec_id"),
+          expr("transform(embedding, x -> -x)").as("embedding")))
+        .persist()
+      println(s"corpus: ${ex.count()} vecs (${reps}x), " +
+        s"batch: ${batch.count()}")
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = operators.EmbeddingOps.admitVectors(ex, batch,
+          "vec_id", "embedding", 0.9).count()
+        println(f"r$r admit: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"($n admitted)")
+      }
+      batch.unpersist(): Unit
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
     } else if (name == "genscale") {
       // many-generation probe decay (the steady streaming case: one
       // committed append per micro-batch) → the auto-compaction

@@ -401,6 +401,12 @@ class DocStreamsSpec extends AnyFunSuite {
       "doc_id", "text"))
     assert(storedSigs == freshSigs,
       s"stored $storedSigs vs fresh $freshSigs")
+    // and the user-facing read PRUNES the signature columns at the
+    // scan (explicit-schema read): downstream jobs never pay for them
+    val scan = DocStreams.admittedDocs(spark, s"$root/adm", seed.schema)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      scan)
   }
 
   test("an admit loop resumed with different signature parameters " +
