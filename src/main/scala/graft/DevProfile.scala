@@ -403,12 +403,28 @@ object DevProfile {
         .persist()
       println(s"corpus: ${ex.count()} vecs (${reps}x), " +
         s"batch: ${batch.count()}")
-      for (r <- 1 to 2) {
+      // exact sweep vs sign-LSH bucketed candidate generation: the
+      // bucketed sweep's dot count divides by the occupied bucket
+      // count, so at a fixed batch it must flatten relative to the
+      // exact path's linear growth (grow planes ~log2 with the corpus
+      // for flat per-batch cost). decisions_equal pins the cosine-1.0
+      // re-crawl class (identical sign projections co-bucket at any
+      // planes — recall 1.0 by construction on this batch shape)
+      val exact = operators.EmbeddingOps.admitVectors(ex, batch,
+        "vec_id", "embedding", 0.9)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      for (planes <- Seq(0, 8, 12); r <- 1 to 2) {
         val t0 = System.nanoTime()
         val n = operators.EmbeddingOps.admitVectors(ex, batch,
-          "vec_id", "embedding", 0.9).count()
-        println(f"r$r admit: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-          s"($n admitted)")
+          "vec_id", "embedding", 0.9, planes).count()
+        println(f"planes=$planes r$r admit: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n admitted)")
+        if (r == 2 && planes > 0) {
+          val b = operators.EmbeddingOps.admitVectors(ex, batch,
+            "vec_id", "embedding", 0.9, planes)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          println(s"planes=$planes decisions_equal_exact: ${b == exact}")
+        }
       }
       batch.unpersist(): Unit
       org.apache.commons.io.FileUtils.deleteDirectory(

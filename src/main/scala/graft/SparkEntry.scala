@@ -596,14 +596,21 @@ object SparkEntry {
     // cross-corpus vector admission: the incoming split minus every
     // vector with round-6 cosine >= 0.4 against ANY existing vector —
     // exact (no bucketing), decisions on the rounded value both engines
-    // agree on (the x6 convention)
+    // agree on (the x6 convention). The CASE mirrors the engine's NaN
+    // convention (EmbeddingOps.admitVectors: a degenerate zero/NaN
+    // vector's NaN cosine maps to -2, below any threshold, so it is
+    // near NOTHING and admits) — without it DuckDB's NaN-greatest
+    // ordering would make round(NaN, 6) >= 0.4 TRUE and REJECT the
+    // same vector the engine admits, a latent gate divergence the
+    // moment the corpus grows a zero embedding.
     "x33_vec_admit" ->
       """WITH inc AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
         |  FROM embeddings WHERE vec_id % 5 = 0),
         |ex AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 <> 0),
         |hits AS (
         |  SELECT DISTINCT inc.vec_id FROM inc JOIN ex
-        |  ON round(list_cosine_similarity(inc.v, ex.v), 6) >= 0.4)
+        |  ON (CASE WHEN isnan(list_cosine_similarity(inc.v, ex.v)) THEN -2
+        |      ELSE round(list_cosine_similarity(inc.v, ex.v), 6) END) >= 0.4)
         |SELECT vec_id, label FROM inc
         |WHERE vec_id NOT IN (SELECT vec_id FROM hits) ORDER BY vec_id""".stripMargin,
     "x7_ivf_topk" ->

@@ -214,19 +214,42 @@ object EmbeddingOps {
     * Scale shape: the INCREMENT drives the probe — it broadcasts under
     * AQE (batch-bounded, the streaming/crawl shape) and the existing
     * corpus streams map-side through the cosine sweep, never shuffled.
-    * Per-batch cost is |existing|·|batch| d-dim dots; past
-    * memory-bounded increments, pre-bucket both sides (sign-LSH or IVF
-    * cells) before the sweep.
+    * Per-batch cost is |existing|·|batch| d-dim dots with the default
+    * `planes = 0` (the EXACT sweep — the oracled x33 semantics).
+    *
+    * `planes > 0` is the documented escalation for corpora past
+    * memory-bounded increments: both sides bucket by the same
+    * deterministic sign-LSH ([[SimilarityQueries.lshBucket]] — the
+    * x5/x14 machinery) and only CO-BUCKETED pairs sweep, so the
+    * per-batch dot count divides by the occupied bucket count
+    * (~2^planes under even occupancy; grow planes ~log2 with the
+    * corpus to hold per-batch cost flat). The plan shape is unchanged:
+    * the corpus is still never shuffled — the crossJoin becomes a
+    * broadcast HASH join on the bucket key with the batch still the
+    * build side, so each corpus row probes only its own bucket's
+    * batch vectors instead of all of them.
+    *
+    * Recall semantics of the bucketed mode: a near pair can straddle
+    * buckets, and a missed hit means a near-duplicate is ADMITTED —
+    * bucketed admission only ever admits a superset of the exact
+    * path's admits, never rejects a vector the exact path keeps
+    * (spec-held). Per plane, a pair at cosine t collides with
+    * probability 1 − arccos(t)/π, so single-bucket recall ≥
+    * (1 − arccos(t)/π)^planes — at t = 0.9 and 8 planes ≥ 0.48; a
+    * duplicate at cosine 1.0 (exact or positively scaled re-crawl,
+    * the dominant dedup class) has IDENTICAL sign projections and is
+    * caught with recall 1.0 at any `planes`. Degenerate (zero/NaN)
+    * vectors bucket deterministically (NaN projections compare
+    * greatest, so every sign bit sets) and still admit via the NaN →
+    * −2 cosine rule below — bucketed and exact agree on them.
     *
     * `idCol` must be unique AND castable to LONG (the repo-wide id
     * contract, [[CorpusOps]] doc) — the hit set joins back on the
     * cast value, so a non-castable id would null out and dodge its
     * own rejection. */
   def admitVectors(existing: DataFrame, incoming: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val ex = vecs(existing, idCol, vecCol).select(col("v").as("_g_ev"))
-    val in = vecs(incoming, idCol, vecCol)
-      .select(col("vec_id").as("_g_iid"), col("v").as("_g_iv"))
+      idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 0): DataFrame = {
     // explicit hints, not AQE: the INCREMENT is batch-bounded by this
     // operator's contract while `existing` is the corpus — left to
     // size estimates, Spark happily builds the nested-loop broadcast
@@ -238,10 +261,26 @@ object EmbeddingOps {
     // every future batch. NaN maps to -2 (below any threshold): a
     // degenerate vector is near NOTHING, the same convention as a
     // text document too short to shingle.
-    val hits = ex.crossJoin(broadcast(in))
-      .filter(nanvl(round(cosine(col("_g_ev"), col("_g_iv")), 6),
-        lit(-2.0)) >= threshold)
-      .select(col("_g_iid")).distinct()
+    val near = nanvl(round(cosine(col("_g_ev"), col("_g_iv")), 6),
+      lit(-2.0)) >= threshold
+    val hits = (if (planes <= 0) {
+      val ex = vecs(existing, idCol, vecCol).select(col("v").as("_g_ev"))
+      val in = vecs(incoming, idCol, vecCol)
+        .select(col("vec_id").as("_g_iid"), col("v").as("_g_iv"))
+      ex.crossJoin(broadcast(in)).filter(near)
+    } else {
+      // the bucket column computes map-side on each input (a literal
+      // dot per plane); the equi-key turns the sweep into a hash
+      // probe of the (still broadcast) batch's per-bucket groups
+      val ex = vecs(existing, idCol, vecCol)
+        .withColumn("_g_b", SimilarityQueries.lshBucket(planes))
+        .select(col("_g_b"), col("v").as("_g_ev"))
+      val in = vecs(incoming, idCol, vecCol)
+        .withColumn("_g_b", SimilarityQueries.lshBucket(planes))
+        .select(col("_g_b"), col("vec_id").as("_g_iid"),
+          col("v").as("_g_iv"))
+      ex.join(broadcast(in), Seq("_g_b")).filter(near)
+    }).select(col("_g_iid")).distinct()
     incoming.join(broadcast(hits),
       col(idCol).cast("long") === col("_g_iid"), "left_anti")
   }

@@ -96,6 +96,37 @@ private[graft] object IndexLayout {
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** [[writeAtomic]] WITHOUT overwrite — the once-only binding write:
+    * the rename uses `Rename.NONE`, which fails when `p` already
+    * exists, so when two writers race to bind the same fresh path
+    * EXACTLY ONE rename lands and the loser learns it lost (returns
+    * false) instead of silently clobbering the winner. Content is
+    * complete at rename time (same torn-write safety as
+    * [[writeAtomic]]); the tmp name carries a UUID so the racers'
+    * staging files cannot collide either. Atomic where the FS gives
+    * rename that contract (HDFS; best-effort existence check + rename
+    * on the local FS). */
+  private[graft] def writeAtomicExclusive(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path, content: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p) // Rename.NONE: throws if p exists
+      true
+    } catch {
+      case e: java.io.IOException =>
+        fs.delete(tmp, false): Unit
+        // lost the race only if the destination actually exists now —
+        // otherwise this is a genuine IO failure the caller must see
+        if (fs.exists(p)) false else throw e
+    }
+  }
+
   /** Retract the generational layout at `path` — CURRENT pointer (and
     * any torn tmp) plus every `generations/` directory — so a fresh
     * BASE layout written at `path` is what readers resolve. An in-place
@@ -109,11 +140,16 @@ private[graft] object IndexLayout {
   def retract(spark: SparkSession, path: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     // stream_id and seed_sig go too: a rebuild starts a NEW ingestion
-    // lifecycle (new checkpoint lineage, possibly a new seed corpus)
-    Seq("CURRENT", "CURRENT.tmp", "generations", "stream_id",
-      "stream_id.tmp", "seed_sig").foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
-      p.getFileSystem(conf).delete(p, true): Unit
+    // lifecycle (new checkpoint lineage, possibly a new seed corpus).
+    // The prefix sweep also clears crash-stranded staging files
+    // (CURRENT.tmp, stream_id.<uuid>.tmp — [[writeAtomicExclusive]]).
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm == "generations" || nm == "seed_sig" ||
+        nm.startsWith("CURRENT") || nm.startsWith("stream_id"))
+        fs.delete(st.getPath, true): Unit
     }
   }
 
@@ -140,15 +176,26 @@ private[graft] object IndexLayout {
       val sidPath = new org.apache.hadoop.fs.Path(rawSid)
       val sid = sidPath.getFileSystem(spark.sessionState.newHadoopConf())
         .makeQualified(sidPath).toString
+      // binding is create-EXCLUSIVE ([[writeAtomicExclusive]]): two
+      // fresh streams racing to bind the same new path would both pass
+      // an exists-then-write check, one write would silently win, and
+      // the loser's later batches would be swallowed by the replay
+      // guard or throw confusingly — the exact failure this guard
+      // exists to catch. The loser of the exclusive rename re-reads
+      // and compares, so exactly one lineage ever binds a fresh path.
+      def fail(stored: String): Nothing = throw new IllegalStateException(
+        s"$what: index at $path is fed by the stream checkpointed at " +
+          s"'$stored', but this append came from '$sid'. A new " +
+          "checkpoint restarts batch ids, which the replay guard " +
+          "would silently swallow — point the new stream at a new " +
+          "index path, or resume with the original checkpoint.")
       if (fs.exists(p)) {
         val stored = readSmall(spark, p)
-        if (stored != sid) throw new IllegalStateException(
-          s"$what: index at $path is fed by the stream checkpointed at " +
-            s"'$stored', but this append came from '$sid'. A new " +
-            "checkpoint restarts batch ids, which the replay guard " +
-            "would silently swallow — point the new stream at a new " +
-            "index path, or resume with the original checkpoint.")
-      } else writeAtomic(spark, p, sid)
+        if (stored != sid) fail(stored)
+      } else if (!writeAtomicExclusive(spark, p, sid)) {
+        val stored = readSmall(spark, p)
+        if (stored != sid) fail(stored)
+      }
   }
 
   /** The shared in-place compaction sequence (fold → flip → retire):

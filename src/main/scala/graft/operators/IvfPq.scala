@@ -378,14 +378,21 @@ object IvfPq {
       case Some(b) =>
         // static overwrite truncates exactly this batch's directory —
         // the idempotence unit — leaving other batches' commits intact;
-        // a replay therefore also retracts the marker before rewriting
+        // a replay therefore retracts BOTH accepted markers up front
+        // ([[committedBatches]] also grandfathers `_SUCCESS`): left
+        // standing until the overwrite job's own directory delete, a
+        // concurrent loadIndex could list the batch as committed and
+        // scan it mid-rewrite
         val dir = s"$root/appends/batch=$b"
+        val mk = new org.apache.hadoop.fs.Path(dir, CommitMarker)
+        val fs = mk.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(mk, false): Unit
+        fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"),
+          false): Unit
         checked.write.mode("overwrite").partitionBy("cell").parquet(dir)
         // marker LAST: the batch becomes visible to loadIndex only
         // once every file of the overwrite landed
-        val mk = new org.apache.hadoop.fs.Path(dir, CommitMarker)
-        mk.getFileSystem(spark.sessionState.newHadoopConf())
-          .create(mk, true).close()
+        fs.create(mk, true).close()
       case None =>
         checked.write.mode("append").partitionBy("cell")
           .parquet(s"$root/codes")

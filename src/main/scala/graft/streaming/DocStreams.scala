@@ -460,9 +460,12 @@ object DocStreams {
       })
 
   /** The shared batch-commit dance of the admit loops: retract the
-    * batch's own marker (a replay's stale marker must not make a
-    * half-rewritten directory visible), overwrite the data, marker
-    * LAST. */
+    * batch's own markers (a replay's stale marker must not make a
+    * half-rewritten directory visible — and [[committedAdmitted]] also
+    * accepts the job committer's `_SUCCESS`, so BOTH retract, or a
+    * concurrent [[admittedDocs]] reader could list the batch as
+    * committed on `_SUCCESS` alone and then scan the directory
+    * mid-rewrite), overwrite the data, marker LAST. */
   private def commitAdmittedBatch(admitted: DataFrame, root: String,
       batchId: Long): Unit = {
     val s = admitted.sparkSession
@@ -470,6 +473,7 @@ object DocStreams {
     val mk = new org.apache.hadoop.fs.Path(dir, AdmitMarker)
     val fs = mk.getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(mk, false): Unit
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false): Unit
     admitted.write.mode("overwrite").parquet(dir)
     fs.create(mk, true).close()
   }
@@ -559,25 +563,39 @@ object DocStreams {
           // The batch is shingled exactly once (the enrichment inside
           // dedupeIncrementFromStore); collapseEnriched reuses the
           // riding digest/sig columns
-          // persist the corpus-filtered batch: the collapse step's
-          // cluster solve is an eager driver collect and the commit is
-          // a second action — without the (batch-bounded) cache the
-          // corpus-sweep subtree would execute once per action.
           // dropDuplicates first: an at-least-once upstream can
           // re-deliver a row WITHIN one batch, and two same-id rows
           // dodge both the digest collapse (semi join keeps every row
-          // of the surviving id) and the pair stage (no id < id pair)
-          val filtered = CorpusOps.dedupeIncrementFromStore(store,
-            batch.toDF().dropDuplicates("doc_id"),
-            "doc_id", "text", threshold, ngram)
+          // of the surviving id) and the pair stage (no id < id pair).
+          // Materialize the deduped batch EAGERLY (persist + count)
+          // before it fans out: dedupeIncrementFromStore scans it from
+          // two independent subtrees (digest enrichment vs the minhash
+          // signature self-join), and dropDuplicates keeps a
+          // NON-DETERMINISTIC first() per id — if one batch carried
+          // same-id rows with DIFFERENT payloads (a re-crawl with
+          // updated content), two live scans could each pick their own
+          // survivor and store a signature computed from a different
+          // text than the stored text/digest, silently breaking the
+          // signature-store invariant every future admission relies on
+          val deduped = batch.toDF().dropDuplicates("doc_id")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          deduped.count(): Unit
           try {
-            val admitted = CorpusOps.collapseEnriched(filtered,
-              "doc_id", threshold = threshold)
-              .withColumnRenamed("digest", "_g_adm_digest")
-              .withColumnRenamed("sig", "_g_adm_sig")
-            commitAdmittedBatch(admitted, root, batchId)
-          } finally filtered.unpersist(blocking = false): Unit
+            // persist the corpus-filtered batch too: the collapse
+            // step's cluster solve is an eager driver collect and the
+            // commit is a second action — without the (batch-bounded)
+            // cache the corpus-sweep subtree would execute per action
+            val filtered = CorpusOps.dedupeIncrementFromStore(store,
+              deduped, "doc_id", "text", threshold, ngram)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val admitted = CorpusOps.collapseEnriched(filtered,
+                "doc_id", threshold = threshold)
+                .withColumnRenamed("digest", "_g_adm_digest")
+                .withColumnRenamed("sig", "_g_adm_sig")
+              commitAdmittedBatch(admitted, root, batchId)
+            } finally filtered.unpersist(blocking = false): Unit
+          } finally deduped.unpersist(blocking = false): Unit
         }
         compactEvery.foreach { n =>
           IndexLayout.maybeCompact(s, path, n,
@@ -608,10 +626,21 @@ object DocStreams {
     * [[compactAdmittedVecs]]) contracts as [[admitArrivals]];
     * downstream readers take [[admittedDocs]] with the vector schema.
     * An exact duplicate is cosine 1.0, so one threshold handles both
-    * dedup classes. */
+    * dedup classes.
+    *
+    * `planes > 0` turns on sign-LSH bucketed candidate generation for
+    * BOTH the cross-corpus sweep and the within-batch collapse
+    * ([[graft.operators.EmbeddingOps.admitVectors]] doc: per-batch
+    * sweep cost divides by the occupied bucket count; recall semantics
+    * and the degenerate-vector convention documented there). The
+    * default 0 is the exact all-pairs sweep — the oracled x33
+    * semantics. The choice is PER-PATH, not per-restart: decisions
+    * feed the corpus the next decision reads, so resuming a loop with
+    * a different `planes` silently changes which near-dups the
+    * accumulated corpus already let through. Pick it once per path. */
   def vecAdmitArrivals(vecs: DataFrame, seed: DataFrame, path: String,
       checkpoint: String, threshold: Double = 0.9,
-      compactEvery: Option[Int] = None)
+      compactEvery: Option[Int] = None, planes: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = seed.schema
     vecs.writeStream
@@ -627,19 +656,26 @@ object DocStreams {
             "vecAdmitArrivals")) {
           val existing = seed.unionByName(
             admittedAt(s, root, schema, excludeBatch = Some(batchId)))
-          // persist + dropDuplicates for the same reasons as the text
-          // loop: the collapse's cluster solve and the commit are two
-          // actions over the corpus-sweep subtree, and same-id
-          // re-deliveries within one batch dodge the id-keyed stages
-          val filtered = EmbeddingOps.admitVectors(existing,
-            batch.toDF().dropDuplicates("vec_id"),
-            "vec_id", "embedding", threshold)
+          // materialize the deduped batch eagerly before it fans out
+          // (admitVectors scans it as both the probe side and the
+          // final anti-join's left side — same non-deterministic
+          // dropDuplicates double-scan hazard as the text loop), then
+          // persist the corpus-filtered survivors: the collapse's
+          // cluster solve and the commit are two actions over the
+          // corpus-sweep subtree
+          val deduped = batch.toDF().dropDuplicates("vec_id")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          deduped.count(): Unit
           try {
-            val admitted = EmbeddingOps.collapseVectors(filtered,
-              "vec_id", "embedding", threshold)
-            commitAdmittedBatch(admitted, root, batchId)
-          } finally filtered.unpersist(blocking = false): Unit
+            val filtered = EmbeddingOps.admitVectors(existing,
+              deduped, "vec_id", "embedding", threshold, planes)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val admitted = EmbeddingOps.collapseVectors(filtered,
+                "vec_id", "embedding", threshold, planes)
+              commitAdmittedBatch(admitted, root, batchId)
+            } finally filtered.unpersist(blocking = false): Unit
+          } finally deduped.unpersist(blocking = false): Unit
         }
         compactEvery.foreach { n =>
           IndexLayout.maybeCompact(s, path, n,

@@ -173,6 +173,93 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BuildLeft, Cross"), plan)
   }
 
+  test("admitVectors planes>0: identical decisions to the exact path on " +
+      "a corpus where bucket recall is provably 1.0") {
+    // duplicates at cosine 1.0 — exact copies and positively scaled
+    // re-crawls — have IDENTICAL sign projections, so they co-bucket at
+    // ANY planes: recall 1.0 by construction, bucketed == exact.
+    // Negated vectors (cosine −1 against everything) must be admitted
+    // by both paths; a zero vector (NaN cosine → −2) likewise.
+    import spark.implicits._
+    val base = renamed.filter(col("item") < 200)
+    val copies = base.filter(col("item") < 100)
+      .select((col("item") + 1000L).as("item"), col("emb"))
+    val scaled = base.filter(col("item") < 50).select(
+      (col("item") + 2000L).as("item"),
+      expr("transform(emb, x -> 3.0F * x)").as("emb"))
+    val negated = base.filter(col("item") >= 100).select(
+      (col("item") + 3000L).as("item"),
+      expr("transform(emb, x -> -x)").as("emb"))
+    val zero = Seq((4000L,
+      Seq.fill(SimilarityQueries.EmbDim)(0f))).toDF("item", "emb")
+    val batch = copies.unionByName(scaled).unionByName(negated)
+      .unionByName(zero)
+    val exact = EmbeddingOps.admitVectors(base, batch, "item", "emb",
+      threshold = 0.95)
+      .select("item").collect().map(_.getLong(0)).toSet
+    // every duplicate rejected, every negated + the zero admitted
+    assert(exact.forall(id => id >= 3000L),
+      s"exact path must reject all cosine-1.0 duplicates: $exact")
+    assert(exact.size == 101, exact.size.toString)
+    Seq(1, 4, 8, 12).foreach { p =>
+      val bucketed = EmbeddingOps.admitVectors(base, batch, "item",
+        "emb", threshold = 0.95, planes = p)
+        .select("item").collect().map(_.getLong(0)).toSet
+      assert(bucketed == exact, s"planes=$p diverged from exact")
+    }
+  }
+
+  test("admitVectors planes>0: only ever ADMITS a superset of the exact " +
+      "path (a straddled bucket can miss a hit, never invent one), " +
+      "measured in the wide-angle x33 regime") {
+    val existing = renamed.filter(col("item") % 5 =!= 0)
+    val incoming = renamed.filter(col("item") % 5 === 0)
+    val exactAdmit = EmbeddingOps.admitVectors(existing, incoming,
+      "item", "emb", threshold = 0.4)
+      .select("item").collect().map(_.getLong(0)).toSet
+    val all = incoming.select("item").collect().map(_.getLong(0)).toSet
+    val exactRejects = all -- exactAdmit
+    assert(exactRejects.nonEmpty)
+    Seq(4, 8).foreach { p =>
+      val bucketedAdmit = EmbeddingOps.admitVectors(existing, incoming,
+        "item", "emb", threshold = 0.4, planes = p)
+        .select("item").collect().map(_.getLong(0)).toSet
+      assert(exactAdmit.subsetOf(bucketedAdmit),
+        s"planes=$p rejected a vector the exact path admits")
+      val recall = (exactRejects -- bucketedAdmit).size.toDouble /
+        exactRejects.size
+      // t = 0.4 is the WORST regime for single-bucket sign-LSH (wide
+      // angles straddle planes): per-plane collision probability for a
+      // pair at exactly t is 1 − arccos(t)/π, so recall over pairs
+      // ABOVE t is lower-bounded by that to the p-th power — the
+      // measured curve must sit on or above it (production thresholds
+      // 0.9+ and the dominant cosine-1.0 dedup class sit far higher —
+      // the provable-recall spec above)
+      val floor = math.pow(1.0 - math.acos(0.4) / math.Pi, p)
+      info(f"planes=$p rejection recall at t=0.4: $recall%.2f " +
+        f"(theory floor $floor%.3f, ${exactRejects.size} exact rejects)")
+      assert(recall >= floor, f"planes=$p recall $recall%.2f < $floor%.3f")
+    }
+  }
+
+  test("admitVectors planes>0 plan: hash join on the bucket key, batch " +
+      "still the build side, corpus never shuffled") {
+    val existing = renamed.filter(col("item") % 5 =!= 0)
+    val incoming = renamed.filter(col("item") % 5 === 0)
+    val out = EmbeddingOps.admitVectors(existing, incoming,
+      "item", "emb", threshold = 0.4, planes = 8)
+    out.collect(): Unit
+    val plan = out.queryExecution.executedPlan.toString
+    // the sweep is a HASH probe of the broadcast batch's buckets now,
+    // not a nested loop over every batch vector
+    assert(plan.contains("BroadcastHashJoin [_g_b"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // build side must remain the increment; built from the corpus it
+    // would broadcast the 100 TB side at scale
+    assert(plan.contains("BuildRight"), plan.take(1200))
+    assert(!plan.contains("BuildLeft"), plan.take(1200))
+  }
+
   test("a degenerate zero vector never rejects or chains admission " +
       "(NaN cosine maps below every threshold)") {
     import spark.implicits._
