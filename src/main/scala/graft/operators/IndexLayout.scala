@@ -25,7 +25,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Single-writer contract throughout: appends and compactions must be
   * sequenced by one writer (a foreachBatch loop); readers need no
-  * coordination — they resolve the pointer per query. */
+  * coordination — they resolve the pointer per query. ENFORCED, not
+  * just documented: every mutation entry point (appendToPostings,
+  * appendToIndex, the admit-loop commits, compactInPlace) runs under
+  * the path's [[withWriterLease]] — a second concurrent writer fails
+  * loudly naming the holder instead of silently interleaving. */
 private[graft] object IndexLayout {
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
@@ -148,7 +152,8 @@ private[graft] object IndexLayout {
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val nm = st.getPath.getName
       if (nm == "generations" || nm == "seed_sig" ||
-        nm.startsWith("CURRENT") || nm.startsWith("stream_id"))
+        nm.startsWith("CURRENT") || nm.startsWith("stream_id") ||
+        nm.startsWith("WRITER"))
         fs.delete(st.getPath, true): Unit
     }
   }
@@ -198,6 +203,80 @@ private[graft] object IndexLayout {
       }
   }
 
+  /** ENFORCE the single-writer contract (object doc) around a mutation
+    * of the generational layout at `path`: an FS-based writer lease.
+    *
+    *  - Acquire: create-exclusive write of `path/WRITER`
+    *    ([[writeAtomicExclusive]]) naming the holder; a second
+    *    concurrent writer FAILS LOUDLY naming the current holder
+    *    instead of silently interleaving the fold/flip sequence and
+    *    corrupting the layout — the exact hazard the contract names
+    *    (two foreachBatch loops on one path, or a manual append racing
+    *    a stream).
+    *  - Heartbeat: a daemon timer refreshes the lease file's mtime
+    *    every ttl/3 while the body runs, so a mutation longer than the
+    *    TTL (a 100 TB fold) keeps its lease.
+    *  - Expiry: a lease whose mtime is older than the TTL
+    *    (`graft.index.writerLeaseTtlMs`, default 10 min) belongs to a
+    *    CRASHED writer (a live one heartbeats) — the next acquirer
+    *    breaks it and takes over, so a crash never wedges ingestion.
+    *  - Release: delete in `finally` — but only while the file still
+    *    carries OUR token (if our lease expired mid-body and another
+    *    writer took over, the file is theirs to delete).
+    *
+    * Readers take no lease — they resolve the CURRENT pointer per
+    * query, which the atomic flip keeps consistent. Not re-entrant:
+    * callers sequence their own mutations (append, then compact), each
+    * under its own lease. */
+  def withWriterLease[T](spark: SparkSession, path: String,
+      what: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/WRITER")
+    val fs = fsOf(spark, p)
+    val ttlMs = spark.conf.get("graft.index.writerLeaseTtlMs",
+      "600000").toLong
+    val content = s"${java.util.UUID.randomUUID().toString} $what"
+    // at most one break-and-retry: breaking a live holder's fresh
+    // lease would re-open the race the lease exists to close
+    var acquired = writeAtomicExclusive(spark, p, content)
+    if (!acquired) {
+      val stale = (try Some(fs.getFileStatus(p)) catch {
+        case _: java.io.FileNotFoundException => None
+      }).forall(st =>
+        System.currentTimeMillis() - st.getModificationTime > ttlMs)
+      if (stale) {
+        fs.delete(p, false): Unit
+        acquired = writeAtomicExclusive(spark, p, content)
+      }
+      if (!acquired) {
+        val holder = try readSmall(spark, p) catch {
+          case _: java.io.IOException => "<unreadable>"
+        }
+        throw new IllegalStateException(
+          s"$what: another writer holds the lease on $path " +
+            s"(holder: $holder). Generational appends and compactions " +
+            "must be sequenced by ONE writer — interleaved fold/flip " +
+            "corrupts the layout silently. Route this mutation through " +
+            "the owning loop, or wait for the holder to finish (a " +
+            "crashed holder's lease expires after " +
+            s"graft.index.writerLeaseTtlMs = $ttlMs ms).")
+      }
+    }
+    val beat = new java.util.Timer("graft-writer-lease", true)
+    beat.scheduleAtFixedRate(new java.util.TimerTask {
+      def run(): Unit = try {
+        fs.setTimes(p, System.currentTimeMillis(), -1)
+      } catch { case _: java.io.IOException => () }
+    }, ttlMs / 3, ttlMs / 3)
+    try body
+    finally {
+      beat.cancel()
+      val mine = try readSmall(spark, p) == content catch {
+        case _: java.io.IOException => false
+      }
+      if (mine) fs.delete(p, false): Unit
+    }
+  }
+
   /** The shared in-place compaction sequence (fold → flip → retire):
     * `compact(path, dest)` writes the folded single-generation layout
     * at `dest` (index-kind specific), then the CURRENT pointer flips to
@@ -205,15 +284,16 @@ private[graft] object IndexLayout {
     * Returns the new active root. Both index kinds delegate here so the
     * flip ordering and grace policy cannot drift between them. */
   def compactInPlace(spark: SparkSession, path: String,
-      baseDirs: Seq[String], compact: (String, String) => Unit): String = {
-    val root = activeRoot(spark, path)
-    val curGen = currentGen(path, root)
-    val nextRel = s"generations/g${curGen + 1}"
-    compact(path, s"$path/$nextRel")
-    flipCurrent(spark, path, nextRel)
-    retireOlder(spark, path, curGen, baseDirs)
-    s"$path/$nextRel"
-  }
+      baseDirs: Seq[String], compact: (String, String) => Unit): String =
+    withWriterLease(spark, path, "compactInPlace") {
+      val root = activeRoot(spark, path)
+      val curGen = currentGen(path, root)
+      val nextRel = s"generations/g${curGen + 1}"
+      compact(path, s"$path/$nextRel")
+      flipCurrent(spark, path, nextRel)
+      retireOlder(spark, path, curGen, baseDirs)
+      s"$path/$nextRel"
+    }
 
   /** The shared auto-compaction policy: fold when the active generation
     * carries ≥ `maxGenerations` committed appends (`committed` lists

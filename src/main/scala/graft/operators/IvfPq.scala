@@ -351,51 +351,58 @@ object IvfPq {
       batchId: Option[Long] = None,
       streamId: Option[String] = None): Unit = {
     val spark = encoded.sparkSession
-    // one index path, one streaming lineage (IndexLayout.checkStreamId)
-    IndexLayout.checkStreamId(spark, path, streamId, "appendToIndex")
-    val root = IndexLayout.activeRoot(spark, path)
-    // at-least-once across COMPACTION: the one genuine replay of a
-    // folded batch (id == the folded mark) no-ops; an id BELOW the
-    // mark is a different stream's and throws — silently dropping it
-    // would lose real data (IndexLayout.replayGuard doc)
-    if (IndexLayout.replayGuard(spark, root, batchId, "appendToIndex"))
-      return
-    val m = spark.read.parquet(s"$root/meta").head().getInt(0)
-    // geometry check rides INSIDE the single write pass (raise_error on
-    // the first mismatched row) — a separate validation scan would
-    // evaluate the whole encode twice. A STREAMING frame cannot drive
-    // DataFrameWriter — commit micro-batches through
-    // [[graft.streaming.DocStreams.appendArrivals]] (foreachBatch).
-    val checked = encoded.select(col("pq_id"),
-      when(size(col("codes")) === m, col("codes"))
-        .otherwise(raise_error(concat(
-          lit(s"appendToIndex: codes length != index m=$m (got "),
-          size(col("codes")).cast("string"),
-          lit(") — encoded against a different index geometry?"))))
-        .as("codes"),
-      col("cell"))
-    batchId match {
-      case Some(b) =>
-        // static overwrite truncates exactly this batch's directory —
-        // the idempotence unit — leaving other batches' commits intact;
-        // a replay therefore retracts BOTH accepted markers up front
-        // ([[committedBatches]] also grandfathers `_SUCCESS`): left
-        // standing until the overwrite job's own directory delete, a
-        // concurrent loadIndex could list the batch as committed and
-        // scan it mid-rewrite
-        val dir = s"$root/appends/batch=$b"
-        val mk = new org.apache.hadoop.fs.Path(dir, CommitMarker)
-        val fs = mk.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(mk, false): Unit
-        fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"),
-          false): Unit
-        checked.write.mode("overwrite").partitionBy("cell").parquet(dir)
-        // marker LAST: the batch becomes visible to loadIndex only
-        // once every file of the overwrite landed
-        fs.create(mk, true).close()
-      case None =>
-        checked.write.mode("append").partitionBy("cell")
-          .parquet(s"$root/codes")
+    // single-writer contract ENFORCED: the mutation runs under the
+    // path's WRITER lease (IndexLayout.withWriterLease) — a manual
+    // append racing the owning stream fails loudly, never interleaves
+    IndexLayout.withWriterLease(spark, path, "appendToIndex") {
+      // one index path, one streaming lineage (IndexLayout.checkStreamId)
+      IndexLayout.checkStreamId(spark, path, streamId, "appendToIndex")
+      val root = IndexLayout.activeRoot(spark, path)
+      // at-least-once across COMPACTION: the one genuine replay of a
+      // folded batch (id == the folded mark) no-ops; an id BELOW the
+      // mark is a different stream's and throws — silently dropping it
+      // would lose real data (IndexLayout.replayGuard doc)
+      if (!IndexLayout.replayGuard(spark, root, batchId,
+          "appendToIndex")) {
+        val m = spark.read.parquet(s"$root/meta").head().getInt(0)
+        // geometry check rides INSIDE the single write pass (raise_error
+        // on the first mismatched row) — a separate validation scan
+        // would evaluate the whole encode twice. A STREAMING frame
+        // cannot drive DataFrameWriter — commit micro-batches through
+        // [[graft.streaming.DocStreams.appendArrivals]] (foreachBatch).
+        val checked = encoded.select(col("pq_id"),
+          when(size(col("codes")) === m, col("codes"))
+            .otherwise(raise_error(concat(
+              lit(s"appendToIndex: codes length != index m=$m (got "),
+              size(col("codes")).cast("string"),
+              lit(") — encoded against a different index geometry?"))))
+            .as("codes"),
+          col("cell"))
+        batchId match {
+          case Some(b) =>
+            // static overwrite truncates exactly this batch's directory
+            // — the idempotence unit — leaving other batches' commits
+            // intact; a replay therefore retracts BOTH accepted markers
+            // up front ([[committedBatches]] also grandfathers
+            // `_SUCCESS`): left standing until the overwrite job's own
+            // directory delete, a concurrent loadIndex could list the
+            // batch as committed and scan it mid-rewrite
+            val dir = s"$root/appends/batch=$b"
+            val mk = new org.apache.hadoop.fs.Path(dir, CommitMarker)
+            val fs = mk.getFileSystem(spark.sessionState.newHadoopConf())
+            fs.delete(mk, false): Unit
+            fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"),
+              false): Unit
+            checked.write.mode("overwrite").partitionBy("cell")
+              .parquet(dir)
+            // marker LAST: the batch becomes visible to loadIndex only
+            // once every file of the overwrite landed
+            fs.create(mk, true).close()
+          case None =>
+            checked.write.mode("append").partitionBy("cell")
+              .parquet(s"$root/codes")
+        }
+      }
     }
   }
 

@@ -362,33 +362,42 @@ object RetrievalOps {
       path: String, batchId: Option[Long] = None,
       streamId: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    // one index path, one streaming lineage: a keyed append from a
-    // DIFFERENT checkpoint throws before the replay guard can mistake
-    // its restarted ids for replays (IndexLayout.checkStreamId doc)
-    IndexLayout.checkStreamId(spark, path, streamId, "appendToPostings")
-    val root = activeRoot(spark, path)
-    // at-least-once across COMPACTION: the one genuine replay of a
-    // FOLDED batch (id == the folded high-water mark) no-ops — its
-    // rows are already in the folded generation and its own appends
-    // directory no longer exists to overwrite; an id BELOW the mark is
-    // a different stream's and throws (IndexLayout.replayGuard doc)
-    if (IndexLayout.replayGuard(spark, root, batchId, "appendToPostings"))
-      return
-    val (nBuckets, withPositions) = {
-      val r = readBaseStats(spark, root)
-      (r.getAs[Int]("n_buckets"), r.getAs[Boolean]("with_positions"))
+    // the whole mutation runs under the path's WRITER lease: a manual
+    // append racing the owning stream (or a second loop that dodged
+    // checkStreamId by passing streamId = None) fails loudly instead
+    // of interleaving with a fold/flip (IndexLayout.withWriterLease)
+    IndexLayout.withWriterLease(spark, path, "appendToPostings") {
+      // one index path, one streaming lineage: a keyed append from a
+      // DIFFERENT checkpoint throws before the replay guard can mistake
+      // its restarted ids for replays (IndexLayout.checkStreamId doc)
+      IndexLayout.checkStreamId(spark, path, streamId, "appendToPostings")
+      val root = activeRoot(spark, path)
+      // at-least-once across COMPACTION: the one genuine replay of a
+      // FOLDED batch (id == the folded high-water mark) no-ops — its
+      // rows are already in the folded generation and its own appends
+      // directory no longer exists to overwrite; an id BELOW the mark is
+      // a different stream's and throws (IndexLayout.replayGuard doc)
+      if (!IndexLayout.replayGuard(spark, root, batchId,
+          "appendToPostings")) {
+        val (nBuckets, withPositions) = {
+          val r = readBaseStats(spark, root)
+          (r.getAs[Int]("n_buckets"), r.getAs[Boolean]("with_positions"))
+        }
+        val gen = batchId.map(i => s"batch=$i").getOrElse(
+          s"batch=${java.util.UUID.randomUUID().toString}")
+        val dir = s"$root/appends/$gen"
+        // retract THIS generation's marker first: a replay that died
+        // between postings and stats must not leave a committed
+        // half-write
+        val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+        statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(statsPath, true): Unit
+        val (n, sumDl) = writePostings(docs, idCol, textCol,
+          s"$dir/postings", nBuckets, withPositions)
+        writeStats(spark, s"$dir/stats", n, sumDl, nBuckets,
+          withPositions)
+      }
     }
-    val gen = batchId.map(i => s"batch=$i").getOrElse(
-      s"batch=${java.util.UUID.randomUUID().toString}")
-    val dir = s"$root/appends/$gen"
-    // retract THIS generation's marker first: a replay that died between
-    // postings and stats must not leave a committed half-write
-    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    statsPath.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(statsPath, true): Unit
-    val (n, sumDl) = writePostings(docs, idCol, textCol,
-      s"$dir/postings", nBuckets, withPositions)
-    writeStats(spark, s"$dir/stats", n, sumDl, nBuckets, withPositions)
   }
 
   /** The generation an index path currently SERVES ([[IndexLayout]]):

@@ -540,6 +540,10 @@ object DocStreams {
           batchId: Long) => {
         val s = batch.sparkSession
         import graft.operators.{CorpusOps, IndexLayout}
+        // the commit runs under the path's WRITER lease (the
+        // single-writer contract, ENFORCED — IndexLayout
+        // .withWriterLease); the compaction below takes its own
+        IndexLayout.withWriterLease(s, path, "admitArrivals") {
         IndexLayout.checkStreamId(s, path, Some(checkpoint),
           "admitArrivals")
         val root = IndexLayout.activeRoot(s, path)
@@ -597,6 +601,7 @@ object DocStreams {
             } finally filtered.unpersist(blocking = false): Unit
           } finally deduped.unpersist(blocking = false): Unit
         }
+        }
         compactEvery.foreach { n =>
           IndexLayout.maybeCompact(s, path, n,
             committedAdmitted(s, _, None),
@@ -649,6 +654,8 @@ object DocStreams {
           batchId: Long) => {
         val s = batch.sparkSession
         import graft.operators.{EmbeddingOps, IndexLayout}
+        // commit under the path's WRITER lease, as in [[admitArrivals]]
+        IndexLayout.withWriterLease(s, path, "vecAdmitArrivals") {
         IndexLayout.checkStreamId(s, path, Some(checkpoint),
           "vecAdmitArrivals")
         val root = IndexLayout.activeRoot(s, path)
@@ -676,6 +683,7 @@ object DocStreams {
               commitAdmittedBatch(admitted, root, batchId)
             } finally filtered.unpersist(blocking = false): Unit
           } finally deduped.unpersist(blocking = false): Unit
+        }
         }
         compactEvery.foreach { n =>
           IndexLayout.maybeCompact(s, path, n,

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generational layout's writer lease ([[IndexLayout
+  * .withWriterLease]]) and exclusive lineage binding
+  * ([[IndexLayout.writeAtomicExclusive]]): the single-writer contract
+  * is ENFORCED — a second interleaved writer fails loudly naming the
+  * holder — while the sequential mutations the streaming loops issue
+  * are unaffected. */
+class IndexLayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def corpus = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "apple banana banana banana"),
+    (3L, "cherry cherry cherry cherry")
+  ).toDF("doc_id", "text")
+
+  test("two interleaved writers: the second throws NAMING the holder, " +
+      "and the loser's mutation leaves no trace") {
+    val path = tmp("lease") + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    val delta = Seq((10L, "fig grape")).toDF("doc_id", "text")
+    IndexLayout.withWriterLease(spark, path, "writer-one") {
+      // writer two arrives mid-mutation: a manual appendToPostings
+      // racing the lease holder must fail loudly, not interleave
+      val e = intercept[IllegalStateException] {
+        RetrievalOps.appendToPostings(delta, "doc_id", "text", path)
+      }
+      assert(e.getMessage.contains("writer-one"), e.getMessage)
+      assert(e.getMessage.contains("another writer holds the lease"),
+        e.getMessage)
+      // so does a concurrent compaction
+      val e2 = intercept[IllegalStateException] {
+        RetrievalOps.compactInPlace(spark, path)
+      }
+      assert(e2.getMessage.contains("writer-one"), e2.getMessage)
+    }
+    // the loser wrote nothing: probing still serves the 3-doc base
+    val (n, _, _) = RetrievalOps.frozenStats(spark, path, Seq("apple"))
+    assert(n == 3L, s"corpus size $n")
+  }
+
+  test("the lease releases on success AND on failure, so the " +
+      "sequential mutations of one loop are unaffected") {
+    val path = tmp("leaseseq") + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    val wp = new org.apache.hadoop.fs.Path(s"$path/WRITER")
+    val fs = wp.getFileSystem(spark.sessionState.newHadoopConf())
+    // the exact call sequence indexArrivals issues per micro-batch:
+    // append, then maybeCompact — each under its own lease, back to back
+    RetrievalOps.appendToPostings(Seq((10L, "fig grape"))
+      .toDF("doc_id", "text"), "doc_id", "text", path, batchId = Some(0L))
+    assert(!fs.exists(wp), "lease must release after a successful append")
+    assert(RetrievalOps.maybeCompact(spark, path, maxGenerations = 1))
+    assert(!fs.exists(wp), "lease must release after a compaction")
+    val (n, _, _) = RetrievalOps.frozenStats(spark, path, Seq("apple"))
+    assert(n == 4L, s"corpus size $n")
+    // a failing body releases too (the geometry check throws mid-write)
+    intercept[Exception] {
+      IndexLayout.withWriterLease(spark, path, "boom") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!fs.exists(wp), "lease must release when the body throws")
+  }
+
+  test("a CRASHED writer's expired lease is broken and taken over; a " +
+      "live one's is not") {
+    val path = tmp("leasettl") + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    val wp = new org.apache.hadoop.fs.Path(s"$path/WRITER")
+    val fs = wp.getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed writer: lease file standing, mtime past the TTL (a
+    // live writer heartbeats every ttl/3, so a stale mtime means death)
+    val out = fs.create(wp, true)
+    out.write("dead-writer appendToPostings".getBytes("UTF-8"))
+    out.close()
+    val ttl = spark.conf.get("graft.index.writerLeaseTtlMs", "600000")
+      .toLong
+    fs.setTimes(wp, System.currentTimeMillis() - ttl - 1000L, -1)
+    // the next mutation breaks the expired lease and proceeds
+    RetrievalOps.appendToPostings(Seq((10L, "fig grape"))
+      .toDF("doc_id", "text"), "doc_id", "text", path, batchId = Some(0L))
+    assert(!fs.exists(wp))
+    val (n, _, _) = RetrievalOps.frozenStats(spark, path, Seq("apple"))
+    assert(n == 4L)
+    // whereas a FRESH foreign lease (live writer) still blocks
+    val out2 = fs.create(wp, true)
+    out2.write("live-writer compactInPlace".getBytes("UTF-8"))
+    out2.close()
+    val e = intercept[IllegalStateException] {
+      RetrievalOps.appendToPostings(Seq((11L, "kiwi"))
+        .toDF("doc_id", "text"), "doc_id", "text", path,
+        batchId = Some(1L))
+    }
+    assert(e.getMessage.contains("live-writer"), e.getMessage)
+    fs.delete(wp, false)
+  }
+
+  test("writeAtomicExclusive: exactly one of two binders wins, the " +
+      "loser sees the winner's value intact") {
+    val dir = tmp("excl")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/stream_id")
+    assert(IndexLayout.writeAtomicExclusive(spark, p, "lineage-A"))
+    assert(!IndexLayout.writeAtomicExclusive(spark, p, "lineage-B"))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val got = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      .trim finally in.close()
+    assert(got == "lineage-A")
+    // no staging litter left behind by the loser
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSeq == Seq("stream_id"))
+  }
+}
