@@ -13,6 +13,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Serving gates (x15/x21/x23/x25/x26/x31…) resolve their persisted
+    // index roots through SnapshotCache.resolve. Point the work dir at
+    // a NON-DEFAULT file: URI, as a cluster deployment would point it
+    // at hdfs://…: every gate then exercises the Hadoop-FS workDir
+    // machinery (qualified roots, FS-native recursive deletes) under
+    // load, not just in SnapshotCacheSpec — and the bench measures the
+    // path a real deployment runs. Overridable for experiments.
+    if (spark.conf.getOption(operators.SnapshotCache.WorkDirKey).isEmpty) {
+      val wd = java.nio.file.Files.createTempDirectory("graft_bench_wd")
+      spark.conf.set(operators.SnapshotCache.WorkDirKey,
+        wd.toUri.toString)
+    }
     // Same size-based execution tuning the conversion path applies
     // (OsmPipeline.AqeMinInputBytes scaladoc has the measurements): below
     // ~256 MB of input, AQE's per-query-stage materialization jobs cost

@@ -377,6 +377,67 @@ object DevProfile {
       // a 25x corpus at ADMIT_TEXT_MULT=8 is ~130 MB — don't strand it
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
+    } else if (name == "admitgens") {
+      // the genscale twin for the ADMIT corpus: per-batch wall time of
+      // a real admitArrivals loop across `reps` generations, with and
+      // without auto-compaction. The read path is ONE multi-path scan
+      // whatever the generation count (only driver-side listing grows),
+      // so — unlike the index loops, whose probes decay per generation
+      // — the uncompacted curve should stay near-flat; this measures it
+      // instead of asserting it.
+      import org.apache.spark.sql.functions._
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def rot(i: Int) = {
+        val r = i % 26
+        val to = lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r)
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          translate(col("text"), lower + upper, to).as("text"))
+      }
+      require(reps <= 25, s"admitgens: max 25 generations, got $reps")
+      val root = java.nio.file.Files.createTempDirectory("admgen").toString
+      val seed = rot(0)
+      for ((label, ce) <- Seq("uncompacted" -> None,
+          "compactEvery=8" -> Some(8))) {
+        val dir = s"$root/$label"
+        val feed = s"$dir/feed"
+        new java.io.File(feed).mkdirs(): Unit
+        val arrivals = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet").parquet(feed)
+        val q = streaming.DocStreams.admitArrivals(arrivals, seed,
+          s"$dir/adm", s"$dir/ckpt", compactEvery = ce)
+        try {
+          val times = (1 to reps).map { i =>
+            // each batch is a NOVEL rotation slice (disjoint shingle
+            // space): the corpus — and the generation count — grows
+            // by one committed append per batch
+            val stage = s"$dir/_w$i"
+            rot(i).filter(pmod(col("doc_id"), lit(8L)) === 0)
+              .coalesce(1).write.parquet(stage)
+            val f = new java.io.File(stage).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$feed/$i.parquet"))
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"$label batch $i%2d: $dt%.2f s")
+            dt
+          }
+          println(f"$label: first-5 mean ${times.take(5).sum / 5}%.2f s, " +
+            f"last-5 mean ${times.takeRight(5).sum / 5}%.2f s")
+          val n = streaming.DocStreams.admittedDocs(spark, s"$dir/adm",
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING")).count()
+          println(s"$label admitted total: $n")
+        } finally q.stop()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
     } else if (name == "vecadmitscale") {
       // the vector admit sweep's economics: ONE fixed batch against a
       // `reps`x-replicated embedding corpus — per-batch cost is the

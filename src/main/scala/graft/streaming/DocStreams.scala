@@ -432,7 +432,11 @@ object DocStreams {
     * rewrites the whole corpus TEXT. So the admit loop wants a LARGE
     * `compactEvery` (amortize the rewrite over many batches, e.g.
     * hundreds) where the index loops want a small one (probe latency
-    * decays per generation — see the genscale curve). */
+    * decays per generation — see the genscale curve). Measured
+    * (`DevProfile admitgens`, PLANS.md r11): per-batch cost is FLAT
+    * across 20 uncompacted generations, while folding every 8 batches
+    * came out SLOWER — hence `compactEvery = None` stays the
+    * [[admitArrivals]] default. */
   def compactAdmitted(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): String =
     // fold the FULL stored schema — the signature columns must

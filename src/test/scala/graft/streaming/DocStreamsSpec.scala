@@ -528,6 +528,137 @@ class DocStreamsSpec extends AnyFunSuite {
       chain(err).mkString(" | "))
   }
 
+  test("SOAK: indexArrivals + appendArrivals + admitArrivals run " +
+      "CONCURRENTLY in one session for 20 micro-batches each with low " +
+      "compactEvery; every end state equals its batch fold and no " +
+      "cached frame survives shutdown") {
+    // the deployment shape is several loops sharing a SparkSession:
+    // this drives all three against distinct paths through 60 total
+    // micro-batch commits and ~30 interleaved compaction folds, so the
+    // snapshot caches, localized encoder frames, per-batch persists
+    // and pointer flips run under real concurrency — any interaction
+    // (cache eviction, persisted-frame pressure, flip races) surfaces
+    // as an end-state mismatch or a leaked cache entry
+    import graft.operators.{CorpusOps, IvfPq, RetrievalOps}
+    val root = java.nio.file.Files.createTempDirectory("soak").toString
+    val nChunks = 20
+    def writeFeed(dir: String,
+        parts: Seq[org.apache.spark.sql.DataFrame]): Unit =
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val stage = s"$dir/_w$i"
+        df.coalesce(1).write.parquet(stage)
+        val f = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/$i.parquet"))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(stage))
+        // deterministic batch order: the file source lists oldest-first
+        new java.io.File(s"$dir/$i.parquet")
+          .setLastModified(1000000L + i * 1000L): Unit
+      }
+    // docs feed: ids >= 20 in 20 range-chunks (seed/base = ids < 20)
+    val docs = batchDocs.select(col("doc_id"), col("text"))
+    val seed = docs.filter(col("doc_id") < 20)
+    writeFeed(s"$root/dfeed", (0 until nChunks).map(i =>
+      docs.filter(col("doc_id") >= 20 + i * 24 &&
+        col("doc_id") < 20 + (i + 1) * 24)))
+    // vector feed: the whole table re-ingested under shifted ids
+    val emb = graft.Tables.embeddings(spark, Dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    writeFeed(s"$root/vfeed", (0 until nChunks).map(i =>
+      graft.Tables.embeddings(spark, Dir)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"),
+          col("label"))
+        .filter(col("vec_id") % nChunks === i)))
+    val idx = IvfPq.build(emb, "vec_id", "v", nCells = 4,
+      coarseIters = 0, pqIters = 0)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      IvfPq.writeIndex(idx, s"$root/vidx")
+      val frozen = IvfPq.loadIndex(spark, s"$root/vidx")
+      val codesBefore = frozen.codes.count()
+      RetrievalOps.indexCorpus(seed, "doc_id", "text", s"$root/lidx",
+        nBuckets = 8)
+      def docStream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet").parquet(s"$root/dfeed")
+      val vecStream = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet").parquet(s"$root/vfeed")
+      // all three START before any drains: the commits interleave
+      val qLex = DocStreams.indexArrivals(docStream, s"$root/lidx",
+        s"$root/ckpt_lex", compactEvery = Some(2))
+      val qVec = DocStreams.appendArrivals(vecStream, frozen,
+        s"$root/vidx", s"$root/ckpt_vec", compactEvery = Some(2))
+      val qAdm = DocStreams.admitArrivals(docStream, seed, s"$root/adm",
+        s"$root/ckpt_adm", compactEvery = Some(3))
+      try {
+        qLex.processAllAvailable()
+        qVec.processAllAvailable()
+        qAdm.processAllAvailable()
+      } finally Seq(qLex, qVec, qAdm).foreach(_.stop())
+      // every loop actually folded (the churn under test happened)
+      Seq("lidx", "vidx", "adm").foreach { d =>
+        assert(new java.io.File(s"$root/$d/CURRENT").exists(),
+          s"$d never compacted")
+        assert(new java.io.File(s"$root/$d/generations").listFiles()
+          .count(_.getName.startsWith("g")) <= 2, s"$d listing not flat")
+      }
+      // LEXICAL end state == a one-shot rebuild over the full corpus
+      val grown = RetrievalOps
+        .bm25TopKIndexed(spark, s"$root/lidx", RetrievalOps.GateTerms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      RetrievalOps.indexCorpus(docs, "doc_id", "text", s"$root/lfull",
+        nBuckets = 8)
+      val rebuilt = RetrievalOps
+        .bm25TopKIndexed(spark, s"$root/lfull", RetrievalOps.GateTerms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(grown == rebuilt && grown.nonEmpty)
+      // VECTOR end state: every shifted twin carries its original's
+      // codes + cell, total doubled
+      val after = IvfPq.loadIndex(spark, s"$root/vidx")
+      assert(after.codes.count() == codesBefore * 2)
+      def keyOf(df: org.apache.spark.sql.DataFrame, id: Long) = df
+        .filter(col("pq_id") === id)
+        .select(col("cell").cast("long"),
+          col("codes").cast("array<int>")).head()
+      Seq(3L, 7L, 499L).foreach(id =>
+        assert(keyOf(after.codes, 500000L + id) == keyOf(after.codes, id)))
+      // ADMIT end state == the sequential batch fold over the same
+      // 20 chunks (the d27 composition, filter-then-collapse)
+      def admit(existing: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        CorpusOps.deduplicate(
+          CorpusOps.exactDeduplicate(
+            CorpusOps.dedupeIncrement(existing, b, "doc_id", "text"),
+            "doc_id", "text"),
+          "doc_id", "text")
+      import spark.implicits._
+      var corpus = seed.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      (0 until nChunks).foreach { i =>
+        val chunk = spark.read.parquet(s"$root/dfeed/$i.parquet")
+        // pin each fold on the driver (tiny here): 20 chained admits
+        // over lazy plans would re-run the whole cascade per action,
+        // and localCheckpoint would trip the leak check below
+        corpus = corpus ++ admit(corpus.toDF("doc_id", "text"), chunk)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+      }
+      val expected = corpus.drop(seed.count().toInt).toSet
+      val got = DocStreams.admittedDocs(spark, s"$root/adm", seed.schema)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expected,
+        s"admit diverged: extra=${got -- expected} missing=${expected -- got}")
+    } finally idx.release()
+    // no loop strands a cached frame: every per-batch persist was
+    // released, the localized encoder held only driver-local arrays
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("streaming contamination flags equal the d10 batch decontamination") {
     graft.functions.Md5Prefix28Expr.register(spark)
     graft.functions.TextExprs.register(spark)
