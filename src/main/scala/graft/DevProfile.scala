@@ -110,6 +110,44 @@ object DevProfile {
         SparkEntry.queries(n)(spark, sfDir).count()
         println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
+    } else if (name == "x34prof") {
+      // stage-by-stage timing of the trained IVF-PQ gate
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExprs.register(spark)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+            "sqrt(aggregate(embedding, 0D, " +
+            "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))").as("v"))
+      def t[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      for (_ <- 1 to 2) {
+        val cents = t("coarse train")(
+          operators.IvfAnn.trainCentroids(emb, 8, 3, portable = true))
+        val residuals = t("residuals")(
+          operators.IvfAnn.assignCells(emb, cents, portable = true)
+            .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
+            .select(col("vec_id"), col("cell"),
+              zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+            .persist())
+        t("residuals count")(residuals.count())
+        val codebook = t("pq train")(operators.ProductQuantizer
+          .train(residuals, "vec_id", "r", 32, 64, 3, portable = true))
+        val codes = t("encode")(operators.ProductQuantizer
+          .encode(residuals, "vec_id", "r", codebook, 32)
+          .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
+            Seq("pq_id")).persist())
+        t("codes count")(codes.count())
+        val idx = operators.IvfPq.IvfPqIndex(cents, codebook, codes, 32, 64)
+        val q = emb.filter(col("vec_id") === 0L).head().getSeq[Double](1)
+        t("probe np=8")(operators.IvfPq.topK(idx, q, 10, 8, Some(0L),
+          portable = true).count())
+        residuals.unpersist(); codes.unpersist(): Unit
+      }
     } else if (name == "warmbench") {
       // true warm-vs-warm engine timing: run every gate query twice in one
       // JVM and report the second pass (snapshot caches and JIT hot) —

@@ -82,6 +82,7 @@ object SparkEntry {
     "d10_decontaminate" -> (T.d10Decontaminate _),
     "x32_contamination" -> (operators.SimilarityQueries.x32Contamination _),
     "x33_vec_admit" -> (operators.SimilarityQueries.x33VecAdmit _),
+    "x34_trained_recall" -> (operators.RetrievalOps.x34TrainedRecall _),
     "d11_repetition_quality" -> (T.d11RepetitionQuality _),
     "d12_boilerplate_ngrams" -> (T.d12BoilerplateNgrams _),
     "d13_pii_scrub" -> (T.d13PiiScrub _),
@@ -1322,6 +1323,9 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the TRAINED IVF-PQ operating point, fully replayed (see
+    // trainedRecallOracle doc — portable round-6 training on both sides)
+    "x34_trained_recall" -> trainedRecallOracle,
     // ANN quality: the x7 IVF probe's top-10 evaluated against the exact
     // cosine top-10 as ground truth with the x22 metric arithmetic,
     // swept over nprobe 1 and 2 (per-nprobe suffixed CTE chains)
@@ -1700,6 +1704,118 @@ object SparkEntry {
         |SELECT pair, count(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
+
+  /** The x34 oracle: a FULL DuckDB replay of the TRAINED IVF-PQ
+    * pipeline — L2-normalize, 3 portable Lloyd's iterations over 8
+    * coarse cells, residuals, 3 portable PQ iterations over 32
+    * subspaces × 64 codes, encode, and the ADC probe for vec 0 at
+    * nprobe ∈ {2, 8}. Replayable because every iterated decision in
+    * the engine's portable mode quantizes to 6 decimals with pinned
+    * tie-breaks (IvfAnn.trainCentroids doc): both engines' raw
+    * arithmetic agrees to ~1e-15, so every round-6 decision — and
+    * therefore the whole training trajectory — is identical. The
+    * iteration CTEs are MATERIALIZED: each level references the
+    * previous twice (assignment + carry-forward), and DuckDB's default
+    * inlining would re-evaluate the chain exponentially. */
+  private def trainedRecallOracle: String = {
+    val (m, k, cells, w) = (32, 64, 8, 2)
+    def cAssign(n: Int, cents: String): String =
+      s"""a$n AS MATERIALIZED (
+         |  SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT nm.vec_id, nm.v, c.cid,
+         |      row_number() OVER (PARTITION BY nm.vec_id
+         |        ORDER BY round(list_cosine_similarity(nm.v, c.cv), 6) DESC, c.cid ASC) AS rn
+         |    FROM norm nm CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def cUpdate(n: Int, prev: String): String =
+      s"""c$n AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(u.nv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(mu ORDER BY dim) AS nv FROM (
+         |      SELECT cell, dim, round(avg(x), 6) AS mu FROM (
+         |        SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$n)
+         |      GROUP BY cell, dim) GROUP BY cell) u ON p.cid = u.cell)""".stripMargin
+    def pqAssign(n: Int, cb: String): String =
+      s"""pa$n AS MATERIALIZED (
+         |  SELECT vec_id, sub, sv, code FROM (
+         |    SELECT s.vec_id, s.sub, s.sv, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY round(list_inner_product(s.sv, s.sv)
+         |          - 2.0 * list_inner_product(s.sv, c.cv)
+         |          + list_inner_product(c.cv, c.cv), 6) ASC, c.code ASC) AS rn
+         |    FROM sv s JOIN $cb c ON s.sub = c.sub) WHERE rn = 1)""".stripMargin
+    def pqUpdate(n: Int, prev: String): String =
+      s"""cb$n AS MATERIALIZED (
+         |  SELECT p.sub, p.code, coalesce(u.nv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT sub, code, list(mu ORDER BY dim) AS nv FROM (
+         |      SELECT sub, code, dim, round(avg(x), 6) AS mu FROM (
+         |        SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim FROM pa$n)
+         |      GROUP BY sub, code, dim) GROUP BY sub, code) u
+         |  ON p.sub = u.sub AND p.code = u.code)""".stripMargin
+    // per-nprobe: probe-cell ranking (round-6, cid tie), per-cell
+    // residual LUT, ADC = sub-ordered left-to-right fold (list_reduce
+    // over list(d ORDER BY sub) — NOT a float sum() agg), round 6
+    def probe(np: Int): String =
+      s"""qcells_$np AS (
+         |  SELECT cid, cv FROM (
+         |    SELECT c.cid, c.cv,
+         |      row_number() OVER (ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid ASC) AS rn
+         |    FROM c3 c CROSS JOIN qv q) WHERE rn <= $np),
+         |lut_$np AS MATERIALIZED (
+         |  SELECT qc.cid AS cell, cb.sub, cb.code,
+         |    list_inner_product(
+         |      list_transform(range(1, ${w + 1}), j -> (q.qv[cb.sub*$w + j] - qc.cv[cb.sub*$w + j]) - cb.cv[j]),
+         |      list_transform(range(1, ${w + 1}), j -> (q.qv[cb.sub*$w + j] - qc.cv[cb.sub*$w + j]) - cb.cv[j])) AS d
+         |  FROM qcells_$np qc CROSS JOIN cb3 cb CROSS JOIN qv q),
+         |adc_$np AS (
+         |  SELECT t.vec_id, round(list_reduce(t.l, (a, b) -> a + b), 6) AS adc_dist FROM (
+         |    SELECT pa4.vec_id, list(lut.d ORDER BY pa4.sub) AS l
+         |    FROM pa4
+         |    JOIN cells cl ON pa4.vec_id = cl.vec_id
+         |    JOIN lut_$np lut ON lut.cell = cl.cell AND lut.sub = pa4.sub AND lut.code = pa4.code
+         |    GROUP BY pa4.vec_id) t),
+         |top_$np AS (
+         |  SELECT $np::BIGINT AS nprobe,
+         |    row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC)::BIGINT AS rank,
+         |    vec_id, adc_dist, vec_id IN (SELECT vec_id FROM exact) AS hit
+         |  FROM adc_$np WHERE vec_id <> 0
+         |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 10)""".stripMargin
+    val ctes = Seq(
+      """norm AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        |  FROM embeddings)""".stripMargin,
+      s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM norm ORDER BY vec_id LIMIT $cells)") ++
+      (1 to 3).flatMap(i =>
+        Seq(cAssign(i, if (i == 1) "c0" else s"c${i - 1}"),
+          cUpdate(i, if (i == 1) "c0" else s"c${i - 1}"))) ++
+      Seq(cAssign(4, "c3"),
+        "cells AS MATERIALIZED (SELECT vec_id, cell FROM a4)",
+        s"""res AS MATERIALIZED (
+           |  SELECT a4.vec_id, a4.cell,
+           |    list_transform(range(1, ${m * w + 1}), i -> a4.v[i] - c.cv[i]) AS r
+           |  FROM a4 JOIN c3 c ON a4.cell = c.cid)""".stripMargin,
+        s"""sv AS MATERIALIZED (
+           |  SELECT vec_id, sub, r[sub*$w+1 : sub*$w+$w] AS sv
+           |  FROM res CROSS JOIN (SELECT unnest(range($m)) AS sub))""".stripMargin,
+        s"""cb0 AS MATERIALIZED (
+           |  SELECT sub, code, sv AS cv FROM (
+           |    SELECT s.sub, s.sv, dense_rank() OVER (ORDER BY s.vec_id) - 1 AS code
+           |    FROM sv s WHERE s.vec_id IN (SELECT vec_id FROM res ORDER BY vec_id LIMIT $k)))""".stripMargin) ++
+      (1 to 3).flatMap(i =>
+        Seq(pqAssign(i, if (i == 1) "cb0" else s"cb${i - 1}"),
+          pqUpdate(i, if (i == 1) "cb0" else s"cb${i - 1}"))) ++
+      Seq(pqAssign(4, "cb3"),
+        "qv AS (SELECT v AS qv FROM norm WHERE vec_id = 0)",
+        """exact AS MATERIALIZED (
+          |  SELECT vec_id FROM (
+          |    SELECT nm.vec_id, round(list_cosine_similarity(nm.v, q.qv), 6) AS c
+          |    FROM norm nm CROSS JOIN qv q WHERE nm.vec_id <> 0
+          |    ORDER BY c DESC, vec_id ASC LIMIT 10))""".stripMargin,
+        probe(2), probe(8))
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT * FROM top_2 UNION ALL SELECT * FROM top_8 ORDER BY nprobe, rank"
+  }
 
   /** nprobe-independent CTE prefix of the x25 IVF-PQ sweep: the x15
     * oracle's encode chain (4 cells, residual PQ, first-16 codebook)

@@ -44,6 +44,49 @@ object VectorKernels {
   def norm(a: ArrayData, aFloat: Boolean): Double =
     math.sqrt(dot(a, aFloat, a, aFloat))
 
+  /** Nearest-code argmin for product quantization: `flat` holds K
+    * codewords of width w = flat.length / k concatenated in CODE ORDER;
+    * returns [d, code] for the code minimizing the round-6 expanded L2
+    * — EXACTLY the [[graft.operators.ProductQuantizer.l2sq]] decision:
+    * d_c = round((|sv|² − 2·sv·cb_c) + |cb_c|², 6), strict-< tracking so
+    * ties keep the SMALLEST code. One fused loop replaces a K-entry
+    * higher-order-function argmin whose lambda Catalyst evaluates
+    * interpreted per entry (struct allocation per candidate — the
+    * measured bottleneck of codebook training at m=32/k=64); every
+    * IEEE operation, the HALF_UP rounding (Spark's `round`), and the
+    * tie-break are identical, so codes and oracle hashes are unchanged
+    * (spec-held: kernel == HOF form). */
+  def nearestCode(sv: ArrayData, svFloat: Boolean, flat: ArrayData,
+      k: Int): ArrayData = {
+    val w = flat.numElements() / k
+    val aa = dot(sv, svFloat, sv, svFloat)
+    var bestD = Double.MaxValue
+    var bestC = -1
+    var c = 0
+    while (c < k) {
+      var ab = 0.0
+      var bb = 0.0
+      var j = 0
+      val off = c * w
+      while (j < w) {
+        val x = if (svFloat) sv.getFloat(j).toDouble else sv.getDouble(j)
+        val y = flat.getDouble(off + j)
+        ab += x * y
+        bb += y * y
+        j += 1
+      }
+      // same association as the expression form: (aa − 2·ab) + bb,
+      // then Spark round's HALF_UP at 6 (scala BigDecimal(double) is
+      // the exact code path Catalyst's Round takes for DoubleType)
+      val d = BigDecimal((aa - 2.0 * ab) + bb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Double](bestD, bestC.toDouble))
+  }
+
   /** dot(a,b) / (|a|·|b|) in one pass over both arrays. */
   def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -91,8 +134,55 @@ object VectorExprs {
         exprs => VecNormExpr(exprs.head), "built-in")
       reg.createOrReplaceTempFunction("vec_cosine",
         exprs => VecCosineExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_nearest_code",
+        exprs => VecNearestCodeExpr(exprs(0), exprs(1), exprs(2)),
+        "built-in")
     }
   }
+}
+
+/** [[VectorKernels.nearestCode]] as a codegen expression:
+  * (sv array<float|double>, flat array<double>, k int) → [d, code].
+  * NULL on a null/empty input or a flat length not divisible by k —
+  * a codebook/width mismatch is a data error, never a truncation. */
+case class VecNearestCodeExpr(sv: Expression, flat: Expression,
+    k: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = sv
+  override def second: Expression = flat
+  override def third: Expression = k
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val s = VectorExprs.checkVec(sv, "sv")
+    if (!s.isSuccess) s
+    else (flat.dataType, k.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType | LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (array<double>, int), got $other")
+    }
+  }
+  private lazy val sF = VectorExprs.isFloat(sv)
+  override protected def nullSafeEval(a: Any, f: Any, kk: Any): Any = {
+    val (x, fl) = (a.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+    val ki = kk match { case l: Long => l.toInt; case i: Int => i }
+    if (ki <= 0 || fl.numElements() == 0 || fl.numElements() % ki != 0) null
+    else VectorKernels.nearestCode(x, sF, fl, ki)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, f, kk) => s"""
+      int graftK = (int) $kk;
+      if (graftK <= 0 || $f.numElements() == 0
+          || $f.numElements() % graftK != 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.nearestCode($a, $sF, $f, graftK);
+      }""")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(sv = newFirst, flat = newSecond, k = newThird)
 }
 
 case class VecDotExpr(left: Expression, right: Expression)

@@ -65,16 +65,27 @@ object IvfAnn {
     * cosine (not the algebraically-equivalent dot/|cv|): the oracle and
     * qcells rank by cosine, and only the identical IEEE computation
     * guarantees identical tie-breaks on near-equal centroids. */
-  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+  def assignCells(emb: DataFrame, cents: DataFrame,
+      portable: Boolean = false): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
+    // portable: the argmax compares round(sim, 6) — near-equal centroid
+    // similarities then DECIDE IDENTICALLY on any engine whose raw
+    // cosine agrees to ~1e-15 (everything inside the quantum away from
+    // a rounding boundary), which is what lets an external oracle
+    // replay a TRAINED assignment ([[trainCentroids]] portable doc).
+    // The default stays the full-precision argmax — the oracled
+    // untrained gates (x7/x14/x15) pin that convention.
+    def sim(c: Column): Column = {
+      val s = cosine(col("v"), c.getField("cv"))
+      if (portable) round(s, 6) else s
+    }
     emb.crossJoin(broadcast(packedCentroids(cents)))
       // an EMPTY centroid table packs to one empty-array row; without this
       // guard array_max(empty) = null would emit every vector with a null
       // cell instead of the zero rows the argmax semantics imply
       .filter(size(col("cs")) > 0)
       .withColumn("best", array_max(transform(col("cs"),
-        c => struct(cosine(col("v"), c.getField("cv")).as("sim"),
-          (-c.getField("cid")).as("ncid")))))
+        c => struct(sim(c).as("sim"), (-c.getField("cid")).as("ncid")))))
       .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cell"))
   }
 
@@ -125,8 +136,19 @@ object IvfAnn {
     * round, and the returned relation is driver-local — consumers
     * (broadcast joins, driver-side cell ranking) read it for free with
     * NO persist to leak in the session CacheManager. */
-  def trainCentroids(emb: DataFrame, k: Int = K, iters: Int = 5): DataFrame = {
+  def trainCentroids(emb: DataFrame, k: Int = K, iters: Int = 5,
+      portable: Boolean = false): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
+    // portable = ORACLE-REPLAYABLE training: every decision the loop
+    // makes quantizes to 6 decimals first — assignments argmax on
+    // round(cosine, 6) (tie → min cid) and centroid updates store
+    // round(avg, 6) — so an external engine whose raw arithmetic
+    // agrees to ~1e-15 (the proven x1/x12 envelope) makes the SAME
+    // decision at every step and the whole ITERATED computation stays
+    // bit-equal across engines; unrounded, a last-ulp avg() difference
+    // (summation order is merge-order-dependent even run to run)
+    // could flip one assignment and cascade. The 1e-6 quantum is noise
+    // against quantization error — recall is unchanged (spec-held).
     // init = the k smallest-id vectors: deterministic AND id-value-agnostic
     // (frames whose ids don't start at 0 — e.g. via EmbeddingOps — train
     // identically to the contiguous-id testdata)
@@ -134,11 +156,12 @@ object IvfAnn {
       emb.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
-      val assigned = assignCells(emb, cents)
+      val assigned = assignCells(emb, cents, portable)
+      val mean = if (portable) round(avg(col("x")), 6) else avg(col("x"))
       val updated = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(mean.as("m"))
         .groupBy(col("cell"))
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("m")))),

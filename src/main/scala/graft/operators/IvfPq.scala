@@ -68,7 +68,7 @@ object IvfPq {
   def build(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = IvfAnn.K, m: Int = ProductQuantizer.M,
       k: Int = ProductQuantizer.K, coarseIters: Int = 3,
-      pqIters: Int = 3): IvfPqIndex = {
+      pqIters: Int = 3, portable: Boolean = false): IvfPqIndex = {
     graft.functions.VectorExprs.register(df.sparkSession)
     val emb = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("v"))
@@ -77,14 +77,17 @@ object IvfPq {
         s"embedding dim ${r.getInt(0)} must be divisible by m=$m — " +
           "trailing dims would be silently dropped")
     }
-    val cents = IvfAnn.trainCentroids(emb, nCells, coarseIters)
-    val residuals = IvfAnn.assignCells(emb, cents)
+    // portable: both trainers quantize every decision to 6 decimals
+    // ([[IvfAnn.trainCentroids]] doc) so the ENTIRE trained index is
+    // oracle-replayable — the x34 gate's contract
+    val cents = IvfAnn.trainCentroids(emb, nCells, coarseIters, portable)
+    val residuals = IvfAnn.assignCells(emb, cents, portable)
       .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val codebook = ProductQuantizer
-      .train(residuals, "vec_id", "r", m, k, pqIters)
+      .train(residuals, "vec_id", "r", m, k, pqIters, portable)
     val codes = ProductQuantizer.encode(residuals, "vec_id", "r", codebook, m)
       .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
         Seq("pq_id"))
@@ -239,7 +242,7 @@ object IvfPq {
     * look-up table per probed cell, scan only those cells. */
   def topK(index: IvfPqIndex, query: Seq[Double], topK: Int = 10,
       nProbe: Int = IvfAnn.NProbe,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None, portable: Boolean = false): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cents: Seq[(Long, Array[Double])] = index.cents.collect().map { r =>
       r.getLong(0) -> r.getSeq[Any](1).map {
@@ -252,7 +255,18 @@ object IvfPq {
     cents.foreach { case (_, cv) =>
       require(cv.length == query.length,
         s"query dim ${query.length} != index dim ${cv.length}") }
-    val probed = cents.map { case (cid, cv) => (cid, cv, cosineD(query, cv)) }
+    // portable: the probe-cell ranking quantizes like every other
+    // portable decision (round-6 similarity, cid tie-break) so an
+    // oracle replays WHICH cells are probed, not just how they score
+    val probed = cents.map { case (cid, cv) =>
+        val s = cosineD(query, cv)
+        // HALF_UP — the same rounding Spark's round() applies, so the
+        // driver-side decision matches the in-plan convention exactly
+        (cid, cv, if (portable)
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        else s)
+      }
       .sortBy { case (cid, _, s) => (-s, cid) }
       .take(nProbe)
     val cb = ProductQuantizer.collectCodebook(index.codebook)

@@ -10,9 +10,13 @@ import org.apache.spark.sql.types._
   * Decode/transform steps run batch-at-a-time over partitions (the Scala
   * analogue of `mapInPandas`): one decoder instance per partition, rows
   * streamed through it — the shape that amortizes model/codec init at
-  * 100 TB. The actual codec is STUBBED (deterministic fake) because no
-  * image/audio libraries ship in this environment; schema, partitioning,
-  * batch flow, and metadata handling are real.
+  * 100 TB. Codecs are PLUGGABLE at the [[ImageResizer]] integration
+  * point: the default is a deterministic passthrough (no image/audio
+  * libraries are assumed at gate time), and [[imageIoResizer]] is a
+  * real JDK-native decode → scale → re-encode on the same point,
+  * spec-held to the identical integer-exact dimension contract. The
+  * feature-extraction codec remains a deterministic stub; schema,
+  * partitioning, batch flow, and metadata handling are real throughout.
   */
 object MultimodalOps {
 
@@ -88,16 +92,60 @@ object MultimodalOps {
   case class ResizedMedia(media_id: Long, kind: String, out_w: Option[Int],
       out_h: Option[Int], payload: Array[Byte])
 
-  /** STUB resize: fit media into a `box`×`box` bounding box preserving
-    * aspect ratio. Integer-exact math (w·box / max(w,h)) so an independent
+  /** The REAL-CODEC integration point of [[resize]]: `(payload, outW,
+    * outH) → re-encoded payload`, produced by a factory the operator
+    * invokes ONCE PER PARTITION (the [[RetrievalOps.scoreWithModel]]
+    * convention — codec/plugin init is amortized over the partition,
+    * never paid per row). The function itself runs per row on bounded
+    * inputs (one payload at a time), so executor memory is bounded by
+    * the largest single blob, not a batch of them. */
+  type ImageResizer = (Array[Byte], Int, Int) => Array[Byte]
+
+  /** The stub codec: payload passes through untouched (dimension
+    * metadata still transforms exactly). The default, and what the m3
+    * gate runs — no image library is assumed at gate time. */
+  val passthroughResizer: () => ImageResizer = () => (p, _, _) => p
+
+  /** A REAL image decoder on the same integration point, JDK-native
+    * (javax.imageio — PNG/JPEG/BMP/GIF ship with the JVM, headless-
+    * safe): decode → area-averaging scale to the exact (outW, outH)
+    * the operator's integer math chose → PNG re-encode. Spec-held to
+    * the gate's integer-exact contract: swapping this in changes ONLY
+    * payload bytes, never the dimension histogram. An undecodable
+    * payload throws naming the defect — a curation pipeline must
+    * surface corrupt blobs, not launder them through as-is. */
+  val imageIoResizer: () => ImageResizer = () => {
+    // per-partition init: the plugin registry scan happens once here,
+    // and the decoder skips its disk-backed scratch cache
+    javax.imageio.ImageIO.setUseCache(false)
+    (payload, ow, oh) => {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "imageIoResizer: payload is not a decodable image")
+      val out = new java.awt.image.BufferedImage(ow, oh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img.getScaledInstance(ow, oh,
+        java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null): Unit
+      finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos): Unit
+      baos.toByteArray
+    }
+  }
+
+  /** Fit media into a `box`×`box` bounding box preserving aspect
+    * ratio. Integer-exact math (w·box / max(w,h)) so an independent
     * SQL engine reproduces the dimensions bit-for-bit; the payload
-    * transform is the stubbed codec step (real impl: decode → scale →
-    * re-encode per partition-initialized codec). Null dimensions
-    * ([[mediaSchema]] declares them nullable — e.g. audio) pass through
-    * as null. */
-  private def resizeBatch(box: Int)(
+    * transform is the pluggable codec step ([[ImageResizer]]) — the
+    * codec initializes once per partition and runs only on rows an
+    * actual resize touches. Null dimensions ([[mediaSchema]] declares
+    * them nullable — e.g. audio) pass through as null. */
+  private def resizeBatch(box: Int, codecInit: () => ImageResizer)(
       rows: Iterator[org.apache.spark.sql.Row]): Iterator[ResizedMedia] = {
-    // per-partition codec init would happen HERE, once
+    // per-partition codec init: once, before the first row
+    val codec = codecInit()
     rows.map { r =>
       val id = r.getLong(0)
       val kind = r.getString(1)
@@ -108,20 +156,26 @@ object MultimodalOps {
         val w = r.getInt(2)
         val h = r.getInt(3)
         val m = math.max(w, h)
-        val (ow, oh) =
-          if (m <= box) (w, h)
-          else ((w.toLong * box / m).toInt, (h.toLong * box / m).toInt)
-        ResizedMedia(id, kind, Some(ow), Some(oh), payload)
+        if (m <= box) ResizedMedia(id, kind, Some(w), Some(h), payload)
+        else {
+          val ow = (w.toLong * box / m).toInt
+          val oh = (h.toLong * box / m).toInt
+          ResizedMedia(id, kind, Some(ow), Some(oh),
+            codec(payload, ow, oh))
+        }
       }
     }
   }
 
   /** Resize step over media payloads: partition-wise batch transform (the
-    * mapInPandas analogue; same shape as [[extractFeatures]]). */
-  def resize(media: DataFrame, box: Int = 256): DataFrame =
+    * mapInPandas analogue; same shape as [[extractFeatures]]). Pass
+    * `codec = MultimodalOps.imageIoResizer` for a real JDK decode →
+    * scale → re-encode; the default transforms metadata only. */
+  def resize(media: DataFrame, box: Int = 256,
+      codec: () => ImageResizer = passthroughResizer): DataFrame =
     media.select(col("media_id"), col("kind"), col("width"), col("height"),
         col("payload"))
-      .mapPartitions(resizeBatch(box))(
+      .mapPartitions(resizeBatch(box, codec))(
         org.apache.spark.sql.Encoders.product[ResizedMedia])
       .toDF()
 

@@ -81,19 +81,35 @@ object ProductQuantizer {
       .select(col("sub"), col("code"), col("sv").as("cv"))
   }
 
-  /** Nearest-code assignment per (vector, subspace): broadcast the packed
-    * per-subspace codebook and take a struct-argmin over its K entries
-    * (distance asc, code asc — the tie-break is pinned). Map-side only. */
+  /** Nearest-code assignment per (vector, subspace): broadcast the
+    * per-subspace codebook FLATTENED in code order and take the fused
+    * [[graft.functions.VectorKernels.nearestCode]] argmin (round-6
+    * expanded L2 asc, code asc — the pinned tie-break). Map-side only.
+    *
+    * The kernel replaces the earlier `array_min(transform(...))` form:
+    * Catalyst evaluates higher-order-function lambdas INTERPRETED per
+    * entry with a struct allocation per candidate, which at m=32/k=64
+    * was the measured bottleneck of codebook training (~20 s of a 24 s
+    * pass at sf0.1). The kernel runs the identical IEEE sequence,
+    * HALF_UP rounding and tie-break inside whole-stage codegen —
+    * codes, distances, the x12 oracle and the x34 portable-training
+    * replay are bit-unchanged (spec-held kernel == HOF form). The
+    * flatten relies on codes being CONTIGUOUS 0..k-1 per subspace
+    * ([[initCodebook]] assigns them; [[train]]'s coalesce preserves
+    * the key set), so flat index == code. */
   def assignCodes(sv: DataFrame, codebook: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(sv.sparkSession)
     val packed = codebook.groupBy(col("sub"))
-      .agg(collect_list(struct(col("code"), col("cv"))).as("cs"))
+      .agg(flatten(transform(
+          sort_array(collect_list(struct(col("code"), col("cv")))),
+          p => p.getField("cv").cast("array<double>"))).as("_g_flat"),
+        count(lit(1)).cast("int").as("_g_k"))
     sv.join(broadcast(packed), Seq("sub"))
-      .withColumn("best", array_min(transform(col("cs"),
-        c => struct(l2sq(col("sv"), c.getField("cv")).as("d"),
-          c.getField("code").as("code")))))
+      .withColumn("best", call_function("vec_nearest_code",
+        col("sv"), col("_g_flat"), col("_g_k")))
       .select(col("pq_id"), col("sub"), col("sv"),
-        col("best.code").as("code"), col("best.d").as("d"))
+        element_at(col("best"), 2).cast("int").as("code"),
+        element_at(col("best"), 1).as("d"))
   }
 
   /** Lloyd's k-means over all subspaces at once (sub is a group key, so
@@ -104,14 +120,22 @@ object ProductQuantizer {
     * per iteration, constant plan depth, and a driver-local return that
     * needs no persist (nothing left in the session CacheManager). */
   def train(emb: DataFrame, idCol: String, vecCol: String, m: Int = M,
-      k: Int = K, iters: Int = 3): DataFrame = {
+      k: Int = K, iters: Int = 3, portable: Boolean = false): DataFrame = {
+    // portable = oracle-replayable codebooks: the assignment argmin
+    // already decides on round-6 distances ([[l2sq]]), so quantizing
+    // the UPDATE too (codewords store round(avg, 6)) makes the whole
+    // iterated training bit-equal on any engine whose raw arithmetic
+    // agrees to ~1e-15 — the [[IvfAnn.trainCentroids]] portable
+    // convention; recall is unaffected (the quantum is noise next to
+    // quantization error, spec-held)
     val sv = subvectors(emb, idCol, vecCol, m)
     var cb = ScaleUtils.materializeLocal(initCodebook(sv, k))
     for (_ <- 1 to iters) {
+      val mean = if (portable) round(avg(col("x")), 6) else avg(col("x"))
       val updated = assignCodes(sv, cb)
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("code"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(mean.as("m"))
         .groupBy(col("sub"), col("code"))
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("m")))),

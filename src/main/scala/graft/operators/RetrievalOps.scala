@@ -1090,7 +1090,9 @@ object RetrievalOps {
     * nprobe ∈ {1, 2}: the accuracy-vs-cost dial every ANN deployment
     * tunes (nprobe 1 loses a neighbor on this corpus, nprobe 2 is
     * lossless), measured with the same oracle-verified metric harness
-    * as x22. */
+    * as x22. This sweep keeps the deterministic UNTRAINED first-k
+    * geometry; the TRAINED operating point (recall@10 = 0.8 at
+    * m=32/k=64) is its own oracle-replayable gate, [[x34TrainedRecall]]. */
   def x25AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val qrels = SimilarityQueries.x1CosineTopK(s, dir)
       .select(lit(0L).as("qid"), col("vec_id").as("id"))
@@ -1121,6 +1123,60 @@ object RetrievalOps {
       .select(col("path"), col("nprobe"), col("n_rel"), col("hits"),
         col("recall"), col("mrr"), col("ndcg"))
       .orderBy(col("path").asc, col("nprobe").asc)
+  }
+
+  /** x34: the TRAINED IVF-PQ operating point as an ORACLE-REPLAYABLE
+    * gate — the credible recall number a deployment tunes against
+    * (m=32/k=64 on 64-dim = 16× compression, recall@10 = 0.8,
+    * RetrievalOpsSpec), promoted from a spec-only measurement to a
+    * DuckDB-replayed hash-match. The x25 sweep keeps the untrained
+    * first-k geometry; this runs the REAL pipeline: L2-normalize (the
+    * production recipe — on unit vectors cosine order == L2 order, so
+    * ADC's residual-L2 ranking approximates the cosine ground truth) →
+    * portable Lloyd's coarse training (8 cells × 3 iters) → portable
+    * residual-PQ training (32 subspaces × 64 codes × 3 iters) → encode
+    * → ADC probe for vec 0 at nprobe ∈ {2, 8}. "Portable" = every
+    * iterated decision quantizes to 6 decimals with pinned tie-breaks
+    * ([[IvfAnn.trainCentroids]] doc), which is what makes a trained —
+    * not just seeded — index replayable by an external engine.
+    * Output: (nprobe, rank, vec_id, adc_dist, hit) — hit marks
+    * membership in the exact round-6 cosine top-10; recall@10 =
+    * sum(hit)/10 per nprobe, pinned ≥ 0.8 at nprobe=8 by spec. */
+  def x34TrainedRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+        "sqrt(aggregate(embedding, 0D, " +
+        "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))").as("v"))
+    // train ONCE per corpus snapshot and serve from the persisted
+    // index (the x15 convention): training is the amortized build-time
+    // cost of an ANN deployment — repeated probes of an unchanged
+    // corpus must time load + probe, not retrain per query
+    val path = SnapshotCache.resolve(s, "x34", s"$dir/embeddings.parquet") {
+      out =>
+        val idx = IvfPq.build(emb, "vec_id", "v", nCells = 8, m = 32,
+          k = 64, coarseIters = 3, pqIters = 3, portable = true)
+        try IvfPq.writeIndex(idx, out) finally idx.release()
+    }
+    val idx = IvfPq.loadIndex(s, path)
+    val q = emb.filter(col("vec_id") === 0L).head().getSeq[Double](1)
+    val exact = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        round(call_function("vec_cosine", col("v"), typedLit(q)), 6)
+          .as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val parts = Seq(2, 8).map { np =>
+      IvfPq.topK(idx, q, topK = 10, nProbe = np, excludeId = Some(0L),
+          portable = true)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("adc_dist").asc, col("pq_id").asc))
+          .cast("long"))
+        .select(lit(np.toLong).as("nprobe"), col("rank"),
+          col("pq_id").as("vec_id"), col("adc_dist"),
+          col("pq_id").isin(exact.toSeq: _*).as("hit"))
+    }
+    parts.reduce(_ unionByName _).orderBy(col("nprobe"), col("rank"))
   }
 
   /** x26: ordered proximity search — "table hash" within slop 1 (one

@@ -101,6 +101,59 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_nearest_code equals the HOF struct-argmin it replaced, " +
+      "bit-for-bit, in both codegen modes") {
+    val s = spark
+    import s.implicits._
+    // codebook: 16 codes of width 4; include an exact-duplicate pair
+    // (codes 3 and 7 identical) so the min-code tie-break is exercised
+    val rnd = new scala.util.Random(11)
+    val cw = (0 until 16).map(c => if (c == 7) 3 else c)
+      .map { c =>
+        val r2 = new scala.util.Random(100 + c)
+        Array.fill(4)(r2.nextDouble() * 2 - 1)
+      }
+    val flat = cw.flatten
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+    val base = rows.toDF("id", "sv")
+      .withColumn("flat", typedLit(flat))
+      .withColumn("k", lit(16))
+    val cbRows = cw.zipWithIndex
+      .map { case (v, c) => (c, v.toSeq) }.toDF("code", "cv")
+    // the exact expression form assignCodes used before the kernel
+    val packed = cbRows.agg(
+      collect_list(struct(col("code"), col("cv"))).as("cs")).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    val csLit = typedLit(packed.map(r =>
+      (r.getInt(0), r.getSeq[Double](1))))
+    def hof = base.withColumn("best", array_min(transform(csLit,
+        c => struct(
+          round(call_function("vec_dot", col("sv"), col("sv"))
+            - lit(2.0) * call_function("vec_dot", col("sv"), c.getField("_2"))
+            + call_function("vec_dot", c.getField("_2"), c.getField("_2")),
+            6).as("d"),
+          c.getField("_1").as("code")))))
+      .select(col("id"), col("best.d").as("d"),
+        col("best.code").cast("long").as("code"))
+    def kern = base.withColumn("best", call_function("vec_nearest_code",
+        col("sv"), col("flat"), col("k")))
+      .select(col("id"), element_at(col("best"), 1).as("d"),
+        element_at(col("best"), 2).cast("long").as("code"))
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val a = hof.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+        val b = kern.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+        assert(a == b, s"mode $mode diverged")
+        // the duplicate codeword pair must always resolve to code 3
+        assert(!a.exists(_._3 == 7L), "tie must keep the smallest code")
+      } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("non-vector input is rejected at analysis") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal surface's real-codec integration point: [[
+  * MultimodalOps.resize]] with the JDK-native [[MultimodalOps
+  * .imageIoResizer]] must run an ACTUAL image decode → scale →
+  * re-encode through the same partition-batch plumbing the m3 gate
+  * exercises, with the gate's integer-exact dimension contract intact
+  * — the codec changes payload bytes, never the histogram. */
+class MultimodalOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  /** A real `w`×`h` PNG of one solid RGB color. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, w, h): Unit
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos): Unit
+    baos.toByteArray
+  }
+
+  // colors picked per id; sizes straddle the box (256) so some rows
+  // resize (codec runs) and some pass through (codec must not)
+  private def mediaRows = Seq(
+    (1L, "image", 640, 480, 0xff0000), // lands at 256x192
+    (2L, "image", 512, 512, 0x00ff00), // lands at 256x256
+    (3L, "image", 100, 50, 0x0000ff),  // inside the box: passthrough
+    (4L, "image", 300, 257, 0x123456)  // lands at 256x219 (floor math)
+  )
+
+  private def mediaDf = mediaRows
+    .map { case (id, kind, w, h, c) => (id, kind, w, h, png(w, h, c)) }
+    .toDF("media_id", "kind", "width", "height", "payload")
+
+  test("imageIoResizer: a REAL decode/scale/re-encode lands the exact " +
+      "integer dimensions the operator chose, preserving content") {
+    val out = MultimodalOps.resize(mediaDf, box = 256,
+      codec = MultimodalOps.imageIoResizer)
+      .collect().map(r => r.getLong(0) ->
+        (r.get(2), r.get(3), r.getAs[Array[Byte]]("payload"))).toMap
+    // the operator's integer math: (w*box/max, h*box/max)
+    val expectDims = Map(1L -> (256, 192), 2L -> (256, 256),
+      3L -> (100, 50), 4L -> (256, 219))
+    mediaRows.foreach { case (id, _, w, h, rgb) =>
+      val (ow, oh, payload) = out(id)
+      assert((ow, oh) == (expectDims(id)._1, expectDims(id)._2),
+        s"media $id dims")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"media $id output must be a decodable image")
+      // the re-encoded PNG's pixel geometry equals the metadata
+      assert(img.getWidth == expectDims(id)._1 &&
+        img.getHeight == expectDims(id)._2, s"media $id pixel geometry")
+      // area-averaged solid color stays that color (tolerate rounding)
+      val px = new java.awt.Color(img.getRGB(img.getWidth / 2,
+        img.getHeight / 2))
+      val want = new java.awt.Color(rgb)
+      assert(math.abs(px.getRed - want.getRed) <= 2 &&
+        math.abs(px.getGreen - want.getGreen) <= 2 &&
+        math.abs(px.getBlue - want.getBlue) <= 2,
+        s"media $id color drifted: got $px want $want")
+      // a within-box row passes its ORIGINAL bytes through untouched
+      if (math.max(w, h) <= 256)
+        assert(payload.sameElements(png(w, h, rgb)), s"media $id " +
+          "must not re-encode when no resize happens")
+    }
+  }
+
+  test("the real codec changes ONLY payload bytes: the m3 gate's " +
+      "dimension histogram is bit-identical to the stub run") {
+    def hist(codec: () => MultimodalOps.ImageResizer) =
+      MultimodalOps.resize(mediaDf, box = 256, codec = codec)
+        .groupBy(col("out_w"), col("out_h"))
+        .agg(count(lit(1)).as("n"), min(col("media_id")).as("min_id"))
+        .orderBy("out_w", "out_h")
+        .collect().map(_.toSeq).toSeq
+    assert(hist(MultimodalOps.imageIoResizer) ==
+      hist(MultimodalOps.passthroughResizer))
+  }
+
+  test("an undecodable payload fails loudly, and null dimensions pass " +
+      "through without touching the codec") {
+    val bad = Seq((9L, "image", 640, 480,
+      Array[Byte](1, 2, 3, 4))).toDF(
+      "media_id", "kind", "width", "height", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.resize(bad, box = 256,
+        codec = MultimodalOps.imageIoResizer).collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("not a decodable image")), e.getMessage)
+    // audio row: null dims — the codec must never see it
+    val audio = Seq((10L, "audio", Option.empty[Int], Option.empty[Int],
+      Array[Byte](1, 2, 3))).toDF(
+      "media_id", "kind", "width", "height", "payload")
+    val kept = MultimodalOps.resize(audio, box = 256,
+      codec = MultimodalOps.imageIoResizer).collect().head
+    assert(kept.isNullAt(2) && kept.isNullAt(3) &&
+      kept.getAs[Array[Byte]]("payload").sameElements(Array[Byte](1, 2, 3)))
+  }
+}

@@ -699,6 +699,28 @@ class RetrievalOpsSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
+  test("x34 gate: the TRAINED sweep pins recall@10 >= 0.8 at full " +
+      "probes — the operating point, now oracle-replayable") {
+    val rows = RetrievalOps
+      .x34TrainedRecall(spark, "/root/testdata/sf0.001").collect()
+    val byNp = rows.groupBy(_.getLong(0))
+    assert(byNp.keySet == Set(2L, 8L))
+    byNp.values.foreach(rs => assert(rs.length == 10))
+    def recall(np: Long) = byNp(np).count(_.getBoolean(4)) / 10.0
+    // the portable round-6 training quantum is noise next to
+    // quantization error: the trained operating point's floors hold
+    // unchanged (the unrounded path's spec above pins the same 0.8)
+    assert(recall(8L) >= 0.8, s"recall@8 = ${recall(8L)}")
+    assert(recall(8L) >= recall(2L),
+      "more probes must not lose recall")
+    // ADC distances non-decreasing down each ranking
+    byNp.values.foreach { rs =>
+      val ds = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ds.sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true })
+    }
+  }
+
   test("trainBpe linearization: cuts bound lineage, results unchanged") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // reference run: materialization effectively off (one long chain)
