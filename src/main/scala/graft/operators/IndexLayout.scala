@@ -27,8 +27,9 @@ import org.apache.spark.sql.SparkSession
   * sequenced by one writer (a foreachBatch loop); readers need no
   * coordination — they resolve the pointer per query. ENFORCED, not
   * just documented: every mutation entry point (appendToPostings,
-  * appendToIndex, the admit-loop commits, compactInPlace) runs under
-  * the path's [[withWriterLease]] — a second concurrent writer fails
+  * appendToIndex, the admit-loop commits, compactInPlace, and the
+  * builds/rebuilds indexCorpus + IvfPq.writeIndex) runs under the
+  * path's [[withWriterLease]] — a second concurrent writer fails
   * loudly naming the holder instead of silently interleaving. */
 private[graft] object IndexLayout {
 
@@ -146,14 +147,19 @@ private[graft] object IndexLayout {
     // stream_id and seed_sig go too: a rebuild starts a NEW ingestion
     // lifecycle (new checkpoint lineage, possibly a new seed corpus).
     // The prefix sweep also clears crash-stranded staging files
-    // (CURRENT.tmp, stream_id.<uuid>.tmp — [[writeAtomicExclusive]]).
+    // (CURRENT.tmp, stream_id.<uuid>.tmp, WRITER.<uuid>.tmp —
+    // [[writeAtomicExclusive]]). The WRITER lease file itself is NOT
+    // swept: retract runs inside a lease-guarded rebuild
+    // ([[RetrievalOps.indexCorpus]], [[IvfPq.writeIndex]]), and
+    // deleting it here would drop the caller's own held lease
+    // mid-mutation; a genuinely stale lease expires by TTL instead.
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val nm = st.getPath.getName
       if (nm == "generations" || nm == "seed_sig" ||
         nm.startsWith("CURRENT") || nm.startsWith("stream_id") ||
-        nm.startsWith("WRITER"))
+        nm.startsWith("WRITER."))
         fs.delete(st.getPath, true): Unit
     }
   }

@@ -117,23 +117,29 @@ object IvfPq {
   def writeIndex(index: IvfPqIndex, path: String): Unit = {
     val spark = index.cents.sparkSession
     import spark.implicits._
-    // an in-place REBUILD over a served path must retract the previous
-    // lifecycle first: a stale CURRENT would keep every loadIndex on
-    // the retired generation (ignoring this rebuild entirely), and
-    // stale appends/ batches would union the OLD corpus's vectors into
-    // the fresh base. For a fresh dest (compactTo's generations/g<k>)
-    // both are no-ops — and folded_max, written by compactTo before
-    // this call, is untouched.
-    IndexLayout.retract(spark, path)
-    val ap = new org.apache.hadoop.fs.Path(s"$path/appends")
-    ap.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(ap, true): Unit
-    Seq((index.m, index.k)).toDF("m", "k")
-      .write.mode("overwrite").parquet(s"$path/meta")
-    index.cents.write.mode("overwrite").parquet(s"$path/cents")
-    index.codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    index.codes.write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/codes")
+    // a build is a mutation: lease-guarded like every other writer
+    // entry point ([[RetrievalOps.indexCorpus]] convention). For
+    // compactTo's fresh dest the lease is on the NEW directory — no
+    // interaction with the compaction's own lease on the served path.
+    IndexLayout.withWriterLease(spark, path, "writeIndex") {
+      // an in-place REBUILD over a served path must retract the previous
+      // lifecycle first: a stale CURRENT would keep every loadIndex on
+      // the retired generation (ignoring this rebuild entirely), and
+      // stale appends/ batches would union the OLD corpus's vectors into
+      // the fresh base. For a fresh dest (compactTo's generations/g<k>)
+      // both are no-ops — and folded_max, written by compactTo before
+      // this call, is untouched.
+      IndexLayout.retract(spark, path)
+      val ap = new org.apache.hadoop.fs.Path(s"$path/appends")
+      ap.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(ap, true): Unit
+      Seq((index.m, index.k)).toDF("m", "k")
+        .write.mode("overwrite").parquet(s"$path/meta")
+      index.cents.write.mode("overwrite").parquet(s"$path/cents")
+      index.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+      index.codes.write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$path/codes")
+    }
   }
 
   /** COMMITTED append batch directories under `root/appends` — those

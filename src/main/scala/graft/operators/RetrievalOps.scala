@@ -315,29 +315,35 @@ object RetrievalOps {
       path: String, nBuckets: Int = 64,
       withPositions: Boolean = false): Unit = {
     require(nBuckets >= 1, s"indexCorpus: nBuckets must be >= 1, got $nBuckets")
-    // an in-place REBUILD must first retract the previous build's
-    // commit marker AND its appends: with stale stats/ left standing, a
-    // failure midway through the postings overwrite would leave a
-    // readable stats over mixed-generation postings — probes would
-    // serve garbage instead of raising the rebuild-needed error; stale
-    // appends would double-serve the old corpus's increments
-    val conf = docs.sparkSession.sessionState.newHadoopConf()
-    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fs = statsPath.getFileSystem(conf)
-    fs.delete(statsPath, true): Unit
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends"), true): Unit
-    // and retract any generational layout: a rebuild over a previously
-    // compactInPlace'd path must not leave a stale CURRENT standing, or
-    // every probe/append would keep resolving the retired generation
-    // and silently serve the OLD corpus (IndexLayout.retract doc)
-    IndexLayout.retract(docs.sparkSession, path)
-    val (n, sumDl) = writePostings(docs, idCol, textCol,
-      s"$path/postings", nBuckets, withPositions)
-    // stats LAST — it is the commit marker: a failure mid-postings-write
-    // leaves no stats/, so readStats raises a clear not-an-index error
-    // instead of probes tripping over a half-built postings directory
-    writeStats(docs.sparkSession, s"$path/stats", n, sumDl, nBuckets,
-      withPositions)
+    // a build is a mutation too: an in-place REBUILD racing the owning
+    // stream's appends would interleave exactly like a rogue append —
+    // the whole sequence runs under the path's WRITER lease
+    IndexLayout.withWriterLease(docs.sparkSession, path, "indexCorpus") {
+      // an in-place REBUILD must first retract the previous build's
+      // commit marker AND its appends: with stale stats/ left standing,
+      // a failure midway through the postings overwrite would leave a
+      // readable stats over mixed-generation postings — probes would
+      // serve garbage instead of raising the rebuild-needed error; stale
+      // appends would double-serve the old corpus's increments
+      val conf = docs.sparkSession.sessionState.newHadoopConf()
+      val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+      val fs = statsPath.getFileSystem(conf)
+      fs.delete(statsPath, true): Unit
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends"), true): Unit
+      // and retract any generational layout: a rebuild over a previously
+      // compactInPlace'd path must not leave a stale CURRENT standing, or
+      // every probe/append would keep resolving the retired generation
+      // and silently serve the OLD corpus (IndexLayout.retract doc)
+      IndexLayout.retract(docs.sparkSession, path)
+      val (n, sumDl) = writePostings(docs, idCol, textCol,
+        s"$path/postings", nBuckets, withPositions)
+      // stats LAST — it is the commit marker: a failure mid-postings-
+      // write leaves no stats/, so readStats raises a clear
+      // not-an-index error instead of probes tripping over a
+      // half-built postings directory
+      writeStats(docs.sparkSession, s"$path/stats", n, sumDl, nBuckets,
+        withPositions)
+    }
   }
 
   /** INCREMENTAL index growth — the lexical analog of

@@ -192,15 +192,21 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       expr("transform(emb, x -> -x)").as("emb"))
     val zero = Seq((4000L,
       Seq.fill(SimilarityQueries.EmbDim)(0f))).toDF("item", "emb")
+    // a NaN-poisoned vector buckets deterministically (NaN projections
+    // compare greatest in Spark, so every sign bit sets) and admits
+    // via the NaN → −2 cosine rule — bucketed and exact must agree
+    val nan = Seq((5000L,
+      Float.NaN +: Seq.fill(SimilarityQueries.EmbDim - 1)(0.5f)))
+      .toDF("item", "emb")
     val batch = copies.unionByName(scaled).unionByName(negated)
-      .unionByName(zero)
+      .unionByName(zero).unionByName(nan)
     val exact = EmbeddingOps.admitVectors(base, batch, "item", "emb",
       threshold = 0.95)
       .select("item").collect().map(_.getLong(0)).toSet
-    // every duplicate rejected, every negated + the zero admitted
+    // every duplicate rejected; negated, zero and NaN all admitted
     assert(exact.forall(id => id >= 3000L),
       s"exact path must reject all cosine-1.0 duplicates: $exact")
-    assert(exact.size == 101, exact.size.toString)
+    assert(exact.size == 102, exact.size.toString)
     Seq(1, 4, 8, 12).foreach { p =>
       val bucketed = EmbeddingOps.admitVectors(base, batch, "item",
         "emb", threshold = 0.95, planes = p)

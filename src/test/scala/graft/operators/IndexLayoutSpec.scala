@@ -109,6 +109,34 @@ class IndexLayoutSpec extends AnyFunSuite {
     fs.delete(wp, false)
   }
 
+  test("builds/rebuilds are lease-guarded too, and a rebuild's retract " +
+      "does not drop its own held lease") {
+    val path = tmp("leasebuild") + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    val wp = new org.apache.hadoop.fs.Path(s"$path/WRITER")
+    val fs = wp.getFileSystem(spark.sessionState.newHadoopConf())
+    // the build completed and released: no lease file left behind
+    // (retract must not have needed to sweep it — TTL covers stale)
+    assert(!fs.exists(wp))
+    // an in-place REBUILD racing a held lease fails loudly like any
+    // other mutation — a rebuild deletes the served layout, the worst
+    // possible interleave with a live appender
+    IndexLayout.withWriterLease(spark, path, "stream-loop") {
+      val e = intercept[IllegalStateException] {
+        RetrievalOps.indexCorpus(corpus, "doc_id", "text", path,
+          nBuckets = 4)
+      }
+      assert(e.getMessage.contains("stream-loop"), e.getMessage)
+      // the lease file survived the failed rebuild attempt: still ours
+      assert(fs.exists(wp))
+    }
+    // and a SUCCESSFUL rebuild over a retracted layout releases cleanly
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    assert(!fs.exists(wp))
+    val (n, _, _) = RetrievalOps.frozenStats(spark, path, Seq("apple"))
+    assert(n == 3L)
+  }
+
   test("writeAtomicExclusive: exactly one of two binders wins, the " +
       "loser sees the winner's value intact") {
     val dir = tmp("excl")
