@@ -44,6 +44,71 @@ object VectorKernels {
   def norm(a: ArrayData, aFloat: Boolean): Double =
     math.sqrt(dot(a, aFloat, a, aFloat))
 
+  /** Spark's SQL double comparison, exactly (SQLOrderingUtil): equal
+    * values (including -0.0 == 0.0) compare 0, otherwise
+    * java.lang.Double.compare — NaN greater than everything, NaN ==
+    * NaN. The argmax kernels below must replicate the struct-max
+    * ordering of the HOF forms they replace bit-for-bit, including
+    * these two edges. */
+  private def cmpSqlDouble(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Nearest-cell argmax for IVF assignment: `flat` holds K centroid
+    * vectors of width w = flat.length / cids.length concatenated in
+    * CIDS ORDER; returns the cid maximizing cosine(v, centroid) —
+    * EXACTLY the [[graft.operators.IvfAnn.assignCells]] decision
+    * (`array_max` over struct(sim, −cid): sim compared with Spark's
+    * NaN-greatest double ordering, ties → smallest cid). `scale >= 0`
+    * rounds the similarity HALF_UP to that many decimals before
+    * comparing — the portable-training mode; `scale < 0` compares raw.
+    * One fused loop replaces a K-entry higher-order-function argmax
+    * whose lambda Catalyst evaluates interpreted per entry (the
+    * measured cost of Lloyd's training); every IEEE operation (the
+    * [[cosine]] one-pass kernel both forms share), the rounding and
+    * the tie-break are identical, so assignments and oracle hashes
+    * are unchanged (spec-held: kernel == HOF form, both orderings). */
+  def nearestCell(v: ArrayData, vFloat: Boolean, flat: ArrayData,
+      cids: ArrayData, scale: Int): Long = {
+    val k = cids.numElements()
+    val w = flat.numElements() / k
+    val n = v.numElements()
+    var bestSim = Double.NaN
+    var bestCid = 0L
+    var have = false
+    var c = 0
+    while (c < k) {
+      val off = c * w
+      // the exact one-pass [[cosine]] sequence over the slice
+      var sab = 0.0
+      var saa = 0.0
+      var sbb = 0.0
+      var i = 0
+      val m = math.min(n, w)
+      while (i < m) {
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val y = flat.getDouble(off + i)
+        sab += x * y
+        saa += x * x
+        sbb += y * y
+        i += 1
+      }
+      var sim = sab / (math.sqrt(saa) * math.sqrt(sbb))
+      // Spark's round passes NaN/Infinity through unchanged
+      // (BigDecimal would throw) — a degenerate vector's NaN sims
+      // must survive into the NaN-greatest compare below
+      if (scale >= 0 && !sim.isNaN && !sim.isInfinite)
+        sim = BigDecimal(sim)
+          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cid = cids.getLong(c)
+      val cmp = if (!have) 1 else cmpSqlDouble(sim, bestSim)
+      if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
+        bestSim = sim; bestCid = cid; have = true
+      }
+      c += 1
+    }
+    bestCid
+  }
+
   /** Nearest-code argmin for product quantization: `flat` holds K
     * codewords of width w = flat.length / k concatenated in CODE ORDER;
     * returns [d, code] for the code minimizing the round-6 expanded L2
@@ -77,10 +142,16 @@ object VectorKernels {
       }
       // same association as the expression form: (aa − 2·ab) + bb,
       // then Spark round's HALF_UP at 6 (scala BigDecimal(double) is
-      // the exact code path Catalyst's Round takes for DoubleType)
-      val d = BigDecimal((aa - 2.0 * ab) + bb)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if (d < bestD) { bestD = d; bestC = c }
+      // the exact code path Catalyst's Round takes for DoubleType;
+      // NaN/Infinity pass through unchanged, as Spark's round does)
+      val raw = (aa - 2.0 * ab) + bb
+      val d = if (raw.isNaN || raw.isInfinite) raw
+        else BigDecimal(raw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Spark's NaN-greatest ordering, as array_min applies it: a NaN
+      // distance loses to any number, and an all-NaN row still picks
+      // the smallest code (strict `<` alone would leave no winner)
+      if (bestC < 0 || cmpSqlDouble(d, bestD) < 0) { bestD = d; bestC = c }
       c += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -137,8 +208,60 @@ object VectorExprs {
       reg.createOrReplaceTempFunction("vec_nearest_code",
         exprs => VecNearestCodeExpr(exprs(0), exprs(1), exprs(2)),
         "built-in")
+      reg.createOrReplaceTempFunction("vec_nearest_cell",
+        exprs => VecNearestCellExpr(exprs(0), exprs(1), exprs(2),
+          exprs(3)), "built-in")
     }
   }
+}
+
+/** [[VectorKernels.nearestCell]] as a codegen expression:
+  * (v array<float|double>, flat array<double>, cids array<bigint>,
+  * scale int) → cid (bigint). NULL on a null input, an empty centroid
+  * set (the assignCells empty-table guard), or a flat length not
+  * divisible by the cid count. */
+case class VecNearestCellExpr(v: Expression, flat: Expression,
+    cids: Expression, scale: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = v
+  override def second: Expression = flat
+  override def third: Expression = cids
+  override def fourth: Expression = scale
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val s = VectorExprs.checkVec(v, "v")
+    if (!s.isSuccess) s
+    else (flat.dataType, cids.dataType, scale.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (array<double>, array<bigint>, int), got $other")
+    }
+  }
+  private lazy val vF = VectorExprs.isFloat(v)
+  override protected def nullSafeEval(a: Any, f: Any, cs: Any,
+      sc: Any): Any = {
+    val (x, fl, ci) = (a.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData],
+      cs.asInstanceOf[ArrayData])
+    val k = ci.numElements()
+    if (k == 0 || fl.numElements() % k != 0) null
+    else VectorKernels.nearestCell(x, vF, fl, ci, sc.asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, f, cs, sc) => s"""
+      int graftK = $cs.numElements();
+      if (graftK == 0 || $f.numElements() % graftK != 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.nearestCell($a, $vF, $f, $cs, $sc);
+      }""")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(v = newFirst, flat = newSecond, cids = newThird,
+      scale = newFourth)
 }
 
 /** [[VectorKernels.nearestCode]] as a codegen expression:

@@ -234,14 +234,31 @@ object EmbeddingOps {
     * bucketed admission only ever admits a superset of the exact
     * path's admits, never rejects a vector the exact path keeps
     * (spec-held). Per plane, a pair at cosine t collides with
-    * probability 1 − arccos(t)/π, so single-bucket recall ≥
-    * (1 − arccos(t)/π)^planes — at t = 0.9 and 8 planes ≥ 0.48; a
-    * duplicate at cosine 1.0 (exact or positively scaled re-crawl,
-    * the dominant dedup class) has IDENTICAL sign projections and is
-    * caught with recall 1.0 at any `planes`. Degenerate (zero/NaN)
-    * vectors bucket deterministically (NaN projections compare
-    * greatest, so every sign bit sets) and still admit via the NaN →
-    * −2 cosine rule below — bucketed and exact agree on them.
+    * probability p = 1 − arccos(t)/π, so single-bucket recall ≥
+    * p^planes — at t = 0.9 and 8 planes ≥ 0.48; a duplicate at cosine
+    * 1.0 (exact or positively scaled re-crawl, the dominant dedup
+    * class) has IDENTICAL sign projections and is caught with recall
+    * 1.0 at any `planes`. Degenerate (zero/NaN) vectors bucket
+    * deterministically (NaN projections compare greatest, so every
+    * sign bit sets) and still admit via the NaN → −2 cosine rule
+    * below — bucketed and exact agree on them.
+    *
+    * `bands > 1` is the RECALL escalation for wide-angle thresholds
+    * (the MinHash-banding shape): B independent bucketings over
+    * disjoint slices of the hyperplane family, a pair is a candidate
+    * when it co-buckets in ANY band — recall ≥ 1 − (1 − p^planes)^B,
+    * e.g. t = 0.9, 8 planes: 0.48 at one band → 0.93 at four. Cost:
+    * the corpus still scans ONCE (each row explodes map-side into its
+    * B (band, bucket) keys — B× the hash probes, never B× the scan)
+    * and duplicate cross-band hits collapse in the existing distinct.
+    * `bands` is part of the same pick-once-per-path contract as
+    * `planes`.
+    *
+    * Dimension note: the hyperplanes are [[SimilarityQueries.EmbDim]]-
+    * sized. Vectors of any OTHER dimension project to NULL (the
+    * vec_dot length guard), every sign bit stays 0, and all rows land
+    * in one bucket — bucketed mode then degrades to the exact sweep
+    * (never to wrong decisions, only to no speedup).
     *
     * `idCol` must be unique AND castable to LONG (the repo-wide id
     * contract, [[CorpusOps]] doc) — the hit set joins back on the
@@ -249,7 +266,8 @@ object EmbeddingOps {
     * own rejection. */
   def admitVectors(existing: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 0): DataFrame = {
+      planes: Int = 0, bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"admitVectors: bands must be >= 1, got $bands")
     // explicit hints, not AQE: the INCREMENT is batch-bounded by this
     // operator's contract while `existing` is the corpus — left to
     // size estimates, Spark happily builds the nested-loop broadcast
@@ -268,7 +286,7 @@ object EmbeddingOps {
       val in = vecs(incoming, idCol, vecCol)
         .select(col("vec_id").as("_g_iid"), col("v").as("_g_iv"))
       ex.crossJoin(broadcast(in)).filter(near)
-    } else {
+    } else if (bands == 1) {
       // the bucket column computes map-side on each input (a literal
       // dot per plane); the equi-key turns the sweep into a hash
       // probe of the (still broadcast) batch's per-bucket groups
@@ -280,6 +298,20 @@ object EmbeddingOps {
         .select(col("_g_b"), col("vec_id").as("_g_iid"),
           col("v").as("_g_iv"))
       ex.join(broadcast(in), Seq("_g_b")).filter(near)
+    } else {
+      // OR-ed bands: each row explodes map-side into its B
+      // (band, bucket) keys — disjoint plane slices per band — and the
+      // join key widens to (band, bucket); the corpus still scans once
+      def banded(df: DataFrame): DataFrame = df.select(
+        df.columns.map(col) :+ posexplode(array((0 until bands).map(b =>
+          SimilarityQueries.lshBucket(planes, b * planes)): _*))
+          .as(Seq("_g_band", "_g_b")): _*)
+      val ex = banded(vecs(existing, idCol, vecCol))
+        .select(col("_g_band"), col("_g_b"), col("v").as("_g_ev"))
+      val in = banded(vecs(incoming, idCol, vecCol))
+        .select(col("_g_band"), col("_g_b"),
+          col("vec_id").as("_g_iid"), col("v").as("_g_iv"))
+      ex.join(broadcast(in), Seq("_g_band", "_g_b")).filter(near)
     }).select(col("_g_iid")).distinct()
     incoming.join(broadcast(hits),
       col(idCol).cast("long") === col("_g_iid"), "left_anti")

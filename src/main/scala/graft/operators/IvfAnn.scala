@@ -54,6 +54,18 @@ object IvfAnn {
   private def packedCentroids(cents: DataFrame): DataFrame =
     cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
 
+  /** Centroids packed FLAT for the [[graft.functions.VectorKernels
+    * .nearestCell]] kernel: one row of (cids in cid order, their
+    * vectors concatenated in the same order). Order only pins flat
+    * index ↔ cid — the argmax itself is order-independent. */
+  private def flatCentroids(cents: DataFrame): DataFrame =
+    cents.agg(
+      transform(sort_array(collect_list(struct(col("cid"), col("cv")))),
+        p => p.getField("cid").cast("long")).as("_g_cids"),
+      flatten(transform(
+        sort_array(collect_list(struct(col("cid"), col("cv")))),
+        p => p.getField("cv").cast("array<double>"))).as("_g_flat"))
+
   /** Nearest-centroid cell per vector (sim desc, cid asc — the tie-break
     * is pinned so any engine reproduces the same assignment).
     *
@@ -75,18 +87,23 @@ object IvfAnn {
     // replay a TRAINED assignment ([[trainCentroids]] portable doc).
     // The default stays the full-precision argmax — the oracled
     // untrained gates (x7/x14/x15) pin that convention.
-    def sim(c: Column): Column = {
-      val s = cosine(col("v"), c.getField("cv"))
-      if (portable) round(s, 6) else s
-    }
-    emb.crossJoin(broadcast(packedCentroids(cents)))
-      // an EMPTY centroid table packs to one empty-array row; without this
-      // guard array_max(empty) = null would emit every vector with a null
+    //
+    // The decision runs in the fused [[graft.functions.VectorKernels
+    // .nearestCell]] codegen kernel — the earlier array_max(transform)
+    // form evaluated its lambda INTERPRETED per centroid (the measured
+    // cost of Lloyd's training); the kernel replays the identical
+    // one-pass cosine sequence, Spark's NaN-greatest double ordering
+    // and the min-cid tie-break (spec-held kernel == HOF form), so
+    // assignments and every downstream oracle hash are unchanged.
+    emb.crossJoin(broadcast(flatCentroids(cents)))
+      // an EMPTY centroid table yields a NULL cell (the kernel's empty
+      // guard); without this filter every vector would carry a null
       // cell instead of the zero rows the argmax semantics imply
-      .filter(size(col("cs")) > 0)
-      .withColumn("best", array_max(transform(col("cs"),
-        c => struct(sim(c).as("sim"), (-c.getField("cid")).as("ncid")))))
-      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cell"))
+      .withColumn("cell", call_function("vec_nearest_cell",
+        col("v"), col("_g_flat"), col("_g_cids"),
+        lit(if (portable) 6 else -1)))
+      .filter(col("cell").isNotNull)
+      .select(col("vec_id"), col("v"), col("cell"))
   }
 
   /** Gate query: IVF top-10 for the vec_id=0 query with untrained

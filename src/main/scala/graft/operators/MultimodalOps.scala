@@ -48,31 +48,94 @@ object MultimodalOps {
   case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
       feature: Array[Float])
 
-  /** STUB decoder: in production this would be an image/audio codec +
-    * feature extractor loaded once per partition. The fake derives a
-    * deterministic feature vector from payload bytes. */
-  private def decodeBatch(rows: Iterator[org.apache.spark.sql.Row]): Iterator[MediaFeature] = {
-    // per-partition init happens HERE (e.g. codec / model load) — once,
+  /** The feature-extraction integration point (the [[ImageResizer]]
+    * sibling): `(kind, payload) → feature vector`, produced by a
+    * factory invoked ONCE PER PARTITION (codec/model init amortizes
+    * over the partition, never per row). */
+  type MediaFeaturizer = (String, Array[Byte]) => Array[Float]
+
+  /** STUB featurizer — the default, and what the m1 gate runs: a
+    * deterministic 8-float vector from the payload's leading bytes
+    * (no image/audio library assumed at gate time). */
+  val stubFeaturizer: () => MediaFeaturizer = () => (_, payload) => {
+    val n = if (payload == null) 0 else payload.length
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < math.min(n, 8)) {
+      feat(i) = (payload(i) & 0xff) / 255.0f; i += 1
+    }
+    feat
+  }
+
+  /** A REAL image featurizer on the same integration point
+    * (JDK-native, headless-safe): decode, then an 8-float descriptor —
+    * mean R/G/B over the full image, width/1000, height/1000, and the
+    * mean luminance of the left half, right half, and whole image.
+    * Deterministic per payload; an undecodable IMAGE payload throws
+    * naming the defect (corrupt blobs must surface, not launder);
+    * non-image kinds fall back to the stub bytes-derived vector, the
+    * realistic mixed-modality batch shape. */
+  val imageIoFeaturizer: () => MediaFeaturizer = () => {
+    javax.imageio.ImageIO.setUseCache(false)
+    val stub = stubFeaturizer()
+    (kind, payload) =>
+      if (kind != "image") stub(kind, payload)
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null,
+          "imageIoFeaturizer: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb, ll, lr) = (0.0, 0.0, 0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val c = img.getRGB(x, y)
+            val (r, g, b) =
+              ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+            sr += r; sg += g; sb += b
+            val lum = 0.299 * r + 0.587 * g + 0.114 * b
+            if (x < w / 2) ll += lum else lr += lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Array(
+          (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+          (sb / n / 255.0).toFloat, w / 1000.0f, h / 1000.0f,
+          (ll / math.max(1.0, (w / 2).toLong * h) / 255.0).toFloat,
+          (lr / math.max(1.0, (w - w / 2).toLong * h) / 255.0).toFloat,
+          ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0).toFloat)
+      }
+  }
+
+  private def decodeBatch(featurize: () => MediaFeaturizer)(
+      rows: Iterator[org.apache.spark.sql.Row]): Iterator[MediaFeature] = {
+    // per-partition init happens HERE (codec / model load) — once,
     // not per row
+    val f = featurize()
     rows.map { r =>
       val id = r.getLong(0)
       val kind = r.getString(1)
       val payload = r.getAs[Array[Byte]]("payload")
       val n = if (payload == null) 0 else payload.length
-      val feat = new Array[Float](8)
-      var i = 0
-      while (i < math.min(n, 8)) { feat(i) = (payload(i) & 0xff) / 255.0f; i += 1 }
-      MediaFeature(id, kind, n, feat)
+      MediaFeature(id, kind, n, f(kind, payload))
     }
   }
 
   /** Feature extraction over media payloads: partition-wise batch decode
-    * (mapPartitions — the mapInPandas analogue). */
-  def extractFeatures(media: DataFrame): DataFrame = {
+    * (mapPartitions — the mapInPandas analogue). Pass `featurize =
+    * MultimodalOps.imageIoFeaturizer` for a real JDK image decode on
+    * the same plumbing; the default derives features from bytes. */
+  def extractFeatures(media: DataFrame,
+      featurize: () => MediaFeaturizer = stubFeaturizer): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
-      .mapPartitions(decodeBatch)(org.apache.spark.sql.Encoders.product[MediaFeature])
+      .mapPartitions(decodeBatch(featurize))(
+        org.apache.spark.sql.Encoders.product[MediaFeature])
       .toDF()
   }
 

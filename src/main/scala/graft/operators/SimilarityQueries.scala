@@ -533,11 +533,16 @@ object SimilarityQueries {
   private def signProjection(p: Int): Column =
     dot(col("v"), typedLit(planeSigns(p).toSeq))
 
-  private[operators] def lshBucket(nPlanes: Int): Column =
-    // 0 planes = one bucket holding everything (exact all-pairs mode)
+  private[operators] def lshBucket(nPlanes: Int, planeOffset: Int = 0): Column =
+    // 0 planes = one bucket holding everything (exact all-pairs mode).
+    // planeOffset draws from a DISJOINT slice of the deterministic
+    // hyperplane family — band b of an OR-ed multi-band bucketing uses
+    // planes [b·n, (b+1)·n), so bands are independent hash functions
+    // (the MinHash-banding shape; EmbeddingOps.admitVectors bands doc).
     if (nPlanes <= 0) lit(0L)
     else (0 until nPlanes).map(p =>
-      when(signProjection(p) > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+      when(signProjection(planeOffset + p) > 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
 
   /** Brute-force cosine top-k against the vec_id=0 query vector.
     * Plan shape: broadcast 1-row query side, map-side cosine, TakeOrdered

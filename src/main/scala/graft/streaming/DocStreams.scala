@@ -641,15 +641,17 @@ object DocStreams {
     * BOTH the cross-corpus sweep and the within-batch collapse
     * ([[graft.operators.EmbeddingOps.admitVectors]] doc: per-batch
     * sweep cost divides by the occupied bucket count; recall semantics
-    * and the degenerate-vector convention documented there). The
-    * default 0 is the exact all-pairs sweep — the oracled x33
-    * semantics. The choice is PER-PATH, not per-restart: decisions
-    * feed the corpus the next decision reads, so resuming a loop with
-    * a different `planes` silently changes which near-dups the
-    * accumulated corpus already let through. Pick it once per path. */
+    * and the degenerate-vector convention documented there), and
+    * `bands > 1` ORs independent bucketings on the cross-corpus sweep
+    * for wide-angle recall (same doc). The defaults (0, 1) are the
+    * exact all-pairs sweep — the oracled x33 semantics. The choice is
+    * PER-PATH, not per-restart: decisions feed the corpus the next
+    * decision reads, so resuming a loop with different `planes`/`bands`
+    * silently changes which near-dups the accumulated corpus already
+    * let through. Pick them once per path. */
   def vecAdmitArrivals(vecs: DataFrame, seed: DataFrame, path: String,
       checkpoint: String, threshold: Double = 0.9,
-      compactEvery: Option[Int] = None, planes: Int = 0)
+      compactEvery: Option[Int] = None, planes: Int = 0, bands: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = seed.schema
     vecs.writeStream
@@ -679,7 +681,7 @@ object DocStreams {
           deduped.count(): Unit
           try {
             val filtered = EmbeddingOps.admitVectors(existing,
-              deduped, "vec_id", "embedding", threshold, planes)
+              deduped, "vec_id", "embedding", threshold, planes, bands)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
               val admitted = EmbeddingOps.collapseVectors(filtered,

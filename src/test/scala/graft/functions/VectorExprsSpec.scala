@@ -154,6 +154,60 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_nearest_cell equals the HOF struct-argmax it replaced — " +
+      "raw and round-6 modes, NaN vectors, duplicate-centroid ties, " +
+      "both codegen modes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // centroids: 8 of dim 16, with cids NOT starting at 0 (the
+    // id-value-agnostic contract) and one exact-duplicate pair
+    // (cids 104 and 101 identical — tie must resolve to 101)
+    val cvs = (0 until 8).map(c => if (c == 4) 1 else c).map { c =>
+      val r2 = new scala.util.Random(500 + c)
+      Array.fill(16)(r2.nextDouble() * 2 - 1)
+    }
+    val cids = (0 until 8).map(c => 100L + c)
+    val rows = (0 until 300).map { i =>
+      // every 50th vector is a zero vector (NaN cosine against all)
+      val a = if (i % 50 == 0) Array.fill(16)(0f)
+        else Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      (i.toLong, a)
+    }
+    val base = rows.toDF("id", "v")
+      .withColumn("cids", typedLit(cids))
+      .withColumn("flat", typedLit(cvs.flatten.toSeq))
+    val csLit = typedLit(cids.zip(cvs.map(_.toSeq)))
+    def hof(scale: Int) = base.withColumn("best",
+        array_max(transform(csLit, c => struct(
+          (if (scale >= 0)
+            round(call_function("vec_cosine", col("v"), c.getField("_2")),
+              scale)
+          else call_function("vec_cosine", col("v"), c.getField("_2")))
+            .as("sim"),
+          (-c.getField("_1")).as("ncid")))))
+      .select(col("id"), (-col("best.ncid")).as("cell"))
+    def kern(scale: Int) = base.withColumn("cell",
+        call_function("vec_nearest_cell", col("v"), col("flat"),
+          col("cids"), lit(scale)))
+      .select(col("id"), col("cell"))
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY"); scale <- Seq(-1, 6)) {
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val a = hof(scale).collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq
+        val b = kern(scale).collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq
+        assert(a == b, s"mode $mode scale $scale diverged")
+        // the duplicate-centroid tie resolves to the smaller cid
+        assert(!a.exists(_._2 == 104L), "tie must keep the smallest cid")
+        // a zero vector's all-NaN sims tie everywhere → smallest cid
+        assert(a.filter(_._1 % 50 == 0).forall(_._2 == 100L),
+          "NaN rows must land deterministically on the smallest cid")
+      } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("non-vector input is rejected at analysis") {
     val s = spark
     import s.implicits._

@@ -213,6 +213,42 @@ class EmbeddingOpsSpec extends AnyFunSuite {
         .select("item").collect().map(_.getLong(0)).toSet
       assert(bucketed == exact, s"planes=$p diverged from exact")
     }
+    // OR-ed bands can only ADD candidates — still exact here
+    val banded = EmbeddingOps.admitVectors(base, batch, "item", "emb",
+      threshold = 0.95, planes = 8, bands = 4)
+      .select("item").collect().map(_.getLong(0)).toSet
+    assert(banded == exact, "bands=4 diverged from exact")
+  }
+
+  test("admitVectors bands>1: OR-ed bucketings recover the recall a " +
+      "single wide-angle bucketing loses, and never reject a keeper") {
+    val existing = renamed.filter(col("item") % 5 =!= 0)
+    val incoming = renamed.filter(col("item") % 5 === 0)
+    def admits(planes: Int, bands: Int) =
+      EmbeddingOps.admitVectors(existing, incoming, "item", "emb",
+        threshold = 0.4, planes = planes, bands = bands)
+        .select("item").collect().map(_.getLong(0)).toSet
+    val exactAdmit = admits(0, 1)
+    val all = incoming.select("item").collect().map(_.getLong(0)).toSet
+    val exactRejects = all -- exactAdmit
+    def recall(a: Set[Long]) =
+      (exactRejects -- a).size.toDouble / exactRejects.size
+    val single = admits(8, 1)
+    val multi = admits(8, 6)
+    // superset invariant holds for banded too
+    assert(exactAdmit.subsetOf(multi))
+    // more bands → more candidates → admit set can only SHRINK toward
+    // the exact set (every band's hits are unioned)
+    assert(multi.subsetOf(single),
+      "adding bands must never admit a vector one band rejects")
+    val (r1, r6) = (recall(single), recall(multi))
+    info(f"rejection recall at t=0.4, 8 planes: 1 band $r1%.2f → " +
+      f"6 bands $r6%.2f (${exactRejects.size} exact rejects)")
+    // theory: 1 − (1 − p^8)^6 with p = 1 − arccos(0.4)/π
+    val floor6 = 1.0 -
+      math.pow(1.0 - math.pow(1.0 - math.acos(0.4) / math.Pi, 8), 6)
+    assert(r6 >= r1, "OR-ed bands must not lose recall")
+    assert(r6 >= floor6, f"6-band recall $r6%.2f < theory $floor6%.3f")
   }
 
   test("admitVectors planes>0: only ever ADMITS a superset of the exact " +

@@ -92,6 +92,45 @@ class MultimodalOpsSpec extends AnyFunSuite {
       hist(MultimodalOps.passthroughResizer))
   }
 
+  test("imageIoFeaturizer: a REAL decode produces the descriptor the " +
+      "pixels dictate; non-image kinds ride the stub path unchanged") {
+    // left half red, right half blue — pins the half-luminance split
+    val img = new java.awt.image.BufferedImage(100, 40,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.RED); g.fillRect(0, 0, 50, 40): Unit
+      g.setColor(java.awt.Color.BLUE); g.fillRect(50, 0, 50, 40): Unit
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos): Unit
+    val audioBytes = Array[Byte](10, 20, 30)
+    val media = Seq((1L, "image", baos.toByteArray),
+      (2L, "audio", audioBytes))
+      .toDF("media_id", "kind", "payload")
+    val got = MultimodalOps.extractFeatures(media,
+        featurize = MultimodalOps.imageIoFeaturizer)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](3).toArray).toMap
+    val f = got(1L)
+    // mean RGB: half red + half blue → r ≈ 0.5, g ≈ 0, b ≈ 0.5
+    assert(math.abs(f(0) - 0.5f) < 0.01 && f(1) < 0.01 &&
+      math.abs(f(2) - 0.5f) < 0.01, f.mkString(","))
+    assert(f(3) == 0.1f && f(4) == 0.04f) // w/1000, h/1000
+    // left-half luminance = red's (0.299), right = blue's (0.114)
+    assert(math.abs(f(5) - 0.299f) < 0.01 && math.abs(f(6) - 0.114f) < 0.01,
+      f.mkString(","))
+    // the audio row took the stub bytes path
+    val sf = got(2L)
+    assert(sf.take(3).toSeq == Seq(10 / 255.0f, 20 / 255.0f, 30 / 255.0f))
+    // and the m1 aggregation shape runs unchanged over the real path
+    val stats = MultimodalOps.extractFeatures(media,
+        featurize = MultimodalOps.imageIoFeaturizer)
+      .groupBy(col("kind")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(stats == Map("image" -> 1L, "audio" -> 1L))
+  }
+
   test("an undecodable payload fails loudly, and null dimensions pass " +
       "through without touching the codec") {
     val bad = Seq((9L, "image", 640, 480,

@@ -500,6 +500,62 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/adm/CURRENT").exists())
   }
 
+  test("BUCKETED vector admit loop (planes=8, bands=2): end state " +
+      "equals the exact loop's on a recall-1.0 corpus, through " +
+      "generational churn") {
+    import spark.implicits._
+    // real 64-dim vectors (the hyperplane dimension contract): seed =
+    // 400 corpus vectors; batch 0 = 10 exact re-crawls (cosine 1.0 —
+    // identical sign projections co-bucket at ANY planes: recall 1.0
+    // by construction) + 5 novel; batch 1 re-crawls a batch-0
+    // admission + 1 novel
+    val emb = graft.Tables.embeddings(spark, Dir)
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("svadmb").toString
+    val seed = emb.filter(col("vec_id") < 400)
+    val feed = s"$root/feed"
+    emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+        .select((col("vec_id") + 2000L).as("vec_id"), col("embedding")))
+      .coalesce(1).write.parquet(s"$feed/b0")
+    emb.filter(col("vec_id") === 400) // admitted as 2400 in batch 0
+      .select((col("vec_id") + 3000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 410)
+        .select((col("vec_id") + 4000L).as("vec_id"), col("embedding")))
+      .coalesce(1).write.parquet(s"$feed/b1")
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$feed/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$feed/$i.parquet"))
+      new java.io.File(s"$feed/$i.parquet")
+        .setLastModified(1000000L * (i + 1)): Unit
+    }
+    def arrivals = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet").parquet(feed)
+    // threshold 0.999: ONLY the exact re-crawls reject (the synthetic
+    // corpus has no distinct pair that high), so exact and bucketed
+    // paths provably agree — what this pins is the WHOLE bucketed loop
+    // (banded candidate generation inside lineage/replay/compaction)
+    val qb = DocStreams.vecAdmitArrivals(arrivals, seed, s"$root/admB",
+      s"$root/ckptB", threshold = 0.999, compactEvery = Some(1),
+      planes = 8, bands = 2)
+    try qb.processAllAvailable() finally qb.stop()
+    val qe = DocStreams.vecAdmitArrivals(arrivals, seed, s"$root/admE",
+      s"$root/ckptE", threshold = 0.999, compactEvery = Some(1))
+    try qe.processAllAvailable() finally qe.stop()
+    def ids(p: String) = DocStreams.admittedDocs(spark, p, seed.schema)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (bucketed, exact) = (ids(s"$root/admB"), ids(s"$root/admE"))
+    assert(bucketed == exact, s"bucketed $bucketed vs exact $exact")
+    // every exact re-crawl rejected, every novel admitted
+    assert(exact == Set(2400L, 2401L, 2402L, 2403L, 2404L, 4410L),
+      exact.toString)
+  }
+
   test("a second stream (different checkpoint) pointed at a live admit " +
       "path fails loudly instead of having its batches swallowed") {
     import spark.implicits._
