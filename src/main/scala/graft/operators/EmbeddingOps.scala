@@ -323,9 +323,11 @@ object EmbeddingOps {
     * cross-corpus filter. Exact all-pairs (`planes = 0` puts
     * everything in one bucket), which is the right shape for its
     * micro-batch-sized inputs; pass `planes > 0` to bucket a larger
-    * set. Same round-6 decision rule as [[admitVectors]]. */
+    * set, `bands > 1` to OR independent bucketings for wide-angle
+    * recall ([[admitVectors]] doc). Same round-6 decision rule as
+    * [[admitVectors]]. */
   def collapseVectors(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 0,
+      threshold: Double, planes: Int = 0, bands: Int = 1,
       driverEdgeLimit: Int = SimilarityQueries.MaxDriverEdges): DataFrame = {
     // prefilter a hair BELOW the threshold (nearDupPairs compares the
     // unrounded cosine): anything that would round UP to the threshold
@@ -333,7 +335,8 @@ object EmbeddingOps {
     // nanvl as in [[admitVectors]]: a degenerate vector's NaN edges
     // would otherwise chain the WHOLE set into one cluster (NaN
     // compares greatest) and collapse everything to the min id
-    val pairs = nearDupPairs(df, idCol, vecCol, threshold - 1e-6, planes)
+    val pairs = nearDupPairs(df, idCol, vecCol, threshold - 1e-6, planes,
+        bands)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         nanvl(round(col("cosine"), 6), lit(-2.0)).as("est_jaccard"))
     val drop = SimilarityQueries.clustersFromPairs(df.sparkSession,
@@ -345,17 +348,41 @@ object EmbeddingOps {
 
   /** Embedding near-duplicate pairs above a cosine threshold, candidates
     * from sign-LSH buckets (per-bucket self-join, never all-pairs):
-    * (id_a, id_b, cosine). A vector has exactly one bucket, so a pair
-    * meets at most once. */
+    * (id_a, id_b, cosine). With the default single band a vector has
+    * exactly one bucket, so a pair meets at most once; `bands > 1` ORs
+    * independent bucketings over disjoint hyperplane slices for
+    * wide-angle recall ([[admitVectors]] doc) — a pair can then meet
+    * in several bands, and the duplicate candidate rows collapse in a
+    * distinct BEFORE the cosine evaluates (each surviving pair is
+    * scored once; the distinct is bounded by the candidate-pair count,
+    * which the bucketing already bounds). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 6): DataFrame = {
-    val b = vecs(df, idCol, vecCol)
-      .withColumn("_g_bucket", SimilarityQueries.lshBucket(planes))
-    val l = b.select(col("_g_bucket"), col("vec_id").as("id_a"),
-      col("v").as("_g_va"))
-    val r = b.select(col("_g_bucket"), col("vec_id").as("id_b"),
-      col("v").as("_g_vb"))
-    l.join(r, Seq("_g_bucket"))
+      threshold: Double, planes: Int = 6, bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"nearDupPairs: bands must be >= 1, got $bands")
+    val candidates = if (bands == 1) {
+      val b = vecs(df, idCol, vecCol)
+        .withColumn("_g_bucket", SimilarityQueries.lshBucket(planes))
+      val l = b.select(col("_g_bucket"), col("vec_id").as("id_a"),
+        col("v").as("_g_va"))
+      val r = b.select(col("_g_bucket"), col("vec_id").as("id_b"),
+        col("v").as("_g_vb"))
+      l.join(r, Seq("_g_bucket"))
+    } else {
+      val b = vecs(df, idCol, vecCol).select(col("vec_id"), col("v"),
+        posexplode(array((0 until bands).map(bd =>
+          SimilarityQueries.lshBucket(planes, bd * planes)): _*))
+          .as(Seq("_g_band", "_g_bucket")))
+      val l = b.select(col("_g_band"), col("_g_bucket"),
+        col("vec_id").as("id_a"), col("v").as("_g_va"))
+      val r = b.select(col("_g_band"), col("_g_bucket"),
+        col("vec_id").as("id_b"), col("v").as("_g_vb"))
+      l.join(r, Seq("_g_band", "_g_bucket"))
+        // a pair meeting in k bands must score ONCE: drop the band key
+        // and dedupe before the cosine (vectors ride along — they are
+        // functionally determined by the ids, so distinct is exact)
+        .drop("_g_band").dropDuplicates("id_a", "id_b")
+    }
+    candidates
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("_g_va"), col("_g_vb")).as("cosine"))

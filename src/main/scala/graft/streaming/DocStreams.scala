@@ -685,7 +685,7 @@ object DocStreams {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
               val admitted = EmbeddingOps.collapseVectors(filtered,
-                "vec_id", "embedding", threshold, planes)
+                "vec_id", "embedding", threshold, planes, bands)
               commitAdmittedBatch(admitted, root, batchId)
             } finally filtered.unpersist(blocking = false): Unit
           } finally deduped.unpersist(blocking = false): Unit

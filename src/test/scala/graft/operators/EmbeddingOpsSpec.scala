@@ -220,6 +220,35 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(banded == exact, "bands=4 diverged from exact")
   }
 
+  test("nearDupPairs bands>1: a pair meeting in several bands scores " +
+      "ONCE, banded pairs are a superset of single-band pairs, and " +
+      "the x6 gate's single-band default is untouched") {
+    val pairsAt = (planes: Int, bands: Int) =>
+      EmbeddingOps.nearDupPairs(renamed, "item", "emb",
+        threshold = 0.4, planes = planes, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single = pairsAt(6, 1)
+    val multi = pairsAt(6, 4)
+    // no duplicate pair rows despite multi-band meetings
+    assert(multi.distinct.size == multi.size,
+      "a pair meeting in several bands must emit one row")
+    assert(single.toSet.subsetOf(multi.toSet),
+      "OR-ed bands must only ever ADD candidate pairs")
+    assert(multi.toSet.size >= single.toSet.size && single.nonEmpty)
+    info(s"pairs above 0.4: ${single.size} at 1 band → " +
+      s"${multi.size} at 4 bands")
+    // the x6 gate path (planes=6, default bands) is byte-for-byte the
+    // pre-bands plan: same pairs, same cosines
+    val gate = SimilarityQueries.x6EmbeddingNearDup(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.toSet == gate)
+    // collapseVectors with bands composes (superset of drops never
+    // collapses a vector two bands disagree on — min-id rule intact)
+    val collapsed = EmbeddingOps.collapseVectors(renamed, "item", "emb",
+      threshold = 0.95, planes = 8, bands = 4)
+    assert(collapsed.count() <= renamed.count())
+  }
+
   test("admitVectors bands>1: OR-ed bucketings recover the recall a " +
       "single wide-angle bucketing loses, and never reject a keeper") {
     val existing = renamed.filter(col("item") % 5 =!= 0)
