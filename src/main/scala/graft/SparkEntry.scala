@@ -83,6 +83,7 @@ object SparkEntry {
     "x32_contamination" -> (operators.SimilarityQueries.x32Contamination _),
     "x33_vec_admit" -> (operators.SimilarityQueries.x33VecAdmit _),
     "x34_trained_recall" -> (operators.RetrievalOps.x34TrainedRecall _),
+    "x35_bucketed_admit" -> (operators.SimilarityQueries.x35BucketedAdmit _),
     "d11_repetition_quality" -> (T.d11RepetitionQuality _),
     "d12_boilerplate_ngrams" -> (T.d12BoilerplateNgrams _),
     "d13_pii_scrub" -> (T.d13PiiScrub _),
@@ -1326,6 +1327,28 @@ object SparkEntry {
     // the TRAINED IVF-PQ operating point, fully replayed (see
     // trainedRecallOracle doc — portable round-6 training on both sides)
     "x34_trained_recall" -> trainedRecallOracle,
+    // BUCKETED admission oracled end-to-end: both bands' bucket ids
+    // recompute from the same baked hyperplane sign literals (the x5
+    // machinery; band b uses planes [8b, 8b+8)), a pair is a candidate
+    // when it co-buckets in EITHER band, and only candidates can
+    // reject — the replay must reproduce every wide-angle MISS too
+    "x35_bucketed_admit" -> {
+      def bucket(band: Int): String = (0 until 8).map(p =>
+        s"(CASE WHEN list_inner_product(v, " +
+          s"${operators.SimilarityQueries.planeSignsSql(band * 8 + p)}) " +
+          s"> 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+         |  ${bucket(0)} AS b0, ${bucket(1)} AS b1 FROM embeddings),
+         |inc AS (SELECT * FROM base WHERE vec_id % 5 = 0),
+         |ex AS (SELECT * FROM base WHERE vec_id % 5 <> 0),
+         |hits AS (
+         |  SELECT DISTINCT inc.vec_id FROM inc JOIN ex
+         |  ON (inc.b0 = ex.b0 OR inc.b1 = ex.b1)
+         |  AND (CASE WHEN isnan(list_cosine_similarity(inc.v, ex.v)) THEN -2
+         |      ELSE round(list_cosine_similarity(inc.v, ex.v), 6) END) >= 0.4)
+         |SELECT vec_id, label FROM inc
+         |WHERE vec_id NOT IN (SELECT vec_id FROM hits) ORDER BY vec_id""".stripMargin
+    },
     // ANN quality: the x7 IVF probe's top-10 evaluated against the exact
     // cosine top-10 as ground truth with the x22 metric arithmetic,
     // swept over nprobe 1 and 2 (per-nprobe suffixed CTE chains)

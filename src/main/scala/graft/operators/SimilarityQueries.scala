@@ -637,6 +637,29 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** x35: BUCKETED cross-corpus vector admission — x33's split and
+    * threshold through the sign-LSH banded candidate path
+    * ([[EmbeddingOps.admitVectors]] planes=8, bands=2): a vector is
+    * rejected only when a co-bucketed (in EITHER band) existing vector
+    * reaches round-6 cosine 0.4. Unlike the spec-held recall
+    * invariants, this gate ORACLES the bucketing itself: the DuckDB
+    * replay recomputes both bands' bucket ids from the same baked
+    * hyperplane sign literals (the x5 oracle machinery) and must
+    * hash-match the admit set — including every wide-angle pair the
+    * buckets MISS, which is exactly what makes the gate
+    * discriminative (at t = 0.4 the banded path admits strictly more
+    * than x33's exact sweep). */
+  def x35BucketedAdmit(s: SparkSession, dir: String): DataFrame = {
+    vecExprs(s)
+    val emb = embeddings(s, dir)
+    EmbeddingOps.admitVectors(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.4, planes = 8, bands = 2)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** x11: int8 scalar quantization of the embedding column — per-vector
     * min/max affine mapping to [0, 255] (the standard 4× memory cut
     * before ANN serving; the PQ path in [[ProductQuantizer]] builds on
