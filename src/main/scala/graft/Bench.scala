@@ -24,6 +24,17 @@ object Bench {
       val wd = java.nio.file.Files.createTempDirectory("graft_bench_wd")
       spark.conf.set(operators.SnapshotCache.WorkDirKey,
         wd.toUri.toString)
+      // the work dir is ours alone (fresh temp dir, this JVM) — remove
+      // it on exit so persisted index snapshots don't accumulate on
+      // disk across bench runs. Shutdown hook, not finally: the bench
+      // ends via spark.stop()/System exit paths and a hook covers all
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          val walk = java.nio.file.Files.walk(wd)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }))
     }
     // Same size-based execution tuning the conversion path applies
     // (OsmPipeline.AqeMinInputBytes scaladoc has the measurements): below

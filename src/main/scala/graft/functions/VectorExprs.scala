@@ -246,13 +246,17 @@ case class VecNearestCellExpr(v: Expression, flat: Expression,
     val (x, fl, ci) = (a.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData],
       cs.asInstanceOf[ArrayData])
     val k = ci.numElements()
-    if (k == 0 || fl.numElements() % k != 0) null
+    // empty flat guarded explicitly: nonempty cids with an empty flat
+    // passes 0 % k == 0, width collapses to 0, every similarity is NaN
+    // and the kernel would silently return the smallest cid
+    if (k == 0 || fl.numElements() == 0 || fl.numElements() % k != 0) null
     else VectorKernels.nearestCell(x, vF, fl, ci, sc.asInstanceOf[Int])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, f, cs, sc) => s"""
       int graftK = $cs.numElements();
-      if (graftK == 0 || $f.numElements() % graftK != 0) {
+      if (graftK == 0 || $f.numElements() == 0
+          || $f.numElements() % graftK != 0) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.VectorKernels.nearestCell($a, $vF, $f, $cs, $sc);
@@ -266,8 +270,13 @@ case class VecNearestCellExpr(v: Expression, flat: Expression,
 
 /** [[VectorKernels.nearestCode]] as a codegen expression:
   * (sv array<float|double>, flat array<double>, k int) → [d, code].
-  * NULL on a null/empty input or a flat length not divisible by k —
-  * a codebook/width mismatch is a data error, never a truncation. */
+  * NULL on a null/empty input, a flat length not divisible by k, or a
+  * subvector whose length differs from the codeword width flat/k — a
+  * codebook/width mismatch is a data error, never a truncation (the
+  * vec_dot-based l2sq form this kernel replaced nulled out on ragged
+  * lengths too; without the guard the inner loop would read past a
+  * short subvector's backing array, which UnsafeArrayData returns as
+  * silent garbage codes). */
 case class VecNearestCodeExpr(sv: Expression, flat: Expression,
     k: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -291,14 +300,16 @@ case class VecNearestCodeExpr(sv: Expression, flat: Expression,
   override protected def nullSafeEval(a: Any, f: Any, kk: Any): Any = {
     val (x, fl) = (a.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
     val ki = kk match { case l: Long => l.toInt; case i: Int => i }
-    if (ki <= 0 || fl.numElements() == 0 || fl.numElements() % ki != 0) null
+    if (ki <= 0 || fl.numElements() == 0 || fl.numElements() % ki != 0 ||
+      x.numElements().toLong * ki != fl.numElements().toLong) null
     else VectorKernels.nearestCode(x, sF, fl, ki)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, f, kk) => s"""
       int graftK = (int) $kk;
       if (graftK <= 0 || $f.numElements() == 0
-          || $f.numElements() % graftK != 0) {
+          || $f.numElements() % graftK != 0
+          || (long) $a.numElements() * graftK != (long) $f.numElements()) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.VectorKernels.nearestCode($a, $sF, $f, graftK);

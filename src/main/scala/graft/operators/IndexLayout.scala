@@ -38,7 +38,17 @@ private[graft] object IndexLayout {
 
   private def readSmall(spark: SparkSession,
       p: org.apache.hadoop.fs.Path): String = {
-    val in = fsOf(spark, p).open(p)
+    // open via FileContext, the SAME channel [[writeAtomic]]/
+    // [[writeAtomicExclusive]] rename through: on the local FS,
+    // FileSystem.open verifies the `.name.crc` sidecar while the
+    // FileContext rename moves only the data file — a concurrent
+    // break+reacquire of a lease can transiently pair fresh data with
+    // a stale sidecar and a checksummed read throws ChecksumException
+    // on content this module just wrote. FileContext reads skip the
+    // client-side sidecar (HDFS checksums are server-side and
+    // unaffected), keeping reads consistent with the writes.
+    val in = org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sessionState.newHadoopConf()).open(p)
     try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
     finally in.close()
@@ -220,12 +230,29 @@ private[graft] object IndexLayout {
     *    (two foreachBatch loops on one path, or a manual append racing
     *    a stream).
     *  - Heartbeat: a daemon timer refreshes the lease file's mtime
-    *    every ttl/3 while the body runs, so a mutation longer than the
-    *    TTL (a 100 TB fold) keeps its lease.
+    *    every ttl/3 while the body runs — but only AFTER re-reading the
+    *    file and verifying it still carries THIS holder's token.
+    *    Refreshing blindly would keep a usurper's lease alive forever
+    *    (masking the takeover from both sides); on a token mismatch, or
+    *    on repeated refresh failures (an object store where setTimes
+    *    persistently fails), the heartbeat stops and the loss surfaces
+    *    LOUDLY when the body completes, instead of succeeding silently
+    *    into a possibly-interleaved layout.
     *  - Expiry: a lease whose mtime is older than the TTL
     *    (`graft.index.writerLeaseTtlMs`, default 10 min) belongs to a
     *    CRASHED writer (a live one heartbeats) — the next acquirer
     *    breaks it and takes over, so a crash never wedges ingestion.
+    *    The break is claimed by RENAME, never delete+create: the stale
+    *    `WRITER` moves aside to a unique `WRITER.broken.<uuid>`, and
+    *    the FS grants the source file to exactly ONE renamer — two
+    *    concurrent breakers of the same crashed lease cannot both
+    *    proceed (the earlier delete+create form let breaker B's
+    *    unconditional delete remove breaker A's FRESH lease, silently
+    *    re-opening the dual-writer state the lease exists to prevent).
+    *    The breaker then verifies the renamed-aside content matches the
+    *    lease it judged stale — if another breaker completed a full
+    *    break+acquire inside the observation window, the yanked file is
+    *    that winner's fresh lease and goes straight back.
     *  - Release: delete in `finally` — but only while the file still
     *    carries OUR token (if our lease expired mid-body and another
     *    writer took over, the file is theirs to delete).
@@ -245,13 +272,50 @@ private[graft] object IndexLayout {
     // lease would re-open the race the lease exists to close
     var acquired = writeAtomicExclusive(spark, p, content)
     if (!acquired) {
-      val stale = (try Some(fs.getFileStatus(p)) catch {
-        case _: java.io.FileNotFoundException => None
-      }).forall(st =>
-        System.currentTimeMillis() - st.getModificationTime > ttlMs)
-      if (stale) {
-        fs.delete(p, false): Unit
-        acquired = writeAtomicExclusive(spark, p, content)
+      // capture content + mtime of the lease we observed, so the
+      // staleness judgment and the post-rename verification name ONE
+      // specific lease, not whatever sits at the path later
+      val observed = try {
+        val st = fs.getFileStatus(p)
+        Some((readSmall(spark, p), st.getModificationTime))
+      } catch { case _: java.io.FileNotFoundException => None }
+      observed match {
+        case None =>
+          // holder released between our two looks — one clean retry
+          acquired = writeAtomicExclusive(spark, p, content)
+        case Some((obsContent, obsMtime))
+            if System.currentTimeMillis() - obsMtime > ttlMs =>
+          // expired ⇒ crashed writer (a live one heartbeats). Claim
+          // the break by exclusive rename (doc above); retract()'s
+          // WRITER.-prefix sweep clears any crash-stranded aside file.
+          val aside = new org.apache.hadoop.fs.Path(s"$path/WRITER.broken." +
+            java.util.UUID.randomUUID().toString)
+          val won = try fs.rename(p, aside) catch {
+            case _: java.io.IOException => false
+          }
+          if (won) {
+            val broken = try Some(readSmall(spark, aside)) catch {
+              case _: java.io.IOException => None
+            }
+            if (broken.contains(obsContent)) {
+              fs.delete(aside, false): Unit
+              acquired = writeAtomicExclusive(spark, p, content)
+            } else {
+              // we yanked a FRESH lease (a full break+acquire landed
+              // inside our observation window): restore it best-effort
+              // and stand down. Guarded rename — a local-FS rename can
+              // REPLACE an existing destination, and if a third writer
+              // created meanwhile its lease must survive; either
+              // displaced holder's token-verifying heartbeat surfaces
+              // the loss loudly rather than letting it pass silently
+              if (!fs.exists(p)) fs.rename(aside, p): Unit
+            }
+          } else {
+            // another breaker claimed the rename; race its create once
+            // — the exclusive create still admits exactly one of us
+            acquired = writeAtomicExclusive(spark, p, content)
+          }
+        case _ => () // live holder heartbeating: respect the lease
       }
       if (!acquired) {
         val holder = try readSmall(spark, p) catch {
@@ -267,20 +331,52 @@ private[graft] object IndexLayout {
             s"graft.index.writerLeaseTtlMs = $ttlMs ms).")
       }
     }
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     val beat = new java.util.Timer("graft-writer-lease", true)
     beat.scheduleAtFixedRate(new java.util.TimerTask {
       def run(): Unit = try {
-        fs.setTimes(p, System.currentTimeMillis(), -1)
-      } catch { case _: java.io.IOException => () }
-    }, ttlMs / 3, ttlMs / 3)
-    try body
-    finally {
-      beat.cancel()
-      val mine = try readSmall(spark, p) == content catch {
-        case _: java.io.IOException => false
+        if (readSmall(spark, p) == content) {
+          fs.setTimes(p, System.currentTimeMillis(), -1)
+          misses.set(0)
+        } else {
+          // the file no longer carries our token: the lease was taken
+          // over (our own expiry + a break). Refreshing it would keep
+          // the USURPER's lease alive and hide the loss — stop, and
+          // surface at completion.
+          lost.set(true)
+          cancel(): Unit
+        }
+      } catch {
+        case _: java.io.IOException =>
+          // transient reads/refreshes may fail; persistent failure
+          // means the lease is expiring unobserved mid-mutation
+          if (misses.incrementAndGet() >= 3) {
+            lost.set(true)
+            cancel(): Unit
+          }
       }
-      if (mine) fs.delete(p, false): Unit
-    }
+    }, ttlMs / 3, ttlMs / 3)
+    val result =
+      try body
+      finally {
+        beat.cancel()
+        val mine = try readSmall(spark, p) == content catch {
+          case _: java.io.IOException => false
+        }
+        if (mine) fs.delete(p, false): Unit
+      }
+    // surfaces only when the body itself SUCCEEDED (a body failure
+    // propagates above): the mutation ran to completion without the
+    // exclusivity it was promised, so the caller must not treat the
+    // layout as trustworthy
+    if (lost.get()) throw new IllegalStateException(
+      s"$what: the writer lease on $path was LOST mid-mutation (token " +
+        "taken over, or the heartbeat could not refresh it repeatedly) " +
+        "— the mutation completed WITHOUT exclusivity and may have " +
+        "interleaved with another writer. Verify or rebuild the layout " +
+        "before serving from it.")
+    result
   }
 
   /** The shared in-place compaction sequence (fold → flip → retire):

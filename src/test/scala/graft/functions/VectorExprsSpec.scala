@@ -208,6 +208,43 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("assignment-kernel width guards: a subvector shorter or longer " +
+      "than the codeword width nulls out (never reads past the array), " +
+      "and an empty flat with nonempty cids nulls out — both modes") {
+    val s = spark
+    import s.implicits._
+    val flat = (0 until 16 * 4).map(_.toDouble / 10) // 16 codes, width 4
+    val base = Seq(
+      (1L, Array(0.1f, 0.2f, 0.3f, 0.4f)), // width matches: real code
+      (2L, Array(0.1f, 0.2f)),             // SHORT: would read past end
+      (3L, Array(0.1f, 0.2f, 0.3f, 0.4f, 0.5f, 0.6f)) // LONG: truncation
+    ).toDF("id", "sv")
+      .withColumn("flat", typedLit(flat))
+    val code = base.select(col("id"),
+      call_function("vec_nearest_code", col("sv"), col("flat"), lit(16))
+        .as("best"))
+    val cell = base
+      .withColumn("cids", typedLit(Seq(100L, 101L)))
+      .withColumn("emptyFlat", typedLit(Seq.empty[Double]))
+      .select(col("id"), call_function("vec_nearest_cell",
+        col("sv"), col("emptyFlat"), col("cids"), lit(-1)).as("cell"))
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val byId = code.collect().map(r => r.getLong(0) -> r.isNullAt(1))
+          .toMap
+        assert(!byId(1L), s"$mode: matching width must produce a code")
+        assert(byId(2L), s"$mode: short subvector must null out")
+        assert(byId(3L), s"$mode: long subvector must null out")
+        // nonempty cids + empty flat: 0 % k == 0 alone would admit it,
+        // width would collapse to 0 and the smallest cid would return
+        // silently — the explicit guard nulls instead
+        assert(cell.collect().forall(_.isNullAt(1)),
+          s"$mode: empty flat must null out")
+      } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("non-vector input is rejected at analysis") {
     val s = spark
     import s.implicits._

@@ -137,6 +137,102 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(n == 3L)
   }
 
+  test("N breakers race ONE expired lease: exactly one acquires, every " +
+      "other throws naming the holder") {
+    val path = tmp("leaserace") + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    // a crashed writer's lease: standing file, mtime past the TTL
+    val wp = new org.apache.hadoop.fs.Path(s"$path/WRITER")
+    val out = fs.create(wp, true)
+    out.write("dead-writer appendToPostings".getBytes("UTF-8"))
+    out.close()
+    val ttl = spark.conf.get("graft.index.writerLeaseTtlMs", "600000")
+      .toLong
+    fs.setTimes(wp, System.currentTimeMillis() - ttl - 1000L, -1)
+    val n = 8
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val losersDone = new java.util.concurrent.CountDownLatch(n - 1)
+    val acquiredBy = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to n).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        try IndexLayout.withWriterLease(spark, path, s"racer-$i") {
+          acquiredBy.add(s"racer-$i")
+          // hold the lease until every loser has attempted and thrown,
+          // so no second racer can acquire AFTER a legitimate release
+          losersDone.await(20, java.util.concurrent.TimeUnit.SECONDS): Unit
+        } catch {
+          case e: IllegalStateException =>
+            errors.add(e.getMessage)
+            losersDone.countDown()
+        }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000))
+    assert(acquiredBy.size == 1,
+      s"exactly one racer must acquire the broken lease, got $acquiredBy")
+    assert(errors.size == n - 1, s"losers: ${errors.size}")
+    errors.forEach { m =>
+      assert(m.contains("another writer holds the lease"), m)
+      assert(m.contains("racer-"), m) // names the live winner, not the corpse
+    }
+    // the winner released cleanly; no aside litter left behind
+    assert(!fs.exists(wp))
+    val litter = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("WRITER"))
+    assert(litter.isEmpty, litter.mkString(","))
+  }
+
+  test("heartbeat verifies its token: a usurped lease is NOT refreshed, " +
+      "survives for the usurper, and the loss surfaces loudly") {
+    val path = tmp("leasebeat") + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val wp = new org.apache.hadoop.fs.Path(s"$path/WRITER")
+    val prevTtl = spark.conf.getOption("graft.index.writerLeaseTtlMs")
+    spark.conf.set("graft.index.writerLeaseTtlMs", "300") // beat every 100 ms
+    try {
+      val e = intercept[IllegalStateException] {
+        IndexLayout.withWriterLease(spark, path, "victim") {
+          // simulate a takeover mid-body: the file stops carrying our
+          // token (what a TTL expiry + another writer's break produces)
+          val out = fs.create(wp, true)
+          out.write("usurper compactInPlace".getBytes("UTF-8"))
+          out.close()
+          Thread.sleep(500) // > one heartbeat period
+        }
+      }
+      assert(e.getMessage.contains("LOST mid-mutation"), e.getMessage)
+      assert(e.getMessage.contains("victim"), e.getMessage)
+      // the usurper's lease file is untouched: neither refreshed-over
+      // nor deleted by the victim's release (it is not the victim's)
+      val in = fs.open(wp)
+      val got = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim finally in.close()
+      assert(got == "usurper compactInPlace", got)
+      fs.delete(wp, false)
+      // and WITHOUT a takeover, the same short-TTL body heartbeats
+      // through several periods and completes silently
+      val r = IndexLayout.withWriterLease(spark, path, "steady") {
+        Thread.sleep(500); 42
+      }
+      assert(r == 42)
+      assert(!fs.exists(wp))
+    } finally {
+      prevTtl match {
+        case Some(v) => spark.conf.set("graft.index.writerLeaseTtlMs", v)
+        case None => spark.conf.unset("graft.index.writerLeaseTtlMs")
+      }
+    }
+  }
+
   test("writeAtomicExclusive: exactly one of two binders wins, the " +
       "loser sees the winner's value intact") {
     val dir = tmp("excl")
