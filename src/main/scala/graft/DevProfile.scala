@@ -485,10 +485,14 @@ object DevProfile {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val root = java.nio.file.Files.createTempDirectory("vadmsc").toString
-      (0 until reps).map(i => base.select(
-          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
-          col("embedding")))
-        .reduce(_ unionByName _).coalesce(8).write.parquet(s"$root/ex")
+      // replicate by EXPLODE, not a reps-deep union tree (Catalyst
+      // analysis cost grows with plan depth; at reps=1024 the union
+      // form stalls the driver) — same rows, same id offsets
+      base.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(reps.toLong - 1))).as("_rep"))
+        .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
+          col("embedding"))
+        .coalesce(8).write.parquet(s"$root/ex")
       val ex = spark.read.parquet(s"$root/ex")
       // batch: 1/5 re-crawled copies (must reject) + 1/5 negated
       // (cosine −1 against everything — must admit)
@@ -524,6 +528,27 @@ object DevProfile {
             .select("vec_id").collect().map(_.getLong(0)).toSet
           println(s"planes=$planes decisions_equal_exact: ${b == exact}")
         }
+      }
+      // the GROWTH POLICY ladder: a corpus growing 4x per rung, each
+      // rung a FRESH path picking EmbeddingOps.planesFor(rows) — the
+      // pick-once-per-path shape. Per-batch admit time must stay ~flat
+      // up the ladder (the whole point of growing planes ~log2), where
+      // the exact sweep at the top rung is the linear-cost anchor.
+      // reps bounds the top rung: reps=64 at sf0.1 (~32k base) tops out
+      // past 2M vectors — beyond the 512k the r11 table measured.
+      val rungs = Iterator.iterate(1)(_ * 4).takeWhile(_ <= reps).toSeq
+      for (mult <- rungs) {
+        // rung = the first `mult` of the `reps` replicas (replica i
+        // offset its ids by i*10M, so integer-dividing recovers i)
+        val slice = ex.filter((col("vec_id") / lit(10000000L))
+          .cast("long") < mult)
+        val rows = slice.count()
+        val rec = operators.EmbeddingOps.planesFor(rows)
+        val t0 = System.nanoTime()
+        val n = operators.EmbeddingOps.admitVectors(slice, batch,
+          "vec_id", "embedding", 0.9, rec).count()
+        println(f"ladder corpus=$rows%8d planesFor=$rec%2d admit: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n admitted)")
       }
       batch.unpersist(): Unit
       org.apache.commons.io.FileUtils.deleteDirectory(

@@ -264,6 +264,41 @@ object EmbeddingOps {
     * contract, [[CorpusOps]] doc) — the hit set joins back on the
     * cast value, so a non-castable id would null out and dodge its
     * own rejection. */
+  /** The bucketed-admission GROWTH POLICY as a first-class helper —
+    * the `planes` to pick when OPENING A NEW admission path over a
+    * corpus of `corpusRows`, so each sign-LSH bucket holds about
+    * `targetBucketRows` vectors: a `planes`-bit bucketing splits the
+    * corpus into ~2^planes buckets under even occupancy, so per-batch
+    * sweep cost stays ~flat when planes grows with log2(corpus) —
+    * planes = ceil(log2(corpusRows / targetBucketRows)), clamped to
+    * [0, 62] (the bucket id is a Long sign bitmask). The measured
+    * curve behind the default (PLANS.md r11/r12 vecadmitscale): at
+    * target 2000, a 32k→512k corpus recommends 4→8 planes and the
+    * per-batch admit time stays flat where the exact sweep grows
+    * linearly.
+    *
+    * EXPLICITLY a NEW-PATH decision: `planes`/`bands` are
+    * pick-once-per-path dials ([[admitVectors]] doc) — re-deriving
+    * planes as a corpus grows would change the candidate sets a
+    * resumed stream generates and break replay determinism, so
+    * nothing auto-applies this on an existing path. Streams that
+    * expect growth should pick planes for the corpus size they intend
+    * to GROW INTO (buckets start emptier, cost starts lower). */
+  def planesFor(corpusRows: Long, targetBucketRows: Long = 2000L): Int = {
+    require(corpusRows >= 0, s"planesFor: corpusRows $corpusRows")
+    require(targetBucketRows >= 1,
+      s"planesFor: targetBucketRows $targetBucketRows")
+    if (corpusRows <= targetBucketRows) 0 // exact sweep is already cheap
+    else {
+      // ceil(log2(ratio)) in exact integer math (no double rounding
+      // at the boundaries): smallest p with 2^p * target >= corpus
+      var p = 0
+      var cover = targetBucketRows
+      while (cover < corpusRows && p < 62) { cover = cover << 1; p += 1 }
+      p
+    }
+  }
+
   def admitVectors(existing: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       planes: Int = 0, bands: Int = 1): DataFrame = {

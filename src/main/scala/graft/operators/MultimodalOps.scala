@@ -252,16 +252,120 @@ object MultimodalOps {
         min(col("media_id")).as("min_id"))
       .orderBy("out_w", "out_h")
 
-  /** Frame-sampling plumbing: explode a video payload into deterministic
-    * per-frame rows (stub samples byte offsets; real impl decodes frames).
-    * Shows the fan-out shape (1 row → N frame rows) with bounded memory. */
+  case class SampledFrame(media_id: Long, frame_idx: Long,
+      frame_ts_ms: Long, frame: Array[Byte])
+
+  /** The frame-decode integration point of [[sampleFrames]] (the
+    * [[ImageResizer]]/[[MediaFeaturizer]] sibling): `(payload, wanted
+    * frame indexes) → one decoded frame per index`, produced by a
+    * factory invoked ONCE PER PARTITION. One call covers ALL of a
+    * payload's sampled frames, so a real codec opens the container
+    * once per blob — never once per frame — and executor memory stays
+    * bounded by one payload plus its sampled frames. */
+  type FrameSampler = (Array[Byte], Array[Int]) => Array[Array[Byte]]
+
+  /** The stub sampler — the default, and what the m2 gate runs: frame
+    * i is a deterministic 16-byte window into the payload at offset
+    * (i·16 mod length), wrapped (no video library is assumed at gate
+    * time). Null/empty payloads yield empty frames. */
+  val stubFrameSampler: () => FrameSampler = () => (payload, idxs) => {
+    val n = if (payload == null) 0 else payload.length
+    idxs.map { i =>
+      if (n == 0) Array.emptyByteArray
+      else {
+        val out = new Array[Byte](math.min(16, n))
+        val off = (i.toLong * 16 % n).toInt
+        var j = 0
+        while (j < out.length) { out(j) = payload((off + j) % n); j += 1 }
+        out
+      }
+    }
+  }
+
+  /** A REAL frame decoder on the same integration point, JDK-native:
+    * javax.imageio reads multi-frame GIF animations without any
+    * external codec (the one animated container the JDK decodes; real
+    * video codecs plug in at the same point). The container opens ONCE
+    * per payload; a sampled timestamp past the clip's frame count
+    * wraps (frame_idx mod numFrames — a looping animation's
+    * deterministic frame at that timestamp); each decoded frame
+    * re-encodes as PNG, as [[imageIoResizer]] does. An undecodable or
+    * frameless payload throws naming the defect — a curation pipeline
+    * must surface corrupt blobs, not launder them through. */
+  val imageIoFrameSampler: () => FrameSampler = () => {
+    javax.imageio.ImageIO.setUseCache(false)
+    (payload, idxs) => {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(
+          if (payload == null) Array.emptyByteArray else payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        "imageIoFrameSampler: payload is not a decodable animation")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0,
+          "imageIoFrameSampler: payload decodes to zero frames")
+        idxs.map { i =>
+          val img = reader.read(i % n)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos): Unit
+          baos.toByteArray
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+  }
+
+  /** Same integer frame math as the sequence-expression form this
+    * replaced: timestamps 0, everyMs, …, ≤ duration_ms inclusive. */
+  private def frameBatch(everyMs: Long, samplerInit: () => FrameSampler)(
+      rows: Iterator[org.apache.spark.sql.Row]): Iterator[SampledFrame] = {
+    // per-partition codec init: once, before the first row
+    val sampler = samplerInit()
+    rows.flatMap { r =>
+      // a null duration has no frame grid (the sequence() form emitted
+      // nothing for it too — posexplode of a null array)
+      if (r.isNullAt(1)) Iterator.empty
+      else {
+        val id = r.getLong(0)
+        val dur = r.getLong(1)
+        val payload = r.getAs[Array[Byte]](2)
+        val nFrames = (dur / everyMs).toInt + 1
+        val idxs = Array.tabulate(nFrames)(identity)
+        val frames = sampler(payload, idxs)
+        idxs.iterator.map(i =>
+          SampledFrame(id, i.toLong, i * everyMs, frames(i)))
+      }
+    }
+  }
+
+  /** Frame sampling over video payloads: one row fans out into its
+    * deterministic per-frame rows (media_id, frame_idx, frame_ts_ms,
+    * frame bytes) — partition-wise batch decode, the [[extractFeatures]]
+    * / [[resize]] shape. Pass `sampler = MultimodalOps
+    * .imageIoFrameSampler` for a real JDK multi-frame decode on the
+    * same plumbing; the default samples byte offsets. The (frame_idx,
+    * frame_ts_ms) grid is pure integer math on duration_ms, so the
+    * gate's oracle is codec-independent. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 5000,
+      sampler: () => FrameSampler = stubFrameSampler): DataFrame =
+    media.select(col("media_id"), col("duration_ms"), col("payload"))
+      .mapPartitions(frameBatch(everyMs, sampler))(
+        org.apache.spark.sql.Encoders.product[SampledFrame])
+      .toDF()
+
+  /** Frame-sampling gate: the integer-exact (media_id, frame_idx,
+    * frame_ts_ms) grid, served THROUGH the [[sampleFrames]] plumbing
+    * (partition-factory decode with the stub codec) — the m1/m3 gate
+    * convention: the oracle pins the metadata math, the spec holds the
+    * real codec to the same grid. */
   def m2FrameSample(s: SparkSession, dir: String, everyMs: Long = 5000): DataFrame =
-    syntheticMedia(s, dir)
-      .filter(col("kind") === "video")
-      .select(col("media_id"), col("duration_ms"),
-        posexplode(sequence(lit(0L), col("duration_ms"), lit(everyMs)))
-          .as(Seq("frame_idx", "frame_ts_ms")))
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("frame_ts_ms"))
+    sampleFrames(syntheticMedia(s, dir).filter(col("kind") === "video"),
+        everyMs)
+      .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"))
       .orderBy("media_id", "frame_idx")
 }

@@ -220,6 +220,48 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(banded == exact, "bands=4 diverged from exact")
   }
 
+  test("planesFor pins the growth policy: recommendations match the " +
+      "measured flat-cost curve, grow +1 per corpus doubling, and a " +
+      "recommended-planes admit keeps the recall-1.0 decisions exact") {
+    import EmbeddingOps.planesFor
+    // a corpus the target already covers needs no bucketing at all
+    assert(planesFor(0) == 0 && planesFor(2000) == 0)
+    assert(planesFor(1500, 2000) == 0)
+    // the measured anchor points (PLANS.md r11/r12 vecadmitscale): the
+    // 32k corpus recommends 4 planes, the 512k corpus the measured-flat
+    // 8 planes — ceil(log2(rows / 2000))
+    assert(planesFor(32000) == 4, planesFor(32000).toString)
+    assert(planesFor(512000) == 8, planesFor(512000).toString)
+    // exact power-of-two boundaries: smallest p with 2000·2^p >= rows
+    assert(planesFor(2048000, 2000) == 10)
+    assert(planesFor(2048001, 2000) == 11)
+    // log2 growth: a doubling adds at most one plane, never more
+    var prev = 0
+    for (rows <- Iterator.iterate(2000L)(_ * 2).take(20)) {
+      val p = planesFor(rows)
+      assert(p >= prev && p <= prev + 1, s"rows=$rows p=$p prev=$prev")
+      prev = p
+    }
+    // the Long sign-bitmask clamp
+    assert(planesFor(Long.MaxValue, 1) == 62)
+    // and the recommendation is SAFE to follow on a new path: at the
+    // recommended planes the cosine-1.0 duplicate class still rejects
+    // identically to the exact sweep (identical sign projections
+    // co-bucket at any planes)
+    val base = renamed.filter(col("item") < 200)
+    val copies = base.filter(col("item") < 100)
+      .select((col("item") + 1000L).as("item"), col("emb"))
+    val rec = planesFor(200, targetBucketRows = 25) // tiny corpus: 3 planes
+    assert(rec == 3, rec.toString)
+    val exact = EmbeddingOps.admitVectors(base, copies, "item", "emb",
+      threshold = 0.95).select("item").collect().map(_.getLong(0)).toSet
+    val bucketed = EmbeddingOps.admitVectors(base, copies, "item", "emb",
+      threshold = 0.95, planes = rec)
+      .select("item").collect().map(_.getLong(0)).toSet
+    assert(exact.isEmpty && bucketed == exact,
+      s"recommended planes must reject every re-crawl: $bucketed")
+  }
+
   test("nearDupPairs bands>1: a pair meeting in several bands scores " +
       "ONCE, banded pairs are a superset of single-band pairs, and " +
       "the x6 gate's single-band default is untouched") {

@@ -131,6 +131,90 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(stats == Map("image" -> 1L, "audio" -> 1L))
   }
 
+  /** A real multi-frame animated GIF: one solid-color frame per entry
+    * of `colors`, written through the JDK's GIF sequence writer. */
+  private def animatedGif(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(c))
+        g.fillRect(0, 0, w, h): Unit
+      } finally g.dispose()
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("imageIoFrameSampler: a REAL multi-frame GIF decode serves each " +
+      "sampled timestamp the frame the animation loop dictates, on the " +
+      "same integer grid as the stub") {
+    // GIF palettes are exact for solid primaries
+    val colorsA = Seq(0xff0000, 0x00ff00, 0x0000ff)          // 3 frames
+    val colorsB = Seq(0x000000, 0xffffff, 0xff0000, 0x00ff00,
+      0x0000ff)                                              // 5 frames
+    // durations chosen so sampling at 5000 ms wraps past the frame
+    // count: A gets idx 0..4 over 3 frames, B gets idx 0..6 over 5
+    val media = Seq(
+      (1L, "video", 20000L, animatedGif(16, 8, colorsA)),
+      (2L, "video", 30000L, animatedGif(16, 8, colorsB)))
+      .toDF("media_id", "kind", "duration_ms", "payload")
+    val got = MultimodalOps.sampleFrames(media, everyMs = 5000,
+        sampler = MultimodalOps.imageIoFrameSampler)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Array[Byte]]("frame"))).toMap
+    // the integer grid: floor(dur/every)+1 frames at every*i
+    assert(got.keySet == (0 until 5).map(i => (1L, i.toLong)).toSet ++
+      (0 until 7).map(i => (2L, i.toLong)))
+    val expected = Map(1L -> colorsA, 2L -> colorsB)
+    got.foreach { case ((id, idx), (ts, frame)) =>
+      assert(ts == idx * 5000L, s"($id,$idx) ts")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 8,
+        s"($id,$idx) must decode as a 16x8 PNG frame")
+      // timestamp past the clip wraps: frame idx mod numFrames
+      val want = new java.awt.Color(
+        expected(id)((idx % expected(id).size).toInt))
+      val px = new java.awt.Color(img.getRGB(8, 4))
+      assert(px == want, s"($id,$idx): got $px want $want")
+    }
+    // the gate's contract is codec-independent: the integer columns of
+    // the real-codec run equal the stub run bit-for-bit
+    def grid(sampler: () => MultimodalOps.FrameSampler) =
+      MultimodalOps.sampleFrames(media, everyMs = 5000, sampler = sampler)
+        .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"))
+        .orderBy("media_id", "frame_idx").collect().map(_.toSeq).toSeq
+    assert(grid(MultimodalOps.imageIoFrameSampler) ==
+      grid(MultimodalOps.stubFrameSampler))
+  }
+
+  test("imageIoFrameSampler: a corrupt or frameless payload fails " +
+      "loudly naming the defect") {
+    val bad = Seq((9L, "video", 10000L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "kind", "duration_ms", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.sampleFrames(bad, everyMs = 5000,
+        sampler = MultimodalOps.imageIoFrameSampler).collect()
+    }
+    def names(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("not a decodable animation"))
+        || names(t.getCause))
+    assert(names(e), e.getMessage)
+  }
+
   test("an undecodable payload fails loudly, and null dimensions pass " +
       "through without touching the codec") {
     val bad = Seq((9L, "image", 640, 480,

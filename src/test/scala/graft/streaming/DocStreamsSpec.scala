@@ -715,6 +715,126 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("SOAK with an INTERLOPER: a manual appendToPostings racing a " +
+      "live indexArrivals loop either fails loudly naming the holder " +
+      "(mid-mutation) or commits as a legal between-batch single-writer " +
+      "mutation — never interleaves; the loop's end state is exact") {
+    // THE operational story the writer lease was built for: an operator
+    // fires a manual append against a path a streaming loop owns. The
+    // lease admits exactly one writer per mutation, so every attempt
+    // resolves to one of two clean outcomes — a loud IllegalStateException
+    // naming the live holder, or a committed whole mutation between the
+    // loop's batches. If the INTERLOPER wins a race, the LOOP's own batch
+    // fails loudly instead; resuming from the checkpoint replays it
+    // idempotently (the batchId replay machinery) — also exercised here.
+    import graft.operators.RetrievalOps
+    val root = java.nio.file.Files.createTempDirectory("soakint").toString
+    val nChunks = 12
+    val docs = batchDocs.select(col("doc_id"), col("text"))
+    val seed = docs.filter(col("doc_id") < 20)
+    (0 until nChunks).foreach { i =>
+      val stage = s"$root/feed/_w$i"
+      docs.filter(col("doc_id") >= 20 + i * 40 &&
+          col("doc_id") < 20 + (i + 1) * 40)
+        .coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$root/feed/$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(stage))
+      new java.io.File(s"$root/feed/$i.parquet")
+        .setLastModified(1000000L + i * 1000L): Unit
+    }
+    RetrievalOps.indexCorpus(seed, "doc_id", "text", s"$root/lidx",
+      nBuckets = 8)
+    val wp = new java.io.File(s"$root/lidx/WRITER")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sneaked = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var watch = true
+    import spark.implicits._
+    val watcher = new Thread(() => {
+      var attempt = 0
+      // stop once one loud failure is banked (bounds churn); keep
+      // polling at 1 ms so an attempt lands inside some batch's
+      // lease-held window (holds dominate each batch's wall time)
+      while (watch && failures.isEmpty) {
+        if (wp.exists()) {
+          val id = 990000L + attempt
+          attempt += 1
+          try {
+            RetrievalOps.appendToPostings(
+              Seq((id, s"interloper payload $id"))
+                .toDF("doc_id", "text"),
+              "doc_id", "text", s"$root/lidx")
+            sneaked.add(id)
+          } catch {
+            case e: IllegalStateException => failures.add(e.getMessage)
+          }
+        }
+        Thread.sleep(1)
+      }
+    })
+    def feedStream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet").parquet(s"$root/feed")
+    watcher.start()
+    try {
+      // drain with checkpoint resume: if the interloper wins a race the
+      // loop's batch fails loudly — restart from the SAME checkpoint
+      // and the replay guard re-runs it idempotently
+      var drained = false
+      var restarts = 0
+      while (!drained) {
+        val q = DocStreams.indexArrivals(feedStream, s"$root/lidx",
+          s"$root/ckpt", compactEvery = Some(2))
+        try {
+          q.processAllAvailable()
+          drained = true
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            def leaseLoss(t: Throwable): Boolean = t != null &&
+              (Option(t.getMessage).exists(
+                _.contains("another writer holds the lease")) ||
+                leaseLoss(t.getCause))
+            assert(leaseLoss(e), s"loop died for a non-lease reason: $e")
+            restarts += 1
+            assert(restarts <= 10, "loop could not win the lease back")
+        } finally q.stop()
+      }
+    } finally {
+      watch = false
+      watcher.join(30000)
+    }
+    // the interloper was exercised: at least one attempt resolved, and
+    // every loud failure names the lease AND the live holder's label
+    assert(!failures.isEmpty || !sneaked.isEmpty, "watcher never fired")
+    failures.forEach { m =>
+      assert(m.contains("another writer holds the lease"), m)
+      assert(m.contains("appendToPostings") || m.contains("compactInPlace"),
+        s"failure must name the loop's mutation: $m")
+    }
+    // END STATE EXACT: the loop's corpus + whatever the interloper
+    // legally committed between batches — nothing lost, nothing torn
+    import scala.jdk.CollectionConverters._
+    val sneakDocs = sneaked.asScala.toSeq.sorted
+      .map(id => (id, s"interloper payload $id"))
+    val full = docs.filter(col("doc_id") < 20 + nChunks * 40)
+      .unionByName(sneakDocs.toDF("doc_id", "text"))
+    RetrievalOps.indexCorpus(full, "doc_id", "text", s"$root/lfull",
+      nBuckets = 8)
+    val grown = RetrievalOps
+      .bm25TopKIndexed(spark, s"$root/lidx", RetrievalOps.GateTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = RetrievalOps
+      .bm25TopKIndexed(spark, s"$root/lfull", RetrievalOps.GateTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(grown == rebuilt && grown.nonEmpty,
+      s"end state diverged (sneaked=${sneakDocs.map(_._1)}, " +
+        s"failures=${failures.size})")
+  }
+
   test("streaming contamination flags equal the d10 batch decontamination") {
     graft.functions.Md5Prefix28Expr.register(spark)
     graft.functions.TextExprs.register(spark)
