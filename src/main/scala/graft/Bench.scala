@@ -11,6 +11,16 @@ object Bench {
       // NTZ-encoded events timestamps read identically on any host
       // (Tables.normalizeTs precondition)
       .config("spark.sql.session.timeZone", "UTC")
+      // The 123-query bench plus the iterative trainers generate far
+      // more distinct whole-stage classes than the default 100-entry
+      // codegen cache holds; once the LRU cycles, EVERY query pays
+      // Janino again (~10-100 ms each, and a cycling cache also defeats
+      // warm-rep comparability). Static conf — must be set before the
+      // context starts. Profiled in DevProfile x34train: with the
+      // default cache the 6-iteration IVF-PQ build recompiled every
+      // plan every iteration (compiles +130/rep); at 5000 entries
+      // compiles drop to ~0 after rep 1.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Serving gates (x15/x21/x23/x25/x26/x31…) resolve their persisted

@@ -17,6 +17,10 @@ object DevProfile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // iterative trainers + a 123-query bench generate far more than
+      // the default 100 distinct codegen classes; the LRU then cycles
+      // completely and EVERY query pays Janino again (Bench.scala doc)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SHUFFLE_PARTS").foreach(n =>
@@ -492,7 +496,7 @@ object DevProfile {
           explode(sequence(lit(0L), lit(reps.toLong - 1))).as("_rep"))
         .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
           col("embedding"))
-        .coalesce(8).write.parquet(s"$root/ex")
+        .coalesce(32).write.parquet(s"$root/ex")
       val ex = spark.read.parquet(s"$root/ex")
       // batch: 1/5 re-crawled copies (must reject) + 1/5 negated
       // (cosine −1 against everything — must admit)
@@ -513,20 +517,27 @@ object DevProfile {
       // for flat per-batch cost). decisions_equal pins the cosine-1.0
       // re-crawl class (identical sign projections co-bucket at any
       // planes — recall 1.0 by construction on this batch shape)
-      val exact = operators.EmbeddingOps.admitVectors(ex, batch,
-        "vec_id", "embedding", 0.9)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      for (planes <- Seq(0, 8, 12); r <- 1 to 2) {
-        val t0 = System.nanoTime()
-        val n = operators.EmbeddingOps.admitVectors(ex, batch,
-          "vec_id", "embedding", 0.9, planes).count()
-        println(f"planes=$planes r$r admit: " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n admitted)")
-        if (r == 2 && planes > 0) {
-          val b = operators.EmbeddingOps.admitVectors(ex, batch,
-            "vec_id", "embedding", 0.9, planes)
-            .select("vec_id").collect().map(_.getLong(0)).toSet
-          println(s"planes=$planes decisions_equal_exact: ${b == exact}")
+      // the exact-sweep anchor + decisions check runs only at the
+      // scales where an exact sweep is still tractable interactively;
+      // past that (reps > 64) the run IS the growth-policy ladder —
+      // full-corpus exact sweeps are precisely the linear cost the
+      // bucketing exists to avoid
+      if (reps <= 64) {
+        val exact = operators.EmbeddingOps.admitVectors(ex, batch,
+          "vec_id", "embedding", 0.9)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        for (planes <- Seq(0, 8, 12); r <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val n = operators.EmbeddingOps.admitVectors(ex, batch,
+            "vec_id", "embedding", 0.9, planes).count()
+          println(f"planes=$planes r$r admit: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n admitted)")
+          if (r == 2 && planes > 0) {
+            val b = operators.EmbeddingOps.admitVectors(ex, batch,
+              "vec_id", "embedding", 0.9, planes)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            println(s"planes=$planes decisions_equal_exact: ${b == exact}")
+          }
         }
       }
       // the GROWTH POLICY ladder: a corpus growing 4x per rung, each
@@ -1212,6 +1223,96 @@ object DevProfile {
           SparkEntry.queries(n)(spark, dir).count()
           println(f"pass$i $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
+      }
+    } else if (name == "codegenrepro") {
+      // dev-only: reproduce the whole-stage compile failure in the PQ
+      // assign path and dump the generated source (DEBUG-only in Spark)
+      import org.apache.spark.sql.functions._
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+        org.apache.logging.log4j.Level.DEBUG)
+      graft.functions.VectorExprs.register(spark)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val idx = operators.IvfPq.build(emb, "vec_id", "v", nCells = 8,
+        m = 32, k = 64, coarseIters = 3, pqIters = 3, portable = true)
+      println("CODES=" + idx.codes.count())
+      idx.release()
+    } else if (name == "x34train") {
+      // phase breakdown of the x34 one-time build: where does the
+      // cold-training wall time actually go?
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.storage.StorageLevel
+      graft.functions.VectorExprs.register(spark)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+            "sqrt(aggregate(embedding, 0D, " +
+            "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))")
+            .as("v"))
+      emb.limit(5).count() // warm the reader
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val c0 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
+        val m0 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getSnapshot.getMean
+        val r = f
+        val c1 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"(compiles +${c1 - c0}, mean ${m0}%.0f ms)")
+        r
+      }
+      val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          stageTimes.put(si.stageId,
+            (si.name.takeWhile(_ != '\n').take(60), ms, si.numTasks))
+          if (ms > 1500)
+            println(s"SLOWSTAGE ${si.stageId} ${ms}ms tasks=${si.numTasks}\n" +
+              si.details.linesIterator.take(14).mkString("  ", "\n  ", ""))
+        }
+      })
+      for (i <- 1 to reps) {
+        println(s"--- rep $i ---")
+        stageTimes.clear()
+        val cents = t("coarse_train")(
+          operators.IvfAnn.trainCentroids(emb, 8, 3, portable = true))
+        val residuals = t("residuals")({
+          val r = operators.IvfAnn.assignCells(emb, cents, portable = true)
+            .join(broadcast(cents.withColumnRenamed("cid", "cell")),
+              Seq("cell"))
+            .select(col("vec_id"), col("cell"),
+              zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        })
+        stageTimes.clear()
+        val cb = t("pq_train")(operators.ProductQuantizer
+          .train(residuals, "vec_id", "r", 32, 64, 3, portable = true))
+        if (i == reps) {
+          import scala.jdk.CollectionConverters._
+          val all = stageTimes.asScala.toSeq
+          println(s"  pq_train stages: ${all.size}, " +
+            s"wall-in-stages ${all.map(_._2._2).sum} ms")
+          all.sortBy(-_._2._2).take(10).foreach { case (id, (n, ms, nt)) =>
+            println(f"  stage $id%5d ${ms}%6d ms $nt%3d tasks  $n")
+          }
+        }
+        t("encode")(operators.ProductQuantizer
+          .encode(residuals, "vec_id", "r", cb, 32).count())
+        residuals.unpersist(): Unit
+        // the production path: IvfPq.build (build-scoped tuned clone)
+        val idx = t("full_build")({
+          val ix = operators.IvfPq.build(emb, "vec_id", "v", nCells = 8,
+            m = 32, k = 64, coarseIters = 3, pqIters = 3, portable = true)
+          ix.codes.count(); ix
+        })
+        idx.release()
       }
     } else {
       val fn = SparkEntry.queries(name)

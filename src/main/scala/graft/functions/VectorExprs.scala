@@ -53,6 +53,22 @@ object VectorKernels {
   private def cmpSqlDouble(a: Double, b: Double): Int =
     if (a == b) 0 else java.lang.Double.compare(a, b)
 
+  /** Spark's `round(x, scale)` for doubles, exactly: the
+    * BigDecimal(double) HALF_UP path Catalyst's Round takes. EXPENSIVE
+    * (Double.toString + BigInteger parse per call) — the kernels below
+    * call it lazily, only for candidates within one quantum of the
+    * incumbent (see [[nearestCode]]): a candidate whose RAW value sits
+    * a full quantum past the rounded incumbent cannot round to a value
+    * that beats or ties it (|round(x) − x| ≤ q/2, and q = 10^-scale ≫
+    * double ulps on these magnitudes), so skipping its rounding leaves
+    * every decision bit-identical while cutting the BigDecimal count
+    * from per-candidate to per-near-tie — the measured hot spot of
+    * portable PQ training (4M calls per assignCodes pass at gate
+    * scale). */
+  private def roundAt(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   /** Nearest-cell argmax for IVF assignment: `flat` holds K centroid
     * vectors of width w = flat.length / cids.length concatenated in
     * CIDS ORDER; returns the cid maximizing cosine(v, centroid) —
@@ -95,14 +111,23 @@ object VectorKernels {
       var sim = sab / (math.sqrt(saa) * math.sqrt(sbb))
       // Spark's round passes NaN/Infinity through unchanged
       // (BigDecimal would throw) — a degenerate vector's NaN sims
-      // must survive into the NaN-greatest compare below
-      if (scale >= 0 && !sim.isNaN && !sim.isInfinite)
-        sim = BigDecimal(sim)
-          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val cid = cids.getLong(c)
-      val cmp = if (!have) 1 else cmpSqlDouble(sim, bestSim)
-      if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
-        bestSim = sim; bestCid = cid; have = true
+      // must survive into the NaN-greatest compare below. Rounding is
+      // LAZY (see [[roundAt]]): a candidate more than one quantum
+      // BELOW the rounded incumbent can't round to a value that beats
+      // or ties it (round(x) ≤ x + q/2 < bestSim − q/2), and when the
+      // incumbent is NaN no numeric candidate ever wins under the
+      // NaN-greatest ordering — both skips leave every decision
+      // bit-identical to the eager form (spec-held near-tie sweep)
+      val canWin = scale < 0 || sim.isNaN || sim.isInfinite || !have ||
+        (!bestSim.isNaN && !(sim < bestSim - math.pow(10.0, -scale)))
+      if (canWin) {
+        if (scale >= 0 && !sim.isNaN && !sim.isInfinite)
+          sim = VectorKernels.roundAt(sim, scale)
+        val cid = cids.getLong(c)
+        val cmp = if (!have) 1 else cmpSqlDouble(sim, bestSim)
+        if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
+          bestSim = sim; bestCid = cid; have = true
+        }
       }
       c += 1
     }
@@ -141,17 +166,26 @@ object VectorKernels {
         j += 1
       }
       // same association as the expression form: (aa − 2·ab) + bb,
-      // then Spark round's HALF_UP at 6 (scala BigDecimal(double) is
-      // the exact code path Catalyst's Round takes for DoubleType;
-      // NaN/Infinity pass through unchanged, as Spark's round does)
+      // then Spark round's HALF_UP at 6 ([[roundAt]] is the exact
+      // code path Catalyst's Round takes for DoubleType; NaN/Infinity
+      // pass through unchanged, as Spark's round does). Rounding is
+      // LAZY: a raw distance more than one quantum ABOVE the rounded
+      // incumbent can't round below it (round(x) ≥ x − q/2 >
+      // bestD + q/2), and ties never replace under the strict `<` —
+      // so skipping its BigDecimal leaves every decision and every
+      // emitted (d, code) bit-identical to the eager form (the
+      // measured hot spot: 4M BigDecimals per assignCodes pass)
       val raw = (aa - 2.0 * ab) + bb
-      val d = if (raw.isNaN || raw.isInfinite) raw
-        else BigDecimal(raw)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      // Spark's NaN-greatest ordering, as array_min applies it: a NaN
-      // distance loses to any number, and an all-NaN row still picks
-      // the smallest code (strict `<` alone would leave no winner)
-      if (bestC < 0 || cmpSqlDouble(d, bestD) < 0) { bestD = d; bestC = c }
+      val canWin = raw.isNaN || raw.isInfinite || bestC < 0 ||
+        bestD.isNaN || !(raw > bestD + 1e-6)
+      if (canWin) {
+        val d = if (raw.isNaN || raw.isInfinite) raw
+          else VectorKernels.roundAt(raw, 6)
+        // Spark's NaN-greatest ordering, as array_min applies it: a NaN
+        // distance loses to any number, and an all-NaN row still picks
+        // the smallest code (strict `<` alone would leave no winner)
+        if (bestC < 0 || cmpSqlDouble(d, bestD) < 0) { bestD = d; bestC = c }
+      }
       c += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -252,15 +286,23 @@ case class VecNearestCellExpr(v: Expression, flat: Expression,
     if (k == 0 || fl.numElements() == 0 || fl.numElements() % k != 0) null
     else VectorKernels.nearestCell(x, vF, fl, ci, sc.asInstanceOf[Int])
   }
+  // the guard condition must be ONE source line: whole-stage
+  // post-processing strips the leading "||" off a continuation line,
+  // leaving invalid Java — Janino then fails (a ~3 s failed compile
+  // per occurrence) and the stage silently runs interpreted
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, f, cs, sc) => s"""
-      int graftK = $cs.numElements();
-      if (graftK == 0 || $f.numElements() == 0
-          || $f.numElements() % graftK != 0) {
+    nullSafeCodeGen(ctx, ev, (a, f, cs, sc) => {
+      val k = ctx.freshName("graftK")
+      val bad = ctx.freshName("graftBad")
+      s"""
+      int $k = $cs.numElements();
+      boolean $bad = $k == 0 || $f.numElements() == 0 || $f.numElements() % $k != 0;
+      if ($bad) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.VectorKernels.nearestCell($a, $vF, $f, $cs, $sc);
-      }""")
+      }"""
+    })
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,
       newFourth: Expression): Expression =
@@ -304,16 +346,20 @@ case class VecNearestCodeExpr(sv: Expression, flat: Expression,
       x.numElements().toLong * ki != fl.numElements().toLong) null
     else VectorKernels.nearestCode(x, sF, fl, ki)
   }
+  // ONE-line guard condition — see VecNearestCellExpr.doGenCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, f, kk) => s"""
-      int graftK = (int) $kk;
-      if (graftK <= 0 || $f.numElements() == 0
-          || $f.numElements() % graftK != 0
-          || (long) $a.numElements() * graftK != (long) $f.numElements()) {
+    nullSafeCodeGen(ctx, ev, (a, f, kk) => {
+      val k = ctx.freshName("graftK")
+      val bad = ctx.freshName("graftBad")
+      s"""
+      int $k = (int) $kk;
+      boolean $bad = $k <= 0 || $f.numElements() == 0 || $f.numElements() % $k != 0 || (long) $a.numElements() * $k != (long) $f.numElements();
+      if ($bad) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = graft.functions.VectorKernels.nearestCode($a, $sF, $f, graftK);
-      }""")
+        ${ev.value} = graft.functions.VectorKernels.nearestCode($a, $sF, $f, $k);
+      }"""
+    })
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(sv = newFirst, flat = newSecond, k = newThird)

@@ -174,16 +174,24 @@ object IvfAnn {
         .select(col("vec_id").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
       val assigned = assignCells(emb, cents, portable)
-      val mean = if (portable) round(avg(col("x")), 6) else avg(col("x"))
+      // update = per-cell vector mean via the [[graft.functions
+      // .VecSumAgg]] kernel: ONE buffer per cell folded map-side,
+      // replacing the posexplode-to-(cell,dim) form whose d× row
+      // amplification paid the hash-agg probe per DIMENSION per
+      // iteration (the measured residual cost of x34's training).
+      // sum/count is the identical division avg performs; only the
+      // summation GROUPING changes (same multiset), which the portable
+      // round-6 quantization absorbs (VecSumAgg doc; spec-held
+      // agg == posexplode, every downstream oracle re-verified).
+      def mean(s: Column): Column =
+        if (portable) round(s / col("_g_n"), 6) else s / col("_g_n")
       val updated = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(mean.as("m"))
         .groupBy(col("cell"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("dim"), col("m")))),
-          p => p.getField("m")).as("nv"))
-        .select(col("cell").as("cid"), col("nv"))
+        .agg(graft.functions.VecSumAgg.vec_sum(
+            col("v").cast("array<double>")).as("_g_sums"),
+          count(col("v")).as("_g_n"))
+        .select(col("cell").as("cid"),
+          transform(col("_g_sums"), s => mean(s)).as("nv"))
       // empty cells keep their previous centroid (no silent k shrinkage)
       cents = ScaleUtils.materializeLocal(
         cents.join(updated, Seq("cid"), "left")

@@ -70,7 +70,41 @@ object IvfPq {
       k: Int = ProductQuantizer.K, coarseIters: Int = 3,
       pqIters: Int = 3, portable: Boolean = false): IvfPqIndex = {
     graft.functions.VectorExprs.register(df.sparkSession)
-    val emb = df.select(col(idCol).cast("long").as("vec_id"),
+    // Build-scoped execution tuning (the OsmPipeline small-input
+    // convention, measured there and here): training runs
+    // coarseIters + pqIters SEQUENTIAL update jobs whose aggregation
+    // outputs are parameter-bounded (k·d doubles), so at small corpus
+    // sizes the per-iteration cost is pure stage scheduling — AQE's
+    // per-query-stage materialization plus a full-width shuffle of
+    // near-empty partitions, paid ~6 times over. A cloned session
+    // (same SparkContext, same cache, OWN SQLConf) sizes the shuffles
+    // to the input and turns AQE off WITHOUT mutating the caller's
+    // session; past the threshold the defaults rule — a 100 TB build
+    // keeps AQE and the full shuffle width. Decisions are unchanged:
+    // partition count only regroups partial sums, which the portable
+    // round-6 quantization absorbs (VecSumAgg doc; x34's oracle
+    // re-verified hash-identical at several widths).
+    val tuned = {
+      val bytes = try
+        org.apache.spark.sql.graft.SessionOps.estimatedBytes(df)
+      catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+      if (bytes >= 0 && bytes < graft.osm.OsmPipeline.AqeMinInputBytes) {
+        try {
+          val mth = df.sparkSession.getClass.getMethod("cloneSession")
+          val s = mth.invoke(df.sparkSession)
+            .asInstanceOf[org.apache.spark.sql.SparkSession]
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val callerParts = try
+            s.conf.get("spark.sql.shuffle.partitions", "200").toLong
+          catch { case scala.util.control.NonFatal(_) => 200L }
+          val parts = math.max(4L, math.min(callerParts,
+            bytes.toLong / (4L * 1024 * 1024) + 1))
+          s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+          org.apache.spark.sql.graft.SessionOps.rebind(df, s)
+        } catch { case scala.util.control.NonFatal(_) => df }
+      } else df
+    }
+    val emb = tuned.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("v"))
     emb.select(size(col("v")).as("d")).limit(1).collect().foreach { r =>
       require(r.getInt(0) % m == 0,

@@ -131,15 +131,20 @@ object ProductQuantizer {
     val sv = subvectors(emb, idCol, vecCol, m)
     var cb = ScaleUtils.materializeLocal(initCodebook(sv, k))
     for (_ <- 1 to iters) {
-      val mean = if (portable) round(avg(col("x")), 6) else avg(col("x"))
+      // update = per-(sub, code) subvector mean via the [[graft
+      // .functions.VecSumAgg]] kernel — one buffer per codeword,
+      // map-side combine, replacing the posexplode d× row
+      // amplification ([[IvfAnn.trainCentroids]] has the full
+      // rationale; same portable bit-equality argument, spec-held)
+      def mean(s: Column): Column =
+        if (portable) round(s / col("_g_n"), 6) else s / col("_g_n")
       val updated = assignCodes(sv, cb)
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("sub"), col("code"), col("dim"))
-        .agg(mean.as("m"))
         .groupBy(col("sub"), col("code"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("dim"), col("m")))),
-          p => p.getField("m")).as("nv"))
+        .agg(graft.functions.VecSumAgg.vec_sum(
+            col("sv").cast("array<double>")).as("_g_sums"),
+          count(col("sv")).as("_g_n"))
+        .select(col("sub"), col("code"),
+          transform(col("_g_sums"), s => mean(s)).as("nv"))
       cb = ScaleUtils.materializeLocal(
         cb.join(updated, Seq("sub", "code"), "left")
           .select(col("sub"), col("code"), coalesce(col("nv"), col("cv")).as("cv")))

@@ -208,6 +208,83 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("lazy rounding near-tie stress: raw distances/similarities " +
+      "clustered within fractions of the 1e-6 quantum still match the " +
+      "eager round() forms bit-for-bit — the regime the BigDecimal " +
+      "skip must not perturb") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    // codewords = sv + eps with per-code eps magnitudes spanning
+    // 1e-4..3e-3, so squared distances span ~1e-8..1e-5 — straddling
+    // the round-6 quantum: many candidates merge under rounding (tie
+    // → smallest code), others sit within one quantum of the
+    // incumbent (the round-anyway band), others just past it (the
+    // skip band). 64 codes × 200 rows sweeps all three regions.
+    val dim = 8
+    val sv0 = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val mags = Array(1e-4, 3e-4, 1e-3, 3e-3)
+    val cw = (0 until 64).map { c =>
+      val m = mags(c % mags.length)
+      sv0.map(x => x + (rnd.nextDouble() * 2 - 1) * m)
+    }
+    val csLit = typedLit(cw.zipWithIndex.map { case (v, c) => (c, v.toSeq) })
+    val rows = (0 until 200).map { i =>
+      // rows perturb sv0 at the same scales, so each row's distance
+      // ordering is a fresh near-tie configuration
+      val m = mags(i % mags.length)
+      (i.toLong, sv0.map(x => x + (rnd.nextDouble() * 2 - 1) * m))
+    }
+    val base = rows.toDF("id", "sv")
+      .withColumn("flat", typedLit(cw.flatten.toSeq))
+    def hofCode = base.withColumn("best", array_min(transform(csLit,
+        c => struct(
+          round(call_function("vec_dot", col("sv"), col("sv"))
+            - lit(2.0) * call_function("vec_dot", col("sv"), c.getField("_2"))
+            + call_function("vec_dot", c.getField("_2"), c.getField("_2")),
+            6).as("d"),
+          c.getField("_1").as("code")))))
+      .select(col("id"), col("best.d").as("d"),
+        col("best.code").cast("long").as("code"))
+    def kernCode = base.withColumn("best", call_function(
+        "vec_nearest_code", col("sv"), col("flat"), lit(64)))
+      .select(col("id"), element_at(col("best"), 1).as("d"),
+        element_at(col("best"), 2).cast("long").as("code"))
+    // near-parallel centroids: cosines cluster within ~1e-7 of each
+    // other near 1.0 — the argmax mirror of the same three regions
+    val cidsLit = typedLit((0 until 64).map(c => 100L + c))
+    val ccLit = typedLit((0 until 64).map(c => 100L + c).zip(cw.map(_.toSeq)))
+    def hofCell = base.withColumn("best",
+        array_max(transform(ccLit, c => struct(
+          round(call_function("vec_cosine", col("sv"), c.getField("_2")), 6)
+            .as("sim"),
+          (-c.getField("_1")).as("ncid")))))
+      .select(col("id"), (-col("best.ncid")).as("cell"))
+    def kernCell = base.withColumn("cell",
+        call_function("vec_nearest_cell", col("sv"), col("flat"),
+          cidsLit, lit(6)))
+      .select(col("id"), col("cell"))
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val a = hofCode.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+        val b = kernCode.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+        assert(a == b, s"nearest_code mode $mode diverged")
+        // sanity: the configuration actually produced rounding merges
+        // (multiple raw distances collapsing to one rounded value)
+        assert(a.map(_._2).distinct.size < a.size,
+          "stress data never merged under rounding — regenerate")
+        val ca = hofCell.collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq
+        val cb = kernCell.collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq
+        assert(ca == cb, s"nearest_cell mode $mode diverged")
+      } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("assignment-kernel width guards: a subvector shorter or longer " +
       "than the codeword width nulls out (never reads past the array), " +
       "and an empty flat with nonempty cids nulls out — both modes") {
