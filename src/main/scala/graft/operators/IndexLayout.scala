@@ -261,17 +261,16 @@ private[graft] object IndexLayout {
     * query, which the atomic flip keeps consistent. Not re-entrant:
     * callers sequence their own mutations (append, then compact), each
     * under its own lease. */
-  def withWriterLease[T](spark: SparkSession, path: String,
-      what: String)(body: => T): T = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/WRITER")
-    val fs = fsOf(spark, p)
-    val ttlMs = spark.conf.get("graft.index.writerLeaseTtlMs",
-      "600000").toLong
-    val content = s"${java.util.UUID.randomUUID().toString} $what"
-    // at most one break-and-retry: breaking a live holder's fresh
-    // lease would re-open the race the lease exists to close
-    var acquired = writeAtomicExclusive(spark, p, content)
-    if (!acquired) {
+  /** The lease ACQUIRE sequence (create-exclusive, then at most one
+    * break-and-retry — breaking a live holder's fresh lease would
+    * re-open the race the lease exists to close). Runs under
+    * [[acquireLocks]]' per-path monitor. Returns whether `content`
+    * now holds the lease. */
+  private def acquire(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, ttlMs: Long, path: String,
+      content: String): Boolean = {
+    if (writeAtomicExclusive(spark, p, content)) true
+    else {
       // capture content + mtime of the lease we observed, so the
       // staleness judgment and the post-rename verification name ONE
       // specific lease, not whatever sits at the path later
@@ -282,14 +281,15 @@ private[graft] object IndexLayout {
       observed match {
         case None =>
           // holder released between our two looks — one clean retry
-          acquired = writeAtomicExclusive(spark, p, content)
+          writeAtomicExclusive(spark, p, content)
         case Some((obsContent, obsMtime))
             if System.currentTimeMillis() - obsMtime > ttlMs =>
           // expired ⇒ crashed writer (a live one heartbeats). Claim
           // the break by exclusive rename (doc above); retract()'s
           // WRITER.-prefix sweep clears any crash-stranded aside file.
-          val aside = new org.apache.hadoop.fs.Path(s"$path/WRITER.broken." +
-            java.util.UUID.randomUUID().toString)
+          val aside = new org.apache.hadoop.fs.Path(
+            s"$path/WRITER.broken." +
+              java.util.UUID.randomUUID().toString)
           val won = try fs.rename(p, aside) catch {
             case _: java.io.IOException => false
           }
@@ -299,37 +299,67 @@ private[graft] object IndexLayout {
             }
             if (broken.contains(obsContent)) {
               fs.delete(aside, false): Unit
-              acquired = writeAtomicExclusive(spark, p, content)
+              writeAtomicExclusive(spark, p, content)
             } else {
-              // we yanked a FRESH lease (a full break+acquire landed
-              // inside our observation window): restore it best-effort
-              // and stand down. Guarded rename — a local-FS rename can
-              // REPLACE an existing destination, and if a third writer
-              // created meanwhile its lease must survive; either
-              // displaced holder's token-verifying heartbeat surfaces
-              // the loss loudly rather than letting it pass silently
-              if (!fs.exists(p)) fs.rename(aside, p): Unit
+              // we yanked a FRESH lease (a cross-JVM break+acquire
+              // landed inside our observation window — same-JVM
+              // breakers are serialized by the acquire lock): restore
+              // it best-effort and stand down. Guarded, exception-safe
+              // rename — a third writer's lease created meanwhile must
+              // survive (a local-FS rename can replace, and some FS
+              // impls throw FileAlreadyExistsException instead);
+              // either displaced holder's token-verifying heartbeat
+              // surfaces the loss loudly rather than silently
+              try { if (!fs.exists(p)) fs.rename(aside, p): Unit }
+              catch { case _: java.io.IOException => () }
+              false
             }
           } else {
             // another breaker claimed the rename; race its create once
             // — the exclusive create still admits exactly one of us
-            acquired = writeAtomicExclusive(spark, p, content)
+            writeAtomicExclusive(spark, p, content)
           }
-        case _ => () // live holder heartbeating: respect the lease
+        case _ => false // live holder heartbeating: respect the lease
       }
-      if (!acquired) {
-        val holder = try readSmall(spark, p) catch {
-          case _: java.io.IOException => "<unreadable>"
-        }
-        throw new IllegalStateException(
-          s"$what: another writer holds the lease on $path " +
-            s"(holder: $holder). Generational appends and compactions " +
-            "must be sequenced by ONE writer — interleaved fold/flip " +
-            "corrupts the layout silently. Route this mutation through " +
-            "the owning loop, or wait for the holder to finish (a " +
-            "crashed holder's lease expires after " +
-            s"graft.index.writerLeaseTtlMs = $ttlMs ms).")
+    }
+  }
+
+  /** Per-path monitor serializing the ACQUIRE phase within one JVM:
+    * the realistic contention shape is several loops sharing one
+    * driver, and serializing their acquires closes the
+    * observe-stale/rename window entirely for them (two same-JVM
+    * breakers can never interleave a break with a fresh acquire).
+    * Cross-JVM writers still have the rename-exclusive break + the
+    * token-verifying heartbeat as the backstop. Never removed: one
+    * Object per distinct index path ever mutated in this JVM. */
+  private val acquireLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withWriterLease[T](spark: SparkSession, path: String,
+      what: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/WRITER")
+    val fs = fsOf(spark, p)
+    val ttlMs = spark.conf.get("graft.index.writerLeaseTtlMs",
+      "600000").toLong
+    val content = s"${java.util.UUID.randomUUID().toString} $what"
+    // at most one break-and-retry: breaking a live holder's fresh
+    // lease would re-open the race the lease exists to close
+    val lock = acquireLocks.computeIfAbsent(path, _ => new Object)
+    val acquired = lock.synchronized {
+      acquire(spark, p, fs, ttlMs, path, content)
+    }
+    if (!acquired) {
+      val holder = try readSmall(spark, p) catch {
+        case _: java.io.IOException => "<unreadable>"
       }
+      throw new IllegalStateException(
+        s"$what: another writer holds the lease on $path " +
+          s"(holder: $holder). Generational appends and compactions " +
+          "must be sequenced by ONE writer — interleaved fold/flip " +
+          "corrupts the layout silently. Route this mutation through " +
+          "the owning loop, or wait for the holder to finish (a " +
+          "crashed holder's lease expires after " +
+          s"graft.index.writerLeaseTtlMs = $ttlMs ms).")
     }
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val misses = new java.util.concurrent.atomic.AtomicInteger(0)
