@@ -240,6 +240,85 @@ class OsmPipelineSpec extends AnyFunSuite {
     assert(multi.count() > 0) // monaco has relations with inner rings
   }
 
+  test("TORTURE fixture: nested islands (outer→inner→outer-in-inner-" +
+      "with-its-own-hole) and a role-defaulted multipolygon assemble " +
+      "exactly, with zero unexplained relation drops") {
+    // the reference's golden-parity matrix leans on pathological
+    // relations (tests/base/test_pbf_file_reader.py:271-285); this
+    // synthetic fixture pins the two shapes it exercises hardest:
+    //  - relation 201: outer A(0..10) ⊃ inner B(2..8) ⊃ outer C(3..7)
+    //    ⊃ inner D(4..6) — an island in a hole, with its own hole.
+    //    Every outer subtracts the inners WITHIN it (the reference's
+    //    within-join, pbf_file_reader.py:3306-3463): A−(B∪D) ∪ C−D =
+    //    a 2-polygon multipolygon of planar area (100−36)+(16−4)=76,
+    //    one interior ring each.
+    //  - relation 202: members carry NO roles. The roles-coalesce
+    //    fallback (null → 'outer') treats BOTH closed rings as outers,
+    //    so the would-be hole F(22..28) is NOT subtracted and the
+    //    final union-agg (the reference's ST_Union_Agg,
+    //    pbf_file_reader.py:3386-3389) absorbs F ⊂ E entirely: one
+    //    bare polygon of area 100, zero interior rings — the sharp
+    //    pin that blank roles mean no hole semantics.
+    import graft.pbf.OsmElement
+    def square(lo: Double, hi: Double): Seq[(Double, Double)] =
+      Seq((lo, lo), (hi, lo), (hi, hi), (lo, hi))
+    val ringSpecs = Seq( // (wayId, firstNodeId, lo, hi)
+      (101L, 1L, 0.0, 10.0), (102L, 5L, 2.0, 8.0),
+      (103L, 9L, 3.0, 7.0), (104L, 13L, 4.0, 6.0),
+      (105L, 17L, 20.0, 30.0), (106L, 21L, 22.0, 28.0))
+    val nodes = ringSpecs.flatMap { case (_, n0, lo, hi) =>
+      square(lo, hi).zipWithIndex.map { case ((x, y), i) =>
+        OsmElement("node", n0 + i, null, null, null, null, y, x)
+      }
+    }
+    val ways = ringSpecs.map { case (w, n0, _, _) =>
+      OsmElement("way", w, null,
+        Array(n0, n0 + 1, n0 + 2, n0 + 3, n0), null, null,
+        Double.NaN, Double.NaN)
+    }
+    val rels = Seq(
+      OsmElement("relation", 201L,
+        Array(("type", "multipolygon"), ("natural", "water")),
+        Array(101L, 102L, 103L, 104L), Array.fill(4)("way"),
+        Array("outer", "inner", "outer", "inner"),
+        Double.NaN, Double.NaN),
+      OsmElement("relation", 202L,
+        Array(("type", "multipolygon"), ("natural", "wood")),
+        Array(105L, 106L), Array.fill(2)("way"),
+        null, // role-defaulted: the decoder reads blank roles as null
+        Double.NaN, Double.NaN))
+    val dir = java.nio.file.Files.createTempDirectory("torture").toString
+    val path = s"$dir/torture.osm.pbf"
+    graft.pbf.PbfWriter.write(
+      (nodes ++ ways ++ rels).iterator, path)
+    val feats = OsmPipeline.features(spark, Seq(path))
+      .filter(col("feature_id").startsWith("relation/"))
+      .select(col("feature_id"), col("geometry"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(feats.keySet == Set("relation/201", "relation/202"), feats.keySet)
+    def geom(id: String) =
+      new org.locationtech.jts.io.WKBReader().read(feats(id))
+    val nested = geom("relation/201")
+    assert(nested.getGeometryType == "MultiPolygon", nested.getGeometryType)
+    assert(nested.getNumGeometries == 2, nested.toText.take(120))
+    assert(math.abs(nested.getArea - 76.0) < 1e-9, nested.getArea.toString)
+    val holeCounts = (0 until 2).map(i =>
+      nested.getGeometryN(i)
+        .asInstanceOf[org.locationtech.jts.geom.Polygon]
+        .getNumInteriorRing).sorted
+    assert(holeCounts == Seq(1, 1), holeCounts.toString)
+    val defaulted = geom("relation/202")
+    assert(math.abs(defaulted.getArea - 100.0) < 1e-9,
+      defaulted.getArea.toString)
+    assert((0 until defaulted.getNumGeometries).forall(i =>
+      defaulted.getGeometryN(i)
+        .asInstanceOf[org.locationtech.jts.geom.Polygon]
+        .getNumInteriorRing == 0), "role-defaulted rings carry no holes")
+    // and the validity oracle explains every drop (here: none to drop)
+    val drops = RelationValidity.explainDrops(spark, Seq(path))
+    assert(drops.filter(!col("explained")).collect().isEmpty)
+  }
+
   test("small-input conversion runs in a tuned session clone, caller untouched") {
     val (df, cuts) = OsmPipeline.featuresWithCuts(spark, Seq(Monaco))
     try {
