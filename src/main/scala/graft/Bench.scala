@@ -39,12 +39,8 @@ object Bench {
       // disk across bench runs. Shutdown hook, not finally: the bench
       // ends via spark.stop()/System exit paths and a hook covers all
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          val walk = java.nio.file.Files.walk(wd)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-          finally walk.close()
-        } catch { case scala.util.control.NonFatal(_) => () }))
+        try org.apache.commons.io.FileUtils.deleteDirectory(wd.toFile)
+        catch { case scala.util.control.NonFatal(_) => () }))
     }
     // Same size-based execution tuning the conversion path applies
     // (OsmPipeline.AqeMinInputBytes scaladoc has the measurements): below

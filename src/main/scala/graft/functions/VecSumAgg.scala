@@ -37,7 +37,15 @@ class VecSumAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
 
   override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
     if (a == null) b
-    else if (b.isEmpty) {
+    else if (a.isEmpty) {
+      // a zero-LENGTH vector would be indistinguishable from the zero
+      // buffer: accepted as the first row of a partition it would make
+      // the sum silently skip it while count(v) still counts it (wrong
+      // mean), and as a later row it would throw "ragged" — loud or
+      // silently wrong depending on row ORDER. Always loud instead.
+      throw new IllegalArgumentException(
+        "vec_sum: empty vector — uniform-dimension input required")
+    } else if (b.isEmpty) {
       val r = new Array[Double](a.size)
       var i = 0
       while (i < r.length) { r(i) = a(i); i += 1 }

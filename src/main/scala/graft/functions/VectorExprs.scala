@@ -88,6 +88,9 @@ object VectorKernels {
     val k = cids.numElements()
     val w = flat.numElements() / k
     val n = v.numElements()
+    // loop-invariant quantum for the lazy-rounding skip below (a
+    // per-candidate math.pow would itself be a K-per-row hot cost)
+    val q = if (scale >= 0) math.pow(10.0, -scale) else 0.0
     var bestSim = Double.NaN
     var bestCid = 0L
     var have = false
@@ -119,7 +122,7 @@ object VectorKernels {
       // NaN-greatest ordering — both skips leave every decision
       // bit-identical to the eager form (spec-held near-tie sweep)
       val canWin = scale < 0 || sim.isNaN || sim.isInfinite || !have ||
-        (!bestSim.isNaN && !(sim < bestSim - math.pow(10.0, -scale)))
+        (!bestSim.isNaN && !(sim < bestSim - q))
       if (canWin) {
         if (scale >= 0 && !sim.isNaN && !sim.isInfinite)
           sim = VectorKernels.roundAt(sim, scale)

@@ -294,7 +294,13 @@ object EmbeddingOps {
       // at the boundaries): smallest p with 2^p * target >= corpus
       var p = 0
       var cover = targetBucketRows
-      while (cover < corpusRows && p < 62) { cover = cover << 1; p += 1 }
+      // cover <= 0 detects Long overflow of the shift: conceptual
+      // cover is then >= 2^63 > any Long corpusRows — covered, stop
+      // (without it, corpora near Long.MaxValue would spin to the
+      // clamp and over-split by 2^10)
+      while (cover > 0 && cover < corpusRows && p < 62) {
+        cover = cover << 1; p += 1
+      }
       p
     }
   }

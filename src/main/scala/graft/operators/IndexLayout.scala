@@ -273,10 +273,19 @@ private[graft] object IndexLayout {
     else {
       // capture content + mtime of the lease we observed, so the
       // staleness judgment and the post-rename verification name ONE
-      // specific lease, not whatever sits at the path later
+      // specific lease, not whatever sits at the path later. ORDER
+      // MATTERS: content FIRST, mtime second. Read the other way, a
+      // cross-JVM break+acquire landing between the two reads pairs
+      // the NEW holder's content with the OLD lease's stale mtime —
+      // judged expired, and the post-rename verification then PASSES
+      // on the fresh lease we just yanked (its content is what we
+      // observed), destroying a live writer's lease. Content-first
+      // makes that pairing impossible: a swap between the reads can
+      // only produce old-content + fresh-mtime, which is judged live
+      // and respected.
       val observed = try {
-        val st = fs.getFileStatus(p)
-        Some((readSmall(spark, p), st.getModificationTime))
+        val c = readSmall(spark, p)
+        Some((c, fs.getFileStatus(p).getModificationTime))
       } catch { case _: java.io.FileNotFoundException => None }
       observed match {
         case None =>
@@ -378,9 +387,12 @@ private[graft] object IndexLayout {
           cancel(): Unit
         }
       } catch {
-        case _: java.io.IOException =>
-          // transient reads/refreshes may fail; persistent failure
-          // means the lease is expiring unobserved mid-mutation
+        // NonFatal, not just IOException: java.util.Timer KILLS its
+        // thread on an escaped unchecked exception — heartbeats would
+        // stop silently and the lease expire unobserved mid-mutation,
+        // the exact failure mode the heartbeat exists to surface.
+        // Transient failures of any kind route into the miss counter.
+        case scala.util.control.NonFatal(_) =>
           if (misses.incrementAndGet() >= 3) {
             lost.set(true)
             cancel(): Unit

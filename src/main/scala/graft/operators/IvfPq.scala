@@ -126,7 +126,17 @@ object IvfPq {
       .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
         Seq("pq_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    IvfPqIndex(cents, codebook, codes, m, k,
+    // the tuning is BUILD-scoped: rebind the index's outward frames to
+    // the CALLER's session, so writeIndex and every post-build action
+    // run under the caller's live conf (AQE state, shuffle width,
+    // writer confs set AFTER build), not the clone's frozen snapshot.
+    // The persisted frames keep hitting their cache entries — the
+    // CacheManager is per-SharedState, keyed on the canonicalized
+    // plan, which rebinding does not change.
+    def back(f: DataFrame): DataFrame =
+      if (tuned eq df) f
+      else org.apache.spark.sql.graft.SessionOps.rebind(f, df.sparkSession)
+    IvfPqIndex(back(cents), back(codebook), back(codes), m, k,
       handles = Seq(residuals, codes))
   }
 

@@ -298,25 +298,28 @@ object MultimodalOps {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(
           if (payload == null) Array.emptyByteArray else payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext,
-        "imageIoFrameSampler: payload is not a decodable animation")
-      val reader = readers.next()
+      // the stream closes on EVERY exit — including the undecodable-
+      // payload throw below, which fires once per corrupt blob and
+      // must not leak its stream (memory-cached today, but a file-
+      // cached stream SPI would leak a handle per bad payload)
       try {
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n > 0,
-          "imageIoFrameSampler: payload decodes to zero frames")
-        idxs.map { i =>
-          val img = reader.read(i % n)
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos): Unit
-          baos.toByteArray
-        }
-      } finally {
-        reader.dispose()
-        iis.close()
-      }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          "imageIoFrameSampler: payload is not a decodable animation")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          require(n > 0,
+            "imageIoFrameSampler: payload decodes to zero frames")
+          idxs.map { i =>
+            val img = reader.read(i % n)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos): Unit
+            baos.toByteArray
+          }
+        } finally reader.dispose()
+      } finally iis.close()
     }
   }
 
@@ -334,7 +337,18 @@ object MultimodalOps {
         val id = r.getLong(0)
         val dur = r.getLong(1)
         val payload = r.getAs[Array[Byte]](2)
-        val nFrames = (dur / everyMs).toInt + 1
+        // the sequence(0, dur, everyMs) form this replaced ERRORED on
+        // a negative duration (illegal decreasing sequence) and could
+        // never overflow Int (sequence caps its length) — preserve
+        // both loud behaviors instead of laundering corrupt metadata
+        // into a frame grid ((-1/everyMs).toInt + 1 would emit frame 0)
+        require(dur >= 0,
+          s"sampleFrames: negative duration_ms $dur for media $id")
+        val nf = dur / everyMs + 1
+        require(nf <= Int.MaxValue,
+          s"sampleFrames: duration_ms $dur at $everyMs ms/frame " +
+            s"yields $nf frames — past any plausible frame grid")
+        val nFrames = nf.toInt
         val idxs = Array.tabulate(nFrames)(identity)
         val frames = sampler(payload, idxs)
         idxs.iterator.map(i =>

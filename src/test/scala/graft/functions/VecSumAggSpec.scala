@@ -90,6 +90,23 @@ class VecSumAggSpec extends AnyFunSuite {
     assert(names(e), e.getMessage)
   }
 
+  test("an empty vector fails loudly in EITHER row order — as the " +
+      "FIRST row it would otherwise alias the zero buffer and make " +
+      "the mean silently wrong (sum skips it, count(v) counts it)") {
+    for (rows <- Seq(
+        Seq((0, Seq.empty[Double]), (0, Seq(1.0, 2.0))),
+        Seq((0, Seq(1.0, 2.0)), (0, Seq.empty[Double])))) {
+      val df = rows.toDF("g", "v").coalesce(1)
+      val e = intercept[Exception] {
+        df.groupBy(col("g")).agg(VecSumAgg.vec_sum(col("v"))).collect()
+      }
+      def names(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("vec_sum: empty vector"))
+          || names(t.getCause))
+      assert(names(e), s"order $rows: ${e.getMessage}")
+    }
+  }
+
   test("an all-null group sums to null, so the trainers' coalesce " +
       "keeps the previous centroid (the empty-cell contract)") {
     val allNull = Seq((0, Option.empty[Seq[Double]]),

@@ -244,6 +244,11 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     }
     // the Long sign-bitmask clamp
     assert(planesFor(Long.MaxValue, 1) == 62)
+    // shift overflow stops the loop (conceptual cover >= 2^63 covers
+    // any Long corpus): 2000·2^52 < Long.MaxValue <= 2000·2^53, so
+    // the exact ceil(log2) is 53 — not a spin to the 62 clamp
+    assert(planesFor(Long.MaxValue, 2000) == 53,
+      planesFor(Long.MaxValue, 2000).toString)
     // and the recommendation is SAFE to follow on a new path: at the
     // recommended planes the cosine-1.0 duplicate class still rejects
     // identically to the exact sweep (identical sign projections

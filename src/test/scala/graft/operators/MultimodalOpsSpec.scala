@@ -201,6 +201,22 @@ class MultimodalOpsSpec extends AnyFunSuite {
       grid(MultimodalOps.stubFrameSampler))
   }
 
+  test("a negative duration_ms fails loudly naming the media id — the " +
+      "sequence() form this replaced errored on a decreasing sequence, " +
+      "and corrupt metadata must not launder into a frame grid") {
+    val bad = Seq((7L, "video", -1L, Array[Byte](0)))
+      .toDF("media_id", "kind", "duration_ms", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.sampleFrames(bad, everyMs = 5000,
+        sampler = MultimodalOps.stubFrameSampler).collect()
+    }
+    def names(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m =>
+        m.contains("negative duration_ms") && m.contains("media 7"))
+        || names(t.getCause))
+    assert(names(e), e.getMessage)
+  }
+
   test("imageIoFrameSampler: a corrupt or frameless payload fails " +
       "loudly naming the defect") {
     val bad = Seq((9L, "video", 10000L, Array[Byte](1, 2, 3, 4)))
