@@ -1238,6 +1238,104 @@ object DevProfile {
         m = 32, k = 64, coarseIters = 3, pqIters = 3, portable = true)
       println("CODES=" + idx.codes.count())
       idx.release()
+    } else if (name == "trainscale") {
+      // IVF-PQ training cost vs corpus size: the VecSumAgg update step
+      // must scale with ROWS (one buffer fold per vector), not rows×d
+      // (the posexplode form it replaced) — this is the 100 TB claim
+      // behind the r12 trainer change, measured. Replicated embeddings
+      // with jittered values keep the geometry honest (pure copies
+      // would collapse every replica onto one codeword).
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExprs.register(spark)
+      val factor = math.max(1, reps)
+      val root = java.nio.file.Files
+        .createTempDirectory("trainscale").toString
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(factor.toLong - 1))).as("_rep"))
+        .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x AS DOUBLE) + CAST(pmod(_rep * 7 + i * 13, 17) AS " +
+            "DOUBLE) / 100.0)").as("e"))
+        .select(col("vec_id"),
+          expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
+            "(a, y) -> a + y * y)))").as("v"))
+        .coalesce(32).write.parquet(s"$root/emb")
+      val emb = spark.read.parquet(s"$root/emb")
+      println(s"corpus: ${emb.count()} vectors (factor $factor)")
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val cents = operators.IvfAnn
+          .trainCentroids(emb, 8, 3, portable = true)
+        val t1 = System.nanoTime()
+        val residuals = operators.IvfAnn
+          .assignCells(emb, cents, portable = true)
+          .join(broadcast(cents.withColumnRenamed("cid", "cell")),
+            Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+          .persist()
+        residuals.count()
+        val t2 = System.nanoTime()
+        operators.ProductQuantizer
+          .train(residuals, "vec_id", "r", 32, 64, 3, portable = true)
+        val t3 = System.nanoTime()
+        residuals.unpersist(): Unit
+        println(f"r$r coarse(3it)=${(t1 - t0) / 1e9}%.2f s " +
+          f"residuals=${(t2 - t1) / 1e9}%.2f s " +
+          f"pq(3it)=${(t3 - t2) / 1e9}%.2f s")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
+    } else if (name == "pqprof") {
+      // decompose one PQ-training iteration at a replicated corpus:
+      // where does the update pass spend — the assignment kernel, the
+      // vec_sum aggregation, or elsewhere?
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExprs.register(spark)
+      val factor = math.max(1, reps)
+      val root = java.nio.file.Files
+        .createTempDirectory("pqprof").toString
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(factor.toLong - 1))).as("_rep"))
+        .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x AS DOUBLE) + CAST(pmod(_rep * 7 + i * 13, 17) AS " +
+            "DOUBLE) / 100.0)").as("e"))
+        .select(col("vec_id"),
+          expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
+            "(a, y) -> a + y * y)))").as("v"))
+        .coalesce(32).write.parquet(s"$root/emb")
+      val emb0 = spark.read.parquet(s"$root/emb")
+      val emb = if (sys.env.contains("PQPROF_SPREAD"))
+        emb0.repartition(32) else emb0
+      println(s"corpus: ${emb.count()} vectors (factor $factor), " +
+        s"input partitions ${emb.rdd.getNumPartitions}")
+      val sv = operators.ProductQuantizer.subvectors(emb, "vec_id", "v", 32)
+      val cb = graft.operators.ScaleUtils.materializeLocal(
+        operators.ProductQuantizer.initCodebook(sv, 64))
+      for (r <- 1 to 2) {
+        var t0 = System.nanoTime()
+        sv.count()
+        println(f"r$r subvectors: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+        val assigned = operators.ProductQuantizer.assignCodes(sv, cb)
+        assigned.select(max(col("code"))).collect()
+        println(f"r$r assign+max: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+        assigned.groupBy(col("sub"), col("code"))
+          .agg(count(lit(1)).as("n")).collect()
+        println(f"r$r assign+count-agg: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+        assigned.groupBy(col("sub"), col("code"))
+          .agg(graft.functions.VecSumAgg.vec_sum(
+              col("sv").cast("array<double>")).as("s"),
+            count(col("sv")).as("n")).collect()
+        println(f"r$r assign+vec_sum-agg: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
     } else if (name == "x34train") {
       // phase breakdown of the x34 one-time build: where does the
       // cold-training wall time actually go?

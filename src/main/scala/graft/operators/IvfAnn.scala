@@ -153,9 +153,13 @@ object IvfAnn {
     * round, and the returned relation is driver-local — consumers
     * (broadcast joins, driver-side cell ranking) read it for free with
     * NO persist to leak in the session CacheManager. */
-  def trainCentroids(emb: DataFrame, k: Int = K, iters: Int = 5,
+  def trainCentroids(emb0: DataFrame, k: Int = K, iters: Int = 5,
       portable: Boolean = false): DataFrame = {
-    graft.functions.VectorExprs.register(emb.sparkSession)
+    graft.functions.VectorExprs.register(emb0.sparkSession)
+    // iterated map-side passes need input-side parallelism
+    // ([[ScaleUtils.spreadForCompute]] doc; no-op for tiny and for
+    // corpus-scale inputs)
+    val emb = ScaleUtils.spreadForCompute(emb0)
     // portable = ORACLE-REPLAYABLE training: every decision the loop
     // makes quantizes to 6 decimals first — assignments argmax on
     // round(cosine, 6) (tie → min cid) and centroid updates store

@@ -104,8 +104,31 @@ object IvfPq {
         } catch { case scala.util.control.NonFatal(_) => df }
       } else df
     }
-    val emb = tuned.select(col(idCol).cast("long").as("vec_id"),
+    val embNarrow = tuned.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("v"))
+    // Training is ~6 iterated MAP-SIDE passes (cell/code assignment +
+    // partial sums) that inherit the INPUT partitioning: a mid-size
+    // corpus in one split would run every kernel pass serially however
+    // many cores sit idle (measured: 64k vectors in 1-2 natural splits
+    // = 6.6 s/assignment pass; spread to 32 = 1.1 s — DevProfile
+    // pqprof). Spread ONCE up front, gated the repo's usual way: tiny
+    // inputs (< ~4 MB, e.g. the x34 gate corpus) keep their natural
+    // partitioning (the shuffle would cost more than it parallelizes),
+    // and a corpus-scale input already has more splits than cores so
+    // the condition never fires. Decisions are unchanged — the spread
+    // only regroups partial sums, which portable round-6 absorbs (the
+    // VecSumAgg envelope; x34/x15/x12 oracles re-verified).
+    val emb = {
+      val bytes = try
+        org.apache.spark.sql.graft.SessionOps.estimatedBytes(embNarrow)
+      catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+      val cores = embNarrow.sparkSession.sparkContext.defaultParallelism
+      val parts = try embNarrow.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => cores }
+      if (bytes >= 4L * 1024 * 1024 && parts < cores)
+        embNarrow.repartition(cores)
+      else embNarrow
+    }
     emb.select(size(col("v")).as("d")).limit(1).collect().foreach { r =>
       require(r.getInt(0) % m == 0,
         s"embedding dim ${r.getInt(0)} must be divisible by m=$m — " +

@@ -119,8 +119,12 @@ object ProductQuantizer {
     * it driver-local ([[ScaleUtils.materializeLocal]]): one corpus pass
     * per iteration, constant plan depth, and a driver-local return that
     * needs no persist (nothing left in the session CacheManager). */
-  def train(emb: DataFrame, idCol: String, vecCol: String, m: Int = M,
+  def train(emb0: DataFrame, idCol: String, vecCol: String, m: Int = M,
       k: Int = K, iters: Int = 3, portable: Boolean = false): DataFrame = {
+    // iterated map-side passes need input-side parallelism
+    // ([[ScaleUtils.spreadForCompute]] doc; no-op for tiny and for
+    // corpus-scale inputs)
+    val emb = ScaleUtils.spreadForCompute(emb0)
     // portable = oracle-replayable codebooks: the assignment argmin
     // already decides on round-6 distances ([[l2sq]]), so quantizing
     // the UPDATE too (codewords store round(avg, 6)) makes the whole

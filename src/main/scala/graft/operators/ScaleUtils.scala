@@ -110,4 +110,28 @@ object ScaleUtils {
     val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
     df.sparkSession.createDataFrame(rows, df.schema)
   }
+
+  /** Spread a frame that ITERATED map-side passes will re-scan (the
+    * k-means trainers: each iteration's assignment kernel + partial
+    * sums inherit the INPUT partitioning, so a mid-size corpus sitting
+    * in one natural split trains serially however many cores sit idle
+    * — measured 6× on a 64k-vector corpus, DevProfile pqprof). Gated
+    * both ways, the repo's small-input convention: below `minBytes`
+    * the one-off shuffle costs more than it parallelizes (the x34 gate
+    * corpus stays untouched), and a corpus-scale input already carries
+    * more splits than cores so the condition never fires — at 100 TB
+    * this is a no-op by construction. Regrouping rows only reorders
+    * partial-sum folding, which the trainers' portable round-6
+    * quantization absorbs (the [[graft.functions.VecSumAgg]] envelope;
+    * all downstream oracles re-verified). */
+  def spreadForCompute(df: DataFrame,
+      minBytes: Long = 4L * 1024 * 1024): DataFrame = {
+    val bytes = try
+      org.apache.spark.sql.graft.SessionOps.estimatedBytes(df)
+    catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = try df.rdd.getNumPartitions
+    catch { case scala.util.control.NonFatal(_) => cores }
+    if (bytes >= minBytes && parts < cores) df.repartition(cores) else df
+  }
 }
