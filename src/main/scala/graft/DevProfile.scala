@@ -496,7 +496,7 @@ object DevProfile {
           explode(sequence(lit(0L), lit(reps.toLong - 1))).as("_rep"))
         .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
           col("embedding"))
-        .coalesce(32).write.parquet(s"$root/ex")
+        .repartition(32).write.parquet(s"$root/ex")
       val ex = spark.read.parquet(s"$root/ex")
       // batch: 1/5 re-crawled copies (must reject) + 1/5 negated
       // (cosine −1 against everything — must admit)
@@ -1260,7 +1260,7 @@ object DevProfile {
         .select(col("vec_id"),
           expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
             "(a, y) -> a + y * y)))").as("v"))
-        .coalesce(32).write.parquet(s"$root/emb")
+        .repartition(32).write.parquet(s"$root/emb")
       val emb = spark.read.parquet(s"$root/emb")
       println(s"corpus: ${emb.count()} vectors (factor $factor)")
       for (r <- 1 to 2) {
@@ -1306,7 +1306,7 @@ object DevProfile {
         .select(col("vec_id"),
           expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
             "(a, y) -> a + y * y)))").as("v"))
-        .coalesce(32).write.parquet(s"$root/emb")
+        .repartition(32).write.parquet(s"$root/emb")
       val emb0 = spark.read.parquet(s"$root/emb")
       val emb = if (sys.env.contains("PQPROF_SPREAD"))
         emb0.repartition(32) else emb0

@@ -19,6 +19,12 @@ object SessionOps {
       session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.logical)
 
+  /** Column ⇄ Expression bridges (`ExpressionUtils` is private[sql]). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Catalyst's size estimate for `df`'s optimized plan (bytes;
     * file-size-derived for source-backed plans, `Long.MaxValue`-ish
     * when unknown — callers treat "unknown" as "large"). */

@@ -54,9 +54,37 @@ class VecSumAggSpec extends AnyFunSuite {
   private def collectMeans(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
 
+  /** The typed-Aggregator REFERENCE form ([[VecSumAgg]] the class). */
+  private def refMeans(portable: Boolean) = {
+    def mean(s: org.apache.spark.sql.Column) =
+      if (portable) round(s / col("_n"), 6) else s / col("_n")
+    grouped
+      .groupBy(col("g"))
+      .agg(VecSumAgg.vec_sum_ref(col("v")).as("_s"), count(col("v")).as("_n"))
+      .select(col("g"), transform(col("_s"), s => mean(s)).as("nv"))
+  }
+
   test("portable (round-6) means are BIT-IDENTICAL to the posexplode " +
       "form — the quantization the x34 oracle replays") {
     assert(collectMeans(newMeans(true)) == collectMeans(oldMeans(true)))
+  }
+
+  test("the primitive TypedImperativeAggregate behind vec_sum equals " +
+      "the typed-Aggregator reference bit-for-bit, raw and portable") {
+    assert(collectMeans(newMeans(true)) == collectMeans(refMeans(true)))
+    val n = collectMeans(newMeans(false))
+    val r = collectMeans(refMeans(false))
+    assert(n.keySet == r.keySet)
+    // identical fold semantics, but partial-buffer boundaries may
+    // differ between the two physical agg modes — same multiset, so
+    // raw sums agree to accumulated ulps (and the portable round-6
+    // decision above is exactly equal)
+    n.foreach { case (g, nv) =>
+      nv.zip(r(g)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= math.max(math.abs(a), 1.0) * 1e-12,
+          s"g=$g: $a vs $b")
+      }
+    }
   }
 
   test("raw means agree to last-ulp (same multiset, different " +
