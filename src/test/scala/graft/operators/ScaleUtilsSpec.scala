@@ -29,6 +29,29 @@ class ScaleUtilsSpec extends AnyFunSuite {
     assert(plan.contains("LocalRelation"), plan)
   }
 
+  test("spreadForCompute: tiny inputs come back UNTOUCHED (the same " +
+      "frame), a narrow mid-size input spreads to defaultParallelism " +
+      "with the row multiset intact, and an already-wide input no-ops") {
+    val s = spark
+    import s.implicits._
+    // tiny (< 4 MB estimated): identical reference — zero plan change
+    val tiny = (1 to 100).map(i => (i.toLong, i.toString)).toDF("a", "b")
+    assert(ScaleUtils.spreadForCompute(tiny) eq tiny)
+    // mid-size and narrow: range stats are 8 B/row, 1M rows = 8 MB,
+    // forced into ONE slice — must spread to defaultParallelism
+    val narrow = s.range(0L, 1000000L, 1L, 1).toDF("id")
+    val spreaded = ScaleUtils.spreadForCompute(narrow)
+    assert(spreaded.rdd.getNumPartitions ==
+      s.sparkContext.defaultParallelism,
+      spreaded.rdd.getNumPartitions.toString)
+    assert(spreaded.agg(sum(col("id"))).head().getLong(0) ==
+      999999L * 1000000L / 2)
+    // already as wide as the core count: untouched
+    val wide = s.range(0L, 1000000L, 1L,
+      s.sparkContext.defaultParallelism).toDF("id")
+    assert(ScaleUtils.spreadForCompute(wide) eq wide)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     // suites share one JVM session: drop catalog entries AND their
