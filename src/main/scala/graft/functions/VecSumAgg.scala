@@ -127,12 +127,19 @@ case class VecSumAggExpr(
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(DoubleType, _) =>
+      // array<float> upcasts element-wise, exactly as the udaf form's
+      // Seq[Double] encoder did — callers need not pre-cast
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"vec_sum expects array<double>, got ${other.simpleString}")
+          s"vec_sum expects array<float|double>, got ${other.simpleString}")
     }
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def createAggregationBuffer(): Array[Double] =
     Array.emptyDoubleArray
@@ -152,7 +159,8 @@ case class VecSumAggExpr(
         while (i < n) {
           if (a.isNullAt(i)) throw new IllegalArgumentException(
             s"vec_sum: null element at dim $i")
-          r(i) = a.getDouble(i); i += 1
+          r(i) = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          i += 1
         }
         r
       } else {
@@ -164,7 +172,8 @@ case class VecSumAggExpr(
         while (i < n) {
           if (a.isNullAt(i)) throw new IllegalArgumentException(
             s"vec_sum: null element at dim $i")
-          b(i) += a.getDouble(i); i += 1
+          b(i) += (if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i))
+          i += 1
         }
         b
       }

@@ -158,8 +158,21 @@ object IvfAnn {
     graft.functions.VectorExprs.register(emb0.sparkSession)
     // iterated map-side passes need input-side parallelism
     // ([[ScaleUtils.spreadForCompute]] doc; no-op for tiny and for
-    // corpus-scale inputs)
-    val emb = ScaleUtils.spreadForCompute(emb0)
+    // corpus-scale inputs). The spread is lazy, so PIN it for the
+    // loop's iters+1 actions and release on exit — otherwise every
+    // iteration re-runs the shuffle.
+    val emb = {
+      val s = ScaleUtils.spreadForCompute(emb0)
+      if (s ne emb0)
+        s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s
+    }
+    try trainCentroidsOn(emb, k, iters, portable)
+    finally { if (emb ne emb0) emb.unpersist(): Unit }
+  }
+
+  private def trainCentroidsOn(emb: DataFrame, k: Int, iters: Int,
+      portable: Boolean): DataFrame = {
     // portable = ORACLE-REPLAYABLE training: every decision the loop
     // makes quantizes to 6 decimals first — assignments argmax on
     // round(cosine, 6) (tie → min cid) and centroid updates store

@@ -111,25 +111,24 @@ object IvfPq {
     // corpus in one split would run every kernel pass serially however
     // many cores sit idle (measured: 64k vectors in 1-2 natural splits
     // = 6.6 s/assignment pass; spread to 32 = 1.1 s — DevProfile
-    // pqprof). Spread ONCE up front, gated the repo's usual way: tiny
-    // inputs (< ~4 MB, e.g. the x34 gate corpus) keep their natural
-    // partitioning (the shuffle would cost more than it parallelizes),
-    // and a corpus-scale input already has more splits than cores so
-    // the condition never fires. Decisions are unchanged — the spread
-    // only regroups partial sums, which portable round-6 absorbs (the
-    // VecSumAgg envelope; x34/x15/x12 oracles re-verified).
+    // pqprof). [[graft.operators.ScaleUtils.spreadForCompute]] has the
+    // gating rationale (tiny and corpus-scale inputs untouched);
+    // decisions are unchanged — the spread only regroups partial sums,
+    // which portable round-6 absorbs (the VecSumAgg envelope;
+    // x34/x15/x12 oracles re-verified). The lazy spread is PINNED for
+    // the whole build (dim probe, coarse loop, residuals) and released
+    // once the persisted residuals take over as the working set.
     val emb = {
-      val bytes = try
-        org.apache.spark.sql.graft.SessionOps.estimatedBytes(embNarrow)
-      catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
-      val cores = embNarrow.sparkSession.sparkContext.defaultParallelism
-      val parts = try embNarrow.rdd.getNumPartitions
-      catch { case scala.util.control.NonFatal(_) => cores }
-      if (bytes >= 4L * 1024 * 1024 && parts < cores)
-        embNarrow.repartition(cores)
-      else embNarrow
+      val s = graft.operators.ScaleUtils.spreadForCompute(embNarrow)
+      if (s ne embNarrow)
+        s.persist(StorageLevel.MEMORY_AND_DISK)
+      else s
     }
-    emb.select(size(col("v")).as("d")).limit(1).collect().foreach { r =>
+    // probe ONE row's dim on the PRE-spread frame: above the lazy
+    // repartition, limit(1) cannot push past the shuffle (no
+    // LimitPushDown case for Repartition) and would materialize the
+    // full map stage to read one vector
+    embNarrow.select(size(col("v")).as("d")).limit(1).collect().foreach { r =>
       require(r.getInt(0) % m == 0,
         s"embedding dim ${r.getInt(0)} must be divisible by m=$m — " +
           "trailing dims would be silently dropped")
@@ -145,6 +144,10 @@ object IvfPq {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val codebook = ProductQuantizer
       .train(residuals, "vec_id", "r", m, k, pqIters, portable)
+    // PQ training's first action materialized the persisted residuals;
+    // everything downstream (encode, the cell join) reads that cache,
+    // so the pinned spread input can go
+    if (emb ne embNarrow) emb.unpersist(): Unit
     val codes = ProductQuantizer.encode(residuals, "vec_id", "r", codebook, m)
       .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
         Seq("pq_id"))

@@ -123,8 +123,20 @@ object ProductQuantizer {
       k: Int = K, iters: Int = 3, portable: Boolean = false): DataFrame = {
     // iterated map-side passes need input-side parallelism
     // ([[ScaleUtils.spreadForCompute]] doc; no-op for tiny and for
-    // corpus-scale inputs)
-    val emb = ScaleUtils.spreadForCompute(emb0)
+    // corpus-scale inputs). Lazy spread → PIN it across the loop's
+    // iters+1 actions, release on exit (trainCentroids convention).
+    val emb = {
+      val s = ScaleUtils.spreadForCompute(emb0)
+      if (s ne emb0)
+        s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s
+    }
+    try trainOn(emb, idCol, vecCol, m, k, iters, portable)
+    finally { if (emb ne emb0) emb.unpersist(): Unit }
+  }
+
+  private def trainOn(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, portable: Boolean): DataFrame = {
     // portable = oracle-replayable codebooks: the assignment argmin
     // already decides on round-6 distances ([[l2sq]]), so quantizing
     // the UPDATE too (codewords store round(avg, 6)) makes the whole

@@ -117,21 +117,34 @@ object ScaleUtils {
     * in one natural split trains serially however many cores sit idle
     * — measured 6× on a 64k-vector corpus, DevProfile pqprof). Gated
     * both ways, the repo's small-input convention: below `minBytes`
-    * the one-off shuffle costs more than it parallelizes (the x34 gate
-    * corpus stays untouched), and a corpus-scale input already carries
-    * more splits than cores so the condition never fires — at 100 TB
-    * this is a no-op by construction. Regrouping rows only reorders
+    * the shuffle costs more than it parallelizes (the x34 gate corpus
+    * stays untouched), and a corpus-scale input already carries more
+    * splits than cores so the condition never fires — at 100 TB this
+    * is a no-op by construction. Regrouping rows only reorders
     * partial-sum folding, which the trainers' portable round-6
     * quantization absorbs (the [[graft.functions.VecSumAgg]] envelope;
-    * all downstream oracles re-verified). */
+    * all downstream oracles re-verified).
+    *
+    * The repartition is LAZY — each ACTION on the result re-runs it —
+    * so callers driving several actions must persist the result while
+    * they iterate ([[graft.operators.IvfAnn.trainCentroids]] /
+    * [[ProductQuantizer.train]] do: persist when `ne` the input,
+    * unpersist on exit). The size gate is evaluated FIRST so a
+    * disqualified frame is returned without touching `.rdd` (under
+    * AQE, `Dataset.rdd` materializes upstream query stages as a side
+    * effect — only frames that already passed the size gate pay that
+    * probe, and their persist makes it the one-time cost it reads as). */
   def spreadForCompute(df: DataFrame,
       minBytes: Long = 4L * 1024 * 1024): DataFrame = {
     val bytes = try
       org.apache.spark.sql.graft.SessionOps.estimatedBytes(df)
     catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    val parts = try df.rdd.getNumPartitions
-    catch { case scala.util.control.NonFatal(_) => cores }
-    if (bytes >= minBytes && parts < cores) df.repartition(cores) else df
+    if (bytes < minBytes) df
+    else {
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      val parts = try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => cores }
+      if (parts < cores) df.repartition(cores) else df
+    }
   }
 }

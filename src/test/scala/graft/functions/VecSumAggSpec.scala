@@ -118,6 +118,19 @@ class VecSumAggSpec extends AnyFunSuite {
     assert(names(e), e.getMessage)
   }
 
+  test("an un-cast array<float> column aggregates with element-wise " +
+      "upcast, identical to the explicit cast (the udaf form's " +
+      "encoder behavior — callers need not pre-cast)") {
+    val f = Seq((0, Seq(1.5f, 2.5f)), (0, Seq(0.25f, 0.75f)))
+      .toDF("g", "v")
+    def sums(c: org.apache.spark.sql.Column) =
+      f.groupBy(col("g")).agg(VecSumAgg.vec_sum(c).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val bare = sums(col("v"))
+    val cast = sums(col("v").cast("array<double>"))
+    assert(bare == cast && bare(0) == Seq(1.75, 3.25), bare.toString)
+  }
+
   test("an empty vector fails loudly in EITHER row order — as the " +
       "FIRST row it would otherwise alias the zero buffer and make " +
       "the mean silently wrong (sum skips it, count(v) counts it)") {
