@@ -12,8 +12,13 @@ object DevProfile {
     // parse it as the rep count when it actually is a number
     val reps = if (args.length > 2 && args(2).forall(_.isDigit))
       args(2).toInt else 3
+    // local[k] runs with spark.task.maxFailures = 1: a single task failure
+    // kills the job, so nothing in the default sessions ever exercises the
+    // retry path that is ROUTINE on a real cluster. The fault-injection
+    // mode opts into local[8,3] (up to 2 retries per task) — everything
+    // else keeps the bench-identical local[32].
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(if (name == "faultinject") "local[8,3]" else "local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -1412,6 +1417,148 @@ object DevProfile {
         })
         idx.release()
       }
+    } else if (name == "faultinject") {
+      // Task-retry exactness: on a 1000-executor cluster task failures are
+      // routine (preemption, bad hosts, fetch failures) and Spark's answer
+      // is re-running the failed attempt. Every operator therefore has to
+      // be exact UNDER retries: a retried map task must not double-emit
+      // into a sink, a retried shuffle task must not shift an aggregate,
+      // a retried write task's partial file must be discarded by the
+      // committer. local[k] never retries (maxFailures=1), so the bench
+      // and the oracle gate cannot see a violation — this mode runs under
+      // local[8,3] and injects one deliberate attempt-0 task failure into
+      // a chosen partition of each operator's input, then asserts the
+      // result is IDENTICAL to the clean run. Driven cross-JVM by
+      // FaultToleranceSpec; prints one PASS/FAIL line per check.
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.TaskContext
+      val failedTasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.reason != org.apache.spark.Success) {
+              failedTasks.incrementAndGet(); ()
+            }
+        })
+      // Identity over the id column that kills row 7 of partition 3 on
+      // attempt 0 of every stage that evaluates it; the retried attempt
+      // (attemptNumber >= 1) passes every row. Keyed by taskAttemptId
+      // (globally unique) so re-used executor threads can't cross-count;
+      // nondeterministic so Catalyst cannot duplicate it or push it
+      // through the repartition exchange that gives the input its 8
+      // deterministic hash partitions.
+      val injector = udf { (id: Long) =>
+        val tc = TaskContext.get()
+        if (tc != null && tc.partitionId() == 3 && tc.attemptNumber() == 0) {
+          val n = InjectState.rows.merge(tc.taskAttemptId(), 1L, _ + _)
+          if (n == 7L) throw new RuntimeException(
+            s"graft-injected task failure stage=${tc.stageId()} part=3 attempt=0")
+        }
+        id
+      }.asNondeterministic()
+      def flaky(df: DataFrame, idCol: String): DataFrame =
+        df.repartition(8, col(idCol))
+          .withColumn(idCol, injector(col(idCol)))
+      def clean(df: DataFrame, idCol: String): DataFrame =
+        df.repartition(8, col(idCol))
+      var failures = 0
+      def check(label: String)(cond: => Boolean): Unit = {
+        val before = failedTasks.get()
+        val outcome = try Some(cond) catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"FAULTINJECT $label: FAIL (threw ${e.getMessage})")
+            None
+        }
+        outcome match {
+          case None => failures += 1
+          case Some(false) =>
+            println(s"FAULTINJECT $label: FAIL (result diverged)")
+            failures += 1
+          case Some(true) =>
+            Thread.sleep(300) // listener bus drains async
+            val injected = failedTasks.get() - before
+            if (injected <= 0) {
+              // a vacuous pass (injection never fired) is a FAIL: the
+              // check proved nothing about the retry path
+              println(s"FAULTINJECT $label: FAIL (no task failure injected)")
+              failures += 1
+            } else println(s"FAULTINJECT $label: PASS (retried $injected)")
+        }
+      }
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "source")
+      val tmp = java.nio.file.Files.createTempDirectory("faultinject").toString
+
+      check("sink-exactly-once") {
+        // write-task retry: the committer must discard attempt 0's file
+        clean(docs, "doc_id").write.parquet(s"$tmp/sink_clean")
+        flaky(docs, "doc_id").write.parquet(s"$tmp/sink_flaky")
+        val a = spark.read.parquet(s"$tmp/sink_clean")
+          .orderBy("doc_id").collect().toSeq
+        val b = spark.read.parquet(s"$tmp/sink_flaky")
+          .orderBy("doc_id").collect().toSeq
+        a == b && a.size == 500
+      }
+
+      check("shuffle-agg-dedup") {
+        // retried map task upstream of the dedup shuffle
+        val a = operators.CorpusOps
+          .exactDeduplicate(clean(docs, "doc_id"), "doc_id", "text")
+          .orderBy("doc_id").collect().toSeq
+        val b = operators.CorpusOps
+          .exactDeduplicate(flaky(docs, "doc_id"), "doc_id", "text")
+          .orderBy("doc_id").collect().toSeq
+        a == b && a.nonEmpty
+      }
+
+      check("minhash-candidates") {
+        // banded LSH pair generation: a retried signature task must not
+        // shift any band hash
+        val a = operators.CorpusOps
+          .candidatePairs(clean(docs, "doc_id"), "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val b = operators.CorpusOps
+          .candidatePairs(flaky(docs, "doc_id"), "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        a == b && a.nonEmpty
+      }
+
+      check("index-build-append-compact") {
+        // the full lease-guarded index lifecycle with failures injected
+        // into BOTH the initial build's corpus scan and the appended
+        // batch: probes over the two indexes must rank bit-for-bit
+        val base = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        operators.RetrievalOps.indexCorpus(
+          clean(base, "doc_id"), "doc_id", "text", s"$tmp/idx_clean")
+        operators.RetrievalOps.appendToPostings(
+          clean(batch, "doc_id"), "doc_id", "text", s"$tmp/idx_clean",
+          batchId = Some(1L))
+        operators.RetrievalOps.compactInPlace(spark, s"$tmp/idx_clean")
+        operators.RetrievalOps.indexCorpus(
+          flaky(base, "doc_id"), "doc_id", "text", s"$tmp/idx_flaky")
+        operators.RetrievalOps.appendToPostings(
+          flaky(batch, "doc_id"), "doc_id", "text", s"$tmp/idx_flaky",
+          batchId = Some(1L))
+        operators.RetrievalOps.compactInPlace(spark, s"$tmp/idx_flaky")
+        Seq(Seq("window", "join"), Seq("scan", "filter"), Seq("hash"))
+          .forall { terms =>
+            val a = operators.RetrievalOps.bm25TopKIndexed(
+              spark, s"$tmp/idx_clean", terms, k = 20)
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+            val b = operators.RetrievalOps.bm25TopKIndexed(
+              spark, s"$tmp/idx_flaky", terms, k = 20)
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+            a == b && a.nonEmpty
+          }
+      }
+
+      org.apache.hadoop.fs.FileUtil
+        .fullyDelete(new java.io.File(tmp)): Unit
+      println(s"FAULTINJECT total failures: $failures")
+      if (failures > 0) { spark.stop(); sys.exit(1) }
     } else {
       val fn = SparkEntry.queries(name)
       for (i <- 1 to reps) {
@@ -1421,5 +1568,13 @@ object DevProfile {
       }
     }
     spark.stop()
+  }
+
+  /** Executor-side row counters for the fault injector (local mode: the
+    * singleton is shared with executor threads). Keyed by taskAttemptId so
+    * a re-used thread or a deserialized closure copy can never cross-count
+    * another attempt's rows. */
+  private[graft] object InjectState {
+    val rows = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
   }
 }

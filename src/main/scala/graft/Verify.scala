@@ -11,7 +11,7 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val nameFilter = if (args.length > 2) Some(args(2).r) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +19,19 @@ object Verify {
       // 123 queries generate >100 distinct codegen classes — keep the
       // codegen cache from cycling (static conf; Bench.scala doc)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra/overriding session confs, applied
+    // last. Unset for driver runs (behavior unchanged); the invariance
+    // sweep (tools/check_invariance.py) uses it to re-dump every gate
+    // under adversarial partitioning (narrow shuffles, tiny input splits,
+    // AQE off) and diff against the default-config dump: a gate whose
+    // result depends on partition count or fold order diverges here
+    // before it diverges on a 1000-executor cluster.
+    val spark = sys.env.get("SPARK_GRAFT_CONF").fold(builder) { s =>
+      s.split(';').filter(_.contains("=")).foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Partitioning-invariance sweep: dump every gate via Verify under three
+# session configs and diff the parquet dumps exactly (row order included).
+#   A: the default correctness config (8 threads, shuffle=8)
+#   B: adversarial partitioning — 3-wide shuffles, 64 KB input splits,
+#      AQE off (different fold trees, different split boundaries)
+#   C: broadcast joins disabled + 48-wide shuffles + AQE on (different
+#      physical join strategies and runtime coalescing)
+# Each run gets its OWN graft.index.workDir so persisted index snapshots
+# are rebuilt under that run's config instead of reused across configs.
+# Usage: tools/run_invariance.sh [sfdir]   (default /root/testdata/sf0.01)
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+OUT=${INV_OUT:-/tmp/invariance}
+rm -rf "$OUT"; mkdir -p "$OUT"
+
+run() { # name extra-conf
+  local wd="$OUT/wd_$1"
+  mkdir -p "$wd"
+  SPARK_GRAFT_CPUS=8 \
+  SPARK_GRAFT_CONF="graft.index.workDir=file://$wd${2:+;$2}" \
+    sbt -batch "runMain graft.Verify $SF $OUT/$1" 2>&1 \
+    | grep -E "\[verify\]|error" || true
+}
+
+run a ""
+run b "spark.sql.shuffle.partitions=3;spark.sql.files.maxPartitionBytes=65536;spark.sql.files.openCostInBytes=0;spark.sql.adaptive.enabled=false"
+run c "spark.sql.shuffle.partitions=48;spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.adaptive.autoBroadcastJoinThreshold=-1;spark.sql.adaptive.enabled=true"
+
+echo "=== A vs B (narrow shuffles, tiny splits, no AQE) ==="
+python tools/check_invariance.py "$OUT/a" "$OUT/b"
+echo "=== A vs C (no broadcast, wide shuffles, AQE) ==="
+python tools/check_invariance.py "$OUT/a" "$OUT/c"
