@@ -1442,8 +1442,10 @@ object DevProfile {
               failedTasks.incrementAndGet(); ()
             }
         })
-      // Identity over the id column that kills row 7 of partition 3 on
-      // attempt 0 of every stage that evaluates it; the retried attempt
+      // Identity over the id column that kills row 2 of partition 3 on
+      // attempt 0 of every stage that evaluates it (row 2, not later: a
+      // streaming micro-batch hash-partitioned 8 ways may only put a
+      // handful of rows in the chosen partition); the retried attempt
       // (attemptNumber >= 1) passes every row. Keyed by taskAttemptId
       // (globally unique) so re-used executor threads can't cross-count;
       // nondeterministic so Catalyst cannot duplicate it or push it
@@ -1453,7 +1455,7 @@ object DevProfile {
         val tc = TaskContext.get()
         if (tc != null && tc.partitionId() == 3 && tc.attemptNumber() == 0) {
           val n = InjectState.rows.merge(tc.taskAttemptId(), 1L, _ + _)
-          if (n == 7L) throw new RuntimeException(
+          if (n == 2L) throw new RuntimeException(
             s"graft-injected task failure stage=${tc.stageId()} part=3 attempt=0")
         }
         id
@@ -1553,6 +1555,51 @@ object DevProfile {
               .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
             a == b && a.nonEmpty
           }
+      }
+
+      check("streaming-admit-loop") {
+        // a retried task INSIDE a foreachBatch micro-batch, composed with
+        // the loop's own replay/lease/compaction machinery (compactEvery=1
+        // folds after every commit): the admitted end state must equal the
+        // clean loop's over the same two arrival files
+        val seed = docs.select("doc_id", "text")
+          .filter(col("doc_id") % 5 =!= 0)
+        val feed = s"$tmp/feed"
+        val feedRows = docs.select("doc_id", "text")
+          .filter(col("doc_id") % 5 === 0)
+        feedRows.filter(col("doc_id") % 10 === 0)
+          .coalesce(1).write.parquet(s"$feed/b0")
+        feedRows.filter(col("doc_id") % 10 =!= 0)
+          .coalesce(1).write.parquet(s"$feed/b1")
+        for ((b, i) <- Seq("b0", "b1").zipWithIndex) {
+          val f = new java.io.File(s"$feed/$b").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$feed/$i.parquet"))
+          // deterministic batch order: the file source lists oldest-first
+          new java.io.File(s"$feed/$i.parquet")
+            .setLastModified(1000000L * (i + 1)): Unit
+        }
+        def runLoop(root: String, inject: Boolean): Seq[(Long, String)] = {
+          val src = spark.readStream
+            .schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet").parquet(feed)
+            .repartition(8, col("doc_id"))
+          val arrivals =
+            if (inject) src.withColumn("doc_id", injector(col("doc_id")))
+            else src
+          val q = streaming.DocStreams.admitArrivals(arrivals, seed,
+            s"$root/adm", s"$root/ckpt", compactEvery = Some(1))
+          try q.processAllAvailable() finally q.stop()
+          streaming.DocStreams.admittedDocs(spark, s"$root/adm",
+              seed.schema)
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+            .toSeq.sorted
+        }
+        val a = runLoop(s"$tmp/loop_clean", inject = false)
+        val b = runLoop(s"$tmp/loop_flaky", inject = true)
+        a == b && a.nonEmpty
       }
 
       org.apache.hadoop.fs.FileUtil

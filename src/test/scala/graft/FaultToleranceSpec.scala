@@ -49,7 +49,8 @@ class FaultToleranceSpec extends AnyFunSuite {
         .mkString("child output:\n", "\n", "\n")) {
       assert(code == 0)
       for (c <- Seq("sink-exactly-once", "shuffle-agg-dedup",
-          "minhash-candidates", "index-build-append-compact"))
+          "minhash-candidates", "index-build-append-compact",
+          "streaming-admit-loop"))
         assert(s.contains(s"FAULTINJECT $c: PASS"),
           s"check $c did not pass")
     }
