@@ -1453,10 +1453,12 @@ object DevProfile {
       // deterministic hash partitions.
       val injector = udf { (id: Long) =>
         val tc = TaskContext.get()
-        if (tc != null && tc.partitionId() == 3 && tc.attemptNumber() == 0) {
+        if (tc != null && tc.partitionId() == InjectState.part.get() &&
+            tc.attemptNumber() == 0) {
           val n = InjectState.rows.merge(tc.taskAttemptId(), 1L, _ + _)
           if (n == 2L) throw new RuntimeException(
-            s"graft-injected task failure stage=${tc.stageId()} part=3 attempt=0")
+            s"graft-injected task failure stage=${tc.stageId()} " +
+              s"part=${tc.partitionId()} attempt=0")
         }
         id
       }.asNondeterministic()
@@ -1557,6 +1559,25 @@ object DevProfile {
           }
       }
 
+      check("pbf-scan-retry") {
+        // a retried task over the custom DSv2 PBF source: blob-split
+        // planning must hand the retried attempt the exact byte range and
+        // decode path the dead attempt had. The injector sits in the SAME
+        // stage as the scan (no shuffle between), so the retried task
+        // re-runs the blob decode itself; monaco packs into one split
+        // (the 1 MB split floor), so the target partition is 0.
+        val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+        InjectState.part.set(0)
+        try {
+          val scan = spark.read.format("osmpbf").load(monaco)
+            .select(col("kind"), col("id"), col("lat"), col("lon"))
+          val a = scan.orderBy("kind", "id").collect().toSeq
+          val b = scan.withColumn("id", injector(col("id")))
+            .orderBy("kind", "id").collect().toSeq
+          a == b && a.size > 10000
+        } finally InjectState.part.set(3)
+      }
+
       check("streaming-admit-loop") {
         // a retried task INSIDE a foreachBatch micro-batch, composed with
         // the loop's own replay/lease/compaction machinery (compactEvery=1
@@ -1623,5 +1644,8 @@ object DevProfile {
     * another attempt's rows. */
   private[graft] object InjectState {
     val rows = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    /** Which partition the injector kills (driver sets it between checks;
+      * local mode shares the singleton with executor threads). */
+    val part = new java.util.concurrent.atomic.AtomicInteger(3)
   }
 }

@@ -50,7 +50,7 @@ class FaultToleranceSpec extends AnyFunSuite {
       assert(code == 0)
       for (c <- Seq("sink-exactly-once", "shuffle-agg-dedup",
           "minhash-candidates", "index-build-append-compact",
-          "streaming-admit-loop"))
+          "pbf-scan-retry", "streaming-admit-loop"))
         assert(s.contains(s"FAULTINJECT $c: PASS"),
           s"check $c did not pass")
     }
