@@ -1517,7 +1517,12 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
     // greedy MMR (λ=0.5) over the top-20 cosine candidates, replayed as a
     // recursive CTE: each step's arg-max over (rounded) mmr, ties on id —
-    // the same rounded-similarity convention as the engine's driver loop
+    // the same rounded-similarity convention as the engine's driver loop.
+    // The combined score rounds at SEVEN decimals (similarities at six):
+    // half of a round-6 difference has exactly seven decimals, so a
+    // six-decimal round would sit ON the halfway grid where the two
+    // engines' last-ulp doubles legitimately split (RetrievalOps
+    // .mmrRerank r7 doc); at seven the λ=0.5 grid is exact
     "x20_mmr_rerank" ->
       """WITH RECURSIVE cand AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1530,16 +1535,16 @@ object SparkEntry {
         |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
         |sel(step, picked, score, sel_ids) AS (
-        |  SELECT 1, f.vec_id, round(0.5 * f.simq, 6), [f.vec_id]
+        |  SELECT 1, f.vec_id, round(0.5 * f.simq, 7), [f.vec_id]
         |  FROM (SELECT vec_id, simq FROM cand
-        |        ORDER BY round(0.5 * simq, 6) DESC, vec_id LIMIT 1) f
+        |        ORDER BY round(0.5 * simq, 7) DESC, vec_id LIMIT 1) f
         |  UNION ALL
         |  SELECT s.step + 1, nxt.vec_id, nxt.mmr, list_append(s.sel_ids, nxt.vec_id)
         |  FROM sel s, LATERAL (
         |    SELECT c.vec_id,
         |      round(0.5 * c.simq - 0.5 * (
         |        SELECT max(p.sim) FROM pairs p
-        |        WHERE p.ia = c.vec_id AND list_contains(s.sel_ids, p.ib)), 6) AS mmr
+        |        WHERE p.ia = c.vec_id AND list_contains(s.sel_ids, p.ib)), 7) AS mmr
         |    FROM cand c WHERE NOT list_contains(s.sel_ids, c.vec_id)
         |    ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
         |  WHERE s.step < 8)

@@ -36,7 +36,7 @@ private[graft] object IndexLayout {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def readSmall(spark: SparkSession,
+  private[graft] def readSmall(spark: SparkSession,
       p: org.apache.hadoop.fs.Path): String = {
     // open via FileContext, the SAME channel [[writeAtomic]]/
     // [[writeAtomicExclusive]] rename through: on the local FS,

@@ -209,6 +209,21 @@ object RetrievalOps {
     def r6(x: Double): Double =
       new java.math.BigDecimal(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // the combined score rounds at SEVEN decimals, not six: with the
+    // default λ = 0.5 the true score is half of a difference of two
+    // round-6 values — a number with EXACTLY seven decimals, so every
+    // score would sit precisely ON the round-6 halfway grid, where two
+    // engines' last-ulp double representations legitimately round to
+    // different sides (observed: the sf0.1 oracle replay diverged by
+    // 1e-6 on step 2). At seven decimals the default λ's grid is exact —
+    // no halfway case exists — and both engines round the identical
+    // IEEE double to the identical value. Non-half λ values keep
+    // engine-internal determinism (the invariance sweep's property) but
+    // an external replay may still ulp-diverge at ITS rounding
+    // boundaries; the gate pins λ = 0.5.
+    def r7(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
     val sim = collection.mutable.Map.empty[(Long, Long), Double]
     for (a <- cand; b <- cand if a._1 != b._1)
       sim((a._1, b._1)) = r6(cos(a._2, b._2))
@@ -220,7 +235,7 @@ object RetrievalOps {
         val diversity =
           if (picked.isEmpty) 0.0
           else picked.iterator.map(p => sim((c._1, p))).max
-        (c._1, r6(lambda * c._3 - (1.0 - lambda) * diversity))
+        (c._1, r7(lambda * c._3 - (1.0 - lambda) * diversity))
       }.reduceLeft((x, y) =>
         if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
       selected += ((step, best._1, best._2))
@@ -448,6 +463,93 @@ object RetrievalOps {
       maxGenerations: Int): Boolean =
     IndexLayout.maybeCompact(spark, path, maxGenerations,
       committedAppends(spark, _), () => compactInPlace(spark, path))
+
+  /** Operational status of a SERVED generational path — the
+    * introspection side of the ops surface (README "running the serving
+    * loops"): which generation serves, how many stand, how many appends
+    * are committed vs half-written, the folded replay mark, the bound
+    * stream lineage, and who (if anyone) holds the writer lease and
+    * whether it has outlived its TTL. One row, assembled entirely from
+    * driver-side filesystem METADATA (listings + two tiny file reads) —
+    * no data scan, so it is safe to poll against a live loop from a
+    * monitoring job. Works on every layout that shares
+    * [[IndexLayout]]'s conventions: BM25 postings ([[indexCorpus]]),
+    * IVF-PQ snapshots ([[IvfPq]]), and the admit stores
+    * ([[graft.streaming.DocStreams.admitArrivals]]) — an append counts
+    * as committed under ANY of the three marker conventions (`stats/`
+    * subdir, `_GRAFT_COMMIT`, legacy `_SUCCESS`). `pending_appends > 0`
+    * on a path with no running writer = a crashed mid-write batch that
+    * replay will overwrite (or compaction will skip); `writer_expired
+    * = true` = a crashed holder whose lease the next writer may break. */
+  def indexStatus(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val root = activeRoot(spark, path)
+    val gensPath = new Path(s"$path/generations")
+    val nGens =
+      if (!fs.exists(gensPath)) 0L
+      else fs.listStatus(gensPath).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("g")).toLong
+    val appendsPath = new Path(s"$root/appends")
+    val (committed, pending) =
+      if (!fs.exists(appendsPath)) (0L, 0L)
+      else {
+        val dirs = fs.listStatus(appendsPath).filter(_.isDirectory)
+        val c = dirs.count(d =>
+          fs.exists(new Path(d.getPath, "stats")) ||
+          fs.exists(new Path(d.getPath, "_GRAFT_COMMIT")) ||
+          fs.exists(new Path(d.getPath, "_SUCCESS")))
+        (c.toLong, (dirs.length - c).toLong)
+      }
+    val streamId = {
+      val p = new Path(s"$path/stream_id")
+      if (fs.exists(p))
+        try Some(IndexLayout.readSmall(spark, p))
+        catch { case _: java.io.IOException => Some("<unreadable>") }
+      else None
+    }
+    val (holder, ageMs, expired) = {
+      val p = new Path(s"$path/WRITER")
+      if (!fs.exists(p)) (None, None, None)
+      else {
+        val ttlMs = spark.conf
+          .get("graft.index.writerLeaseTtlMs", "600000").toLong
+        val h = try IndexLayout.readSmall(spark, p)
+          catch { case _: java.io.IOException => "<unreadable>" }
+        // mtime AFTER content: pairing fresh content with a stale mtime
+        // (a break+reacquire landing between the reads) must not report
+        // the NEW holder as expired (the lease-break read-order lesson,
+        // IndexLayout.acquire doc)
+        val age = try
+          Some(System.currentTimeMillis() - fs.getFileStatus(p)
+            .getModificationTime)
+          catch { case _: java.io.IOException => None }
+        (Some(h), age, age.map(_ > ttlMs))
+      }
+    }
+    val row = org.apache.spark.sql.Row(path, root,
+      IndexLayout.currentGen(path, root), nGens,
+      IndexLayout.foldedMax(spark, root), committed, pending,
+      streamId.orNull, holder.orNull,
+      ageMs.map(java.lang.Long.valueOf).orNull,
+      expired.map(java.lang.Boolean.valueOf).orNull)
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row),
+      StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("active_root", StringType, nullable = false),
+        StructField("current_gen", LongType, nullable = false),
+        StructField("n_generations", LongType, nullable = false),
+        StructField("folded_max", LongType, nullable = false),
+        StructField("committed_appends", LongType, nullable = false),
+        StructField("pending_appends", LongType, nullable = false),
+        StructField("stream_id", StringType, nullable = true),
+        StructField("writer_holder", StringType, nullable = true),
+        StructField("writer_age_ms", LongType, nullable = true),
+        StructField("writer_expired", BooleanType, nullable = true))))
+  }
 
   /** Fold an index and all its committed appends into ONE fresh index
     * at `dest` (full-rebuild layout: single postings generation, merged
