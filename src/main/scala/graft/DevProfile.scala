@@ -1623,6 +1623,50 @@ object DevProfile {
         a == b && a.nonEmpty
       }
 
+      check("streaming-vec-admit-loop") {
+        // the vector sibling: bucketed sign-LSH admission (planes=2,
+        // bands=2 — the non-default path with the most moving parts)
+        // under retries injected into each micro-batch
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val seed = emb.filter(col("vec_id") % 5 =!= 0)
+        val feed = s"$tmp/vfeed"
+        val feedRows = emb.filter(col("vec_id") % 5 === 0)
+        feedRows.filter(col("vec_id") % 10 === 0)
+          .coalesce(1).write.parquet(s"$feed/b0")
+        feedRows.filter(col("vec_id") % 10 =!= 0)
+          .coalesce(1).write.parquet(s"$feed/b1")
+        for ((b, i) <- Seq("b0", "b1").zipWithIndex) {
+          val f = new java.io.File(s"$feed/$b").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$feed/$i.parquet"))
+          new java.io.File(s"$feed/$i.parquet")
+            .setLastModified(1000000L * (i + 1)): Unit
+        }
+        val embSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        def runLoop(root: String, inject: Boolean): Seq[Long] = {
+          val src = spark.readStream
+            .schema(embSchema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet").parquet(feed)
+            .repartition(8, col("vec_id"))
+          val arrivals =
+            if (inject) src.withColumn("vec_id", injector(col("vec_id")))
+            else src
+          val q = streaming.DocStreams.vecAdmitArrivals(arrivals, seed,
+            s"$root/adm", s"$root/ckpt", threshold = 0.9,
+            compactEvery = Some(1), planes = 2, bands = 2)
+          try q.processAllAvailable() finally q.stop()
+          streaming.DocStreams.admittedDocs(spark, s"$root/adm",
+              seed.schema)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+        }
+        val a = runLoop(s"$tmp/vloop_clean", inject = false)
+        val b = runLoop(s"$tmp/vloop_flaky", inject = true)
+        a == b && a.nonEmpty
+      }
+
       org.apache.hadoop.fs.FileUtil
         .fullyDelete(new java.io.File(tmp)): Unit
       println(s"FAULTINJECT total failures: $failures")

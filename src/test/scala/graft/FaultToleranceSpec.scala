@@ -50,7 +50,8 @@ class FaultToleranceSpec extends AnyFunSuite {
       assert(code == 0)
       for (c <- Seq("sink-exactly-once", "shuffle-agg-dedup",
           "minhash-candidates", "index-build-append-compact",
-          "pbf-scan-retry", "streaming-admit-loop"))
+          "pbf-scan-retry", "streaming-admit-loop",
+          "streaming-vec-admit-loop"))
         assert(s.contains(s"FAULTINJECT $c: PASS"),
           s"check $c did not pass")
     }
