@@ -1481,7 +1481,13 @@ object DevProfile {
             println(s"FAULTINJECT $label: FAIL (result diverged)")
             failures += 1
           case Some(true) =>
-            Thread.sleep(300) // listener bus drains async
+            // the listener bus drains asynchronously — poll rather than
+            // trust one fixed sleep (a loaded host can lag it and turn a
+            // real pass into a spurious "no failure injected")
+            val deadline = System.nanoTime() + 5000000000L
+            while (failedTasks.get() - before <= 0 &&
+                System.nanoTime() < deadline)
+              Thread.sleep(100)
             val injected = failedTasks.get() - before
             if (injected <= 0) {
               // a vacuous pass (injection never fired) is a FAIL: the

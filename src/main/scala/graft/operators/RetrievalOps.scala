@@ -486,22 +486,24 @@ object RetrievalOps {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     val root = activeRoot(spark, path)
-    val gensPath = new Path(s"$path/generations")
-    val nGens =
-      if (!fs.exists(gensPath)) 0L
-      else fs.listStatus(gensPath).count(st =>
-        st.isDirectory && st.getPath.getName.startsWith("g")).toLong
-    val appendsPath = new Path(s"$root/appends")
-    val (committed, pending) =
-      if (!fs.exists(appendsPath)) (0L, 0L)
-      else {
-        val dirs = fs.listStatus(appendsPath).filter(_.isDirectory)
-        val c = dirs.count(d =>
-          fs.exists(new Path(d.getPath, "stats")) ||
+    // a status probe against a LIVE loop races compactions (generation
+    // retire deletes directories between the exists() and the list):
+    // best-effort listings, never a crash — an empty answer for a dir
+    // that vanished mid-read is the truthful snapshot semantics here
+    def safeList(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      try { if (fs.exists(p)) fs.listStatus(p) else Array.empty }
+      catch { case _: java.io.FileNotFoundException => Array.empty }
+    val nGens = safeList(new Path(s"$path/generations")).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("g")).toLong
+    val (committed, pending) = {
+      val dirs = safeList(new Path(s"$root/appends")).filter(_.isDirectory)
+      val c = dirs.count(d =>
+        try fs.exists(new Path(d.getPath, "stats")) ||
           fs.exists(new Path(d.getPath, "_GRAFT_COMMIT")) ||
-          fs.exists(new Path(d.getPath, "_SUCCESS")))
-        (c.toLong, (dirs.length - c).toLong)
-      }
+          fs.exists(new Path(d.getPath, "_SUCCESS"))
+        catch { case _: java.io.FileNotFoundException => false })
+      (c.toLong, (dirs.length - c).toLong)
+    }
     val streamId = {
       val p = new Path(s"$path/stream_id")
       if (fs.exists(p))

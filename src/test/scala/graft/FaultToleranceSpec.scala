@@ -32,7 +32,9 @@ class FaultToleranceSpec extends AnyFunSuite {
       }
       out.result()
     }
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+    // hard cap via coreutils timeout: Process.! has no deadline of its
+    // own, and a hung child JVM must fail the suite, not wedge it
+    val cmd = Seq("timeout", "480", javaBin) ++ addOpens ++ Seq(
       "-Xmx4g",
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
