@@ -291,7 +291,7 @@ object DevProfile {
       val nBase = base.count()
       val out = java.nio.file.Files.createTempDirectory("docscale").toString
       val lower = "abcdefghijklmnopqrstuvwxyz"
-      val upper = lower.toUpperCase
+      val upper = lower.toUpperCase(java.util.Locale.ROOT)
       val big = (0 until reps).map { i =>
         val r = i % 26
         val rot = lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r)
@@ -363,7 +363,7 @@ object DevProfile {
       import org.apache.spark.sql.functions._
       require(reps <= 25, s"admitscale: max 25 replicas, got $reps")
       val lower = "abcdefghijklmnopqrstuvwxyz"
-      val upper = lower.toUpperCase
+      val upper = lower.toUpperCase(java.util.Locale.ROOT)
       // ADMIT_TEXT_MULT=k lengthens every document k-fold (suffix-tagged
       // self-concatenation, so the shingle set really grows): the sf
       // corpora's ~100-char docs are far below real web-document size,
@@ -434,7 +434,7 @@ object DevProfile {
       // instead of asserting it.
       import org.apache.spark.sql.functions._
       val lower = "abcdefghijklmnopqrstuvwxyz"
-      val upper = lower.toUpperCase
+      val upper = lower.toUpperCase(java.util.Locale.ROOT)
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
       def rot(i: Int) = {
@@ -1255,9 +1255,18 @@ object DevProfile {
       val factor = math.max(1, reps)
       val root = java.nio.file.Files
         .createTempDirectory("trainscale").toString
+      // repartition BEFORE the per-row jitter+normalize transforms, not
+      // after: the source is ONE parquet file, so a post-transform
+      // repartition leaves the whole 500 x factor explode and its O(d^2)
+      // normalization in a single task -- at factor 16384 (8.2M rows)
+      // that is 30+ minutes on one core while 31 idle. Spreading the
+      // exploded (id, _rep) pairs first makes generation parallel; the
+      // transforms are deterministic per (vec_id, _rep), so the corpus
+      // is identical either way.
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"),
           explode(sequence(lit(0L), lit(factor.toLong - 1))).as("_rep"))
+        .repartition(32, col("vec_id"), col("_rep"))
         .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
           expr("transform(embedding, (x, i) -> " +
             "CAST(x AS DOUBLE) + CAST(pmod(_rep * 7 + i * 13, 17) AS " +
@@ -1265,7 +1274,7 @@ object DevProfile {
         .select(col("vec_id"),
           expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
             "(a, y) -> a + y * y)))").as("v"))
-        .repartition(32).write.parquet(s"$root/emb")
+        .write.parquet(s"$root/emb")
       val emb = spark.read.parquet(s"$root/emb")
       println(s"corpus: ${emb.count()} vectors (factor $factor)")
       for (r <- 1 to 2) {
@@ -1301,9 +1310,18 @@ object DevProfile {
       val factor = math.max(1, reps)
       val root = java.nio.file.Files
         .createTempDirectory("pqprof").toString
+      // repartition BEFORE the per-row jitter+normalize transforms, not
+      // after: the source is ONE parquet file, so a post-transform
+      // repartition leaves the whole 500 x factor explode and its O(d^2)
+      // normalization in a single task -- at factor 16384 (8.2M rows)
+      // that is 30+ minutes on one core while 31 idle. Spreading the
+      // exploded (id, _rep) pairs first makes generation parallel; the
+      // transforms are deterministic per (vec_id, _rep), so the corpus
+      // is identical either way.
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"),
           explode(sequence(lit(0L), lit(factor.toLong - 1))).as("_rep"))
+        .repartition(32, col("vec_id"), col("_rep"))
         .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
           expr("transform(embedding, (x, i) -> " +
             "CAST(x AS DOUBLE) + CAST(pmod(_rep * 7 + i * 13, 17) AS " +
@@ -1311,7 +1329,7 @@ object DevProfile {
         .select(col("vec_id"),
           expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
             "(a, y) -> a + y * y)))").as("v"))
-        .repartition(32).write.parquet(s"$root/emb")
+        .write.parquet(s"$root/emb")
       val emb0 = spark.read.parquet(s"$root/emb")
       val emb = if (sys.env.contains("PQPROF_SPREAD"))
         emb0.repartition(32) else emb0

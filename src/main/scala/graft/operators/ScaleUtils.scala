@@ -129,7 +129,20 @@ object ScaleUtils {
     * so callers driving several actions must persist the result while
     * they iterate ([[graft.operators.IvfAnn.trainCentroids]] /
     * [[ProductQuantizer.train]] do: persist when `ne` the input,
-    * unpersist on exit). The size gate is evaluated FIRST so a
+    * unpersist on exit). That pinned copy is the reason the trigger
+    * demands at least 2× core underuse (`parts * 2 <= cores`), not mere
+    * inequality: every trigger costs a SECOND materialized corpus-scale
+    * frame in the caller, and below 2× the double-buffering costs more
+    * than the reclaimed cores return. Measured at 8.2M vectors / 8 GB
+    * heap: a 21-partition residual frame (callers already holding one
+    * persisted copy) spread to 32 for a 1.5× gain pushed the persisted
+    * working set past the unified pool and the next partial hash
+    * aggregation died with a hard AGGREGATE_OUT_OF_MEMORY instead of
+    * spilling; with the 2× gate the same ladder trains. The serial
+    * pathologies this helper exists for (1-2 natural splits, 31 cores
+    * idle) sit far below the 2× line and still spread.
+    *
+    * The size gate is evaluated FIRST so a
     * disqualified frame is returned without touching `.rdd` (under
     * AQE, `Dataset.rdd` materializes upstream query stages as a side
     * effect — only frames that already passed the size gate pay that
@@ -144,7 +157,7 @@ object ScaleUtils {
       val cores = df.sparkSession.sparkContext.defaultParallelism
       val parts = try df.rdd.getNumPartitions
       catch { case scala.util.control.NonFatal(_) => cores }
-      if (parts < cores) df.repartition(cores) else df
+      if (parts * 2 <= cores) df.repartition(cores) else df
     }
   }
 }

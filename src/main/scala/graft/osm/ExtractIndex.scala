@@ -35,7 +35,7 @@ object ExtractIndex {
     * index parquet. */
   def load(spark: SparkSession, path: String,
       source: String = "Geofabrik"): Seq[Extract] = {
-    val lower = path.toLowerCase
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
     if (lower.endsWith(".json") || lower.endsWith(".geojson"))
       loadGeoJson(path, source)
     else if (lower.endsWith(".parquet")) loadParquet(spark, path)
@@ -101,7 +101,7 @@ object ExtractIndex {
     * Geofabrik/BBBike ids use). */
   def slugify(value: String): String = {
     val ascii = java.text.Normalizer
-      .normalize(value.trim.toLowerCase, java.text.Normalizer.Form.NFD)
+      .normalize(value.trim.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}+", "")
     ascii.replaceAll("\\s+", "_").replaceAll("[^a-z0-9_-]+", "")
   }
@@ -135,7 +135,7 @@ object ExtractIndex {
     * zero matches error with close-match suggestions. */
   def findByQuery(index: Seq[Extract], query: String,
       selectFirstMatch: Boolean = true): Extract = {
-    def norm(s: String) = s.trim.toLowerCase
+    def norm(s: String) = s.trim.toLowerCase(java.util.Locale.ROOT)
     def normSp(s: String) = norm(s).replace('_', ' ')
     val q = norm(query)
     val qSp = normSp(query)
@@ -147,7 +147,7 @@ object ExtractIndex {
     byName match {
       case Seq(one) => one
       case Seq() =>
-        val close = index.map(_.name.toLowerCase).distinct
+        val close = index.map(_.name.toLowerCase(java.util.Locale.ROOT)).distinct
           .map(n => (n, similarity(q, n))).filter(_._2 >= 0.7)
           .sortBy(-_._2).take(5).map(_._1)
         val suggestions =

@@ -44,12 +44,12 @@ object Geocode {
         val name = Option(props.get("display_name"))
           .orElse(Option(props.get("name"))).filterNot(_.isNull)
         name.map(n =>
-          n.asText().toLowerCase -> GeometryFilters.parseGeoJson(f.toString))
+          n.asText().toLowerCase(java.util.Locale.ROOT) -> GeometryFilters.parseGeoJson(f.toString))
       }
     }
 
     override def geometry(query: String): Geometry = {
-      val q = query.trim.toLowerCase
+      val q = query.trim.toLowerCase(java.util.Locale.ROOT)
       entries.find(_._1 == q).map(_._2).getOrElse {
         val subs = entries.filter(_._1.contains(q))
         subs match {

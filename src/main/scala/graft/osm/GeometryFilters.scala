@@ -90,7 +90,7 @@ object GeometryFilters {
     var latMin = -90.0; var latMax = 90.0
     var lonMin = -180.0; var lonMax = 180.0
     var isLon = true
-    geohash.toLowerCase.foreach { c =>
+    geohash.toLowerCase(java.util.Locale.ROOT).foreach { c =>
       val idx = Base32.indexOf(c)
       require(idx >= 0, s"invalid geohash char: $c")
       (4 to 0 by -1).foreach { bit =>

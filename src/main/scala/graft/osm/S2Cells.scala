@@ -29,7 +29,7 @@ object S2Cells {
 
   def cellIdFromToken(token: String): Long = {
     require(token.nonEmpty && token.length <= 16, s"bad S2 token: $token")
-    val padded = token.toLowerCase + "0" * (16 - token.length)
+    val padded = token.toLowerCase(java.util.Locale.ROOT) + "0" * (16 - token.length)
     java.lang.Long.parseUnsignedLong(padded, 16)
   }
 

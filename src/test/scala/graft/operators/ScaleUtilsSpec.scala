@@ -50,6 +50,13 @@ class ScaleUtilsSpec extends AnyFunSuite {
     val wide = s.range(0L, 1000000L, 1L,
       s.sparkContext.defaultParallelism).toDF("id")
     assert(ScaleUtils.spreadForCompute(wide) eq wide)
+    // under 2x underuse (parts * 2 > cores): untouched — the callers
+    // persist every spread copy, and a < 2x parallelism gain is not
+    // worth double-buffering a corpus-scale frame (the 8.2M-vector OOM
+    // in the scaladoc)
+    val nearly = s.range(0L, 1000000L, 1L,
+      s.sparkContext.defaultParallelism - 1).toDF("id")
+    assert(ScaleUtils.spreadForCompute(nearly) eq nearly)
   }
 
   test("bucketed tables join without a shuffle exchange") {

@@ -11,6 +11,23 @@ class GeometryFiltersSpec extends AnyFunSuite {
     assert(g.isValid)
   }
 
+  test("case folds survive a hostile default locale (Turkish dotless i)") {
+    // a cluster JVM inherits the host's default locale; under tr-TR the
+    // DEFAULT-locale fold maps "I" to dotless "ı", so any user-facing
+    // case-insensitive match that forgot Locale.ROOT silently misses
+    // every name containing an I. Prove the hazard is live in this JVM,
+    // then prove the geocoder is immune.
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      assert("I".toLowerCase == "ı", "tr locale not in effect")
+      val gaz = new Geocode.GazetteerGeocoder(
+        getClass.getResource("/gazetteer_fixture.geojson").getPath)
+      val f = gaz.geometry("FONTVIEILLE") // capital I ×2
+      assert(f.getArea > 0)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("gazetteer geocoder resolves names, unions queries, rejects unknowns") {
     val gaz = new Geocode.GazetteerGeocoder(
       getClass.getResource("/gazetteer_fixture.geojson").getPath)
