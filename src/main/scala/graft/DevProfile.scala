@@ -1255,26 +1255,7 @@ object DevProfile {
       val factor = math.max(1, reps)
       val root = java.nio.file.Files
         .createTempDirectory("trainscale").toString
-      // repartition BEFORE the per-row jitter+normalize transforms, not
-      // after: the source is ONE parquet file, so a post-transform
-      // repartition leaves the whole 500 x factor explode and its O(d^2)
-      // normalization in a single task -- at factor 16384 (8.2M rows)
-      // that is 30+ minutes on one core while 31 idle. Spreading the
-      // exploded (id, _rep) pairs first makes generation parallel; the
-      // transforms are deterministic per (vec_id, _rep), so the corpus
-      // is identical either way.
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(0L), lit(factor.toLong - 1))).as("_rep"))
-        .repartition(32, col("vec_id"), col("_rep"))
-        .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
-          expr("transform(embedding, (x, i) -> " +
-            "CAST(x AS DOUBLE) + CAST(pmod(_rep * 7 + i * 13, 17) AS " +
-            "DOUBLE) / 100.0)").as("e"))
-        .select(col("vec_id"),
-          expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
-            "(a, y) -> a + y * y)))").as("v"))
-        .write.parquet(s"$root/emb")
+      writeScaledEmbeddings(spark, sfDir, factor, root)
       val emb = spark.read.parquet(s"$root/emb")
       println(s"corpus: ${emb.count()} vectors (factor $factor)")
       for (r <- 1 to 2) {
@@ -1310,26 +1291,7 @@ object DevProfile {
       val factor = math.max(1, reps)
       val root = java.nio.file.Files
         .createTempDirectory("pqprof").toString
-      // repartition BEFORE the per-row jitter+normalize transforms, not
-      // after: the source is ONE parquet file, so a post-transform
-      // repartition leaves the whole 500 x factor explode and its O(d^2)
-      // normalization in a single task -- at factor 16384 (8.2M rows)
-      // that is 30+ minutes on one core while 31 idle. Spreading the
-      // exploded (id, _rep) pairs first makes generation parallel; the
-      // transforms are deterministic per (vec_id, _rep), so the corpus
-      // is identical either way.
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(0L), lit(factor.toLong - 1))).as("_rep"))
-        .repartition(32, col("vec_id"), col("_rep"))
-        .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
-          expr("transform(embedding, (x, i) -> " +
-            "CAST(x AS DOUBLE) + CAST(pmod(_rep * 7 + i * 13, 17) AS " +
-            "DOUBLE) / 100.0)").as("e"))
-        .select(col("vec_id"),
-          expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
-            "(a, y) -> a + y * y)))").as("v"))
-        .write.parquet(s"$root/emb")
+      writeScaledEmbeddings(spark, sfDir, factor, root)
       val emb0 = spark.read.parquet(s"$root/emb")
       val emb = if (sys.env.contains("PQPROF_SPREAD"))
         emb0.repartition(32) else emb0
@@ -1487,6 +1449,13 @@ object DevProfile {
         df.repartition(8, col(idCol))
       var failures = 0
       def check(label: String)(cond: => Boolean): Unit = {
+        // drain the async listener bus BEFORE the baseline snapshot and
+        // AFTER the body: a sleep-poll that exits on the first delta
+        // could credit this check with a PREDECESSOR's late-arriving
+        // task-end event (or miss this check's second stage), turning
+        // the vacuous-pass detector into noise
+        org.apache.spark.sql.graft.SessionOps
+          .drainListeners(spark, 30000L): Unit
         val before = failedTasks.get()
         val outcome = try Some(cond) catch {
           case scala.util.control.NonFatal(e) =>
@@ -1499,18 +1468,14 @@ object DevProfile {
             println(s"FAULTINJECT $label: FAIL (result diverged)")
             failures += 1
           case Some(true) =>
-            // the listener bus drains asynchronously — poll rather than
-            // trust one fixed sleep (a loaded host can lag it and turn a
-            // real pass into a spurious "no failure injected")
-            val deadline = System.nanoTime() + 5000000000L
-            while (failedTasks.get() - before <= 0 &&
-                System.nanoTime() < deadline)
-              Thread.sleep(100)
+            val drained = org.apache.spark.sql.graft.SessionOps
+              .drainListeners(spark, 30000L)
             val injected = failedTasks.get() - before
-            if (injected <= 0) {
+            if (injected <= 0 || !drained) {
               // a vacuous pass (injection never fired) is a FAIL: the
               // check proved nothing about the retry path
-              println(s"FAULTINJECT $label: FAIL (no task failure injected)")
+              println(s"FAULTINJECT $label: FAIL (no task failure " +
+                s"injected; busDrained=$drained)")
               failures += 1
             } else println(s"FAULTINJECT $label: PASS (retried $injected)")
         }
@@ -1704,6 +1669,35 @@ object DevProfile {
       }
     }
     spark.stop()
+  }
+
+  /** Jittered replicated-embedding corpus for the scale ladders
+    * (trainscale/pqprof — ONE generator so a fix to the jitter or the
+    * partitioning cannot silently diverge the two profiles). The
+    * repartition sits BEFORE the per-row jitter+normalize transforms:
+    * the source is ONE parquet file, so a post-transform repartition
+    * would leave the whole rows x factor explode and its O(d^2)
+    * normalization in a single task (measured 30+ min on one core at
+    * 8.2M rows while 31 idled). Spreading the exploded (id, _rep)
+    * pairs first makes generation parallel; the transforms are
+    * deterministic per (vec_id, _rep), so the corpus is identical
+    * either way. Pure replica copies would collapse onto one codeword,
+    * so values jitter on a deterministic lattice. */
+  private def writeScaledEmbeddings(spark: SparkSession, sfDir: String,
+      factor: Int, root: String): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(factor.toLong - 1))).as("_rep"))
+      .repartition(32, col("vec_id"), col("_rep"))
+      .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(x AS DOUBLE) + CAST(pmod(_rep * 7 + i * 13, 17) AS " +
+          "DOUBLE) / 100.0)").as("e"))
+      .select(col("vec_id"),
+        expr("transform(e, x -> x / sqrt(aggregate(e, 0D, " +
+          "(a, y) -> a + y * y)))").as("v"))
+      .write.parquet(s"$root/emb")
   }
 
   /** Executor-side row counters for the fault injector (local mode: the

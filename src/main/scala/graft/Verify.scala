@@ -26,10 +26,18 @@ object Verify {
     // AQE off) and diff against the default-config dump: a gate whose
     // result depends on partition count or fold order diverges here
     // before it diverges on a 1000-executor cluster.
+    // malformed entries are a HARD error, not a silent skip: this env
+    // var exists to put the invariance sweep under an ADVERSARIAL
+    // config, and a typo'd pair that silently fell back to defaults
+    // would make the sweep compare two near-identical runs and report
+    // INVARIANT vacuously
     val spark = sys.env.get("SPARK_GRAFT_CONF").fold(builder) { s =>
-      s.split(';').filter(_.contains("=")).foldLeft(builder) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k.trim, v.trim)
+      s.split(';').map(_.trim).filter(_.nonEmpty).foldLeft(builder) {
+        (b, kv) =>
+          require(kv.contains("="),
+            s"SPARK_GRAFT_CONF entry without '=': '$kv'")
+          val Array(k, v) = kv.split("=", 2)
+          b.config(k.trim, v.trim)
       }
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

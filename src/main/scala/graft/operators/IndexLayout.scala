@@ -344,12 +344,18 @@ private[graft] object IndexLayout {
   private val acquireLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** The configured writer-lease TTL — ONE resolution point, shared by
+    * the lease machinery and the [[graft.operators.RetrievalOps
+    * .indexStatus]] expiry report (a second hardcoded default would
+    * silently disagree the day the default changes). */
+  def writerLeaseTtlMs(spark: SparkSession): Long =
+    spark.conf.get("graft.index.writerLeaseTtlMs", "600000").toLong
+
   def withWriterLease[T](spark: SparkSession, path: String,
       what: String)(body: => T): T = {
     val p = new org.apache.hadoop.fs.Path(s"$path/WRITER")
     val fs = fsOf(spark, p)
-    val ttlMs = spark.conf.get("graft.index.writerLeaseTtlMs",
-      "600000").toLong
+    val ttlMs = writerLeaseTtlMs(spark)
     val content = s"${java.util.UUID.randomUUID().toString} $what"
     // at most one break-and-retry: breaking a live holder's fresh
     // lease would re-open the race the lease exists to close

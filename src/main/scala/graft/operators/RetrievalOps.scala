@@ -485,7 +485,13 @@ object RetrievalOps {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
-    val root = activeRoot(spark, path)
+    // a CURRENT flip or a rebuild's retract can land between any two of
+    // this probe's reads: every read below is individually guarded so
+    // the probe reports a truthful (if momentarily stale) snapshot
+    // instead of crashing — the "safe to poll against a live loop"
+    // contract in the scaladoc
+    val root = try activeRoot(spark, path)
+      catch { case _: java.io.IOException => path }
     // a status probe against a LIVE loop races compactions (generation
     // retire deletes directories between the exists() and the list):
     // best-effort listings, never a crash — an empty answer for a dir
@@ -515,8 +521,7 @@ object RetrievalOps {
       val p = new Path(s"$path/WRITER")
       if (!fs.exists(p)) (None, None, None)
       else {
-        val ttlMs = spark.conf
-          .get("graft.index.writerLeaseTtlMs", "600000").toLong
+        val ttlMs = IndexLayout.writerLeaseTtlMs(spark)
         val h = try IndexLayout.readSmall(spark, p)
           catch { case _: java.io.IOException => "<unreadable>" }
         // mtime AFTER content: pairing fresh content with a stale mtime
@@ -530,9 +535,11 @@ object RetrievalOps {
         (Some(h), age, age.map(_ > ttlMs))
       }
     }
+    val foldedMax = try IndexLayout.foldedMax(spark, root)
+      catch { case _: java.io.IOException => -1L }
     val row = org.apache.spark.sql.Row(path, root,
       IndexLayout.currentGen(path, root), nGens,
-      IndexLayout.foldedMax(spark, root), committed, pending,
+      foldedMax, committed, pending,
       streamId.orNull, holder.orNull,
       ageMs.map(java.lang.Long.valueOf).orNull,
       expired.map(java.lang.Boolean.valueOf).orNull)

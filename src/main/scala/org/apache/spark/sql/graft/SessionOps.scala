@@ -30,4 +30,15 @@ object SessionOps {
     * when unknown — callers treat "unknown" as "large"). */
   def estimatedBytes(df: org.apache.spark.sql.DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Block until the listener bus has delivered every event posted so
+    * far (or the timeout passes — returns whether it fully drained).
+    * `listenerBus` is private[spark]; diagnostics that COUNT events
+    * (the fault injector's failed-task accounting) need a
+    * deterministic drain, not a sleep-poll that can credit one check
+    * with a predecessor's late-arriving task-end event. */
+  def drainListeners(spark: org.apache.spark.sql.SparkSession,
+      timeoutMs: Long): Boolean =
+    try { spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

@@ -48,7 +48,11 @@ class OsmInvarianceSpec extends AnyFunSuite {
       "spark.sql.adaptive.enabled" -> "true")(convert())
     assert(a.size == b.size && a.size > 5000,
       s"feature counts diverged: ${a.size} vs ${b.size}")
-    val diff = a.keys.filter(k => !java.util.Arrays.equals(a(k), b(k)))
+    // b.get, not b(k): equal SIZES with different id sets is itself a
+    // divergence and must produce this assertion's message (naming the
+    // ids), not an opaque NoSuchElementException
+    val diff = a.keys.filter(k =>
+      !b.get(k).exists(java.util.Arrays.equals(a(k), _)))
     assert(diff.isEmpty,
       s"${diff.size} features' WKB diverged, e.g. ${diff.take(5).toList}")
   }

@@ -33,8 +33,16 @@ def canon(v):
         return "NaN"
     return v
 
-names = sorted(d.split('/')[-1] for d in glob.glob(f"{a_dir}/*")
-               if os.path.isdir(d))
+# gate set = the UNION of both dumps, and it must be non-empty: a run
+# that crashed before (or while) dumping must fail the sweep loudly, not
+# shrink the compared set or pass 0/0 vacuously (the same no-vacuous-pass
+# rule as the fault injector)
+names = sorted({d.split('/')[-1]
+                for out in (a_dir, b_dir)
+                for d in glob.glob(f"{out}/*") if os.path.isdir(d)})
+if not names:
+    print("DIVERGED <sweep>: no gate dumps found in either dir")
+    sys.exit(1)
 ok, bad = [], []
 for name in names:
     ea, eb = load(a_dir, name), load(b_dir, name)
