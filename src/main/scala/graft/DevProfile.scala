@@ -1612,6 +1612,29 @@ object DevProfile {
         a == b && a.nonEmpty
       }
 
+      check("streaming-stateful-window") {
+        // a retried task INSIDE the stateful aggregation stage: the
+        // post-agg injector projects in the SAME task as StateStoreSave
+        // (no exchange between), so attempt 0 dies after the store
+        // update began — the uncommitted delta must be discarded
+        // (store.abort) and the retry must reload the prior state
+        // version, or the watermark-closed windows double-count
+        def counts(inject: Boolean): Seq[org.apache.spark.sql.Row] = {
+          val src = streaming.EventStreams.fileSource(spark,
+            s"$sfDir/events.parquet")
+          val agg = streaming.EventStreams.tumblingCounts(src)
+          val out =
+            if (inject) agg.withColumn("n", injector(col("n"))) else agg
+          streaming.EventStreams.runToCompletion(out,
+              if (inject) "fi_flaky_win" else "fi_clean_win",
+              org.apache.spark.sql.streaming.OutputMode.Append)
+            .orderBy("window", "event_type").collect().toSeq
+        }
+        val a = counts(inject = false)
+        val b = counts(inject = true)
+        a == b && a.nonEmpty
+      }
+
       check("streaming-vec-admit-loop") {
         // the vector sibling: bucketed sign-LSH admission (planes=2,
         // bands=2 — the non-default path with the most moving parts)

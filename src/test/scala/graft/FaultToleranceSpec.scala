@@ -53,7 +53,7 @@ class FaultToleranceSpec extends AnyFunSuite {
       for (c <- Seq("sink-exactly-once", "shuffle-agg-dedup",
           "minhash-candidates", "index-build-append-compact",
           "pbf-scan-retry", "streaming-admit-loop",
-          "streaming-vec-admit-loop"))
+          "streaming-stateful-window", "streaming-vec-admit-loop"))
         assert(s.contains(s"FAULTINJECT $c: PASS"),
           s"check $c did not pass")
     }
