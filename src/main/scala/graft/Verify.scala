@@ -37,21 +37,15 @@ object Verify {
           require(kv.contains("="),
             s"SPARK_GRAFT_CONF entry without '=': '$kv'")
           val Array(k, v) = kv.split("=", 2)
+          // '=value' would reach Spark as an empty conf key and die with
+          // an opaque error — reject it here with the intended message
+          require(k.trim.nonEmpty,
+            s"SPARK_GRAFT_CONF entry with empty key: '$kv'")
           b.config(k.trim, v.trim)
       }
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) =>
-        nameFilter.forall(_.findFirstIn(name).isDefined) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -64,9 +58,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the manifest is written BEFORE the per-gate loop: a run that
+    // crashes mid-dump still declares the full gate set it intended, so
+    // the invariance sweep (check_invariance.py) can detect a gate whose
+    // dump is missing from BOTH compared runs instead of silently
+    // comparing a shrunk set
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -17,6 +17,11 @@ class GeometryFiltersSpec extends AnyFunSuite {
     // case-insensitive match that forgot Locale.ROOT silently misses
     // every name containing an I. Prove the hazard is live in this JVM,
     // then prove the geocoder is immune.
+    // NOTE: Locale.setDefault is process-global. This is safe because the
+    // forked test JVM runs suites SEQUENTIALLY (Test/fork with the default
+    // testForkedParallel=false); if parallel forked execution is ever
+    // enabled, this mutation would poison concurrently-running suites and
+    // must move behind a shared lock.
     val prev = java.util.Locale.getDefault
     java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
     try {

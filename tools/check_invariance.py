@@ -43,6 +43,23 @@ names = sorted({d.split('/')[-1]
 if not names:
     print("DIVERGED <sweep>: no gate dumps found in either dir")
     sys.exit(1)
+# ... and the union can't see a gate that crashed in BOTH runs. Each dump
+# carries oracle_sql.json (every oracle-able gate by name, written by
+# Verify before the per-gate loop), so require every manifest gate to
+# have a dump — a same-gate double crash fails here instead of silently
+# leaving the sweep's compared set one short.
+import json
+manifest = set()
+for out in (a_dir, b_dir):
+    p = os.path.join(out, "oracle_sql.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            manifest |= set(json.load(f).keys())
+missing = sorted(manifest - set(names))
+if missing:
+    print(f"DIVERGED <sweep>: manifest gates with no dump in either dir: "
+          f"{', '.join(missing)}")
+    sys.exit(1)
 ok, bad = [], []
 for name in names:
     ea, eb = load(a_dir, name), load(b_dir, name)

@@ -18,10 +18,20 @@ rm -rf "$OUT"; mkdir -p "$OUT"
 run() { # name extra-conf
   local wd="$OUT/wd_$1"
   mkdir -p "$wd"
+  # the grep is display-filtering only — `|| true` keeps a no-match grep
+  # from tripping `set -e`, while PIPESTATUS[0] still carries sbt's exit
+  # so a Verify run that CRASHES mid-dump fails the sweep loudly instead
+  # of silently shrinking the compared gate set (check_invariance.py's
+  # oracle_sql.json manifest check is the second line of defense)
   SPARK_GRAFT_CPUS=8 \
   SPARK_GRAFT_CONF="graft.index.workDir=file://$wd${2:+;$2}" \
     sbt -batch "runMain graft.Verify $SF $OUT/$1" 2>&1 \
-    | grep -E "\[verify\]|error" || true
+    | { grep -E "\[verify\]|error" || true; }
+  local rc=${PIPESTATUS[0]}
+  if [ "$rc" -ne 0 ]; then
+    echo "run $1: sbt/Verify exited $rc" >&2
+    exit "$rc"
+  fi
 }
 
 run a ""
