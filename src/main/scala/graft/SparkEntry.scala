@@ -47,6 +47,7 @@ object SparkEntry {
     "a8_distinct" -> (R.a8Distinct _),
     "a9_count_if" -> (R.a9CountIf _),
     "ax_rollup" -> (R.axRollup _),
+    "dx_halfway_grid" -> (R.dxHalfwayGrid _),
     "ax_pivot" -> (R.axPivot _),
     "ax_percentiles" -> (R.axPercentiles _),
     "ax_approx_distinct" -> (R.axApproxDistinct _),
@@ -292,6 +293,22 @@ object SparkEntry {
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // halfway-grid residue gate: each exact ratio sits ON the k-decimal
+    // halfway point (num·10^k/den ≡ den/2 mod den); both engines compute
+    // the identical exact-integer half-up rounding (ExactRound doc) —
+    // the one place round(double, k) is allowed to disagree cross-engine
+    "dx_halfway_grid" ->
+      """WITH cases(case_id, num, den, k) AS (VALUES
+        |  ('ratio_33_32_s4', 33, 32, 4),
+        |  ('ratio_1_128_s6', 1, 128, 6),
+        |  ('ratio_161_32_s4', 161, 32, 4))
+        |SELECT case_id, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+        |  CAST(k AS BIGINT) AS k,
+        |  CASE WHEN k = 4
+        |    THEN CAST((num::HUGEINT * 20000 + den) // (den::HUGEINT * 2) AS DOUBLE) / 10000.0
+        |    ELSE CAST((num::HUGEINT * 2000000 + den) // (den::HUGEINT * 2) AS DOUBLE) / 1000000.0
+        |  END AS value
+        |FROM cases ORDER BY case_id""".stripMargin,
     "w1_global_chunk" ->
       """SELECT grp, count(*) AS cnt, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM (SELECT o_orderkey,
@@ -677,7 +694,7 @@ object SparkEntry {
         |  FROM ds d LEFT JOIN bs b ON b.bsh = d.shash GROUP BY d.doc_id)
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |  CAST(n_hit AS BIGINT) AS n_hit,
-        |  round(n_hit::DOUBLE / n_grams::DOUBLE, 6) AS containment
+        |  CAST((n_hit::HUGEINT * 2000000 + n_grams) // (n_grams::HUGEINT * 2) AS DOUBLE) / 1000000.0 AS containment
         |FROM agg WHERE n_hit > 0
         |ORDER BY containment DESC, doc_id LIMIT 20""").stripMargin,
     // within-doc repetition: words hashed with the same portable 28-bit
@@ -697,7 +714,7 @@ object SparkEntry {
         |  FROM cnt GROUP BY doc_id
         |)
         |SELECT doc_id, n_words, n_distinct,
-        |  round(top_cnt / n_words, 6) AS top_word_share,
+        |  CAST((top_cnt::HUGEINT * 2000000 + n_words) // (n_words::HUGEINT * 2) AS DOUBLE) / 1000000.0 AS top_word_share,
         |  top_cnt * 10 >= n_words AS repetitive
         |FROM per ORDER BY doc_id""".stripMargin,
     // corpus boilerplate: doc frequency of 3-gram shingle hashes; only the
@@ -724,9 +741,12 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
         |FROM enriched ORDER BY doc_id""".stripMargin,
-    // tf-idf with ratio idf (N/df, no log): every score op is a correctly-
-    // rounded IEEE primitive, so DuckDB's doubles are bit-identical; the
-    // window orders by the ROUNDED score + term for a total order
+    // tf-idf with ratio idf (N/df, no log): the score tf·N/df is an
+    // integer ratio, rounded at 4 via EXACT integer arithmetic on both
+    // engines (graft.functions.ExactRound doc) — a 2^a·5^b df could put
+    // the true score ON the 4-decimal halfway grid where two engines'
+    // doubles legitimately round apart; the window orders by the exact
+    // rounded score + term for a total order
     "d14_tfidf_keywords" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -737,9 +757,9 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT doc_id, rank, term, tfidf FROM (
         |  SELECT doc_id, term,
-        |    round(tf * (n_docs::DOUBLE / df), 4) AS tfidf,
+        |    CAST((tf::HUGEINT * n_docs * 20000 + df) // (df::HUGEINT * 2) AS DOUBLE) / 10000.0 AS tfidf,
         |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY round(tf * (n_docs::DOUBLE / df), 4) DESC, term) AS rank
+        |      ORDER BY CAST((tf::HUGEINT * n_docs * 20000 + df) // (df::HUGEINT * 2) AS DOUBLE) / 10000.0 DESC, term) AS rank
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // domain profile: enrichment + group-1 regex extraction mirrored in

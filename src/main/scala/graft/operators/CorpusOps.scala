@@ -281,8 +281,16 @@ object CorpusOps {
       .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
       .select(col(idCol), col("term"),
-        round(col("_g_tf") * (col("_g_n").cast("double") / col("_g_df")), 4)
-          .as("tfidf"))
+        // tf·N/df is an integer ratio — rounded at 4 via EXACT integer
+        // arithmetic ([[graft.functions.ExactRound]]): a df of 2^a·5^b
+        // can put the true score ON the 4-decimal halfway grid, where
+        // two engines' doubles legitimately round apart (the r12 x20
+        // defect class; this was the audit's latent case #2). The
+        // product runs in decimal so corpus-scale tf·N can't wrap.
+        graft.functions.ExactRound.ratio(
+          col("_g_tf").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("_g_n"),
+          col("_g_df"), 4).as("tfidf"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("rank").cast("long").as("rank"),

@@ -249,6 +249,36 @@ object RelationalQueries {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
       .orderBy("l_returnflag")
 
+  /** Beyond-reference: the halfway-grid RESIDUE gate. Each case is an
+    * integer ratio whose exact value sits EXACTLY ON the k-decimal
+    * halfway grid (num·10^k/den ≡ den/2 mod den, den = 2^a·5^b) — the
+    * r12 x20 defect class, where `round(double, k)` on two engines can
+    * legitimately disagree. The values flow through the SAME
+    * [[graft.functions.ExactRound.ratio]] helper the d11/d14/x32 gates
+    * use, and the oracle runs the mirrored HUGEINT expression — so the
+    * driver's DuckDB compare re-proves every round that both engines
+    * land the identical double ON the residue itself, not merely near
+    * it. (ExactRoundSpec additionally pins the half-up decisions and
+    * property-checks the helper against exact BigDecimal division.) */
+  def dxHalfwayGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (case, num, den, k): exact num/den = ...5 at the k-th decimal
+    //   33·10^4/32   = 10312.5   → half-up 1.0313   (the d14 shape)
+    //   1·10^6/128   =  7812.5   → half-up 0.007813 (the d11/x32 shape)
+    //   161·10^4/32  = 50312.5   → half-up 5.0313   (integer part > 1)
+    Seq(("ratio_33_32_s4", 33L, 32L, 4L),
+        ("ratio_1_128_s6", 1L, 128L, 6L),
+        ("ratio_161_32_s4", 161L, 32L, 4L))
+      .toDF("case_id", "num", "den", "k")
+      .select(col("case_id"), col("num"), col("den"), col("k"),
+        when(col("k") === 4,
+          graft.functions.ExactRound.ratio(col("num"), col("den"), 4))
+          .otherwise(
+            graft.functions.ExactRound.ratio(col("num"), col("den"), 6))
+          .as("value"))
+      .orderBy("case_id")
+  }
+
   /** Beyond-reference: HLL approximate distinct (sketch differs per
     * engine — rows-only check). */
   def axApproxDistinct(s: SparkSession, dir: String): DataFrame =

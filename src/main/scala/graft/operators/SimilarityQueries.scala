@@ -704,8 +704,11 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_grams"), count(col("_g_hit")).as("n_hit"))
       .filter(col("n_hit") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_grams").cast("double"),
-          6).as("containment"))
+        // n_hit/n_grams is an integer ratio — exact-integer rounding
+        // ([[graft.functions.ExactRound]] doc) closes the halfway-grid
+        // residue a 2^a·5^b gram count could hit
+        graft.functions.ExactRound.ratio(col("n_hit"), col("n_grams"), 6)
+          .as("containment"))
       .orderBy(col("containment").desc, col("doc_id").asc)
       .limit(20)
   }

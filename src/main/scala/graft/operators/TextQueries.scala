@@ -180,7 +180,11 @@ object TextQueries {
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_cnt"))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        round(col("top_cnt") / col("n_words"), 6).as("top_word_share"),
+        // max(c)/sum(c) is an integer ratio — exact-integer rounding
+        // ([[graft.functions.ExactRound]] doc) closes the halfway-grid
+        // residue a 2^a·5^b word count could hit
+        graft.functions.ExactRound.ratio(col("top_cnt"), col("n_words"), 6)
+          .as("top_word_share"),
         (col("top_cnt") * 10 >= col("n_words")).as("repetitive"))
       .orderBy("doc_id")
   }
