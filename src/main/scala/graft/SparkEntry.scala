@@ -301,14 +301,31 @@ object SparkEntry {
       """WITH cases(case_id, num, den, k) AS (VALUES
         |  ('ratio_33_32_s4', 33, 32, 4),
         |  ('ratio_1_128_s6', 1, 128, 6),
-        |  ('ratio_161_32_s4', 161, 32, 4))
-        |SELECT case_id, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
-        |  CAST(k AS BIGINT) AS k,
-        |  CASE WHEN k = 4
-        |    THEN CAST((num::HUGEINT * 20000 + den) // (den::HUGEINT * 2) AS DOUBLE) / 10000.0
-        |    ELSE CAST((num::HUGEINT * 2000000 + den) // (den::HUGEINT * 2) AS DOUBLE) / 1000000.0
-        |  END AS value
-        |FROM cases ORDER BY case_id""".stripMargin,
+        |  ('ratio_161_32_s4', 161, 32, 4)),
+        |mcases(case_id, x) AS (VALUES
+        |  ('mean_pos_half_micro', 0.000002::DOUBLE),
+        |  ('mean_pos_half_micro', 0.000003::DOUBLE),
+        |  ('mean_neg_half_micro', -0.000002::DOUBLE),
+        |  ('mean_neg_half_micro', -0.000003::DOUBLE)),
+        |magg AS (
+        |  SELECT case_id, SUM(CAST(floor(x * 1e12 + 0.5) AS HUGEINT)) AS s,
+        |    COUNT(*)::HUGEINT AS n
+        |  FROM mcases GROUP BY case_id)
+        |SELECT * FROM (
+        |  SELECT case_id, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+        |    CAST(k AS BIGINT) AS k,
+        |    CASE WHEN k = 4
+        |      THEN CAST((num::HUGEINT * 20000 + den) // (den::HUGEINT * 2) AS DOUBLE) / 10000.0
+        |      ELSE CAST((num::HUGEINT * 2000000 + den) // (den::HUGEINT * 2) AS DOUBLE) / 1000000.0
+        |    END AS value
+        |  FROM cases
+        |  UNION ALL
+        |  SELECT case_id, 0, 0, 6,
+        |    CAST(CASE WHEN s >= 0 THEN (2*s + n*1000000) // (2*n*1000000)
+        |              ELSE -((2*(-s) + n*1000000) // (2*n*1000000)) END
+        |         AS DOUBLE) / 1000000.0 AS value
+        |  FROM magg)
+        |ORDER BY case_id""".stripMargin,
     "w1_global_chunk" ->
       """SELECT grp, count(*) AS cnt, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM (SELECT o_orderkey,
@@ -1774,14 +1791,26 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY nm.vec_id
          |        ORDER BY round(list_cosine_similarity(nm.v, c.cv), 6) DESC, c.cid ASC) AS rn
          |    FROM norm nm CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    // portable mean = EXACT integer micro-mean (MicroMeanAgg doc): each
+    // element pico-quantizes through the deterministic IEEE sequence
+    // floor(x*1e12 + 0.5), sums run in HUGEINT (order-independent), and
+    // the division to the micro grid rounds half-away-from-zero in
+    // exact integer arithmetic — identical to the engine kernel even ON
+    // the 2^a·5^b halfway residues
+    val microMu =
+      """CAST(CASE WHEN s >= 0 THEN (2*s + n*1000000) // (2*n*1000000)
+        |          ELSE -((2*(-s) + n*1000000) // (2*n*1000000)) END
+        |     AS DOUBLE) / 1000000.0""".stripMargin
     def cUpdate(n: Int, prev: String): String =
       s"""c$n AS MATERIALIZED (
          |  SELECT p.cid, coalesce(u.nv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN (
          |    SELECT cell, list(mu ORDER BY dim) AS nv FROM (
-         |      SELECT cell, dim, round(avg(x), 6) AS mu FROM (
-         |        SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$n)
-         |      GROUP BY cell, dim) GROUP BY cell) u ON p.cid = u.cell)""".stripMargin
+         |      SELECT cell, dim, $microMu AS mu FROM (
+         |        SELECT cell, dim, SUM(CAST(floor(x * 1e12 + 0.5) AS HUGEINT)) AS s,
+         |          COUNT(*)::HUGEINT AS n FROM (
+         |          SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$n)
+         |        GROUP BY cell, dim)) GROUP BY cell) u ON p.cid = u.cell)""".stripMargin
     def pqAssign(n: Int, cb: String): String =
       s"""pa$n AS MATERIALIZED (
          |  SELECT vec_id, sub, sv, code FROM (
@@ -1796,9 +1825,11 @@ object SparkEntry {
          |  SELECT p.sub, p.code, coalesce(u.nv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN (
          |    SELECT sub, code, list(mu ORDER BY dim) AS nv FROM (
-         |      SELECT sub, code, dim, round(avg(x), 6) AS mu FROM (
-         |        SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim FROM pa$n)
-         |      GROUP BY sub, code, dim) GROUP BY sub, code) u
+         |      SELECT sub, code, dim, $microMu AS mu FROM (
+         |        SELECT sub, code, dim, SUM(CAST(floor(x * 1e12 + 0.5) AS HUGEINT)) AS s,
+         |          COUNT(*)::HUGEINT AS n FROM (
+         |          SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim FROM pa$n)
+         |        GROUP BY sub, code, dim)) GROUP BY sub, code) u
          |  ON p.sub = u.sub AND p.code = u.code)""".stripMargin
     // per-nprobe: probe-cell ranking (round-6, cid tie), per-cell
     // residual LUT, ADC = sub-ordered left-to-right fold (list_reduce

@@ -21,11 +21,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * Mean semantics: callers divide by `count(v)` (the non-null row
   * count) — the same sum/count division Spark's `avg` performs. The
   * SUMMATION ORDER differs from the hash-agg form's only in grouping
-  * (same multiset of doubles), so raw sums agree to last-ulp and the
-  * portable round-6 quantization yields bit-identical decisions (the
-  * [[graft.operators.IvfAnn.trainCentroids]] portable-envelope
-  * argument; spec-held agg == posexplode form, and every downstream
-  * oracle re-verified).
+  * (same multiset of doubles), so raw sums agree to last-ulp
+  * (spec-held agg == posexplode form). The PORTABLE trainers no longer
+  * round this double sum — they use the exact integer
+  * [[MicroMeanAgg]] kernel (r13), which removes the order dependence
+  * entirely; this sum remains the non-portable update step and the
+  * general-purpose vector-sum primitive.
   *
   * UNIFORM WIDTH REQUIRED: a ragged vector fails loudly. (The
   * posexplode form silently averaged ragged dims over differing

@@ -175,14 +175,19 @@ object IvfAnn {
       portable: Boolean): DataFrame = {
     // portable = ORACLE-REPLAYABLE training: every decision the loop
     // makes quantizes to 6 decimals first — assignments argmax on
-    // round(cosine, 6) (tie → min cid) and centroid updates store
-    // round(avg, 6) — so an external engine whose raw arithmetic
-    // agrees to ~1e-15 (the proven x1/x12 envelope) makes the SAME
-    // decision at every step and the whole ITERATED computation stays
-    // bit-equal across engines; unrounded, a last-ulp avg() difference
-    // (summation order is merge-order-dependent even run to run)
-    // could flip one assignment and cascade. The 1e-6 quantum is noise
-    // against quantization error — recall is unchanged (spec-held).
+    // round(cosine, 6) (tie → min cid) and centroid updates store the
+    // EXACT integer micro-mean ([[graft.functions.MicroMeanAgg]]:
+    // pico-quantized order-independent sums, exact half-away-from-zero
+    // division to the micro grid) — so an external engine whose raw
+    // arithmetic agrees to ~1e-15 (the proven x1/x12 envelope) makes
+    // the SAME decision at every step and the whole ITERATED
+    // computation stays bit-equal across engines; unrounded, a
+    // last-ulp avg() difference (summation order is merge-order-
+    // dependent even run to run) could flip one assignment and
+    // cascade — and the earlier round(double-sum, 6) form still
+    // carried the halfway-residue hazard the integer kernel closes.
+    // The 1e-6 quantum is noise against quantization error — recall
+    // is unchanged (spec-held).
     // init = the k smallest-id vectors: deterministic AND id-value-agnostic
     // (frames whose ids don't start at 0 — e.g. via EmbeddingOps — train
     // identically to the contiguous-id testdata)
@@ -191,24 +196,32 @@ object IvfAnn {
         .select(col("vec_id").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
       val assigned = assignCells(emb, cents, portable)
-      // update = per-cell vector mean via the [[graft.functions
-      // .VecSumAgg]] kernel: ONE buffer per cell folded map-side,
-      // replacing the posexplode-to-(cell,dim) form whose d× row
-      // amplification paid the hash-agg probe per DIMENSION per
-      // iteration (the measured residual cost of x34's training).
-      // sum/count is the identical division avg performs; only the
-      // summation GROUPING changes (same multiset), which the portable
-      // round-6 quantization absorbs (VecSumAgg doc; spec-held
-      // agg == posexplode, every downstream oracle re-verified).
-      def mean(s: Column): Column =
-        if (portable) round(s / col("_g_n"), 6) else s / col("_g_n")
-      val updated = assigned
-        .groupBy(col("cell"))
-        .agg(graft.functions.VecSumAgg.vec_sum(
-            col("v").cast("array<double>")).as("_g_sums"),
-          count(col("v")).as("_g_n"))
-        .select(col("cell").as("cid"),
-          transform(col("_g_sums"), s => mean(s)).as("nv"))
+      // update = per-cell vector mean via ONE buffer per cell folded
+      // map-side ([[graft.functions.VecSumAgg]] shape), replacing the
+      // posexplode-to-(cell,dim) form whose d× row amplification paid
+      // the hash-agg probe per DIMENSION per iteration (the measured
+      // residual cost of x34's training). Portable mode uses the EXACT
+      // integer kernel [[graft.functions.MicroMeanAgg]]: pico-quantized
+      // 128-bit sums + exact half-away-from-zero division to the micro
+      // grid, so the stored centroid is order-independent and
+      // bit-reproducible on any engine BY CONSTRUCTION — including on
+      // the 2^a·5^b halfway residues where the earlier
+      // round(double-sum/n, 6) could legitimately round apart from the
+      // oracle (the r12 audit's latent case, closed r13). Non-portable
+      // keeps the raw sum/count division avg performs.
+      val updated =
+        if (portable)
+          assigned.groupBy(col("cell"))
+            .agg(graft.functions.MicroMeanAgg.vec_mean_micro(
+              col("v").cast("array<double>")).as("nv"))
+            .select(col("cell").as("cid"), col("nv"))
+        else assigned
+          .groupBy(col("cell"))
+          .agg(graft.functions.VecSumAgg.vec_sum(
+              col("v").cast("array<double>")).as("_g_sums"),
+            count(col("v")).as("_g_n"))
+          .select(col("cell").as("cid"),
+            transform(col("_g_sums"), s => s / col("_g_n")).as("nv"))
       // empty cells keep their previous centroid (no silent k shrinkage)
       cents = ScaleUtils.materializeLocal(
         cents.join(updated, Seq("cid"), "left")

@@ -114,8 +114,8 @@ object IvfPq {
     // pqprof). [[graft.operators.ScaleUtils.spreadForCompute]] has the
     // gating rationale (tiny and corpus-scale inputs untouched);
     // decisions are unchanged — the spread only regroups partial sums,
-    // which portable round-6 absorbs (the VecSumAgg envelope;
-    // x34/x15/x12 oracles re-verified). The lazy spread is PINNED for
+    // and the portable update kernel's integer sums are exactly
+    // order-independent (MicroMeanAgg; x34/x15/x12 oracles re-verified). The lazy spread is PINNED for
     // the whole build (dim probe, coarse loop, residuals) and released
     // once the persisted residuals take over as the working set.
     val emb = {
@@ -133,9 +133,11 @@ object IvfPq {
         s"embedding dim ${r.getInt(0)} must be divisible by m=$m — " +
           "trailing dims would be silently dropped")
     }
-    // portable: both trainers quantize every decision to 6 decimals
-    // ([[IvfAnn.trainCentroids]] doc) so the ENTIRE trained index is
-    // oracle-replayable — the x34 gate's contract
+    // portable: both trainers quantize every decision to 6 decimals —
+    // assignments on round-6 similarity, updates through the EXACT
+    // integer micro-mean kernel ([[IvfAnn.trainCentroids]] /
+    // [[graft.functions.MicroMeanAgg]] docs) — so the ENTIRE trained
+    // index is oracle-replayable — the x34 gate's contract
     val cents = IvfAnn.trainCentroids(emb, nCells, coarseIters, portable)
     val residuals = IvfAnn.assignCells(emb, cents, portable)
       .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))

@@ -139,28 +139,36 @@ object ProductQuantizer {
       m: Int, k: Int, iters: Int, portable: Boolean): DataFrame = {
     // portable = oracle-replayable codebooks: the assignment argmin
     // already decides on round-6 distances ([[l2sq]]), so quantizing
-    // the UPDATE too (codewords store round(avg, 6)) makes the whole
-    // iterated training bit-equal on any engine whose raw arithmetic
-    // agrees to ~1e-15 — the [[IvfAnn.trainCentroids]] portable
-    // convention; recall is unaffected (the quantum is noise next to
-    // quantization error, spec-held)
+    // the UPDATE too (codewords store the exact integer micro-mean,
+    // [[graft.functions.MicroMeanAgg]]) makes the whole iterated
+    // training bit-equal on any engine BY CONSTRUCTION — the
+    // [[IvfAnn.trainCentroids]] portable convention; recall is
+    // unaffected (the quantum is noise next to quantization error,
+    // spec-held)
     val sv = subvectors(emb, idCol, vecCol, m)
     var cb = ScaleUtils.materializeLocal(initCodebook(sv, k))
     for (_ <- 1 to iters) {
-      // update = per-(sub, code) subvector mean via the [[graft
-      // .functions.VecSumAgg]] kernel — one buffer per codeword,
-      // map-side combine, replacing the posexplode d× row
+      // update = per-(sub, code) subvector mean — one buffer per
+      // codeword, map-side combine, replacing the posexplode d× row
       // amplification ([[IvfAnn.trainCentroids]] has the full
-      // rationale; same portable bit-equality argument, spec-held)
-      def mean(s: Column): Column =
-        if (portable) round(s / col("_g_n"), 6) else s / col("_g_n")
-      val updated = assignCodes(sv, cb)
-        .groupBy(col("sub"), col("code"))
-        .agg(graft.functions.VecSumAgg.vec_sum(
-            col("sv").cast("array<double>")).as("_g_sums"),
-          count(col("sv")).as("_g_n"))
-        .select(col("sub"), col("code"),
-          transform(col("_g_sums"), s => mean(s)).as("nv"))
+      // rationale). Portable mode runs the EXACT integer kernel
+      // [[graft.functions.MicroMeanAgg]] (order-independent pico sums,
+      // exact micro rounding — halfway-residue-proof on any engine);
+      // non-portable keeps the raw sum/count division.
+      val assigned = assignCodes(sv, cb)
+      val updated =
+        if (portable)
+          assigned.groupBy(col("sub"), col("code"))
+            .agg(graft.functions.MicroMeanAgg.vec_mean_micro(
+              col("sv").cast("array<double>")).as("nv"))
+            .select(col("sub"), col("code"), col("nv"))
+        else assigned
+          .groupBy(col("sub"), col("code"))
+          .agg(graft.functions.VecSumAgg.vec_sum(
+              col("sv").cast("array<double>")).as("_g_sums"),
+            count(col("sv")).as("_g_n"))
+          .select(col("sub"), col("code"),
+            transform(col("_g_sums"), s => s / col("_g_n")).as("nv"))
       cb = ScaleUtils.materializeLocal(
         cb.join(updated, Seq("sub", "code"), "left")
           .select(col("sub"), col("code"), coalesce(col("nv"), col("cv")).as("cv")))

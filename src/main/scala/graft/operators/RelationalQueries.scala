@@ -266,17 +266,32 @@ object RelationalQueries {
     //   33·10^4/32   = 10312.5   → half-up 1.0313   (the d14 shape)
     //   1·10^6/128   =  7812.5   → half-up 0.007813 (the d11/x32 shape)
     //   161·10^4/32  = 50312.5   → half-up 5.0313   (integer part > 1)
-    Seq(("ratio_33_32_s4", 33L, 32L, 4L),
-        ("ratio_1_128_s6", 1L, 128L, 6L),
-        ("ratio_161_32_s4", 161L, 32L, 4L))
-      .toDF("case_id", "num", "den", "k")
-      .select(col("case_id"), col("num"), col("den"), col("k"),
-        when(col("k") === 4,
-          graft.functions.ExactRound.ratio(col("num"), col("den"), 4))
-          .otherwise(
-            graft.functions.ExactRound.ratio(col("num"), col("den"), 6))
-          .as("value"))
-      .orderBy("case_id")
+    val ratioCases =
+      Seq(("ratio_33_32_s4", 33L, 32L, 4L),
+          ("ratio_1_128_s6", 1L, 128L, 6L),
+          ("ratio_161_32_s4", 161L, 32L, 4L))
+        .toDF("case_id", "num", "den", "k")
+        .select(col("case_id"), col("num"), col("den"), col("k"),
+          when(col("k") === 4,
+            graft.functions.ExactRound.ratio(col("num"), col("den"), 4))
+            .otherwise(
+              graft.functions.ExactRound.ratio(col("num"), col("den"), 6))
+            .as("value"))
+    // the portable-trainer mean residue: a 2-row cell averaging {2, 3}
+    // micro-units sits EXACTLY ON 2.5 micro — the MicroMeanAgg kernel
+    // (the x34 Lloyd's update step) must half-away-from-zero it
+    // identically to the oracle's HUGEINT mirror, both signs
+    val meanCases =
+      Seq(("mean_pos_half_micro", Seq(2.0e-6)),
+          ("mean_pos_half_micro", Seq(3.0e-6)),
+          ("mean_neg_half_micro", Seq(-2.0e-6)),
+          ("mean_neg_half_micro", Seq(-3.0e-6)))
+        .toDF("case_id", "v")
+        .groupBy(col("case_id"))
+        .agg(graft.functions.MicroMeanAgg.vec_mean_micro(col("v")).as("m"))
+        .select(col("case_id"), lit(0L).as("num"), lit(0L).as("den"),
+          lit(6L).as("k"), element_at(col("m"), 1).as("value"))
+    ratioCases.unionByName(meanCases).orderBy("case_id")
   }
 
   /** Beyond-reference: HLL approximate distinct (sketch differs per
