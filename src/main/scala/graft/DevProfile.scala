@@ -157,6 +157,50 @@ object DevProfile {
           portable = true).count())
         residuals.unpersist(); codes.unpersist(): Unit
       }
+    } else if (name == "x34serve") {
+      // phase-by-phase timing of x34's WARM serving path (the number a
+      // steady-state user sees): snapshot resolve (hit), index load,
+      // query head, exact ground truth, and the two ADC probes —
+      // repeated in one JVM after one priming call builds the snapshot
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorExprs.register(spark)
+      def t[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      // prime: full gate once (build + snapshot write on first call)
+      SparkEntry.queries("x34_trained_recall")(spark, sfDir).count()
+      for (i <- 1 to reps) {
+        println(s"rep $i:")
+        val emb = t("emb plan")(graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+              "sqrt(aggregate(embedding, 0D, " +
+              "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))").as("v")))
+        val path = t("resolve")(operators.SnapshotCache.resolve(spark,
+          "x34", s"$sfDir/embeddings.parquet")(_ =>
+            throw new IllegalStateException("expected snapshot hit")))
+        val idx = t("loadIndex")(operators.IvfPq.loadIndex(spark, path))
+        val q = t("q head")(
+          emb.filter(col("vec_id") === 0L).head().getSeq[Double](1))
+        val exact = t("exact top10")(emb.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            round(call_function("vec_cosine", col("v"), typedLit(q)), 6)
+              .as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+          .collect().map(_.getLong(0)).toSet)
+        Seq(2, 8).foreach { np =>
+          t(s"probe np=$np")(operators.IvfPq.topK(idx, q, 10, np,
+            Some(0L), portable = true)
+            .withColumn("rank", row_number().over(
+              Window.orderBy(col("adc_dist").asc, col("pq_id").asc)))
+            .count())
+        }
+        val _ = exact
+      }
     } else if (name == "warmbench") {
       // true warm-vs-warm engine timing: run every gate query twice in one
       // JVM and report the second pass (snapshot caches and JIT hot) —

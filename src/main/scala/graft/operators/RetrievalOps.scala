@@ -1275,7 +1275,11 @@ object RetrievalOps {
           k = 64, coarseIters = 3, pqIters = 3, portable = true)
         try IvfPq.writeIndex(idx, out) finally idx.release()
     }
-    val idx = IvfPq.loadIndex(s, path)
+    // localize once: the gate probes TWICE (nprobe 2 and 8), and each
+    // topK collects the parameter-sized cents/codebook — localizing
+    // pins them driver-local so the second probe re-reads nothing
+    // (same values, same decisions; only the physical source changes)
+    val idx = IvfPq.localizeIndex(IvfPq.loadIndex(s, path))
     val q = emb.filter(col("vec_id") === 0L).head().getSeq[Double](1)
     val exact = emb.filter(col("vec_id") =!= 0L)
       .select(col("vec_id"),
