@@ -1307,12 +1307,16 @@ object DevProfile {
         val cents = operators.IvfAnn
           .trainCentroids(emb, 8, 3, portable = true)
         val t1 = System.nanoTime()
-        val residuals = operators.IvfAnn
-          .assignCells(emb, cents, portable = true)
-          .join(broadcast(cents.withColumnRenamed("cid", "cell")),
-            Seq("cell"))
-          .select(col("vec_id"), col("cell"),
-            zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+        // spread BEFORE persisting (the caller-pinned contract, r13):
+        // the trainer never re-spreads a persisted input, so this is
+        // the ONE residual copy the whole PQ phase runs against
+        val residuals = graft.operators.ScaleUtils.spreadForCompute(
+          operators.IvfAnn
+            .assignCells(emb, cents, portable = true)
+            .join(broadcast(cents.withColumnRenamed("cid", "cell")),
+              Seq("cell"))
+            .select(col("vec_id"), col("cell"),
+              zip_with(col("v"), col("cv"), (x, c) => x - c).as("r")))
           .persist()
         residuals.count()
         val t2 = System.nanoTime()

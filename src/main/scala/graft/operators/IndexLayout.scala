@@ -376,6 +376,28 @@ private[graft] object IndexLayout {
           "crashed holder's lease expires after " +
           s"graft.index.writerLeaseTtlMs = $ttlMs ms).")
     }
+    // Holding the lease, sweep EXPIRED crash-stranded aside files: a
+    // breaker dying between its claim-rename and the aside delete
+    // leaves one `WRITER.broken.<uuid>` behind, and on an append-only
+    // path (which never runs retract()'s WRITER.-prefix sweep) a crash
+    // storm would otherwise accumulate them forever. Only asides older
+    // than the TTL go (rename preserves mtime, so an aside's age IS
+    // the age of the lease it yanked): a younger aside can still be a
+    // freshly-yanked live lease awaiting a stood-down breaker's
+    // best-effort restore — deleting it would only cost that breaker a
+    // retry it may not deserve, but respecting the TTL keeps this
+    // sweep exactly as conservative as the break judgment itself.
+    // Bound: each crashed breaker strands at most ONE aside, so N
+    // crashes leave at most N files, and the first successful mutation
+    // after expiry clears them all (IndexLayoutSpec crash-storm case).
+    try {
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("WRITER.broken.") &&
+            System.currentTimeMillis() - st.getModificationTime > ttlMs)
+          fs.delete(st.getPath, false): Unit
+      }
+    } catch { case _: java.io.IOException => () } // sweep is best-effort
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     val beat = new java.util.Timer("graft-writer-lease", true)

@@ -160,9 +160,16 @@ object IvfAnn {
     // ([[ScaleUtils.spreadForCompute]] doc; no-op for tiny and for
     // corpus-scale inputs). The spread is lazy, so PIN it for the
     // loop's iters+1 actions and release on exit — otherwise every
-    // iteration re-runs the shuffle.
+    // iteration re-runs the shuffle. An input the CALLER already
+    // persisted is NEVER re-spread: spreading would pin a SECOND
+    // corpus-scale copy next to the caller's (the r12 16.4M-rung
+    // residual spill churn — two ~8.4 GB MEMORY_AND_DISK copies at
+    // once); callers who persist own the partitioning and spread
+    // BEFORE persisting ([[IvfPq.build]] / the trainer ladders do).
+    val callerPinned =
+      emb0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val emb = {
-      val s = ScaleUtils.spreadForCompute(emb0)
+      val s = if (callerPinned) emb0 else ScaleUtils.spreadForCompute(emb0)
       if (s ne emb0)
         s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else s

@@ -144,12 +144,18 @@ object IvfPq {
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the residual cache EAGERLY (one pass PQ training's
+    // first iteration would have paid anyway) so the pinned spread
+    // input can go BEFORE the 3-iteration PQ loop — the r12 ladder ran
+    // that loop with BOTH corpus-scale frames pinned (emb + residuals,
+    // 2 × ~8.4 GB at 16.4M vectors), which is exactly the spill churn
+    // the 16.4M rung measured. residuals inherit emb's spread
+    // partitioning, so ProductQuantizer.train's caller-pinned gate
+    // skips its own re-spread (single copy end to end).
+    residuals.count(): Unit
+    if (emb ne embNarrow) emb.unpersist(): Unit
     val codebook = ProductQuantizer
       .train(residuals, "vec_id", "r", m, k, pqIters, portable)
-    // PQ training's first action materialized the persisted residuals;
-    // everything downstream (encode, the cell join) reads that cache,
-    // so the pinned spread input can go
-    if (emb ne embNarrow) emb.unpersist(): Unit
     val codes = ProductQuantizer.encode(residuals, "vec_id", "r", codebook, m)
       .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
         Seq("pq_id"))

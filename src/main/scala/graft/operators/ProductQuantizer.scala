@@ -125,8 +125,14 @@ object ProductQuantizer {
     // ([[ScaleUtils.spreadForCompute]] doc; no-op for tiny and for
     // corpus-scale inputs). Lazy spread → PIN it across the loop's
     // iters+1 actions, release on exit (trainCentroids convention).
+    // A caller-persisted input is NEVER re-spread — that would pin a
+    // SECOND corpus-scale copy next to the caller's (the r12
+    // 16.4M-rung residual spill churn); callers who persist spread
+    // first ([[IvfAnn.trainCentroids]] has the full rationale).
+    val callerPinned =
+      emb0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val emb = {
-      val s = ScaleUtils.spreadForCompute(emb0)
+      val s = if (callerPinned) emb0 else ScaleUtils.spreadForCompute(emb0)
       if (s ne emb0)
         s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else s

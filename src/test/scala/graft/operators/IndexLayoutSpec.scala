@@ -233,6 +233,53 @@ class IndexLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("crash storm: N breakers dying mid-break strand at most N asides, " +
+      "and the next successful mutation sweeps every EXPIRED one on a " +
+      "path that never retracts") {
+    val path = tmp("leasestorm") + "/idx"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val ttl = IndexLayout.writerLeaseTtlMs(spark)
+    def writeFile(p: org.apache.hadoop.fs.Path, content: String,
+        ageMs: Long): Unit = {
+      val out = fs.create(p, true)
+      out.write(content.getBytes("UTF-8")); out.close()
+      fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+    }
+    // a storm of 5 breakers each crashed between the claim-rename and
+    // the aside delete: the rename grants the source to exactly ONE
+    // breaker per expired lease, so each crash strands at most ONE
+    // WRITER.broken.<uuid> — simulate the artifacts each leaves behind
+    // (mtime = the yanked lease's, past the TTL; rename preserves it)
+    (1 to 5).foreach { i =>
+      writeFile(new org.apache.hadoop.fs.Path(
+        s"$path/WRITER.broken.crash-$i"), s"dead-writer-$i append",
+        ttl + 60000L)
+    }
+    // plus one YOUNG aside — a freshly-yanked lease a stood-down
+    // breaker may still restore; the sweep must respect it
+    writeFile(new org.apache.hadoop.fs.Path(
+      s"$path/WRITER.broken.young"), "possibly-live append", 1000L)
+    def asides: Seq[String] = fs.listStatus(root)
+      .map(_.getPath.getName).toSeq.filter(_.startsWith("WRITER.broken."))
+    assert(asides.size == 6)
+    // an ordinary append-style mutation (NO retract in this lifecycle):
+    // acquire succeeds despite the litter, and while holding the lease
+    // the expired asides are swept; the young one survives
+    IndexLayout.withWriterLease(spark, path, "storm-append") { () }
+    assert(asides == Seq("WRITER.broken.young"),
+      s"expired asides must be swept, young respected: $asides")
+    // once the young aside EXPIRES, the next mutation clears it too —
+    // zero garbage after the next lifecycle, the bounded-litter claim
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$path/WRITER.broken.young"),
+      System.currentTimeMillis() - ttl - 60000L, -1)
+    IndexLayout.withWriterLease(spark, path, "storm-append-2") { () }
+    assert(asides.isEmpty, s"litter after second lifecycle: $asides")
+    // and the lease file itself released cleanly both times
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/WRITER")))
+  }
+
   test("writeAtomicExclusive: exactly one of two binders wins, the " +
       "loser sees the winner's value intact") {
     val dir = tmp("excl")
