@@ -18,7 +18,8 @@ object DevProfile {
     // mode opts into local[8,3] (up to 2 retries per task) — everything
     // else keeps the bench-identical local[32].
     val spark = SparkSession.builder()
-      .master(if (name == "faultinject") "local[8,3]" else "local[32]")
+      .master(if (name == "faultinject" || name == "chaossoak")
+        "local[8,3]" else "local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -1445,6 +1446,225 @@ object DevProfile {
         })
         idx.release()
       }
+    } else if (name == "chaossoak") {
+      // ALL THREE chaos axes COMPOSED in one run of the three concurrent
+      // serving loops (r12 proved each axis separately): task-retry
+      // fault injection (local[8,3] + the attempt-0 injector on every
+      // stream), a mid-run INTERLOPER writer racing the lexical path's
+      // lease, and the invariance sweep's adversarial config B (3-wide
+      // shuffles, 64 KB input splits, AQE off) — the closest a
+      // single-box harness gets to a bad day on a 1000-executor
+      // cluster. Every end state must equal its CLEAN batch fold.
+      // Driven cross-JVM by ChaosSoakSpec; prints CHAOSSOAK PASS/FAIL.
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      import graft.operators.{CorpusOps, IvfPq, RetrievalOps}
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val failedTasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.reason != org.apache.spark.Success) {
+              failedTasks.incrementAndGet(); ()
+            }
+        })
+      val injector = makeInjector()
+      val root = java.nio.file.Files.createTempDirectory("chaossoak")
+        .toString
+      val nChunks = 20
+      def writeFeed(dir: String, parts: Seq[DataFrame]): Unit =
+        parts.zipWithIndex.foreach { case (df, i) =>
+          val stage = s"$dir/_w$i"
+          df.coalesce(1).write.parquet(stage)
+          val f = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$i.parquet"))
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(stage))
+          // deterministic batch order: file source lists oldest-first
+          new java.io.File(s"$dir/$i.parquet")
+            .setLastModified(1000000L + i * 1000L): Unit
+        }
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val seed = docs.filter(col("doc_id") < 20)
+      writeFeed(s"$root/dfeed", (0 until nChunks).map(i =>
+        docs.filter(col("doc_id") >= 20 + i * 24 &&
+          col("doc_id") < 20 + (i + 1) * 24)))
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      writeFeed(s"$root/vfeed", (0 until nChunks).map(i =>
+        Tables.embeddings(spark, sfDir)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"),
+            col("label"))
+          .filter(col("vec_id") % nChunks === i)))
+      var failures = 0
+      def check(label: String)(cond: => Boolean): Unit = {
+        val ok = try cond catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"CHAOSSOAK $label: FAIL (threw ${e.getMessage})")
+            e.printStackTrace(); false
+        }
+        if (ok) println(s"CHAOSSOAK $label: PASS")
+        else { println(s"CHAOSSOAK $label: FAIL"); failures += 1 }
+      }
+      val idx = IvfPq.build(emb, "vec_id", "v", nCells = 4,
+        coarseIters = 0, pqIters = 0)
+      try {
+        IvfPq.writeIndex(idx, s"$root/vidx")
+        val frozen = IvfPq.loadIndex(spark, s"$root/vidx")
+        val codesBefore = frozen.codes.count()
+        RetrievalOps.indexCorpus(seed, "doc_id", "text", s"$root/lidx",
+          nBuckets = 8)
+        // every stream carries the injector downstream of an explicit
+        // 8-way repartition (partition 3 exists even under shuffle=3)
+        def docStream = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet").parquet(s"$root/dfeed")
+          .repartition(8, col("doc_id"))
+          .withColumn("doc_id", injector(col("doc_id")))
+        val vecStream = spark.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label STRING")
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet").parquet(s"$root/vfeed")
+          .repartition(8, col("vec_id"))
+          .withColumn("vec_id", injector(col("vec_id")))
+        // the INTERLOPER: a manual append racing the lexical loop's
+        // lease — stops after banking one loud failure (bounds churn)
+        val wp = new java.io.File(s"$root/lidx/WRITER")
+        val loudFails =
+          new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val sneaked = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        @volatile var watch = true
+        import spark.implicits._
+        val watcher = new Thread(() => {
+          var attempt = 0
+          while (watch && loudFails.isEmpty) {
+            if (wp.exists()) {
+              val id = 990000L + attempt
+              attempt += 1
+              try {
+                RetrievalOps.appendToPostings(
+                  Seq((id, s"interloper payload $id"))
+                    .toDF("doc_id", "text"),
+                  "doc_id", "text", s"$root/lidx")
+                sneaked.add(id)
+              } catch {
+                case e: IllegalStateException => loudFails.add(e.getMessage)
+              }
+            }
+            Thread.sleep(1)
+          }
+        })
+        // vector + admit loops start first and run throughout; the
+        // lexical loop drains under the interloper with
+        // restart-on-lease-loss (checkpoint replay)
+        val qVec = streaming.DocStreams.appendArrivals(vecStream, frozen,
+          s"$root/vidx", s"$root/ckpt_vec", compactEvery = Some(2))
+        val qAdm = streaming.DocStreams.admitArrivals(docStream, seed,
+          s"$root/adm", s"$root/ckpt_adm", compactEvery = Some(3))
+        watcher.start()
+        try {
+          var drained = false
+          var restarts = 0
+          while (!drained) {
+            val qLex = streaming.DocStreams.indexArrivals(docStream,
+              s"$root/lidx", s"$root/ckpt_lex", compactEvery = Some(2))
+            try {
+              qLex.processAllAvailable()
+              drained = true
+            } catch {
+              case e: org.apache.spark.sql.streaming
+                  .StreamingQueryException =>
+                def leaseLoss(t: Throwable): Boolean = t != null &&
+                  (Option(t.getMessage).exists(
+                    _.contains("another writer holds the lease")) ||
+                    leaseLoss(t.getCause))
+                if (!leaseLoss(e)) throw e
+                restarts += 1
+                if (restarts > 10) throw new IllegalStateException(
+                  "lexical loop could not win the lease back", e)
+            } finally qLex.stop()
+          }
+          qVec.processAllAvailable()
+          qAdm.processAllAvailable()
+        } finally {
+          watch = false
+          watcher.join(30000)
+          Seq(qVec, qAdm).foreach(_.stop())
+        }
+        check("injection-fired") {
+          // no vacuous pass: the chaos actually happened — injected
+          // task failures were retried AND the interloper resolved
+          org.apache.spark.sql.graft.SessionOps
+            .drainListeners(spark, 30000L): Unit
+          failedTasks.get() > 0 && (!loudFails.isEmpty || !sneaked.isEmpty)
+        }
+        check("loops-compacted") {
+          Seq("lidx", "vidx", "adm").forall { d =>
+            new java.io.File(s"$root/$d/CURRENT").exists() &&
+            new java.io.File(s"$root/$d/generations").listFiles()
+              .count(_.getName.startsWith("g")) <= 2
+          }
+        }
+        check("lexical-end-state") {
+          // == one-shot rebuild over full corpus + legally sneaked docs
+          import scala.jdk.CollectionConverters._
+          val sneakDocs = sneaked.asScala.toSeq.sorted
+            .map(id => (id, s"interloper payload $id"))
+          val full = docs.unionByName(sneakDocs.toDF("doc_id", "text"))
+          RetrievalOps.indexCorpus(full, "doc_id", "text", s"$root/lfull",
+            nBuckets = 8)
+          val grown = RetrievalOps
+            .bm25TopKIndexed(spark, s"$root/lidx", RetrievalOps.GateTerms)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val rebuilt = RetrievalOps
+            .bm25TopKIndexed(spark, s"$root/lfull", RetrievalOps.GateTerms)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          grown == rebuilt && grown.nonEmpty
+        }
+        check("vector-end-state") {
+          val after = IvfPq.loadIndex(spark, s"$root/vidx")
+          def keyOf(df: DataFrame, id: Long) = df
+            .filter(col("pq_id") === id)
+            .select(col("cell").cast("long"),
+              col("codes").cast("array<int>")).head()
+          after.codes.count() == codesBefore * 2 &&
+          Seq(3L, 7L, 499L).forall(id =>
+            keyOf(after.codes, 500000L + id) == keyOf(after.codes, id))
+        }
+        check("admit-end-state") {
+          // == the sequential CLEAN batch fold over the same 20 chunks
+          def admit(existing: DataFrame, b: DataFrame) =
+            CorpusOps.deduplicate(
+              CorpusOps.exactDeduplicate(
+                CorpusOps.dedupeIncrement(existing, b, "doc_id", "text"),
+                "doc_id", "text"),
+              "doc_id", "text")
+          var corpus = seed.collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          (0 until nChunks).foreach { i =>
+            val chunk = spark.read.parquet(s"$root/dfeed/$i.parquet")
+            corpus = corpus ++ admit(corpus.toDF("doc_id", "text"), chunk)
+              .collect().map(r => (r.getLong(0), r.getString(1)))
+          }
+          val expected = corpus.drop(seed.count().toInt).toSet
+          val got = streaming.DocStreams
+            .admittedDocs(spark, s"$root/adm", seed.schema)
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          got == expected
+        }
+      } finally idx.release()
+      org.apache.hadoop.fs.FileUtil
+        .fullyDelete(new java.io.File(root)): Unit
+      println(s"CHAOSSOAK total failures: $failures")
+      if (failures > 0) { spark.stop(); sys.exit(1) }
     } else if (name == "faultinject") {
       // Task-retry exactness: on a 1000-executor cluster task failures are
       // routine (preemption, bad hosts, fetch failures) and Spark's answer
@@ -1470,26 +1690,7 @@ object DevProfile {
               failedTasks.incrementAndGet(); ()
             }
         })
-      // Identity over the id column that kills row 2 of partition 3 on
-      // attempt 0 of every stage that evaluates it (row 2, not later: a
-      // streaming micro-batch hash-partitioned 8 ways may only put a
-      // handful of rows in the chosen partition); the retried attempt
-      // (attemptNumber >= 1) passes every row. Keyed by taskAttemptId
-      // (globally unique) so re-used executor threads can't cross-count;
-      // nondeterministic so Catalyst cannot duplicate it or push it
-      // through the repartition exchange that gives the input its 8
-      // deterministic hash partitions.
-      val injector = udf { (id: Long) =>
-        val tc = TaskContext.get()
-        if (tc != null && tc.partitionId() == InjectState.part.get() &&
-            tc.attemptNumber() == 0) {
-          val n = InjectState.rows.merge(tc.taskAttemptId(), 1L, _ + _)
-          if (n == 2L) throw new RuntimeException(
-            s"graft-injected task failure stage=${tc.stageId()} " +
-              s"part=${tc.partitionId()} attempt=0")
-        }
-        id
-      }.asNondeterministic()
+      val injector = makeInjector()
       def flaky(df: DataFrame, idCol: String): DataFrame =
         df.repartition(8, col(idCol))
           .withColumn(idCol, injector(col(idCol)))
@@ -1781,4 +1982,28 @@ object DevProfile {
       * local mode shares the singleton with executor threads). */
     val part = new java.util.concurrent.atomic.AtomicInteger(3)
   }
+
+  /** Identity over the id column that kills row 2 of partition
+    * [[InjectState.part]] on attempt 0 of every stage that evaluates it
+    * (row 2, not later: a streaming micro-batch hash-partitioned 8 ways
+    * may only put a handful of rows in the chosen partition); the
+    * retried attempt (attemptNumber >= 1) passes every row. Keyed by
+    * taskAttemptId (globally unique) so re-used executor threads can't
+    * cross-count; nondeterministic so Catalyst cannot duplicate it or
+    * push it through the repartition exchange that gives the input its
+    * 8 deterministic hash partitions. Shared by the `faultinject`
+    * checks and the composed `chaossoak`. */
+  private def makeInjector()
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (id: Long) =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.partitionId() == InjectState.part.get() &&
+          tc.attemptNumber() == 0) {
+        val n = InjectState.rows.merge(tc.taskAttemptId(), 1L, _ + _)
+        if (n == 2L) throw new RuntimeException(
+          s"graft-injected task failure stage=${tc.stageId()} " +
+            s"part=${tc.partitionId()} attempt=0")
+      }
+      id
+    }.asNondeterministic()
 }

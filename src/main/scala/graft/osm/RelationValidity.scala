@@ -46,7 +46,14 @@ object RelationValidity {
     *                    ALL candidates must name that class explicitly
     *                    (monaco drops 1369191 and 5197022 this way). */
   def classify(spark: SparkSession, pbfPaths: Seq[String]): DataFrame = {
-    val elems = spark.read.format("osmpbf").load(pbfPaths: _*)
+    // the J3 multi-extract dedup the conversion itself applies
+    // (OsmPipeline, pbf_file_reader.py:1126-1139): overlapping extract
+    // files carry the same element twice, and an oracle classifying
+    // duplicated relations would emit duplicate candidate rows (and
+    // judge ref closures against doubled member sets)
+    val raw = spark.read.format("osmpbf").load(pbfPaths: _*)
+    val elems =
+      if (pbfPaths.size > 1) raw.dropDuplicates("kind", "id") else raw
     val cand = elems
       .filter(col("kind") === "relation" && size(col("refs")) > 0 &&
         col("tags").getItem("type").isin("boundary", "multipolygon"))
