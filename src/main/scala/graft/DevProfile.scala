@@ -276,6 +276,51 @@ object DevProfile {
           }
         }
       }
+    } else if (name == "pbfmulti") {
+      // the convert-MULTIPLE-PBFs path under load (OsmMultiExtractSpec's
+      // shape, timed): `reps` replicated monaco extracts with
+      // overlapping contents (each replica in exactly two files) → one
+      // multi-file conversion DAG (scan → J3 (kind,id) dedup → convert)
+      // → STR-sorted multi-file GeoParquet write. Reference:
+      // pbf_file_reader.py:446-534,1046-1146.
+      val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
+      val nFiles = math.max(2, reps)
+      val base = pbf.PbfWriter.fromRows(
+        spark.read.format("osmpbf").load(monaco)).collect()
+      def replica(i: Int): Iterator[pbf.OsmElement] = {
+        val off = i.toLong * 100000000000L
+        base.iterator.map { e =>
+          e.copy(id = e.id + off,
+            refs = if (e.refs == null) null else e.refs.map(_ + off),
+            lon = if (e.lon.isNaN) e.lon else e.lon + 0.05 * i)
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("pbfmulti").toString
+      val t0 = System.nanoTime()
+      val paths = (0 until nFiles).map { i =>
+        val p = s"$dir/extract_$i.osm.pbf"
+        pbf.PbfWriter.write(replica(i) ++ replica((i + 1) % nFiles), p): Unit
+        p
+      }
+      val nElems = base.length.toLong * 2 * nFiles
+      println(f"wrote $nFiles overlapping extracts ($nElems elements, " +
+        f"${paths.map(p => new java.io.File(p).length()).sum / 1e6}%.1f MB) " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      for (r <- 1 to 2) {
+        val out = s"$dir/out$r"
+        val t1 = System.nanoTime()
+        val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, paths,
+          osm.OsmPipeline.Options())
+        osm.GeoParquet.write(f, out, singleFile = false,
+          sortSpatially = true)
+        fcuts.release()
+        val dt = (System.nanoTime() - t1) / 1e9
+        val rows = spark.read.parquet(out).count()
+        println(f"convert$r: $dt%.1f s ($rows features, " +
+          f"${nElems / dt}%.0f elem/s scanned incl. overlap)")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
     } else if (name == "gpqscale") {
       // drive the DISTRIBUTED GeoParquet sink under load: replicate monaco
       // `reps` times (lon-shifted), convert, write MULTI-FILE covering
