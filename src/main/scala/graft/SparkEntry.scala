@@ -1053,7 +1053,8 @@ object SparkEntry {
         |  FROM (SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)) AS w FROM scrub)),
         |repc AS (SELECT doc_id, wh, count(*) AS c FROM repw GROUP BY doc_id, wh),
-        |rep AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS BIGINT), 6) AS tws
+        |rep AS (SELECT doc_id,
+        |    CAST((max(c)::HUGEINT * 2000000 + CAST(sum(c) AS BIGINT)) // (CAST(sum(c) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS tws
         |  FROM repc GROUP BY doc_id),
         |quality AS (
         |  SELECT s.doc_id, s.text,
@@ -1514,7 +1515,8 @@ object SparkEntry {
         |    CAST(round(1000000.0 * cr::DOUBLE / rank::DOUBLE) AS BIGINT) ELSE 0 END) AS am
         |  FROM cum GROUP BY qid)
         |SELECT a.qid AS query_id, n.n_rel,
-        |  round((a.am::DOUBLE / 1000000.0) / least(n.n_rel, 10)::DOUBLE, 6) AS ap
+        |  CAST((a.am::HUGEINT * 2000000 + least(n.n_rel, 10)::HUGEINT * 1000000)
+        |    // (least(n.n_rel, 10)::HUGEINT * 2000000) AS DOUBLE) / 1000000.0 AS ap
         |FROM apm a JOIN nrel n ON a.qid = n.qid
         |ORDER BY query_id""".stripMargin,
     // retrieval evaluation: recall/MRR/nDCG of per-anchor cosine top-10
@@ -1546,10 +1548,13 @@ object SparkEntry {
         |    sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END) AS dcg_m
         |  FROM flags GROUP BY qid)
         |SELECT m.qid AS query_id, n.n_rel, m.hits,
-        |  round(m.hits::DOUBLE / n.n_rel::DOUBLE, 6) AS recall,
-        |  round(COALESCE(1.0 / m.minr::DOUBLE, 0.0), 6) AS mrr,
-        |  round(m.dcg_m::DOUBLE / list_sum(list_transform(range(1, least(n.n_rel, 10) + 1),
-        |    r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::DOUBLE, 6) AS ndcg
+        |  CAST((m.hits::HUGEINT * 2000000 + n.n_rel) // (n.n_rel::HUGEINT * 2) AS DOUBLE) / 1000000.0 AS recall,
+        |  CASE WHEN m.minr IS NULL THEN 0.0
+        |    ELSE CAST((2000000 + m.minr::HUGEINT) // (m.minr::HUGEINT * 2) AS DOUBLE) / 1000000.0 END AS mrr,
+        |  CAST((m.dcg_m::HUGEINT * 2000000 + list_sum(list_transform(range(1, least(n.n_rel, 10) + 1),
+        |      r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT)
+        |    // (list_sum(list_transform(range(1, least(n.n_rel, 10) + 1),
+        |      r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT * 2) AS DOUBLE) / 1000000.0 AS ndcg
         |FROM m JOIN nrel n ON m.qid = n.qid
         |ORDER BY query_id""".stripMargin,
     // greedy MMR (λ=0.5) over the top-20 cosine candidates, replayed as a
@@ -1967,11 +1972,15 @@ object SparkEntry {
        |pmet_$np AS (
        |  SELECT 10::BIGINT AS n_rel,
        |    sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS hits,
-       |    round(sum(CASE WHEN rel THEN 1 ELSE 0 END)::DOUBLE / 10.0, 6) AS recall,
-       |    round(COALESCE(1.0 / min(CASE WHEN rel THEN rank END)::DOUBLE, 0.0), 6) AS mrr,
-       |    round(sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)::DOUBLE /
-       |      list_sum(list_transform(range(1, 11),
-       |        r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::DOUBLE, 6) AS ndcg
+       |    CAST((sum(CASE WHEN rel THEN 1 ELSE 0 END)::HUGEINT * 2000000 + 10) // 20 AS DOUBLE) / 1000000.0 AS recall,
+       |    CASE WHEN min(CASE WHEN rel THEN rank END) IS NULL THEN 0.0
+       |      ELSE CAST((2000000 + min(CASE WHEN rel THEN rank END)::HUGEINT)
+       |        // (min(CASE WHEN rel THEN rank END)::HUGEINT * 2) AS DOUBLE) / 1000000.0 END AS mrr,
+       |    CAST((sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)::HUGEINT * 2000000
+       |        + list_sum(list_transform(range(1, 11),
+       |          r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT)
+       |      // (list_sum(list_transform(range(1, 11),
+       |          r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT * 2) AS DOUBLE) / 1000000.0 AS ndcg
        |  FROM pflags_$np)""".stripMargin
 
   /** Per-nprobe CTE chain of the x25 oracle: probe cells → IVF top-10
@@ -1995,11 +2004,15 @@ object SparkEntry {
        |met_$np AS (
        |  SELECT 10::BIGINT AS n_rel,
        |    sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS hits,
-       |    round(sum(CASE WHEN rel THEN 1 ELSE 0 END)::DOUBLE / 10.0, 6) AS recall,
-       |    round(COALESCE(1.0 / min(CASE WHEN rel THEN rank END)::DOUBLE, 0.0), 6) AS mrr,
-       |    round(sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)::DOUBLE /
-       |      list_sum(list_transform(range(1, 11),
-       |        r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::DOUBLE, 6) AS ndcg
+       |    CAST((sum(CASE WHEN rel THEN 1 ELSE 0 END)::HUGEINT * 2000000 + 10) // 20 AS DOUBLE) / 1000000.0 AS recall,
+       |    CASE WHEN min(CASE WHEN rel THEN rank END) IS NULL THEN 0.0
+       |      ELSE CAST((2000000 + min(CASE WHEN rel THEN rank END)::HUGEINT)
+       |        // (min(CASE WHEN rel THEN rank END)::HUGEINT * 2) AS DOUBLE) / 1000000.0 END AS mrr,
+       |    CAST((sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)::HUGEINT * 2000000
+       |        + list_sum(list_transform(range(1, 11),
+       |          r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT)
+       |      // (list_sum(list_transform(range(1, 11),
+       |          r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT * 2) AS DOUBLE) / 1000000.0 AS ndcg
        |  FROM flags_$np)""".stripMargin
 
   /** One DP layer of the d37 Viterbi oracle: the cheapest cost to

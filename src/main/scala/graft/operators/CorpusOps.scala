@@ -182,7 +182,11 @@ object CorpusOps {
       .agg(sum(col("_g_c")).as("n_words"), count(lit(1)).as("n_distinct"),
         max(col("_g_c")).as("top_cnt"))
       .select(col(idCol), col("n_words"), col("n_distinct"),
-        round(col("top_cnt") / col("n_words"), 6).as("top_word_share"),
+        // exact-integer rounding ([[graft.functions.ExactRound]]): the
+        // d11 halfway-grid convention, shared by every consumer of this
+        // ratio (the d23/d26 oracles mirror the HUGEINT form)
+        graft.functions.ExactRound.ratio(col("top_cnt"), col("n_words"), 6)
+          .as("top_word_share"),
         (col("top_cnt") * 10 >= col("n_words")).as("repetitive"))
   }
 

@@ -954,16 +954,23 @@ object RetrievalOps {
           round(lit(1000000.0) /
             log2(col("_e_r").cast("double") + lit(1.0)), 0).cast("long"))
           .otherwise(lit(0L))).as("_e_dcgm"))
+    // every metric is an INTEGER ratio (hits/n_rel, 1/minr, the
+    // micro-unit DCG sums) — rounded via exact integer arithmetic
+    // ([[graft.functions.ExactRound]], the d11/d14 halfway-grid
+    // convention; all three oracles mirror the HUGEINT form), so a
+    // 2^a·5^b denominator can never round apart across engines
     metrics.join(nrel, "_e_q")
       .select(col("_e_q").as("query_id"), col("n_rel"), col("hits"),
-        round(col("hits").cast("double") / col("n_rel").cast("double"), 6)
+        graft.functions.ExactRound.ratio(col("hits"), col("n_rel"), 6)
           .as("recall"),
-        round(coalesce(lit(1.0) / col("_e_minr").cast("double"), lit(0.0)), 6)
+        when(col("_e_minr").isNull, lit(0.0))
+          .otherwise(graft.functions.ExactRound.ratio(
+            lit(1L), col("_e_minr"), 6))
           .as("mrr"),
-        round(col("_e_dcgm").cast("double") /
+        graft.functions.ExactRound.ratio(col("_e_dcgm"),
           expr(s"aggregate(sequence(1L, least(n_rel, ${k}L)), 0L, " +
             "(acc, r) -> acc + CAST(round(1000000.0 / " +
-            "log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT))").cast("double"), 6)
+            "log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT))"), 6)
           .as("ndcg"))
   }
 
@@ -1043,8 +1050,11 @@ object RetrievalOps {
         .otherwise(lit(0L))).as("_e_am"))
       .join(nrel, "_e_q")
       .select(col("_e_q").as("query_id"), col("n_rel"),
-        round((col("_e_am").cast("double") / lit(1000000.0)) /
-          least(col("n_rel"), lit(k.toLong)).cast("double"), 6).as("ap"))
+        // am/(10^6·min(n_rel,k)) is an integer ratio whose denominator
+        // is ALWAYS 2^a·5^b-shaped — exactly the halfway-grid hazard —
+        // so it rounds via exact integer arithmetic ([[ExactRound]])
+        graft.functions.ExactRound.ratio(col("_e_am"),
+          least(col("n_rel"), lit(k.toLong)) * lit(1000000L), 6).as("ap"))
   }
 
   // ---- gate-query bindings (testdata tables; driver-oracled) ----
