@@ -312,6 +312,10 @@ object SparkEntry {
         |    COUNT(*)::HUGEINT AS n
         |  FROM mcases GROUP BY case_id)
         |SELECT * FROM (
+        |  SELECT 'eval_recall_1_128' AS case_id, 1::BIGINT AS num,
+        |    128::BIGINT AS den, 6::BIGINT AS k,
+        |    CAST((1::HUGEINT * 2000000 + 128) // 256 AS DOUBLE) / 1000000.0 AS value
+        |  UNION ALL
         |  SELECT case_id, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
         |    CAST(k AS BIGINT) AS k,
         |    CASE WHEN k = 4

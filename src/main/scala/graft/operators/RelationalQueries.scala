@@ -291,7 +291,28 @@ object RelationalQueries {
         .agg(graft.functions.MicroMeanAgg.vec_mean_micro(col("v")).as("m"))
         .select(col("case_id"), lit(0L).as("num"), lit(0L).as("den"),
           lit(6L).as("k"), element_at(col("m"), 1).as("value"))
-    ratioCases.unionByName(meanCases).orderBy("case_id")
+    // the residue through the PRODUCTION eval path: a 1-query fixture
+    // with n_rel = 128 and exactly one hit puts recall = 1/128 —
+    // 7812.5 micro, dead ON the halfway grid — through the real
+    // [[graft.operators.RetrievalOps.evalRanking]] (not the helper in
+    // isolation); the oracle computes the same exact-integer half-up
+    val evalCase = {
+      // ranked: one query, docs 1..10 at ranks 1..10; qrels: 127
+      // never-retrieved relevant ids + doc 3 (the one hit, rank 3)
+      val ranked = s.range(1, 11)
+        .select(lit(7L).as("qid"), col("id").as("rank"),
+          col("id").as("doc"))
+      val qrels = s.range(1000, 1127)
+        .select(lit(7L).as("qid"), col("id").as("doc"))
+        .unionByName(Seq((7L, 3L)).toDF("qid", "doc"))
+      graft.operators.RetrievalOps
+        .evalRanking(ranked, "qid", "rank", "doc", qrels, "qid", "doc")
+        .select(lit("eval_recall_1_128").as("case_id"),
+          col("hits").as("num"), col("n_rel").as("den"), lit(6L).as("k"),
+          col("recall").as("value"))
+    }
+    ratioCases.unionByName(meanCases).unionByName(evalCase)
+      .orderBy("case_id")
   }
 
   /** Beyond-reference: HLL approximate distinct (sketch differs per
