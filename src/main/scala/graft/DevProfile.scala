@@ -124,11 +124,8 @@ object DevProfile {
       // stage-by-stage timing of the trained IVF-PQ gate
       import org.apache.spark.sql.functions._
       graft.functions.VectorExprs.register(spark)
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
-            "sqrt(aggregate(embedding, 0D, " +
-            "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))").as("v"))
+      // the gate's own normalization (ONE definition — RetrievalOps doc)
+      val emb = operators.RetrievalOps.l2NormalizedEmbeddings(spark, sfDir)
       def t[T](label: String)(f: => T): T = {
         val t0 = System.nanoTime()
         val r = f
@@ -176,11 +173,8 @@ object DevProfile {
       SparkEntry.queries("x34_trained_recall")(spark, sfDir).count()
       for (i <- 1 to reps) {
         println(s"rep $i:")
-        val emb = t("emb plan")(graft.Tables.embeddings(spark, sfDir)
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
-              "sqrt(aggregate(embedding, 0D, " +
-              "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))").as("v")))
+        val emb = t("emb plan")(
+          operators.RetrievalOps.l2NormalizedEmbeddings(spark, sfDir))
         val path = t("resolve")(operators.SnapshotCache.resolve(spark,
           "x34", s"$sfDir/embeddings.parquet")(_ =>
             throw new IllegalStateException("expected snapshot hit")))
@@ -285,41 +279,30 @@ object DevProfile {
       // pbf_file_reader.py:446-534,1046-1146.
       val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
       val nFiles = math.max(2, reps)
-      val base = pbf.PbfWriter.fromRows(
-        spark.read.format("osmpbf").load(monaco)).collect()
-      def replica(i: Int): Iterator[pbf.OsmElement] = {
-        val off = i.toLong * 100000000000L
-        base.iterator.map { e =>
-          e.copy(id = e.id + off,
-            refs = if (e.refs == null) null else e.refs.map(_ + off),
-            lon = if (e.lon.isNaN) e.lon else e.lon + 0.05 * i)
-        }
-      }
       val dir = java.nio.file.Files.createTempDirectory("pbfmulti").toString
-      val t0 = System.nanoTime()
-      val paths = (0 until nFiles).map { i =>
-        val p = s"$dir/extract_$i.osm.pbf"
-        pbf.PbfWriter.write(replica(i) ++ replica((i + 1) % nFiles), p): Unit
-        p
-      }
-      val nElems = base.length.toLong * 2 * nFiles
-      println(f"wrote $nFiles overlapping extracts ($nElems elements, " +
-        f"${paths.map(p => new java.io.File(p).length()).sum / 1e6}%.1f MB) " +
-        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      for (r <- 1 to 2) {
-        val out = s"$dir/out$r"
-        val t1 = System.nanoTime()
-        val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, paths,
-          osm.OsmPipeline.Options())
-        osm.GeoParquet.write(f, out, singleFile = false,
-          sortSpatially = true)
-        fcuts.release()
-        val dt = (System.nanoTime() - t1) / 1e9
-        val rows = spark.read.parquet(out).count()
-        println(f"convert$r: $dt%.1f s ($rows features, " +
-          f"${nElems / dt}%.0f elem/s scanned incl. overlap)")
-      }
-      org.apache.commons.io.FileUtils.deleteDirectory(
+      try {
+        val t0 = System.nanoTime()
+        // the SAME overlapping-replica builder OsmMultiExtractSpec
+        // verifies — the timed profile measures the spec's workload
+        val (paths, nElems) = pbf.PbfWriter.writeOverlappingReplicas(
+          spark, monaco, nFiles, dir)
+        println(f"wrote $nFiles overlapping extracts ($nElems elements, " +
+          f"${paths.map(p => new java.io.File(p).length()).sum / 1e6}%.1f MB) " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        for (r <- 1 to 2) {
+          val out = s"$dir/out$r"
+          val t1 = System.nanoTime()
+          val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, paths,
+            osm.OsmPipeline.Options())
+          try osm.GeoParquet.write(f, out, singleFile = false,
+            sortSpatially = true)
+          finally fcuts.release()
+          val dt = (System.nanoTime() - t1) / 1e9
+          val rows = spark.read.parquet(out).count()
+          println(f"convert$r: $dt%.1f s ($rows features, " +
+            f"${nElems / dt}%.0f elem/s scanned incl. overlap)")
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir))
     } else if (name == "gpqscale") {
       // drive the DISTRIBUTED GeoParquet sink under load: replicate monaco
@@ -1421,12 +1404,8 @@ object DevProfile {
       import org.apache.spark.sql.functions._
       import org.apache.spark.storage.StorageLevel
       graft.functions.VectorExprs.register(spark)
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
-            "sqrt(aggregate(embedding, 0D, " +
-            "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))")
-            .as("v"))
+      // the gate's own normalization (ONE definition — RetrievalOps doc)
+      val emb = operators.RetrievalOps.l2NormalizedEmbeddings(spark, sfDir)
       emb.limit(5).count() // warm the reader
       def t[A](label: String)(f: => A): A = {
         val t0 = System.nanoTime()

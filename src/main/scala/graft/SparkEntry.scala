@@ -1943,6 +1943,14 @@ object SparkEntry {
   /** Per-nprobe IVF-PQ chain of the x25 sweep: probed cells → residual
     * LUT → ADC ranking (query vector excluded) → the same metric CTE
     * shape as [[annRecallCtes]]. */
+  /** The exact-ratio rounding mirror at 6 decimals — delegates to
+    * [[graft.functions.ExactRound.ratioSql]], the ONE place the HUGEINT
+    * convention lives for Scala-built oracle SQL (the static string
+    * oracles inline the identical form by hand; ExactRoundSpec +
+    * dx_halfway_grid pin the convention on both engines). */
+  private def R6(num: String, den: String): String =
+    graft.functions.ExactRound.ratioSql(num, den, 6)
+
   private def pqSweepCtes(np: Int): String =
     s"""
        |pqcells_$np AS (
@@ -1976,15 +1984,11 @@ object SparkEntry {
        |pmet_$np AS (
        |  SELECT 10::BIGINT AS n_rel,
        |    sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS hits,
-       |    CAST((sum(CASE WHEN rel THEN 1 ELSE 0 END)::HUGEINT * 2000000 + 10) // 20 AS DOUBLE) / 1000000.0 AS recall,
+       |    ${R6("sum(CASE WHEN rel THEN 1 ELSE 0 END)", "10")} AS recall,
        |    CASE WHEN min(CASE WHEN rel THEN rank END) IS NULL THEN 0.0
-       |      ELSE CAST((2000000 + min(CASE WHEN rel THEN rank END)::HUGEINT)
-       |        // (min(CASE WHEN rel THEN rank END)::HUGEINT * 2) AS DOUBLE) / 1000000.0 END AS mrr,
-       |    CAST((sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)::HUGEINT * 2000000
-       |        + list_sum(list_transform(range(1, 11),
-       |          r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT)
-       |      // (list_sum(list_transform(range(1, 11),
-       |          r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT * 2) AS DOUBLE) / 1000000.0 AS ndcg
+       |      ELSE ${R6("1", "min(CASE WHEN rel THEN rank END)")} END AS mrr,
+       |    ${R6("sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)",
+           "list_sum(list_transform(range(1, 11), r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))")} AS ndcg
        |  FROM pflags_$np)""".stripMargin
 
   /** Per-nprobe CTE chain of the x25 oracle: probe cells → IVF top-10
@@ -2008,15 +2012,11 @@ object SparkEntry {
        |met_$np AS (
        |  SELECT 10::BIGINT AS n_rel,
        |    sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS hits,
-       |    CAST((sum(CASE WHEN rel THEN 1 ELSE 0 END)::HUGEINT * 2000000 + 10) // 20 AS DOUBLE) / 1000000.0 AS recall,
+       |    ${R6("sum(CASE WHEN rel THEN 1 ELSE 0 END)", "10")} AS recall,
        |    CASE WHEN min(CASE WHEN rel THEN rank END) IS NULL THEN 0.0
-       |      ELSE CAST((2000000 + min(CASE WHEN rel THEN rank END)::HUGEINT)
-       |        // (min(CASE WHEN rel THEN rank END)::HUGEINT * 2) AS DOUBLE) / 1000000.0 END AS mrr,
-       |    CAST((sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)::HUGEINT * 2000000
-       |        + list_sum(list_transform(range(1, 11),
-       |          r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT)
-       |      // (list_sum(list_transform(range(1, 11),
-       |          r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))::HUGEINT * 2) AS DOUBLE) / 1000000.0 AS ndcg
+       |      ELSE ${R6("1", "min(CASE WHEN rel THEN rank END)")} END AS mrr,
+       |    ${R6("sum(CASE WHEN rel THEN CAST(round(1000000.0 / log2(rank::DOUBLE + 1.0)) AS BIGINT) ELSE 0 END)",
+           "list_sum(list_transform(range(1, 11), r -> CAST(round(1000000.0 / log2(r::DOUBLE + 1.0)) AS BIGINT)))")} AS ndcg
        |  FROM flags_$np)""".stripMargin
 
   /** One DP layer of the d37 Viterbi oracle: the cheapest cost to

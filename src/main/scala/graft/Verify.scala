@@ -62,11 +62,19 @@ object Verify {
     // crashes mid-dump still declares the full gate set it intended, so
     // the invariance sweep (check_invariance.py) can detect a gate whose
     // dump is missing from BOTH compared runs instead of silently
-    // comparing a shrunk set
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // comparing a shrunk set. A FILTERED run never shrinks an existing
+    // manifest: a targeted re-dump into a full dump's outDir must leave
+    // the other ~120 gates' manifest entries standing (clobbering them
+    // would silently demote every other dumped gate to an unchecked
+    // "rows-only" in check_oracle.py); only a fresh outDir gets the
+    // filtered manifest.
+    val manifestPath = Paths.get(s"$outDir/oracle_sql.json")
+    if (nameFilter.isEmpty || !Files.exists(manifestPath)) {
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(manifestPath, json): Unit
+    }
     SparkEntry.queries
       .filter { case (name, _) =>
         nameFilter.forall(_.findFirstIn(name).isDefined) }

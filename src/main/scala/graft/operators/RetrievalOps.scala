@@ -1269,12 +1269,21 @@ object RetrievalOps {
     * Output: (nprobe, rank, vec_id, adc_dist, hit) — hit marks
     * membership in the exact round-6 cosine top-10; recall@10 =
     * sum(hit)/10 per nprobe, pinned ≥ 0.8 at nprobe=8 by spec. */
-  def x34TrainedRecall(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExprs.register(s)
-    val emb = embeddings(s, dir).select(col("vec_id"),
+  /** L2-normalized embeddings — the x34 production recipe (on unit
+    * vectors cosine order == L2 order, so ADC's residual-L2 ranking
+    * approximates the cosine ground truth). ONE definition shared by
+    * the gate and the DevProfile x34 modes, so a profile can never
+    * silently measure a different normalization than the gate runs. */
+  private[graft] def l2NormalizedEmbeddings(s: SparkSession,
+      dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
         "sqrt(aggregate(embedding, 0D, " +
         "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))").as("v"))
+
+  def x34TrainedRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = l2NormalizedEmbeddings(s, dir)
     // train ONCE per corpus snapshot and serve from the persisted
     // index (the x15 convention): training is the amortized build-time
     // cost of an ANN deployment — repeated probes of an unchanged

@@ -158,6 +158,20 @@ object OsmPipeline {
       Some(m.invoke(spark).asInstanceOf[SparkSession])
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The raw element scan with the J3 multi-extract dedup
+    * (pbf_file_reader.py:1126-1139): overlapping extract files carry
+    * the same element twice — dedup by (kind, id) before any assembly
+    * so duplicate refs can't corrupt vertex sequences. Single-file
+    * reads skip the extra shuffle. ONE loader shared by the conversion
+    * and [[RelationValidity.classify]] — the validity oracle must judge
+    * exactly the element set the conversion assembles, so the dedup
+    * rule cannot be allowed to drift between them. */
+  private[osm] def elementScan(spark: SparkSession,
+      pbfPaths: Seq[String]): DataFrame = {
+    val raw = spark.read.format("osmpbf").load(pbfPaths: _*)
+    if (pbfPaths.size > 1) raw.dropDuplicates("kind", "id") else raw
+  }
+
   /** [[features]] returning the conversion's own cut handle: call
     * `cuts.release()` once the DataFrame has been consumed. */
   def featuresWithCuts(spark0: SparkSession, pbfPaths: Seq[String],
@@ -195,13 +209,7 @@ object OsmPipeline {
     }
     val cuts = new ConversionCuts()
     def cut(df: DataFrame): DataFrame = cuts.add(df)
-    // J3 (pbf_file_reader.py:1126-1139): overlapping extract files carry
-    // the same element twice — dedup by (kind, id) before any assembly so
-    // duplicate refs can't corrupt vertex sequences. Single-file reads
-    // skip the extra shuffle.
-    val raw = spark.read.format("osmpbf").load(pbfPaths: _*)
-    val elements =
-      if (pbfPaths.size > 1) raw.dropDuplicates("kind", "id") else raw
+    val elements = elementScan(spark, pbfPaths)
 
     // --- base per-kind views (F1, pbf_file_reader.py:1546-1573) ---
     // Persisted column-pruned, one per kind: every downstream consumer

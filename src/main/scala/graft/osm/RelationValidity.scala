@@ -46,14 +46,12 @@ object RelationValidity {
     *                    ALL candidates must name that class explicitly
     *                    (monaco drops 1369191 and 5197022 this way). */
   def classify(spark: SparkSession, pbfPaths: Seq[String]): DataFrame = {
-    // the J3 multi-extract dedup the conversion itself applies
-    // (OsmPipeline, pbf_file_reader.py:1126-1139): overlapping extract
-    // files carry the same element twice, and an oracle classifying
-    // duplicated relations would emit duplicate candidate rows (and
-    // judge ref closures against doubled member sets)
-    val raw = spark.read.format("osmpbf").load(pbfPaths: _*)
-    val elems =
-      if (pbfPaths.size > 1) raw.dropDuplicates("kind", "id") else raw
+    // the SAME loader (and J3 multi-extract dedup) the conversion runs
+    // ([[OsmPipeline.elementScan]]): an oracle classifying duplicated
+    // relations would emit duplicate candidate rows and judge ref
+    // closures against doubled member sets — and a dedup rule living in
+    // two places would silently desynchronize the day one changes
+    val elems = OsmPipeline.elementScan(spark, pbfPaths)
     val cand = elems
       .filter(col("kind") === "relation" && size(col("refs")) > 0 &&
         col("tags").getItem("type").isin("boundary", "multipolygon"))

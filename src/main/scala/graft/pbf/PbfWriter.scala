@@ -114,6 +114,36 @@ object PbfWriter {
     }
   }
 
+  /** `nFiles` OVERLAPPING replicated extracts of `basePbf` under `dir`
+    * — the multi-extract test/profile corpus (OsmMultiExtractSpec,
+    * DevProfile pbfmulti; ONE builder so the correctness spec and the
+    * timed profile cannot silently measure different workloads):
+    * replica i offsets ids/refs by i·10^11 and shifts lon by 0.05·i (a
+    * different bbox per replica, each self-contained; replica 0 IS the
+    * original), and file i carries replica i AND replica (i+1)%nFiles —
+    * every replica sits in exactly two files, so a merged scan sees
+    * each element twice and the J3 dedup must drop exactly half.
+    * Returns (paths, total elements written incl. the overlap). */
+  def writeOverlappingReplicas(spark: org.apache.spark.sql.SparkSession,
+      basePbf: String, nFiles: Int, dir: String): (Seq[String], Long) = {
+    require(nFiles >= 2, s"need >= 2 files for overlap, got $nFiles")
+    val base = fromRows(spark.read.format("osmpbf").load(basePbf)).collect()
+    def replica(i: Int): Iterator[OsmElement] = {
+      val off = i.toLong * 100000000000L
+      base.iterator.map { e =>
+        e.copy(id = e.id + off,
+          refs = if (e.refs == null) null else e.refs.map(_ + off),
+          lon = if (e.lon.isNaN) e.lon else e.lon + 0.05 * i)
+      }
+    }
+    val paths = (0 until nFiles).map { i =>
+      val p = s"$dir/extract_$i.osm.pbf"
+      write(replica(i) ++ replica((i + 1) % nFiles), p): Unit
+      p
+    }
+    (paths, base.length.toLong * 2 * nFiles)
+  }
+
   // ------------------------------------------------------------ framing --
 
   /** BlobHeader(type=1, datasize=3) behind a 4-byte BE length, then the

@@ -46,28 +46,16 @@ class OsmMultiExtractSpec extends AnyFunSuite {
   test("10 overlapping extracts: dedup is exact, replica-0 features " +
       "byte-equal the single-file conversion, WKB invariant under " +
       "opposed configs, every relation drop explained") {
-    // replica i: ids/refs offset by i·10^11, lon shifted 0.05·i (a
-    // different bbox per replica, all self-contained); replica 0 IS the
-    // original monaco. File i carries replica i AND replica (i+1)%10 —
-    // every replica sits in exactly two files, so the merged scan sees
-    // each element twice and the J3 dedup must drop exactly half.
-    val base = graft.pbf.PbfWriter.fromRows(
-      spark.read.format("osmpbf").load(Monaco)).collect()
-    def replica(i: Int): Iterator[graft.pbf.OsmElement] = {
-      val off = i.toLong * 100000000000L
-      base.iterator.map { e =>
-        e.copy(id = e.id + off,
-          refs = if (e.refs == null) null else e.refs.map(_ + off),
-          lon = if (e.lon.isNaN) e.lon else e.lon + 0.05 * i)
-      }
-    }
+    // [[graft.pbf.PbfWriter.writeOverlappingReplicas]] — the shared
+    // builder (the timed DevProfile pbfmulti profile uses the same one,
+    // so spec and profile measure the identical workload): replica 0 IS
+    // the original monaco; every replica sits in exactly two files, so
+    // the merged scan sees each element twice and the J3 dedup must
+    // drop exactly half.
     val dir = java.nio.file.Files.createTempDirectory("multiext").toString
-    val paths = (0 until NFiles).map { i =>
-      val p = s"$dir/extract_$i.osm.pbf"
-      graft.pbf.PbfWriter.write(
-        replica(i) ++ replica((i + 1) % NFiles), p)
-      p
-    }
+    val (paths, _) = graft.pbf.PbfWriter.writeOverlappingReplicas(
+      spark, Monaco, NFiles, dir)
+    try {
     val single = convert(Seq(Monaco))
     // config A: the invariance sweep's adversarial partitioning
     val multiA = withConfs(
@@ -107,7 +95,11 @@ class OsmMultiExtractSpec extends AnyFunSuite {
     val unexplained = drops.filter(!col("explained")).collect()
     assert(unexplained.isEmpty,
       unexplained.take(5).mkString(","))
-    OsmPipeline.releaseCuts()
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    } finally {
+      // a FAILED assertion must not leak the ~10× extract set on disk
+      // or explainDrops' cuts in the shared session's CacheManager
+      OsmPipeline.releaseCuts()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }
