@@ -1620,9 +1620,22 @@ object DevProfile {
           qAdm.processAllAvailable()
         } finally {
           watch = false
-          watcher.join(30000)
+          // loop the join until the interloper actually terminates: a
+          // timed-out join with an appendToPostings still in flight
+          // would let the thread mutate `sneaked` and the lexical index
+          // AFTER the end-state checks snapshot their rebuild corpus —
+          // a flaky pass/fail under pathological stalls. 5 min bound;
+          // a still-alive thread fails the soak loudly AFTER this
+          // finally (not inside it, which would mask a primary
+          // exception and skip the queue stops).
+          val joinDeadline = System.nanoTime() + 300e9.toLong
+          while (watcher.isAlive && System.nanoTime() < joinDeadline)
+            watcher.join(30000)
           Seq(qVec, qAdm).foreach(_.stop())
         }
+        if (watcher.isAlive) throw new IllegalStateException(
+          "chaossoak: interloper thread still alive after 5 min — " +
+            "end-state checks would race its mutations; failing loudly")
         check("injection-fired") {
           // no vacuous pass: the chaos actually happened — injected
           // task failures were retried AND the interloper resolved

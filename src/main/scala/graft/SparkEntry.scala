@@ -85,6 +85,7 @@ object SparkEntry {
     "x33_vec_admit" -> (operators.SimilarityQueries.x33VecAdmit _),
     "x34_trained_recall" -> (operators.RetrievalOps.x34TrainedRecall _),
     "x35_bucketed_admit" -> (operators.SimilarityQueries.x35BucketedAdmit _),
+    "x36_sample_trained" -> (operators.RetrievalOps.x36SampleTrained _),
     "d11_repetition_quality" -> (T.d11RepetitionQuality _),
     "d12_boilerplate_ngrams" -> (T.d12BoilerplateNgrams _),
     "d13_pii_scrub" -> (T.d13PiiScrub _),
@@ -298,7 +299,7 @@ object SparkEntry {
     // the identical exact-integer half-up rounding (ExactRound doc) —
     // the one place round(double, k) is allowed to disagree cross-engine
     "dx_halfway_grid" ->
-      """WITH cases(case_id, num, den, k) AS (VALUES
+      s"""WITH cases(case_id, num, den, k) AS (VALUES
         |  ('ratio_33_32_s4', 33, 32, 4),
         |  ('ratio_1_128_s6', 1, 128, 6),
         |  ('ratio_161_32_s4', 161, 32, 4)),
@@ -310,7 +311,41 @@ object SparkEntry {
         |magg AS (
         |  SELECT case_id, SUM(CAST(floor(x * 1e12 + 0.5) AS HUGEINT)) AS s,
         |    COUNT(*)::HUGEINT AS n
-        |  FROM mcases GROUP BY case_id)
+        |  FROM mcases GROUP BY case_id),
+        |ar AS (SELECT range AS doc, range AS r FROM range(1, 101)),
+        |br(doc, r) AS (VALUES (204, 4), (4, 68), (268, 580)),
+        |rrff AS (
+        |  SELECT COALESCE(ar.doc, br.doc) AS doc,
+        |    CASE WHEN ar.r IS NOT NULL AND br.r IS NOT NULL
+        |         THEN 120 + ar.r + br.r ELSE 1 END AS rn,
+        |    CASE WHEN ar.r IS NOT NULL AND br.r IS NOT NULL
+        |         THEN (60 + ar.r) * (60 + br.r)
+        |         ELSE 60 + COALESCE(ar.r, br.r) END AS rd
+        |  FROM ar FULL OUTER JOIN br ON ar.doc = br.doc),
+        |bmdocs AS (
+        |  SELECT i AS doc_id,
+        |    CASE WHEN i = 0 THEN 'needle' || repeat(' w', 22)
+        |         WHEN i = 79 THEN repeat('w ', 63)
+        |         ELSE repeat('w ', 27) END AS text
+        |  FROM range(0, 80) r(i)),
+        |bmdl AS (
+        |  SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS ws
+        |    FROM bmdocs) w),
+        |bmstats AS (SELECT count(*)::BIGINT AS n, sum(dl)::HUGEINT AS s FROM bmdl),
+        |bmtf AS (
+        |  SELECT doc_id, count(*)::BIGINT AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bmdl)
+        |  WHERE term = 'needle' GROUP BY doc_id),
+        |bmdf AS (SELECT count(*)::BIGINT AS df FROM bmtf),
+        |bmcm AS (
+        |  SELECT doc_id, CAST((cnum * 2000000 + cden) // (cden * 2) AS BIGINT) AS cm
+        |  FROM (
+        |    SELECT doc_id,
+        |      22::HUGEINT * tf * s * (2*n - 2*df + 1) AS cnum,
+        |      (2*df + 1)::HUGEINT * (10*tf*s + 3*s + 9*dl*n) AS cden
+        |    FROM bmtf CROSS JOIN bmdf CROSS JOIN bmstats) q)
         |SELECT * FROM (
         |  SELECT 'eval_recall_1_128' AS case_id, 1::BIGINT AS num,
         |    128::BIGINT AS den, 6::BIGINT AS k,
@@ -328,7 +363,17 @@ object SparkEntry {
         |    CAST(CASE WHEN s >= 0 THEN (2*s + n*1000000) // (2*n*1000000)
         |              ELSE -((2*(-s) + n*1000000) // (2*n*1000000)) END
         |         AS DOUBLE) / 1000000.0 AS value
-        |  FROM magg)
+        |  FROM magg
+        |  UNION ALL
+        |  SELECT 'rrf_doc_' || lpad(doc::VARCHAR, 3, '0') AS case_id,
+        |    rn::BIGINT AS num, rd::BIGINT AS den, 6::BIGINT AS k,
+        |    ${R6("rn", "rd")} AS value
+        |  FROM rrff
+        |  UNION ALL
+        |  SELECT 'bm25_needle_halfway' AS case_id, 7667616::BIGINT AS num,
+        |    135168::BIGINT AS den, 6::BIGINT AS k,
+        |    sum(cm)::DOUBLE / 1000000.0 AS value
+        |  FROM bmcm)
         |ORDER BY case_id""".stripMargin,
     "w1_global_chunk" ->
       """SELECT grp, count(*) AS cnt, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
@@ -1306,9 +1351,13 @@ object SparkEntry {
         |FROM contrib GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""").stripMargin,
     // hybrid retrieval: BM25 top-50 + cosine top-50 (query doc/vec 0),
-    // reciprocal-rank fusion with c=60 (Cormack et al. 2009)
+    // reciprocal-rank fusion with c=60 (Cormack et al. 2009). The rrf
+    // score is rounded via the exact integer-rational mirror (R6) of
+    // rrfFuse's ExactRound path: one-sided 1/(60+r), two-sided
+    // (120+ra+rb)/((60+ra)(60+rb)) — the 1/(60+r) family CAN sit dead
+    // on the 6-decimal halfway grid (rank 68 → 1/128; ResidueFreeSpec)
     "x18_hybrid_rrf" -> (Bm25OracleCtes +
-      """,
+      s""",
         |bm AS (
         |  SELECT doc_id, sum(cm)::DOUBLE / 1000000.0 AS bm25
         |  FROM contrib WHERE doc_id <> 0 GROUP BY doc_id
@@ -1320,10 +1369,14 @@ object SparkEntry {
         |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         |  FROM embeddings WHERE vec_id <> 0 ORDER BY cosine DESC, doc_id LIMIT 50),
         |csr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r FROM cs)
-        |SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
-        |  round(COALESCE(1.0 / (60.0 + bmr.r::DOUBLE), 0.0) +
-        |        COALESCE(1.0 / (60.0 + csr.r::DOUBLE), 0.0), 6) AS rrf
-        |FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id
+        |SELECT doc_id, ${R6("rn", "rd")} AS rrf FROM (
+        |  SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
+        |    CASE WHEN bmr.r IS NOT NULL AND csr.r IS NOT NULL
+        |         THEN 120 + bmr.r + csr.r ELSE 1 END AS rn,
+        |    CASE WHEN bmr.r IS NOT NULL AND csr.r IS NOT NULL
+        |         THEN (60 + bmr.r) * (60 + csr.r)
+        |         ELSE 60 + COALESCE(bmr.r, csr.r) END AS rd
+        |  FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id) t
         |ORDER BY rrf DESC, doc_id LIMIT 20""").stripMargin,
     // contrastive hard negatives: anchors 0-3 broadcast against the
     // different-label corpus, per-anchor top-5 by rounded cosine
@@ -1369,6 +1422,7 @@ object SparkEntry {
     // the TRAINED IVF-PQ operating point, fully replayed (see
     // trainedRecallOracle doc — portable round-6 training on both sides)
     "x34_trained_recall" -> trainedRecallOracle,
+    "x36_sample_trained" -> sampleTrainedOracle,
     // BUCKETED admission oracled end-to-end: both bands' bucket ids
     // recompute from the same baked hyperplane sign literals (the x5
     // machinery; band b uses planes [8b, 8b+8)), a pair is a candidate
@@ -1791,15 +1845,32 @@ object SparkEntry {
     * iteration CTEs are MATERIALIZED: each level references the
     * previous twice (assignment + carry-forward), and DuckDB's default
     * inlining would re-evaluate the chain exponentially. */
-  private def trainedRecallOracle: String = {
+  private def trainedRecallOracle: String = trainedPipelineOracle(None)
+
+  /** The x36 oracle: the same full replay with the trainer input
+    * SAMPLED by the engine's hash rule ([[graft.operators.IvfPq
+    * .trainSampleRate]], cap = 128): Lloyd's and PQ iterations read
+    * only `tnorm`/`tsv`, while the final assignment, residuals and
+    * encode still read everything — exactly [[graft.operators
+    * .RetrievalOps.x36SampleTrained]]'s split. */
+  private def sampleTrainedOracle: String = trainedPipelineOracle(Some(
+    "('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 1000000 " +
+      "< (1000000 * 128) // (SELECT count(*) FROM embeddings)"))
+
+  private def trainedPipelineOracle(samplePred: Option[String]): String = {
     val (m, k, cells, w) = (32, 64, 8, 2)
-    def cAssign(n: Int, cents: String): String =
+    // relations the ITERATED trainers read: the full corpus, or the
+    // hash-rate sample when `samplePred` is set (tnorm/tres/tsv CTEs)
+    val (trainNorm, trainRes, trainSv) =
+      if (samplePred.isDefined) ("tnorm", "tres", "tsv")
+      else ("norm", "res", "sv")
+    def cAssign(n: Int, cents: String, rel: String = "norm"): String =
       s"""a$n AS MATERIALIZED (
          |  SELECT vec_id, v, cid AS cell FROM (
          |    SELECT nm.vec_id, nm.v, c.cid,
          |      row_number() OVER (PARTITION BY nm.vec_id
          |        ORDER BY round(list_cosine_similarity(nm.v, c.cv), 6) DESC, c.cid ASC) AS rn
-         |    FROM norm nm CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+         |    FROM $rel nm CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     // portable mean = EXACT integer micro-mean (MicroMeanAgg doc): each
     // element pico-quantizes through the deterministic IEEE sequence
     // floor(x*1e12 + 0.5), sums run in HUGEINT (order-independent), and
@@ -1820,7 +1891,7 @@ object SparkEntry {
          |          COUNT(*)::HUGEINT AS n FROM (
          |          SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$n)
          |        GROUP BY cell, dim)) GROUP BY cell) u ON p.cid = u.cell)""".stripMargin
-    def pqAssign(n: Int, cb: String): String =
+    def pqAssign(n: Int, cb: String, rel: String = "sv"): String =
       s"""pa$n AS MATERIALIZED (
          |  SELECT vec_id, sub, sv, code FROM (
          |    SELECT s.vec_id, s.sub, s.sv, c.code,
@@ -1828,7 +1899,7 @@ object SparkEntry {
          |        ORDER BY round(list_inner_product(s.sv, s.sv)
          |          - 2.0 * list_inner_product(s.sv, c.cv)
          |          + list_inner_product(c.cv, c.cv), 6) ASC, c.code ASC) AS rn
-         |    FROM sv s JOIN $cb c ON s.sub = c.sub) WHERE rn = 1)""".stripMargin
+         |    FROM $rel s JOIN $cb c ON s.sub = c.sub) WHERE rn = 1)""".stripMargin
     def pqUpdate(n: Int, prev: String): String =
       s"""cb$n AS MATERIALIZED (
          |  SELECT p.sub, p.code, coalesce(u.nv, p.cv) AS cv
@@ -1872,10 +1943,13 @@ object SparkEntry {
       """norm AS MATERIALIZED (
         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
         |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
-        |  FROM embeddings)""".stripMargin,
-      s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM norm ORDER BY vec_id LIMIT $cells)") ++
+        |  FROM embeddings)""".stripMargin) ++
+      samplePred.map(p =>
+        s"tnorm AS MATERIALIZED (SELECT * FROM norm WHERE $p)").toSeq ++
+      Seq(
+      s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM $trainNorm ORDER BY vec_id LIMIT $cells)") ++
       (1 to 3).flatMap(i =>
-        Seq(cAssign(i, if (i == 1) "c0" else s"c${i - 1}"),
+        Seq(cAssign(i, if (i == 1) "c0" else s"c${i - 1}", trainNorm),
           cUpdate(i, if (i == 1) "c0" else s"c${i - 1}"))) ++
       Seq(cAssign(4, "c3"),
         "cells AS MATERIALIZED (SELECT vec_id, cell FROM a4)",
@@ -1885,13 +1959,18 @@ object SparkEntry {
            |  FROM a4 JOIN c3 c ON a4.cell = c.cid)""".stripMargin,
         s"""sv AS MATERIALIZED (
            |  SELECT vec_id, sub, r[sub*$w+1 : sub*$w+$w] AS sv
-           |  FROM res CROSS JOIN (SELECT unnest(range($m)) AS sub))""".stripMargin,
+           |  FROM res CROSS JOIN (SELECT unnest(range($m)) AS sub))""".stripMargin) ++
+      samplePred.map(p => Seq(
+        s"tres AS MATERIALIZED (SELECT * FROM res WHERE $p)",
+        s"tsv AS MATERIALIZED (SELECT * FROM sv WHERE $p)"))
+        .getOrElse(Nil) ++
+      Seq(
         s"""cb0 AS MATERIALIZED (
            |  SELECT sub, code, sv AS cv FROM (
            |    SELECT s.sub, s.sv, dense_rank() OVER (ORDER BY s.vec_id) - 1 AS code
-           |    FROM sv s WHERE s.vec_id IN (SELECT vec_id FROM res ORDER BY vec_id LIMIT $k)))""".stripMargin) ++
+           |    FROM $trainSv s WHERE s.vec_id IN (SELECT vec_id FROM $trainRes ORDER BY vec_id LIMIT $k)))""".stripMargin) ++
       (1 to 3).flatMap(i =>
-        Seq(pqAssign(i, if (i == 1) "cb0" else s"cb${i - 1}"),
+        Seq(pqAssign(i, if (i == 1) "cb0" else s"cb${i - 1}", trainSv),
           pqUpdate(i, if (i == 1) "cb0" else s"cb${i - 1}"))) ++
       Seq(pqAssign(4, "cb3"),
         "qv AS (SELECT v AS qv FROM norm WHERE vec_id = 0)",
@@ -2126,18 +2205,23 @@ object SparkEntry {
   }
 
   /** Shared CTE prefix of the BM25 oracles (x17/x18): documents → word
-    * arrays → (N, avgdl) stats → query-term tf with doc length → df →
+    * arrays → (N, sum_dl) stats → query-term tf with doc length → df →
     * per-term micro-unit contributions. Mirrors
-    * [[graft.operators.RetrievalOps.bm25Scores]] exactly: ratio idf,
-    * k1 = 1.2, b = 0.75 (2.2 and 0.25 are the exact doubles the engine's
-    * `k1 + 1.0` / `1.0 - b` produce). */
+    * [[graft.operators.RetrievalOps.bm25Scores]] exactly — the EXACT
+    * integer kernel ([[graft.functions.ExactRound.bm25MicroContrib]]):
+    * with k1 = 6/5, b = 3/4 and avgdl = S/N exact,
+    *   cm = half-up of 10^6·22·tf·S·(2N−2df+1) /
+    *        ((2df+1)·(10·tf·S + 3·S + 9·dl·N))
+    * in HUGEINT `//` arithmetic — both engines land the identical
+    * micro long ALWAYS, including on the halfway grid (the double
+    * formula's residue cases were found by ResidueFreeSpec, r14). */
   private val Bm25OracleCtes: String =
     "WITH d AS (\n" +
       "  SELECT doc_id, list_filter(string_split_regex(lower(text), " +
       "'\\s+'), x -> len(x) > 0) AS ws\n  FROM documents),\n" +
       "dl AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM d),\n" +
-      "stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / " +
-      "count(*)::DOUBLE AS avgdl FROM dl)" +
+      "stats AS (SELECT count(*)::BIGINT AS n, " +
+      "sum(dl)::HUGEINT AS s FROM dl)" +
       bm25TermCtes(Seq("vector", "hash", "join"), "")
 
   /** The per-term-set half of a BM25 oracle (tf → df → micro-unit
@@ -2153,10 +2237,12 @@ object SparkEntry {
        |  WHERE term IN ($in) GROUP BY doc_id, term),
        |dfreq$sfx AS (SELECT term, count(*)::BIGINT AS df FROM tf$sfx GROUP BY term),
        |contrib$sfx AS (
-       |  SELECT doc_id,
-       |    CAST(round((((n::DOUBLE - df::DOUBLE) + 0.5) / (df::DOUBLE + 0.5) *
-       |      ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))) * 1000000.0) AS BIGINT) AS cm
-       |  FROM tf$sfx JOIN dfreq$sfx USING (term) CROSS JOIN stats)""".stripMargin
+       |  SELECT doc_id, CAST((cnum * 2000000 + cden) // (cden * 2) AS BIGINT) AS cm
+       |  FROM (
+       |    SELECT doc_id,
+       |      22::HUGEINT * tf * s * (2*n - 2*df + 1) AS cnum,
+       |      (2*df + 1)::HUGEINT * (10*tf*s + 3*s + 9*dl*n) AS cden
+       |    FROM tf$sfx JOIN dfreq$sfx USING (term) CROSS JOIN stats) t$sfx)""".stripMargin
   }
 
   /** Shared CTE prefix for the minhash-family oracles: documents → word

@@ -66,15 +66,32 @@ object Verify {
     // manifest: a targeted re-dump into a full dump's outDir must leave
     // the other ~120 gates' manifest entries standing (clobbering them
     // would silently demote every other dumped gate to an unchecked
-    // "rows-only" in check_oracle.py); only a fresh outDir gets the
-    // filtered manifest.
+    // "rows-only" in check_oracle.py). But the FILTERED gates' own
+    // entries must be refreshed from the CURRENT oracleSql: preserving
+    // the old manifest wholesale would pair a fresh engine dump with
+    // stale oracle text — spurious divergence, or worse a stale pass —
+    // so merge-update: existing entries stand, filtered gates get
+    // current SQL (or are REMOVED if the gate's oracle was deleted,
+    // demoting it to rows-only rather than diffing against dead SQL).
     val manifestPath = Paths.get(s"$outDir/oracle_sql.json")
-    if (nameFilter.isEmpty || !Files.exists(manifestPath)) {
-      val json = SparkEntry.oracleSql
-        .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(manifestPath, json): Unit
-    }
+    val currentSql = SparkEntry.oracleSql.filter { case (k, _) =>
+      nameFilter.forall(_.findFirstIn(k).isDefined) }
+    val merged: Map[String, String] =
+      if (nameFilter.isEmpty || !Files.exists(manifestPath)) currentSql
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(Files.readString(manifestPath))
+        val existing = scala.collection.mutable.LinkedHashMap[String, String]()
+        node.fields().forEachRemaining { e =>
+          existing(e.getKey) = e.getValue.asText() }
+        val filteredNames = SparkEntry.queries.keys.filter { k =>
+          nameFilter.forall(_.findFirstIn(k).isDefined) }
+        filteredNames.foreach(existing.remove)
+        (existing ++ currentSql).toMap
+      }
+    val json = merged
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(manifestPath, json): Unit
     SparkEntry.queries
       .filter { case (name, _) =>
         nameFilter.forall(_.findFirstIn(name).isDefined) }

@@ -59,16 +59,51 @@ object IvfPq {
       handles.foreach(_.unpersist(blocking))
   }
 
+  /** Default codebook-training bound (262144 vectors): past it, Lloyd's
+    * iterations train on a content-hash-deterministic sample and only
+    * the single encode pass reads the full corpus — the standard
+    * large-scale practice (Faiss trains coarse+PQ codebooks on a
+    * bounded sample; Jégou et al. 2011 §V uses learning sets orders of
+    * magnitude below corpus size). Every gate corpus sits far below
+    * this bound, so gates train on their full corpus — their oracles
+    * and hashes are sampling-invariant by construction; the
+    * x36_sample_trained gate pins the sampling rule itself
+    * cross-engine at a deliberately tiny cap. */
+  val DefaultMaxTrainVectors: Long = 1L << 18
+
+  /** Modulus of the training-sample hash rule. */
+  val TrainSampleModulus: Long = 1000000L
+
+  /** Rate R of the training-sample rule: a vector trains iff
+    * `md5_prefix28(vec_id) % 10^6 < R` with R = floor(10^6·cap/n) —
+    * the d9 stratified-sample convention (content-hash-deterministic,
+    * no sort, no driver round-trip, one-line DuckDB mirror:
+    * `('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 1000000`).
+    * Expected sample size ≈ cap (hash-uniform); never below 1 row of
+    * rate. */
+  def trainSampleRate(n: Long, cap: Long): Long =
+    math.max(1L, (BigInt(TrainSampleModulus) * cap / n).toLong)
+
   /** Build the index over any (id, vector) frame. The two trainer outputs
     * (coarse centroids, residual codebook) come back driver-local; only
     * the corpus-sized frames consumed more than once — the residuals
     * (codebook training + encode + cell join) and `codes` (read once per
     * probed cell, forever) — are persisted, and the returned index's
-    * `release()` unpersists both deterministically. */
+    * `release()` unpersists both deterministically.
+    *
+    * `maxTrainVectors` bounds what the ITERATED trainers see (see
+    * [[DefaultMaxTrainVectors]]): above it, coarse and PQ training run
+    * on the hash-rate sample ([[trainSampleRate]]) while cell
+    * assignment, residuals and the encode still cover every vector —
+    * recall moves only through codebook quality (PLANS records the
+    * measured recall-vs-cap curve; at the ladder rungs the sampled
+    * codebooks hold the spec floors). `maxTrainVectors <= 0` disables
+    * sampling (train on everything, the pre-r14 behavior). */
   def build(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = IvfAnn.K, m: Int = ProductQuantizer.M,
       k: Int = ProductQuantizer.K, coarseIters: Int = 3,
-      pqIters: Int = 3, portable: Boolean = false): IvfPqIndex = {
+      pqIters: Int = 3, portable: Boolean = false,
+      maxTrainVectors: Long = DefaultMaxTrainVectors): IvfPqIndex = {
     graft.functions.VectorExprs.register(df.sparkSession)
     // Build-scoped execution tuning (the OsmPipeline small-input
     // convention, measured there and here): training runs
@@ -133,12 +168,43 @@ object IvfPq {
         s"embedding dim ${r.getInt(0)} must be divisible by m=$m — " +
           "trailing dims would be silently dropped")
     }
+    // bounded training sample (r14, the Faiss convention): the hash
+    // rule is content-deterministic and engine-portable, so a sampled
+    // PORTABLE build stays oracle-replayable — the sample membership
+    // itself is oracle-stated (x36 pins it). The count materializes the
+    // pinned spread, work the first trainer pass would have paid
+    // anyway; the filter preserves emb's deterministic partitioning.
+    val trainFilter: Option[org.apache.spark.sql.Column] =
+      if (maxTrainVectors <= 0) None
+      else {
+        val n = emb.count()
+        if (n <= maxTrainVectors) None
+        else {
+          // register on the frame's OWN session: build may be running
+          // under the build-scoped clone, whose function registry was
+          // copied at clone time and does not see caller-side registers
+          graft.functions.Md5Prefix28Expr.register(emb.sparkSession)
+          val r = trainSampleRate(n, maxTrainVectors)
+          Some(pmod(call_function("md5_prefix28",
+              col("vec_id").cast("string")),
+            lit(TrainSampleModulus)) < lit(r))
+        }
+      }
+    // the sample is persisted in its own right: the coarse loop reads
+    // it coarseIters+1 times, and re-filtering the corpus-scale cache
+    // every pass would add a full cache scan per iteration. Sample
+    // size ≈ maxTrainVectors vectors — memory-trivial next to emb.
+    val trainSet = trainFilter.fold(emb) { f =>
+      val t = emb.filter(f).persist(StorageLevel.MEMORY_AND_DISK)
+      t.count(): Unit
+      t
+    }
     // portable: both trainers quantize every decision to 6 decimals —
     // assignments on round-6 similarity, updates through the EXACT
     // integer micro-mean kernel ([[IvfAnn.trainCentroids]] /
     // [[graft.functions.MicroMeanAgg]] docs) — so the ENTIRE trained
     // index is oracle-replayable — the x34 gate's contract
-    val cents = IvfAnn.trainCentroids(emb, nCells, coarseIters, portable)
+    val cents = IvfAnn.trainCentroids(trainSet, nCells, coarseIters, portable)
     val residuals = IvfAnn.assignCells(emb, cents, portable)
       .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
       .select(col("vec_id"), col("cell"),
@@ -154,8 +220,15 @@ object IvfPq {
     // skips its own re-spread (single copy end to end).
     residuals.count(): Unit
     if (emb ne embNarrow) emb.unpersist(): Unit
+    if (trainSet ne emb) trainSet.unpersist(): Unit
+    // PQ trains on the SAMPLE's residuals (a filter over the persisted
+    // full residuals — same rows, same cells, no recompute); the encode
+    // below still covers every vector. The filtered frame is not
+    // caller-pinned, so ProductQuantizer.train persists its own
+    // sample-sized copy for the pqIters+1 passes.
+    val trainResiduals = trainFilter.fold(residuals)(residuals.filter)
     val codebook = ProductQuantizer
-      .train(residuals, "vec_id", "r", m, k, pqIters, portable)
+      .train(trainResiduals, "vec_id", "r", m, k, pqIters, portable)
     val codes = ProductQuantizer.encode(residuals, "vec_id", "r", codebook, m)
       .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
         Seq("pq_id"))

@@ -311,7 +311,57 @@ object RelationalQueries {
           col("hits").as("num"), col("n_rel").as("den"), lit(6L).as("k"),
           col("recall").as("value"))
     }
+    // the residue through the PRODUCTION rrf path (the r13 hand-proof
+    // REFUTED by ResidueFreeSpec: 1/(60+r) IS halfway-reachable):
+    // doc 68 one-sided rank 68 → 1/128 = 7812.5 micro, doc 268
+    // one-sided rank 580 → 1/640 = 1562.5 micro, doc 4 two-sided
+    // ranks (4,68) → 192/8192 = 3/128 = 23437.5 micro — all dead ON
+    // the grid; docs 204 (1/64, on-grid) and the other 97 one-sided
+    // docs are off-grid controls. rrfFuse must half-up them all
+    // identically to the oracle's HUGEINT mirror.
+    val rrfCases = {
+      val a = s.range(1, 101).select(col("id").as("doc"),
+        col("id").as("rank"))
+      val b = Seq((204L, 4L), (4L, 68L), (268L, 580L)).toDF("doc", "rank")
+      val fused = graft.operators.RetrievalOps.rrfFuse(a, b, "doc", k = 110)
+      val ra = a.select(col("doc"), col("rank").as("_ra"))
+      val rb = b.select(col("doc"), col("rank").as("_rb"))
+      fused.join(ra, Seq("doc"), "left").join(rb, Seq("doc"), "left")
+        .select(
+          concat(lit("rrf_doc_"),
+            lpad(col("doc").cast("string"), 3, "0")).as("case_id"),
+          when(col("_ra").isNotNull && col("_rb").isNotNull,
+            lit(120L) + col("_ra") + col("_rb")).otherwise(lit(1L))
+            .as("num"),
+          when(col("_ra").isNotNull && col("_rb").isNotNull,
+            (lit(60L) + col("_ra")) * (lit(60L) + col("_rb")))
+            .otherwise(lit(60L) + coalesce(col("_ra"), col("_rb")))
+            .as("den"),
+          lit(6L).as("k"), col("rrf").as("value"))
+    }
+    // the residue through the PRODUCTION BM25 path (the r13 hand-proof
+    // for BM25 equally REFUTED by ResidueFreeSpec's generative sweep):
+    // an 80-doc corpus with S = 2192 total tokens where the needle term
+    // has df=1, tf=1, dl=23 puts the per-term contribution c =
+    // 7667616/135168 = 56.7265625 — 56726562.5 micro, dead ON the
+    // halfway grid. bm25Scores' exact integer kernel must half-up it
+    // identically to the oracle's HUGEINT mirror.
+    val bm25Case = {
+      val needleDoc = ("needle" +: Seq.fill(22)("w")).mkString(" ")
+      val filler27 = Seq.fill(27)("w").mkString(" ")
+      val filler63 = Seq.fill(63)("w").mkString(" ")
+      val docs = s.range(0, 80).select(col("id").as("doc_id"),
+        when(col("id") === 0, lit(needleDoc))
+          .when(col("id") === 79, lit(filler63))
+          .otherwise(lit(filler27)).as("text"))
+      graft.operators.RetrievalOps
+        .bm25Scores(docs, "doc_id", "text", Seq("needle"))
+        .select(lit("bm25_needle_halfway").as("case_id"),
+          lit(7667616L).as("num"), lit(135168L).as("den"),
+          lit(6L).as("k"), col("bm25").as("value"))
+    }
     ratioCases.unionByName(meanCases).unionByName(evalCase)
+      .unionByName(rrfCases).unionByName(bm25Case)
       .orderBy("case_id")
   }
 

@@ -42,6 +42,30 @@ object RetrievalOps {
   val K1 = 1.2
   val B = 0.75
 
+  /** The per-(doc,term) micro-unit BM25 contribution shared by EVERY
+    * scorer (aggregation, indexed, batch, frozen-column): EXACT integer
+    * arithmetic at the default (k1, b) — no double is ever rounded, so
+    * the score is reproducible cross-engine INCLUDING on the 6-decimal
+    * halfway grid (ResidueFreeSpec REFUTED the r13 residue-free
+    * hand-proof: e.g. N=80/S=2192/df=1/tf=1/dl=23 sits dead ON
+    * 56726562.5 micro). Custom (k1, b) have no integer form — double
+    * path, cross-engine-exact only OFF the grid. Micro LONGs keep the
+    * final per-doc sum order-independent either way. */
+  private def bm25Micro(tfC: org.apache.spark.sql.Column,
+      dfC: org.apache.spark.sql.Column, dlC: org.apache.spark.sql.Column,
+      nC: org.apache.spark.sql.Column, sumDlC: org.apache.spark.sql.Column,
+      k1: Double, b: Double): org.apache.spark.sql.Column =
+    if (k1 == K1 && b == B)
+      graft.functions.ExactRound.bm25MicroContrib(tfC, dfC, dlC, nC, sumDlC)
+    else
+      round(((nC.cast("double") - dfC.cast("double") + lit(0.5)) /
+        (dfC.cast("double") + lit(0.5)) *
+        ((tfC.cast("double") * lit(k1 + 1.0)) /
+          (tfC.cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (dlC.cast("double") /
+              (sumDlC.cast("double") / nC.cast("double")))))))
+        * lit(1000000.0), 0).cast("long")
+
   /** BM25-scored documents for a driver-held bag of query terms:
     * (idCol, bm25), one row per document matching ≥ 1 term.
     *
@@ -71,8 +95,7 @@ object RetrievalOps {
       sum(when(array_contains(col("_g_ws"), lit(t)), lit(1L))
         .otherwise(lit(0L))).as(s"_g_df_$i")
     }
-    val statsCols = (sum(col("_g_dl")).cast("double") /
-      count(lit(1)).cast("double")).as("_g_avgdl") +: dfCols
+    val statsCols = sum(col("_g_dl")).as("_g_sum_dl") +: dfCols
     val stats = base.agg(count(lit(1)).as("_g_n"), statsCols: _*)
     // term frequencies of QUERY terms only — the isin filter runs before
     // the one shuffle, and doc length rides the same grouping
@@ -89,16 +112,8 @@ object RetrievalOps {
     val contrib = tf.crossJoin(broadcast(stats))
       .withColumn("_g_df", dfOfTerm)
       .select(col(idCol),
-        (((col("_g_n").cast("double") - col("_g_df").cast("double"))
-            + lit(0.5)) / (col("_g_df").cast("double") + lit(0.5)) *
-          ((col("_g_tf").cast("double") * lit(k1 + 1.0)) /
-            (col("_g_tf").cast("double") + lit(k1) *
-              (lit(1.0 - b) +
-                lit(b) * (col("_g_dl").cast("double") / col("_g_avgdl"))))))
-          .as("_g_c"))
-      // micro-unit LONGs make the final sum order-independent
-      .select(col(idCol),
-        round(col("_g_c") * lit(1000000.0), 0).cast("long").as("_g_cm"))
+        bm25Micro(col("_g_tf"), col("_g_df"), col("_g_dl"),
+          col("_g_n"), col("_g_sum_dl"), k1, b).as("_g_cm"))
     contrib.groupBy(col(idCol)).agg(sum(col("_g_cm")).as("_g_sm"))
       .select(col(idCol),
         (col("_g_sm").cast("double") / lit(1000000.0)).as("bm25"))
@@ -126,17 +141,45 @@ object RetrievalOps {
   /** Reciprocal-rank fusion of two ranked frames (idCol, rank):
     * rrf = Σ 1/(c + rank) over the systems that returned the doc
     * (Cormack et al. 2009, c = 60). Inputs are top-n frames, so the
-    * full-outer join is trivially broadcast at any corpus size. */
+    * full-outer join is trivially broadcast at any corpus size.
+    *
+    * Rounding is EXACT integer-rational (ExactRound) when `c` is a
+    * non-negative integer (the default 60 is): the fused score is the
+    * small rational 1/(c+r) one-sided or (2c+ra+rb)/((c+ra)(c+rb))
+    * two-sided, and its exact value CAN sit dead on the 6-decimal
+    * halfway grid — one-sided rank 68 gives 1/128 = 7812.5 micro, rank
+    * 580 gives 1/640, and two-sided (4,68) gives 3/128 (ResidueFreeSpec
+    * derives the full family) — where `round(double, 6)` legitimately
+    * disagrees across engines. The r13 PLANS hand-proof claimed the
+    * 1/(60+r) family residue-free; mechanizing it (VERDICT r13 ask #3)
+    * REFUTED it for ranks ≥ 68, so the operator now rounds exactly for
+    * any rank. Off the halfway grid the exact round equals the old
+    * double round bit-for-bit (both produce toDouble(m)/10^6 of the
+    * same m), so existing results are unchanged. Non-integral `c`
+    * falls back to double rounding (no exact rational exists). */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int = 20,
       c: Double = 60.0): DataFrame = {
     val l = a.select(col(idCol), col("rank").as("_g_ra"))
     val r = b.select(col(idCol), col("rank").as("_g_rb"))
-    l.join(r, Seq(idCol), "full_outer")
-      .select(col(idCol),
+    val rrf =
+      if (c >= 0 && c == math.rint(c) && c <= 1e15) {
+        val ca = lit(c.toLong) + col("_g_ra").cast("long")
+        val cb = lit(c.toLong) + col("_g_rb").cast("long")
+        val num = when(ca.isNotNull && cb.isNotNull, ca + cb)
+          .otherwise(lit(1L))
+        // the product runs in DECIMAL(38,0): two (c+rank) longs can
+        // overflow a long multiply before ExactRound's own input cast
+        val den = when(ca.isNotNull && cb.isNotNull,
+            ca.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * cb)
+          .otherwise(coalesce(ca, cb))
+        graft.functions.ExactRound.ratio(num, den, 6)
+      } else
         round(
           coalesce(lit(1.0) / (lit(c) + col("_g_ra").cast("double")), lit(0.0))
             + coalesce(lit(1.0) / (lit(c) + col("_g_rb").cast("double")),
-              lit(0.0)), 6).as("rrf"))
+              lit(0.0)), 6)
+    l.join(r, Seq(idCol), "full_outer")
+      .select(col(idCol), rrf.as("rrf"))
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(k)
   }
@@ -703,12 +746,14 @@ object RetrievalOps {
       .map(_.toString).sorted
   }
 
-  /** Index constants with every committed append folded in: n and avgdl
-    * are the GROWN corpus's (exact integer sum_dl arithmetic — identical
-    * to what a full rebuild over the union would compute), bucket count
-    * is invariant across generations by construction. */
+  /** Index constants with every committed append folded in: n and
+    * sum_dl are the GROWN corpus's (exact integer arithmetic — identical
+    * to what a full rebuild over the union would compute; scorers
+    * consume sum_dl/n as an exact rational, never a pre-rounded avgdl
+    * double), bucket count is invariant across generations by
+    * construction. Returns (n, sumDl, nBuckets, withPositions). */
   private def readStats(spark: SparkSession,
-      path: String): (Long, Double, Int, Boolean) = {
+      path: String): (Long, Long, Int, Boolean) = {
     val base = readBaseStats(spark, path)
     var n = base.getAs[Long]("n")
     var sumDl = base.getAs[Long]("sum_dl")
@@ -719,7 +764,7 @@ object RetrievalOps {
       n += r.getAs[Long]("n")
       sumDl += r.getAs[Long]("sum_dl")
     }
-    (n, if (n == 0) 0.0 else sumDl.toDouble / n, nBuckets, withPositions)
+    (n, sumDl, nBuckets, withPositions)
   }
 
   /** The on-disk postings schema, stated EXPLICITLY for every read: a
@@ -784,7 +829,7 @@ object RetrievalOps {
     // aggregation scorer, the index probe and the column scorer agree
     val terms0 = queryTerms.distinct
     val root = activeRoot(spark, path)
-    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, root)
+    val (nDocs, sumDl, nBuckets, withPositions) = readStats(spark, root)
     if (nDocs == 0L) return emptyResult(spark, "id BIGINT, bm25 DOUBLE")
     val buckets = terms0.map(termBucket(_, nBuckets)).distinct
     val pruned = loadPostings(spark, root, withPositions)
@@ -794,17 +839,8 @@ object RetrievalOps {
     val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("_g_df"))
     val contrib = pruned.join(broadcast(dfreq), "term")
       .select(col("id"),
-        (((lit(nDocs).cast("double") -
-            col("_g_df").cast("double")) + lit(0.5)) /
-          (col("_g_df").cast("double") + lit(0.5)) *
-          ((col("tf").cast("double") * lit(k1 + 1.0)) /
-            (col("tf").cast("double") + lit(k1) *
-              (lit(1.0 - b) +
-                lit(b) * (col("dl").cast("double") /
-                  lit(avgdl))))))
-          .as("_g_c"))
-      .select(col("id"),
-        round(col("_g_c") * lit(1000000.0), 0).cast("long").as("_g_cm"))
+        bm25Micro(col("tf"), col("_g_df"), col("dl"),
+          lit(nDocs), lit(sumDl), k1, b).as("_g_cm"))
     contrib.groupBy(col("id")).agg(sum(col("_g_cm")).as("_g_sm"))
       .select(col("id"),
         (col("_g_sm").cast("double") / lit(1000000.0)).as("bm25"))
@@ -828,7 +864,7 @@ object RetrievalOps {
       queries: DataFrame, qIdCol: String, termsCol: String, k: Int = 10,
       k1: Double = K1, b: Double = B): DataFrame = {
     val root = activeRoot(spark, path)
-    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, root)
+    val (nDocs, sumDl, nBuckets, withPositions) = readStats(spark, root)
     if (nDocs == 0L) return emptyResult(spark,
       "query_id BIGINT, rank BIGINT, id BIGINT, bm25 DOUBLE")
     // array_distinct: a repeated term in one query's bag must contribute
@@ -848,17 +884,8 @@ object RetrievalOps {
     val contrib = pruned.join(broadcast(dfreq), "term")
       .join(broadcast(qpairs), "term")
       .select(col("qid"), col("id"),
-        (((lit(nDocs).cast("double") -
-            col("_g_df").cast("double")) + lit(0.5)) /
-          (col("_g_df").cast("double") + lit(0.5)) *
-          ((col("tf").cast("double") * lit(k1 + 1.0)) /
-            (col("tf").cast("double") + lit(k1) *
-              (lit(1.0 - b) +
-                lit(b) * (col("dl").cast("double") /
-                  lit(avgdl))))))
-          .as("_g_c"))
-      .select(col("qid"), col("id"),
-        round(col("_g_c") * lit(1000000.0), 0).cast("long").as("_g_cm"))
+        bm25Micro(col("tf"), col("_g_df"), col("dl"),
+          lit(nDocs), lit(sumDl), k1, b).as("_g_cm"))
     val w = Window.partitionBy("qid")
       .orderBy(col("bm25").desc, col("id").asc)
     contrib.groupBy(col("qid"), col("id"))
@@ -872,20 +899,22 @@ object RetrievalOps {
 
   /** Frozen scoring statistics of a persisted index, for map-side scoring
     * of NEW documents (streams, micro-batches) against a corpus snapshot:
-    * (N, avgdl, df per query term). The df lookup is a partition-pruned
-    * driver query over the query terms' buckets only. */
+    * (N, sum_dl, df per query term) — sum_dl rather than a pre-rounded
+    * avgdl double, so the column scorer's exact integer kernel sees the
+    * same exact rational the aggregation scorer does. The df lookup is a
+    * partition-pruned driver query over the query terms' buckets only. */
   def frozenStats(spark: SparkSession, path: String,
-      queryTerms: Seq[String]): (Long, Double, Map[String, Long]) = {
+      queryTerms: Seq[String]): (Long, Long, Map[String, Long]) = {
     val root = activeRoot(spark, path)
-    val (nDocs, avgdl, nBuckets, withPositions) = readStats(spark, root)
-    if (nDocs == 0L) return (0L, 0.0, Map.empty)
+    val (nDocs, sumDl, nBuckets, withPositions) = readStats(spark, root)
+    if (nDocs == 0L) return (0L, 0L, Map.empty)
     val buckets = queryTerms.map(termBucket(_, nBuckets)).distinct
     val dfs = loadPostings(spark, root, withPositions)
       .filter(col("pt").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (nDocs, avgdl, dfs)
+    (nDocs, sumDl, dfs)
   }
 
   /** BM25 score of a text column against driver-held query terms under
@@ -898,7 +927,7 @@ object RetrievalOps {
     * 0. The streaming twin is [[graft.streaming.DocStreams]]'s arrival
     * scoring. */
   def bm25ScoreColumn(textCol: org.apache.spark.sql.Column,
-      queryTerms: Seq[String], n: Long, avgdl: Double,
+      queryTerms: Seq[String], n: Long, sumDl: Long,
       dfByTerm: Map[String, Long], k1: Double = K1,
       b: Double = B): org.apache.spark.sql.Column = {
     require(queryTerms.nonEmpty, "bm25ScoreColumn: queryTerms must be non-empty")
@@ -906,15 +935,13 @@ object RetrievalOps {
     // aggregation scorer, the index probe and the column scorer agree
     val terms0 = queryTerms.distinct
     val ws = call_function("split_words", textCol)
-    val dl = size(ws).cast("long").cast("double")
+    val dl = size(ws).cast("long")
     val micro = terms0.map { t =>
       val df = dfByTerm.getOrElse(t, 0L)
-      val tf = size(filter(ws, w => w === lit(t))).cast("long").cast("double")
-      val c = (((lit(n).cast("double") - lit(df).cast("double")) + lit(0.5)) /
-        (lit(df).cast("double") + lit(0.5)) *
-        ((tf * lit(k1 + 1.0)) /
-          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(avgdl))))))
-      when(tf > 0, round(c * lit(1000000.0), 0).cast("long")).otherwise(lit(0L))
+      val tf = size(filter(ws, w => w === lit(t))).cast("long")
+      when(tf > 0,
+        bm25Micro(tf, lit(df), dl, lit(n), lit(sumDl), k1, b))
+        .otherwise(lit(0L))
     }.reduceLeft(_ + _)
     micro.cast("double") / lit(1000000.0)
   }
@@ -1281,17 +1308,38 @@ object RetrievalOps {
         "sqrt(aggregate(embedding, 0D, " +
         "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))").as("v"))
 
-  def x34TrainedRecall(s: SparkSession, dir: String): DataFrame = {
+  def x34TrainedRecall(s: SparkSession, dir: String): DataFrame =
+    trainedProbeGate(s, dir, "x34", IvfPq.DefaultMaxTrainVectors)
+
+  /** x36: the SAMPLE-TRAINED operating point as an oracle-replayable
+    * gate — the x34 pipeline with [[IvfPq.build]]'s `maxTrainVectors`
+    * forced below the corpus size (cap = 128), so Lloyd's coarse AND
+    * PQ iterations train only on the hash-rate sample
+    * ([[IvfPq.trainSampleRate]]: keep vec_id iff
+    * md5_prefix28(vec_id) % 10^6 < floor(10^6·128/N) — the d9
+    * convention) while cell assignment, residuals and the encode cover
+    * every vector. The DuckDB oracle replays the ENTIRE sampled
+    * trajectory — membership rule, sampled Lloyd's, sampled PQ, full
+    * encode, both probes — so a hash match proves the sampling rule
+    * and the sample-trained codebooks are engine-portable, the
+    * correctness contract behind training large rungs on a bounded
+    * sample (the Faiss convention; VERDICT r13 ask #1). */
+  def x36SampleTrained(s: SparkSession, dir: String): DataFrame =
+    trainedProbeGate(s, dir, "x36", 128L)
+
+  private def trainedProbeGate(s: SparkSession, dir: String, key: String,
+      maxTrainVectors: Long): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val emb = l2NormalizedEmbeddings(s, dir)
     // train ONCE per corpus snapshot and serve from the persisted
     // index (the x15 convention): training is the amortized build-time
     // cost of an ANN deployment — repeated probes of an unchanged
     // corpus must time load + probe, not retrain per query
-    val path = SnapshotCache.resolve(s, "x34", s"$dir/embeddings.parquet") {
+    val path = SnapshotCache.resolve(s, key, s"$dir/embeddings.parquet") {
       out =>
         val idx = IvfPq.build(emb, "vec_id", "v", nCells = 8, m = 32,
-          k = 64, coarseIters = 3, pqIters = 3, portable = true)
+          k = 64, coarseIters = 3, pqIters = 3, portable = true,
+          maxTrainVectors = maxTrainVectors)
         try IvfPq.writeIndex(idx, out) finally idx.release()
     }
     // localize once: the gate probes TWICE (nprobe 2 and 8), and each

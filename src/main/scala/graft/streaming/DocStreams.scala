@@ -702,7 +702,7 @@ object DocStreams {
 
   /** BM25 relevance tags as documents arrive: score each doc against
     * driver-held query terms under FROZEN corpus-snapshot statistics
-    * (N, avgdl, per-term df — e.g. from a persisted postings index via
+    * (N, sum_dl, per-term df — e.g. from a persisted postings index via
     * [[graft.operators.RetrievalOps.frozenStats]]). A pure stream-side
     * projection ([[graft.operators.RetrievalOps.bm25ScoreColumn]]): no
     * aggregation, no state, no watermark — scores emit immediately and
@@ -710,10 +710,10 @@ object DocStreams {
     * [[graft.operators.RetrievalOps.bm25Scores]] when the snapshot is
     * the scored corpus itself (spec-held). */
   def scoreArrivals(docs: DataFrame, queryTerms: Seq[String], n: Long,
-      avgdl: Double, dfByTerm: Map[String, Long]): DataFrame = {
+      sumDl: Long, dfByTerm: Map[String, Long]): DataFrame = {
     graft.functions.TextExprs.register(docs.sparkSession)
     docs.withColumn("bm25", graft.operators.RetrievalOps.bm25ScoreColumn(
-      col("text"), queryTerms, n, avgdl, dfByTerm))
+      col("text"), queryTerms, n, sumDl, dfByTerm))
   }
 
   /** Model scores as documents arrive — the continuous labeling path

@@ -71,4 +71,38 @@ class ExactRoundSpec extends AnyFunSuite {
       .doubleValue()
     assert(v == want)
   }
+
+  test("overflow FAILS LOUDLY on both ANSI paths; null-in stays null-out") {
+    // a 37-digit numerator: num·2·10^6 exceeds DECIMAL(38,0). Under
+    // ANSI (the Spark 4 default) the decimal multiply itself throws
+    // NUMERIC_VALUE_OUT_OF_RANGE; with ANSI off +
+    // allowPrecisionLoss=true it silently NULLs — there the raise_error
+    // guard must fire. Either way: loud, never a silent null.
+    val big = new java.math.BigDecimal("9".repeat(37))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    def overflowDf(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Seq(1).toDF("x")
+        .select(ExactRound.ratio(
+          lit(big).cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+          lit(3L), 6).as("r"))
+    }
+    val eAnsi = intercept[Exception] { overflowDf(spark).collect() }
+    assert(msgs(eAnsi).exists(m => m.contains("ExactRound.ratio") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected a loud overflow, got: ${msgs(eAnsi)}")
+    // non-ANSI deployment: the guard itself must catch the silent null
+    val lax = spark.newSession()
+    lax.conf.set("spark.sql.ansi.enabled", "false")
+    val eLax = intercept[Exception] { overflowDf(lax).collect() }
+    assert(msgs(eLax).exists(_.contains("ExactRound.ratio")),
+      s"expected the guard's message under ansi=false, got: ${msgs(eLax)}")
+    // null input propagates as null (SQL semantics), no raise
+    val r = Seq((Option.empty[java.lang.Long], 3L)).toDF("n", "d")
+      .select(ExactRound.ratio(col("n"), col("d"), 6).as("r"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
 }

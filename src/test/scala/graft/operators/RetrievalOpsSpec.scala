@@ -46,12 +46,12 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(a == b)
     val path = java.nio.file.Files.createTempDirectory("dupidx").toString + "/idx"
     RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
-    val (n, avgdl, dfs) = RetrievalOps.frozenStats(spark, path, distinctT)
+    val (n, sumDl, dfs) = RetrievalOps.frozenStats(spark, path, distinctT)
     val colDup = corpus.select(col("doc_id"),
-        RetrievalOps.bm25ScoreColumn(col("text"), dup, n, avgdl, dfs).as("s"))
+        RetrievalOps.bm25ScoreColumn(col("text"), dup, n, sumDl, dfs).as("s"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     val colDis = corpus.select(col("doc_id"),
-        RetrievalOps.bm25ScoreColumn(col("text"), distinctT, n, avgdl, dfs).as("s"))
+        RetrievalOps.bm25ScoreColumn(col("text"), distinctT, n, sumDl, dfs).as("s"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(colDup == colDis)
     val iDup = RetrievalOps.bm25TopKIndexed(spark, path, dup)
@@ -788,7 +788,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(RetrievalOps.bm25TopKIndexedBatch(spark, path, queries,
       "qid", "terms").count() == 0)
     assert(RetrievalOps.frozenStats(spark, path, Seq("a")) ==
-      ((0L, 0.0, Map.empty[String, Long])))
+      ((0L, 0L, Map.empty[String, Long])))
   }
 
   test("scoreWithModel: batch boundaries never change scores; stub is portable") {

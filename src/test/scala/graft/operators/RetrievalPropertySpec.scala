@@ -39,10 +39,10 @@ class RetrievalPropertySpec extends AnyFunSuite {
     val terms = Seq("ape", "cat", "eel")
     val path = java.nio.file.Files.createTempDirectory("rprop").toString + "/idx"
     RetrievalOps.indexCorpus(docs, "doc_id", "text", path, nBuckets = 8)
-    val (n, avgdl, dfs) = RetrievalOps.frozenStats(spark, path, terms)
+    val (n, sumDl, dfs) = RetrievalOps.frozenStats(spark, path, terms)
     val colScores = docs
       .withColumn("bm25",
-        RetrievalOps.bm25ScoreColumn(col("text"), terms, n, avgdl, dfs))
+        RetrievalOps.bm25ScoreColumn(col("text"), terms, n, sumDl, dfs))
       .filter(col("bm25") > 0)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     val aggScores = RetrievalOps.bm25Scores(docs, "doc_id", "text", terms)

@@ -243,10 +243,10 @@ class DocStreamsSpec extends AnyFunSuite {
     val terms = Seq("vector", "hash", "join")
     val path = java.nio.file.Files.createTempDirectory("bmidx_s").toString + "/idx"
     graft.operators.RetrievalOps.indexCorpus(batchDocs, "doc_id", "text", path)
-    val (n, avgdl, dfs) = graft.operators.RetrievalOps.frozenStats(
+    val (n, sumDl, dfs) = graft.operators.RetrievalOps.frozenStats(
       spark, path, terms)
     val got = EventStreams.runToCompletion(
-      DocStreams.scoreArrivals(stream, terms, n, avgdl, dfs)
+      DocStreams.scoreArrivals(stream, terms, n, sumDl, dfs)
         .select("doc_id", "bm25"), "doc_bm25")
       .filter(col("bm25") > 0)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
