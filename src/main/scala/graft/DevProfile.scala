@@ -280,6 +280,27 @@ object DevProfile {
       val monaco = "/root/reference/tests/test_files/monaco.osm.pbf"
       val nFiles = math.max(2, reps)
       val dir = java.nio.file.Files.createTempDirectory("pbfmulti").toString
+      // shuffle/sort spill accounting: the r14 scale-up ask is "hold the
+      // oracles at a size where the merge + STR sort actually spills" —
+      // these counters prove whether it did
+      val spillMem = new java.util.concurrent.atomic.AtomicLong
+      val spillDisk = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              spillMem.addAndGet(m.memoryBytesSpilled): Unit
+              spillDisk.addAndGet(m.diskBytesSpilled): Unit
+            }
+          }
+        })
+      def spills(): (Long, Long) = {
+        org.apache.spark.sql.graft.SessionOps
+          .drainListeners(spark, 30000L): Unit
+        (spillMem.get(), spillDisk.get())
+      }
       try {
         val t0 = System.nanoTime()
         // the SAME overlapping-replica builder OsmMultiExtractSpec
@@ -291,6 +312,7 @@ object DevProfile {
           f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
         for (r <- 1 to 2) {
           val out = s"$dir/out$r"
+          val (sm0, sd0) = spills()
           val t1 = System.nanoTime()
           val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark, paths,
             osm.OsmPipeline.Options())
@@ -299,8 +321,56 @@ object DevProfile {
           finally fcuts.release()
           val dt = (System.nanoTime() - t1) / 1e9
           val rows = spark.read.parquet(out).count()
+          val (sm1, sd1) = spills()
           println(f"convert$r: $dt%.1f s ($rows features, " +
-            f"${nElems / dt}%.0f elem/s scanned incl. overlap)")
+            f"${nElems / dt}%.0f elem/s scanned incl. overlap, " +
+            f"spill mem=${(sm1 - sm0) / 1e6}%.0f MB " +
+            f"disk=${(sd1 - sd0) / 1e6}%.0f MB)")
+        }
+        // MULTI_FULL=1: the r14 one-octave scale-up checks at THIS size
+        // (the spec pins them at 10 files) — WKB config-invariance via
+        // a distributed order-independent checksum (no corpus-scale
+        // collect), and the relation-validity oracle's zero-unexplained
+        // contract over the overlapping set
+        if (sys.env.contains("MULTI_FULL")) {
+          import org.apache.spark.sql.functions._
+          def checksum(): (Long, Long) = {
+            val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark,
+              paths, osm.OsmPipeline.Options())
+            try {
+              val r = f.agg(
+                sum(xxhash64(col("feature_id"), col("geometry")))
+                  .as("h"),
+                count(lit(1)).as("n")).head()
+              (r.getLong(0), r.getLong(1))
+            } finally fcuts.release()
+          }
+          def withConfs[T](kvs: (String, String)*)(body: => T): T = {
+            val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+            kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+            try body
+            finally old.foreach {
+              case (k, Some(v)) => spark.conf.set(k, v)
+              case (k, None)    => spark.conf.unset(k)
+            }
+          }
+          val t2 = System.nanoTime()
+          val a = withConfs("spark.sql.shuffle.partitions" -> "3",
+            "spark.sql.adaptive.enabled" -> "false")(checksum())
+          val b = withConfs("spark.sql.shuffle.partitions" -> "16",
+            "spark.sql.adaptive.enabled" -> "true")(checksum())
+          println(f"config-invariance: A=$a B=$b match=${a == b} " +
+            f"(${(System.nanoTime() - t2) / 1e9}%.1f s)")
+          if (a != b) throw new IllegalStateException(
+            s"WKB checksum diverged across configs: $a vs $b")
+          val t3 = System.nanoTime()
+          val drops = osm.RelationValidity.explainDrops(spark, paths)
+          val unexplained = drops.filter(!col("explained")).count()
+          osm.OsmPipeline.releaseCuts()
+          println(f"validity: unexplained=$unexplained " +
+            f"(${(System.nanoTime() - t3) / 1e9}%.1f s)")
+          if (unexplained != 0) throw new IllegalStateException(
+            s"$unexplained unexplained relation drops at $nFiles files")
         }
       } finally org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir))
@@ -556,6 +626,81 @@ object DevProfile {
           println(s"$label admitted total: $n")
         } finally q.stop()
       }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
+    } else if (name == "vecadmitgens") {
+      // admitgens' VECTOR twin (VERDICT r13 ask #6): per-batch wall
+      // time of a real vecAdmitArrivals loop across `reps` generations
+      // against a 512k-vector seed rung, uncompacted vs compactEvery=8.
+      // The stored signature IS the embedding (~4·d B/row, one
+      // multi-path columnar scan whatever the generation count), so —
+      // like the text admit store — the uncompacted curve should stay
+      // near-flat; this measures it, and pins that the ADMIT DECISIONS
+      // are bit-equal across both settings (file layout must never
+      // change semantics).
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExprs.register(spark)
+      val factor = 256 // 2000·256 = 512k vectors at sf0.1
+      val root = java.nio.file.Files.createTempDirectory("vadmgen").toString
+      writeScaledEmbeddings(spark, sfDir, factor, root)
+      val seed = spark.read.parquet(s"$root/emb")
+        .select(col("vec_id"), col("v").as("embedding"))
+      val rows = seed.count()
+      val planes = operators.EmbeddingOps.planesFor(rows)
+      println(s"seed corpus: $rows vectors, planesFor=$planes")
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      // generation i = a NOVEL jitter of the base set (disjoint ids,
+      // geometry the seed replicas never used — reps used 0..255, these
+      // start at 1000), so most of each batch admits
+      def gen(i: Int): org.apache.spark.sql.DataFrame = base
+        .select(
+          (col("vec_id") + lit((1000L + i) * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, (x, j) -> CAST(x AS DOUBLE) + " +
+            s"CAST(pmod(${1000L + i}L * 7 + j * 13, 17) AS DOUBLE) " +
+            "/ 100.0)").as("embedding"))
+      require(reps <= 25, s"vecadmitgens: max 25 generations, got $reps")
+      for ((label, ce) <- Seq("uncompacted" -> None,
+          "compactEvery=8" -> Some(8))) {
+        val dir = s"$root/$label"
+        val feed = s"$dir/feed"
+        new java.io.File(feed).mkdirs(): Unit
+        val arrivals = spark.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet").parquet(feed)
+        val q = streaming.DocStreams.vecAdmitArrivals(arrivals, seed,
+          s"$dir/adm", s"$dir/ckpt", threshold = 0.9,
+          compactEvery = ce, planes = planes)
+        try {
+          val times = (1 to reps).map { i =>
+            val stage = s"$dir/_w$i"
+            gen(i).coalesce(1).write.parquet(stage)
+            val f = new java.io.File(stage).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$feed/$i.parquet"))
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"$label batch $i%2d: $dt%.2f s")
+            dt
+          }
+          println(f"$label: first-5 mean ${times.take(5).sum / 5}%.2f s, " +
+            f"last-5 mean ${times.takeRight(5).sum / 5}%.2f s")
+        } finally q.stop()
+      }
+      val vschema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+      def admitted(label: String): Set[Long] =
+        streaming.DocStreams.admittedDocs(spark, s"$root/$label/adm",
+          vschema).select("vec_id").collect().map(_.getLong(0)).toSet
+      val a = admitted("uncompacted")
+      val b = admitted("compactEvery=8")
+      println(s"decisions_equal: ${a == b} (admitted ${a.size})")
+      if (a != b) throw new IllegalStateException(
+        s"admit decisions diverged across compaction settings: " +
+          s"${(a diff b).take(5)} / ${(b diff a).take(5)}")
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
     } else if (name == "vecadmitscale") {
@@ -1330,11 +1475,29 @@ object DevProfile {
         .createTempDirectory("trainscale").toString
       writeScaledEmbeddings(spark, sfDir, factor, root)
       val emb = spark.read.parquet(s"$root/emb")
-      println(s"corpus: ${emb.count()} vectors (factor $factor)")
+      val nVecs = emb.count()
+      println(s"corpus: $nVecs vectors (factor $factor)")
+      // TRAIN_CAP=<n>: bound what the ITERATED trainers see with the
+      // same content-hash rule IvfPq.build's maxTrainVectors applies
+      // (md5_prefix28(vec_id) % 10^6 < floor(10^6·cap/n)) — the r14
+      // sampled-codebook ladder rows; unset = full-corpus training
+      // (the pre-r14 rows, directly comparable)
+      val trainFilter = sys.env.get("TRAIN_CAP").map(_.toLong)
+        .filter(cap => cap > 0 && nVecs > cap).map { cap =>
+          graft.functions.Md5Prefix28Expr.register(spark)
+          val rate = operators.IvfPq.trainSampleRate(nVecs, cap)
+          pmod(call_function("md5_prefix28", col("vec_id").cast("string")),
+            lit(operators.IvfPq.TrainSampleModulus)) < lit(rate)
+        }
+      trainFilter.foreach { f =>
+        println(s"train sample: ${emb.filter(f).count()} vectors " +
+          s"(cap ${sys.env("TRAIN_CAP")})")
+      }
       for (r <- 1 to 2) {
         val t0 = System.nanoTime()
         val cents = operators.IvfAnn
-          .trainCentroids(emb, 8, 3, portable = true)
+          .trainCentroids(trainFilter.fold(emb)(emb.filter), 8, 3,
+            portable = true)
         val t1 = System.nanoTime()
         // spread BEFORE persisting (the caller-pinned contract, r13):
         // the trainer never re-spreads a persisted input, so this is
@@ -1350,13 +1513,62 @@ object DevProfile {
         residuals.count()
         val t2 = System.nanoTime()
         operators.ProductQuantizer
-          .train(residuals, "vec_id", "r", 32, 64, 3, portable = true)
+          .train(trainFilter.fold(residuals)(residuals.filter),
+            "vec_id", "r", 32, 64, 3, portable = true)
         val t3 = System.nanoTime()
         residuals.unpersist(): Unit
         println(f"r$r coarse(3it)=${(t1 - t0) / 1e9}%.2f s " +
           f"residuals=${(t2 - t1) / 1e9}%.2f s " +
           f"pq(3it)=${(t3 - t2) / 1e9}%.2f s")
       }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
+    } else if (name == "samplerecall") {
+      // recall-vs-training-sample-size (the r14 sampled-codebook trade,
+      // VERDICT r13 ask #1's PLANS row): one replicated corpus, one
+      // exact ground truth, IvfPq.build at descending maxTrainVectors —
+      // recall@10 over 8 probe queries against exact round-6 cosine.
+      // `reps` is the replication factor (corpus = 2000·factor at
+      // sf0.1); caps sweep from full training down to 1/512 of it.
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExprs.register(spark)
+      val factor = math.max(1, reps)
+      val root = java.nio.file.Files
+        .createTempDirectory("samplerecall").toString
+      writeScaledEmbeddings(spark, sfDir, factor, root)
+      val emb = spark.read.parquet(s"$root/emb")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      println(s"corpus: $n vectors (factor $factor)")
+      val queries = (0 until 8).map(q => q.toLong)
+      val qvecs = emb.filter(col("vec_id").isin(queries: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val exact = queries.map { q =>
+        q -> emb.filter(col("vec_id") =!= q)
+          .select(col("vec_id"),
+            round(call_function("vec_cosine", col("v"),
+              typedLit(qvecs(q))), 6).as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+      for (cap <- Seq(0L, 262144L, 65536L, 16384L, 4096L)
+          if cap == 0L || cap < n) {
+        val t0 = System.nanoTime()
+        val idx = operators.IvfPq.build(emb, "vec_id", "v", nCells = 8,
+          m = 32, k = 64, coarseIters = 3, pqIters = 3, portable = true,
+          maxTrainVectors = cap)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val local = operators.IvfPq.localizeIndex(idx)
+        val hits = queries.map { q =>
+          operators.IvfPq.topK(local, qvecs(q), topK = 10, nProbe = 4,
+            excludeId = Some(q), portable = true)
+            .collect().map(_.getLong(0)).count(exact(q))
+        }.sum
+        idx.release()
+        println(f"cap=${if (cap == 0) "full" else cap.toString}%s " +
+          f"build=${tBuild}%.1f s recall@10=${hits / (queries.size * 10.0)}%.3f")
+      }
+      emb.unpersist(): Unit
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
     } else if (name == "pqprof") {
