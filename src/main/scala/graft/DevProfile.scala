@@ -334,15 +334,18 @@ object DevProfile {
         // contract over the overlapping set
         if (sys.env.contains("MULTI_FULL")) {
           import org.apache.spark.sql.functions._
-          def checksum(): (Long, Long) = {
+          def checksum(): (BigDecimal, Long) = {
             val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark,
               paths, osm.OsmPipeline.Options())
             try {
+              // sum the 64-bit row hashes in DECIMAL(38,0): a long sum
+              // of ~500k random longs overflows under ANSI
               val r = f.agg(
-                sum(xxhash64(col("feature_id"), col("geometry")))
+                sum(xxhash64(col("feature_id"), col("geometry"))
+                  .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
                   .as("h"),
                 count(lit(1)).as("n")).head()
-              (r.getLong(0), r.getLong(1))
+              (BigDecimal(r.getDecimal(0)), r.getLong(1))
             } finally fcuts.release()
           }
           def withConfs[T](kvs: (String, String)*)(body: => T): T = {
@@ -354,6 +357,16 @@ object DevProfile {
               case (k, None)    => spark.conf.unset(k)
             }
           }
+          def perFeature(tag: String): org.apache.spark.sql.DataFrame = {
+            val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark,
+              paths, osm.OsmPipeline.Options())
+            try f.select(col("feature_id").as(s"fid"),
+                xxhash64(col("geometry")).as(s"h_$tag"),
+                length(col("geometry")).as(s"len_$tag"))
+              .persist()
+              .localCheckpoint(true)
+            finally fcuts.release()
+          }
           val t2 = System.nanoTime()
           val a = withConfs("spark.sql.shuffle.partitions" -> "3",
             "spark.sql.adaptive.enabled" -> "false")(checksum())
@@ -361,8 +374,49 @@ object DevProfile {
             "spark.sql.adaptive.enabled" -> "true")(checksum())
           println(f"config-invariance: A=$a B=$b match=${a == b} " +
             f"(${(System.nanoTime() - t2) / 1e9}%.1f s)")
-          if (a != b) throw new IllegalStateException(
-            s"WKB checksum diverged across configs: $a vs $b")
+          if (a != b) {
+            // name the diverging features before failing: per-feature
+            // hash under each config, join, sample the mismatches
+            val fa = withConfs("spark.sql.shuffle.partitions" -> "3",
+              "spark.sql.adaptive.enabled" -> "false")(perFeature("a"))
+            val fb = withConfs("spark.sql.shuffle.partitions" -> "16",
+              "spark.sql.adaptive.enabled" -> "true")(perFeature("b"))
+            val diff = fa.join(fb, Seq("fid"), "full_outer")
+              .filter(col("h_a").isNull || col("h_b").isNull ||
+                col("h_a") =!= col("h_b"))
+            println(s"diverging features: ${diff.count()}")
+            diff.orderBy("fid").show(30, truncate = false)
+            // classify the FIRST divergence: rotation/orientation of an
+            // equal point set vs ulp-level coordinate drift
+            val fid0 = diff.orderBy("fid").select("fid").head().getString(0)
+            def geomOf(parts: Int, aqe: String): org.locationtech.jts.geom.Geometry = {
+              val w = withConfs(
+                "spark.sql.shuffle.partitions" -> parts.toString,
+                "spark.sql.adaptive.enabled" -> aqe) {
+                val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark,
+                  paths, osm.OsmPipeline.Options())
+                try f.filter(col("feature_id") === fid0)
+                  .select("geometry").head().getAs[Array[Byte]](0)
+                finally fcuts.release()
+              }
+              new org.locationtech.jts.io.WKBReader().read(w)
+            }
+            val ga = geomOf(3, "false")
+            val gb = geomOf(16, "true")
+            println(s"$fid0: type=${ga.getGeometryType}/${gb.getGeometryType} " +
+              s"npts=${ga.getNumPoints}/${gb.getNumPoints} " +
+              s"equalsExact=${ga.equalsExact(gb)} " +
+              s"equalsNorm=${ga.norm().equalsExact(gb.norm())} " +
+              s"equalsTopo=${ga.equalsTopo(gb)}")
+            val ca = ga.getCoordinates; val cb = gb.getCoordinates
+            val firstDiff = ca.zip(cb).indexWhere { case (p, q) =>
+              p.x != q.x || p.y != q.y }
+            if (firstDiff >= 0)
+              println(s"first differing coord at $firstDiff: " +
+                s"${ca(firstDiff)} vs ${cb(firstDiff)}")
+            throw new IllegalStateException(
+              s"WKB checksum diverged across configs: $a vs $b")
+          }
           val t3 = System.nanoTime()
           val drops = osm.RelationValidity.explainDrops(spark, paths)
           val unexplained = drops.filter(!col("explained")).count()
@@ -1571,6 +1625,67 @@ object DevProfile {
       emb.unpersist(): Unit
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
+    } else if (name == "exactcost") {
+      // the exact-arithmetic trade, measured (VERDICT r13 ask #5):
+      // (1) micro-kernel cost — round(double, k) vs ExactRound.ratio
+      //     vs the exact BM25 kernel vs its double form, over a 5M-row
+      //     frame (warm medians of 5);
+      // (2) codegen-cache pressure — Janino compilation counts
+      //     (CodegenMetrics) across TWO reps of every exact-family
+      //     gate: a second-rep delta of ~0 means the decimal
+      //     expression families fit the cache, not cycle it.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.metrics.source.CodegenMetrics
+      val rows = spark.range(0, 5000000L)
+        .select(col("id"),
+          (pmod(col("id") * 7919, lit(1000000L)) + 1).as("num"),
+          (pmod(col("id") * 104729, lit(9999L)) + 1).as("den"),
+          (pmod(col("id"), lit(40L)) + 1).as("tf"),
+          (pmod(col("id"), lit(97L)) + 1).as("df"),
+          (pmod(col("id"), lit(400L)) + 20).as("dl"))
+        .persist()
+      println(s"micro frame: ${rows.count()} rows")
+      def med(label: String)(body: => Unit): Unit = {
+        val ts = (1 to 5).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"$label: median ${ts(2)}%.3f s (min ${ts.head}%.3f)")
+      }
+      med("round(num/den, 6) double") {
+        rows.select(sum(round(col("num").cast("double") /
+          col("den").cast("double"), 6))).collect(): Unit
+      }
+      med("ExactRound.ratio(num, den, 6)") {
+        rows.select(sum(graft.functions.ExactRound.ratio(
+          col("num"), col("den"), 6))).collect(): Unit
+      }
+      med("bm25 double form") {
+        rows.select(sum(round(((lit(1.0e6) - col("df").cast("double") +
+          lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") / lit(211.7)))))) *
+          lit(1000000.0), 0).cast("long"))).collect(): Unit
+      }
+      med("bm25MicroContrib exact") {
+        rows.select(sum(graft.functions.ExactRound.bm25MicroContrib(
+          col("tf"), col("df"), col("dl"), lit(1000000L),
+          lit(211700000L)))).collect(): Unit
+      }
+      rows.unpersist(): Unit
+      val gates = Seq("x22_retrieval_eval", "x25_ann_recall",
+        "x30_map_eval", "d26_curate", "dx_halfway_grid", "d11_repetition_quality",
+        "d14_tfidf_keywords", "x32_contamination", "x17_bm25_topk",
+        "x18_hybrid_rrf", "x21_bm25_indexed", "x27_bm25_batch")
+      for (r <- 1 to 2) {
+        val c0 = CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount
+        val t0 = System.nanoTime()
+        gates.foreach(g => SparkEntry.queries(g)(spark, sfDir).count(): Unit)
+        val dc = CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount - c0
+        println(f"rep $r: ${gates.size} exact-family gates in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+          f"$dc new codegen compilations")
+      }
     } else if (name == "pqprof") {
       // decompose one PQ-training iteration at a replicated corpus:
       // where does the update pass spend — the assignment kernel, the

@@ -83,19 +83,25 @@ object GeomUdfs extends Serializable {
   val geomWithin: (Array[Byte], Array[Byte]) => Boolean =
     (a, b) => read(a).within(read(b))
 
+  /** Canonical input order for n-ary unions: UnaryUnionOp's cascaded
+    * union tree — and therefore its float result — depends on input
+    * ORDER, and a `collect_list` feeding it carries partition arrival
+    * order. Sorting by unsigned WKB bytes pins one deterministic tree
+    * whatever the physical plan (the r14 64-extract invariance catch). */
+  private def sortedGeoms(bs: Seq[Array[Byte]]): java.util.Collection[Geometry] =
+    scala.jdk.CollectionConverters.SeqHasAsJava(
+      bs.sortWith((x, y) => java.util.Arrays.compareUnsigned(x, y) < 0)
+        .map(read)).asJava
+
   /** ST_Difference(outer, ST_Union_Agg(inners)) — hole subtraction
     * (pbf_file_reader.py:3332-3342). */
   val subtractHoles: (Array[Byte], Seq[Array[Byte]]) => Array[Byte] =
-    (outer, inners) => {
-      val inner = UnaryUnionOp.union(
-        scala.jdk.CollectionConverters.SeqHasAsJava(inners.map(read)).asJava)
-      wkb(read(outer).difference(inner))
-    }
+    (outer, inners) =>
+      wkb(read(outer).difference(UnaryUnionOp.union(sortedGeoms(inners))))
 
   /** ST_Union_Agg per group (pbf_file_reader.py:3386-3389). */
   val unionWkb: Seq[Array[Byte]] => Array[Byte] = geoms =>
-    wkb(UnaryUnionOp.union(
-      scala.jdk.CollectionConverters.SeqHasAsJava(geoms.map(read)).asJava))
+    wkb(UnaryUnionOp.union(sortedGeoms(geoms)))
 
   val geomIsEmpty: Array[Byte] => Boolean = b => read(b).isEmpty
 

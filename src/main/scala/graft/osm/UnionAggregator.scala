@@ -12,7 +12,21 @@ import org.locationtech.jts.io.{WKBReader, WKBWriter}
   * partial-aggregation buffers (map-side combine), so per-group memory is
   * one geometry, not the whole list — the property that matters when a
   * group has millions of members at 100 TB.
-  */
+  *
+  * `finish` NORMALIZES the union (JTS canonical form: component order,
+  * ring start point, orientation). Incremental union builds the result
+  * in ARRIVAL order, and arrival order is partition-layout-dependent —
+  * the r14 64-extract scale-up caught exactly this: a multi-part
+  * relation's MultiPolygon carried its components in different orders
+  * under opposed shuffle configs (equal point sets, different WKB).
+  * Normalization makes the OUTPUT canonical whatever order the partials
+  * merged in. For disjoint parts (the OSM relation shape) the union
+  * passes coordinates through exactly, so the normalized result is
+  * bit-reproducible under any partitioning; genuinely overlapping
+  * float-coordinate inputs can still drift at the ulp level with merge
+  * order — inherent to incremental float union (the alternative,
+  * buffering every member for a sorted one-shot union, forfeits the
+  * bounded-memory map-side combine this aggregator exists for). */
 object UnionAggregator extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
 
   private def read(b: Array[Byte]): Geometry = new WKBReader().read(b)
@@ -28,7 +42,13 @@ object UnionAggregator extends Aggregator[Array[Byte], Array[Byte], Array[Byte]]
   override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
     reduce(b1, b2)
 
-  override def finish(reduction: Array[Byte]): Array[Byte] = reduction
+  override def finish(reduction: Array[Byte]): Array[Byte] =
+    if (reduction == null) null
+    else {
+      val g = read(reduction)
+      g.normalize()
+      write(g)
+    }
 
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

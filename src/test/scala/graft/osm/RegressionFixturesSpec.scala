@@ -55,7 +55,11 @@ class RegressionFixturesSpec extends AnyFunSuite {
     // md5 over the (feature_id | WKB-hex) lines in feature_id order —
     // any change to geometry assembly, tag filtering or id synthesis
     // trips the hash. Values computed from the engine at the round-7
-    // baseline, whose monaco conversion is oracle/byte-exact-verified.
+    // baseline, whose monaco conversion is oracle/byte-exact-verified;
+    // monaco and d17 recomputed at the r14 canonical-union baseline
+    // (UnionAggregator.finish normalizes: the 64-extract scale-up
+    // caught partition-order-dependent MultiPolygon component order —
+    // point sets unchanged, equalsNorm-identical, bytes canonical now).
     val pins = Seq(
       // (fixture, n_features, "nodes/ways/relations", md5)
       ("529cdcbb7a3cc103658ef31b39bed24984e421127d319c867edf2f86ff3bb098",
@@ -65,10 +69,10 @@ class RegressionFixturesSpec extends AnyFunSuite {
       ("aa756ad3a961ba6d9da46c712b0d979d0c7d4768641ceea7409b287e2d18a48f",
         1L, "1/0/0", "570f12b69c4588dcae2a74f00bb44ca7"),
       ("d17f922ed15e9609013a6b895e1e7af2d49158f03586f2c675d17b760af3452e",
-        678L, "349/325/4", "980c2373ed449eb275e2b4f5d0d8325b"),
+        678L, "349/325/4", "3906d2452b54b5f126b5e695d113fd4c"),
       ("eb2848d259345ce7dfe8af34fd1ab24503bb0b952e04e872c87c55550fa50fbf",
         1L, "1/0/0", "570f12b69c4588dcae2a74f00bb44ca7"),
-      ("monaco", 7937L, "3119/4774/44", "d057e9111dbab346bbcda0b0e1e778e0"))
+      ("monaco", 7937L, "3119/4774/44", "848e458de86f74d2b4aa27ba16d84326"))
     pins.foreach { case (name, n, split, expHash) =>
       val f = OsmPipeline.features(spark, Seq(s"$Base/$name.osm.pbf"))
       val rows = f.select(col("feature_id"), lower(hex(col("geometry"))))
