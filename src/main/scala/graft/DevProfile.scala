@@ -704,15 +704,28 @@ object DevProfile {
       println(s"seed corpus: $rows vectors, planesFor=$planes")
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
-      // generation i = a NOVEL jitter of the base set (disjoint ids,
-      // geometry the seed replicas never used — reps used 0..255, these
-      // start at 1000), so most of each batch admits
-      def gen(i: Int): org.apache.spark.sql.DataFrame = base
-        .select(
-          (col("vec_id") + lit((1000L + i) * 10000000L)).as("vec_id"),
-          expr(s"transform(embedding, (x, j) -> CAST(x AS DOUBLE) + " +
-            s"CAST(pmod(${1000L + i}L * 7 + j * 13, 17) AS DOUBLE) " +
-            "/ 100.0)").as("embedding"))
+      // generation i = half NOVEL jitter of the base set (a mod-23
+      // pattern family the seed's mod-17 replicas can never equal — a
+      // first cut used the seed's own mod-17 formula and every batch
+      // was cosine-1.0 rejected, a vacuous soak), half RE-CRAWLS of
+      // seed replica i (exact copies — must reject); both admit
+      // classes exercised every batch
+      def gen(i: Int): org.apache.spark.sql.DataFrame = {
+        val novel = base
+          .filter(pmod(col("vec_id"), lit(2L)) === 0)
+          .select(
+            (col("vec_id") + lit((1000L + i) * 10000000L)).as("vec_id"),
+            expr(s"transform(embedding, (x, j) -> CAST(x AS DOUBLE) + " +
+              s"CAST(pmod(${i}L * 5 + j * 11, 23) AS DOUBLE) " +
+              "/ 100.0)").as("embedding"))
+        val recrawl = spark.read.parquet(s"$root/emb")
+          .filter((col("vec_id") / lit(10000000L)).cast("long") === i &&
+            pmod(col("vec_id"), lit(2L)) === 1)
+          .select(
+            (col("vec_id") + lit(5000L * 10000000L)).as("vec_id"),
+            col("v").as("embedding"))
+        novel.unionByName(recrawl)
+      }
       require(reps <= 25, s"vecadmitgens: max 25 generations, got $reps")
       for ((label, ce) <- Seq("uncompacted" -> None,
           "compactEvery=8" -> Some(8))) {

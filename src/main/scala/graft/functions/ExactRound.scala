@@ -65,9 +65,10 @@ object ExactRound {
     // throws NUMERIC_VALUE_OUT_OF_RANGE first — same fail-loud
     // outcome, different message (ExactRoundSpec pins both).
     when(r.isNotNull || n.isNull || d.isNull, r).otherwise(
-      raise_error(lit("graft.ExactRound.ratio: DECIMAL(38,0) overflow — " +
-        s"num*2*10^$k or the scale-6 quotient exceeded 38 digits; " +
-        "the exactness contract cannot hold for these operands")))
+      raise_error(lit("graft.ExactRound.ratio/bm25MicroContrib: " +
+        s"DECIMAL(38,0) overflow — num*2*10^$k or the quotient " +
+        "exceeded 38 digits; the exactness contract cannot hold for " +
+        "these operands")))
   }
 
   /** `round(num/den, k)` half-away-from-zero via exact integer
