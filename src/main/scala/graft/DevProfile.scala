@@ -360,10 +360,11 @@ object DevProfile {
           def perFeature(tag: String): org.apache.spark.sql.DataFrame = {
             val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark,
               paths, osm.OsmPipeline.Options())
+            // localCheckpoint(eager) alone — it materializes AND caches;
+            // a persist() in front would hold a second corpus-scale copy
             try f.select(col("feature_id").as(s"fid"),
                 xxhash64(col("geometry")).as(s"h_$tag"),
                 length(col("geometry")).as(s"len_$tag"))
-              .persist()
               .localCheckpoint(true)
             finally fcuts.release()
           }
@@ -389,31 +390,41 @@ object DevProfile {
             // classify the FIRST divergence: rotation/orientation of an
             // equal point set vs ulp-level coordinate drift
             val fid0 = diff.orderBy("fid").select("fid").head().getString(0)
-            def geomOf(parts: Int, aqe: String): org.locationtech.jts.geom.Geometry = {
+            def geomOf(parts: Int,
+                aqe: String): Option[org.locationtech.jts.geom.Geometry] = {
+              // headOption shape: a feature can be DROPPED entirely
+              // under one config (the diff filter admits null-sided
+              // rows) — classify what exists, never crash the
+              // diagnostic before it prints
               val w = withConfs(
                 "spark.sql.shuffle.partitions" -> parts.toString,
                 "spark.sql.adaptive.enabled" -> aqe) {
                 val (f, fcuts) = osm.OsmPipeline.featuresWithCuts(spark,
                   paths, osm.OsmPipeline.Options())
                 try f.filter(col("feature_id") === fid0)
-                  .select("geometry").head().getAs[Array[Byte]](0)
+                  .select("geometry").collect().headOption
+                  .map(_.getAs[Array[Byte]](0))
                 finally fcuts.release()
               }
-              new org.locationtech.jts.io.WKBReader().read(w)
+              w.map(new org.locationtech.jts.io.WKBReader().read(_))
             }
-            val ga = geomOf(3, "false")
-            val gb = geomOf(16, "true")
-            println(s"$fid0: type=${ga.getGeometryType}/${gb.getGeometryType} " +
-              s"npts=${ga.getNumPoints}/${gb.getNumPoints} " +
-              s"equalsExact=${ga.equalsExact(gb)} " +
-              s"equalsNorm=${ga.norm().equalsExact(gb.norm())} " +
-              s"equalsTopo=${ga.equalsTopo(gb)}")
-            val ca = ga.getCoordinates; val cb = gb.getCoordinates
-            val firstDiff = ca.zip(cb).indexWhere { case (p, q) =>
-              p.x != q.x || p.y != q.y }
-            if (firstDiff >= 0)
-              println(s"first differing coord at $firstDiff: " +
-                s"${ca(firstDiff)} vs ${cb(firstDiff)}")
+            (geomOf(3, "false"), geomOf(16, "true")) match {
+              case (Some(ga), Some(gb)) =>
+                println(s"$fid0: type=${ga.getGeometryType}/${gb.getGeometryType} " +
+                  s"npts=${ga.getNumPoints}/${gb.getNumPoints} " +
+                  s"equalsExact=${ga.equalsExact(gb)} " +
+                  s"equalsNorm=${ga.norm().equalsExact(gb.norm())} " +
+                  s"equalsTopo=${ga.equalsTopo(gb)}")
+                val ca = ga.getCoordinates; val cb = gb.getCoordinates
+                val firstDiff = ca.zip(cb).indexWhere { case (p, q) =>
+                  p.x != q.x || p.y != q.y }
+                if (firstDiff >= 0)
+                  println(s"first differing coord at $firstDiff: " +
+                    s"${ca(firstDiff)} vs ${cb(firstDiff)}")
+              case (a, b) =>
+                println(s"$fid0: present A=${a.isDefined} B=${b.isDefined} " +
+                  "— feature dropped under one config")
+            }
             throw new IllegalStateException(
               s"WKB checksum diverged across configs: $a vs $b")
           }
@@ -726,7 +737,11 @@ object DevProfile {
             col("v").as("embedding"))
         novel.unionByName(recrawl)
       }
-      require(reps <= 25, s"vecadmitgens: max 25 generations, got $reps")
+      // 23 = the jitter pattern's period: pmod(i·5 + j·11, 23) aliases
+      // for generations 23 apart, so i=24 would regenerate batch 1's
+      // exact embeddings and be silently cosine-1.0 rejected —
+      // violating the both-classes-every-batch invariant
+      require(reps <= 23, s"vecadmitgens: max 23 generations, got $reps")
       for ((label, ce) <- Seq("uncompacted" -> None,
           "compactEvery=8" -> Some(8))) {
         val dir = s"$root/$label"

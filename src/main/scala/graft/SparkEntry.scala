@@ -1855,7 +1855,11 @@ object SparkEntry {
     * .RetrievalOps.x36SampleTrained]]'s split. */
   private def sampleTrainedOracle: String = trainedPipelineOracle(Some(
     "('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 1000000 " +
-      "< (1000000 * 128) // (SELECT count(*) FROM embeddings)"))
+      // GREATEST mirrors the engine's max(1, rate) clamp
+      // (IvfPq.trainSampleRate): without it the mirror's rate hits 0
+      // past n = 10^6·cap and the oracle's sample degenerates to empty
+      // while the engine trains on a rate-1 sample
+      "< GREATEST(1, (1000000 * 128) // (SELECT count(*) FROM embeddings))"))
 
   private def trainedPipelineOracle(samplePred: Option[String]): String = {
     val (m, k, cells, w) = (32, 64, 8, 2)

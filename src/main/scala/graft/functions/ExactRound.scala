@@ -65,10 +65,12 @@ object ExactRound {
     // throws NUMERIC_VALUE_OUT_OF_RANGE first — same fail-loud
     // outcome, different message (ExactRoundSpec pins both).
     when(r.isNotNull || n.isNull || d.isNull, r).otherwise(
-      raise_error(lit("graft.ExactRound.ratio/bm25MicroContrib: " +
-        s"DECIMAL(38,0) overflow — num*2*10^$k or the quotient " +
-        "exceeded 38 digits; the exactness contract cannot hold for " +
-        "these operands")))
+      raise_error(lit("graft.ExactRound.ratio/bm25MicroContrib: exact " +
+        s"arithmetic produced NULL from non-null operands — either " +
+        s"num*2*10^$k or the quotient exceeded DECIMAL(38,0)'s 38 " +
+        "digits, or den is zero (the contract requires a non-zero " +
+        "denominator); the exactness contract cannot hold for these " +
+        "operands")))
   }
 
   /** `round(num/den, k)` half-away-from-zero via exact integer
