@@ -182,6 +182,30 @@ class ResidueFreeSpec extends AnyFunSuite {
     assert(got(580L) == 0.001563) // 1/640 = 0.0015625 → half-up
   }
 
+  test("the remaining on-grid sites can NEVER be halfway: x20's λ=0.5 " +
+      "grid at scale 7, x24's md5 grid and recall@10 at scale 6") {
+    // these are the r13 sites that stay on double round() — their
+    // claims SURVIVE mechanization (unlike RRF/BM25) because each
+    // value is an exact multiple of its own rounding grid:
+    //   x20: score = (m1−m2)/(2·10^6) with m1,m2 round-6 micro ints
+    //        → ·10^7 = 5(m1−m2), an integer → never half-odd
+    //   x24: md5%10^6/10^6 → ·10^6 integer
+    //   recall@10: hits/10 → ·10^6 = hits·10^5 integer
+    val g = for {
+      m1 <- Gen.chooseNum(-1000000L, 1000000L)
+      m2 <- Gen.chooseNum(-1000000L, 1000000L)
+    } yield (m1, m2)
+    samples(g, 3000).foreach { case (m1, m2) =>
+      assert(!isHalfway(BigInt((m1 - m2).abs), BigInt(2000000), 7),
+        s"x20 grid halfway at m1=$m1 m2=$m2")
+    }
+    (0L to 10L).foreach(h => assert(!isHalfway(BigInt(h), BigInt(10), 6)))
+    samples(Gen.chooseNum(0L, 999999L), 2000).foreach { m =>
+      assert(!isHalfway(BigInt(m), BigInt(1000000), 6),
+        s"x24 md5 grid halfway at m=$m")
+    }
+  }
+
   test("generative: ExactRound.ratio == double round(num/den, k) " +
       "everywhere OFF the halfway grid (sound magnitude window)") {
     // soundness window: |num·den·10^k| < 2^52 keeps the double
