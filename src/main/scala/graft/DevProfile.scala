@@ -1653,6 +1653,68 @@ object DevProfile {
       emb.unpersist(): Unit
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
+    } else if (name == "respersist") {
+      // persist-vs-recompute for the FULL residual relation under
+      // SAMPLED codebook training (the r14 question): with codebooks
+      // trained on the hash sample, full residuals are consumed only by
+      // cheap map-side lineage — (1) the sample filter that PQ.train
+      // materializes once, (2) the encode pass, (3) the codes cell
+      // join. Variant A persists them (IvfPq.build's current shape);
+      // variant B recomputes the lineage per consumer. Same corpus,
+      // same consumers, wall time per phase printed.
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExprs.register(spark)
+      graft.functions.Md5Prefix28Expr.register(spark)
+      val factor = math.max(1, reps)
+      val root = java.nio.file.Files
+        .createTempDirectory("respersist").toString
+      writeScaledEmbeddings(spark, sfDir, factor, root)
+      val emb = spark.read.parquet(s"$root/emb")
+      val n = emb.count()
+      val cap = 262144L
+      val rate = operators.IvfPq.trainSampleRate(n, cap)
+      val tf = pmod(call_function("md5_prefix28",
+        col("vec_id").cast("string")),
+        lit(operators.IvfPq.TrainSampleModulus)) < lit(rate)
+      println(s"corpus: $n vectors (factor $factor), sampled cap $cap")
+      val cents = operators.IvfAnn
+        .trainCentroids(emb.filter(tf), 8, 3, portable = true)
+      def residualsOf(): org.apache.spark.sql.DataFrame =
+        operators.IvfAnn.assignCells(emb, cents, portable = true)
+          .join(broadcast(cents.withColumnRenamed("cid", "cell")),
+            Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+      // RESPERSIST_ORDER=fp runs recompute FIRST (rules out page-cache
+      // order bias — the second variant always sees a warmer cache)
+      val order = if (sys.env.get("RESPERSIST_ORDER").contains("fp"))
+        Seq(false, true) else Seq(true, false)
+      for (persist <- order) {
+        val t0 = System.nanoTime()
+        val res = if (persist) {
+          val r = graft.operators.ScaleUtils.spreadForCompute(residualsOf())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(): Unit
+          r
+        } else residualsOf()
+        val t1 = System.nanoTime()
+        val cb = operators.ProductQuantizer
+          .train(res.filter(tf), "vec_id", "r", 32, 64, 3, portable = true)
+        val t2 = System.nanoTime()
+        // the encode-side consumers: assignCodes scan + the cell join
+        val codes = operators.ProductQuantizer
+          .encode(res, "vec_id", "r", cb, 32)
+          .join(res.select(col("vec_id").as("pq_id"), col("cell")),
+            Seq("pq_id"))
+        println(s"codes rows: ${codes.count()}")
+        val t3 = System.nanoTime()
+        if (persist) res.unpersist(): Unit
+        println(f"persist=$persist materialize=${(t1 - t0) / 1e9}%.1f s " +
+          f"pqtrain=${(t2 - t1) / 1e9}%.1f s encode+join=${(t3 - t2) / 1e9}%.1f s " +
+          f"total=${(t3 - t0) / 1e9}%.1f s")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
     } else if (name == "exactcost") {
       // the exact-arithmetic trade, measured (VERDICT r13 ask #5):
       // (1) micro-kernel cost — round(double, k) vs ExactRound.ratio

@@ -205,27 +205,43 @@ object IvfPq {
     // [[graft.functions.MicroMeanAgg]] docs) — so the ENTIRE trained
     // index is oracle-replayable — the x34 gate's contract
     val cents = IvfAnn.trainCentroids(trainSet, nCells, coarseIters, portable)
-    val residuals = IvfAnn.assignCells(emb, cents, portable)
+    val residuals0 = IvfAnn.assignCells(emb, cents, portable)
       .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the residual cache EAGERLY (one pass PQ training's
-    // first iteration would have paid anyway) so the pinned spread
-    // input can go BEFORE the 3-iteration PQ loop — the r12 ladder ran
-    // that loop with BOTH corpus-scale frames pinned (emb + residuals,
-    // 2 × ~8.4 GB at 16.4M vectors), which is exactly the spill churn
-    // the 16.4M rung measured. residuals inherit emb's spread
-    // partitioning, so ProductQuantizer.train's caller-pinned gate
-    // skips its own re-spread (single copy end to end).
-    residuals.count(): Unit
-    if (emb ne embNarrow) emb.unpersist(): Unit
+    // Residual caching, two regimes (the r14 respersist A/B):
+    //  - FULL training (trainFilter empty — every gate corpus): the
+    //    pqIters+1 iterated PQ passes re-read the whole residual
+    //    relation, so persist it once, EAGERLY, after releasing the
+    //    spread input (the r12/r13 single-copy shape: eager count so
+    //    the pinned spread goes BEFORE the PQ loop — two corpus-scale
+    //    pins at once was the 16.4M-rung spill churn).
+    //  - SAMPLED training: the full residuals are consumed only by
+    //    CHEAP map-side lineage — the PQ sample materialization (the
+    //    vec_id hash filter pushes below the assign kernel, so the
+    //    kernel runs on sample rows only), the encode pass and the
+    //    codes cell join. Persisting ~8 B·d per vector to serve three
+    //    streaming passes LOSES at scale: measured 258 s persisted vs
+    //    57 s recomputed at 8.2M vectors (respersist; the 33.5 GB
+    //    cache write at 65.5M was the 235 s residual phase of the
+    //    fifth-octave ladder). Recompute is decision-identical —
+    //    deterministic map-side kernels over the same source splits.
+    val persistResiduals = trainFilter.isEmpty
+    val residuals =
+      if (persistResiduals) residuals0.persist(StorageLevel.MEMORY_AND_DISK)
+      else residuals0
+    if (persistResiduals) {
+      residuals.count(): Unit
+      // full mode releases the pinned spread input HERE, before the
+      // PQ loop — the r13 single-copy shape (never two corpus-scale
+      // pins at once)
+      if (emb ne embNarrow) emb.unpersist(): Unit
+    }
     if (trainSet ne emb) trainSet.unpersist(): Unit
-    // PQ trains on the SAMPLE's residuals (a filter over the persisted
-    // full residuals — same rows, same cells, no recompute); the encode
-    // below still covers every vector. The filtered frame is not
-    // caller-pinned, so ProductQuantizer.train persists its own
-    // sample-sized copy for the pqIters+1 passes.
+    // PQ trains on the SAMPLE's residuals; the encode below still
+    // covers every vector. The filtered frame is not caller-pinned, so
+    // ProductQuantizer.train persists its own sample-sized copy for
+    // the pqIters+1 passes.
     val trainResiduals = trainFilter.fold(residuals)(residuals.filter)
     val codebook = ProductQuantizer
       .train(trainResiduals, "vec_id", "r", m, k, pqIters, portable)
@@ -233,6 +249,14 @@ object IvfPq {
       .join(residuals.select(col("vec_id").as("pq_id"), col("cell")),
         Seq("pq_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // sampled mode holds the (mid-size, only-if-spread) input pin
+    // through the encode instead of a corpus-scale residual cache:
+    // materialize codes eagerly, then release. Full mode released it
+    // above, before the PQ loop.
+    if (!persistResiduals) {
+      codes.count(): Unit
+      if (emb ne embNarrow) emb.unpersist(): Unit
+    }
     // the tuning is BUILD-scoped: rebind the index's outward frames to
     // the CALLER's session, so writeIndex and every post-build action
     // run under the caller's live conf (AQE state, shuffle width,
