@@ -1713,6 +1713,15 @@ object DevProfile {
           f"pqtrain=${(t2 - t1) / 1e9}%.1f s encode+join=${(t3 - t2) / 1e9}%.1f s " +
           f"total=${(t3 - t0) / 1e9}%.1f s")
       }
+      // and the REAL production build (new sampled shape: coarse on the
+      // pinned sample, PQ sample residuals FROM the pinned sample, no
+      // corpus-scale residual persist, eager encode) — end to end
+      val tb = System.nanoTime()
+      val idx = operators.IvfPq.build(emb, "vec_id", "v", nCells = 8,
+        m = 32, k = 64, coarseIters = 3, pqIters = 3, portable = true)
+      println(f"IvfPq.build end-to-end (sampled shape): " +
+        f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+      idx.release()
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
     } else if (name == "exactcost") {
