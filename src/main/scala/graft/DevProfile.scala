@@ -1677,7 +1677,7 @@ object DevProfile {
         col("vec_id").cast("string")),
         lit(operators.IvfPq.TrainSampleModulus)) < lit(rate)
       println(s"corpus: $n vectors (factor $factor), sampled cap $cap")
-      val cents = operators.IvfAnn
+      lazy val cents = operators.IvfAnn
         .trainCentroids(emb.filter(tf), 8, 3, portable = true)
       def residualsOf(): org.apache.spark.sql.DataFrame =
         operators.IvfAnn.assignCells(emb, cents, portable = true)
@@ -1686,9 +1686,14 @@ object DevProfile {
           .select(col("vec_id"), col("cell"),
             zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
       // RESPERSIST_ORDER=fp runs recompute FIRST (rules out page-cache
-      // order bias — the second variant always sees a warmer cache)
-      val order = if (sys.env.get("RESPERSIST_ORDER").contains("fp"))
-        Seq(false, true) else Seq(true, false)
+      // order bias — the second variant always sees a warmer cache);
+      // RESPERSIST_BUILD_ONLY=1 skips both variants and times ONLY the
+      // real IvfPq.build in a clean JVM (a build run third in line
+      // inherits two variants' shuffle files and cache churn)
+      val order =
+        if (sys.env.contains("RESPERSIST_BUILD_ONLY")) Seq.empty[Boolean]
+        else if (sys.env.get("RESPERSIST_ORDER").contains("fp"))
+          Seq(false, true) else Seq(true, false)
       for (persist <- order) {
         val t0 = System.nanoTime()
         val res = if (persist) {
