@@ -285,7 +285,9 @@ object DevProfile {
       // these counters prove whether it did
       val spillMem = new java.util.concurrent.atomic.AtomicLong
       val spillDisk = new java.util.concurrent.atomic.AtomicLong
-      spark.sparkContext.addSparkListener(
+      // removed in the branch's finally: a listener left registered
+      // would double-count spills if the session runs another profile
+      val spillListener =
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
               te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -295,7 +297,8 @@ object DevProfile {
               spillDisk.addAndGet(m.diskBytesSpilled): Unit
             }
           }
-        })
+        }
+      spark.sparkContext.addSparkListener(spillListener)
       def spills(): (Long, Long) = {
         org.apache.spark.sql.graft.SessionOps
           .drainListeners(spark, 30000L): Unit
@@ -437,8 +440,11 @@ object DevProfile {
           if (unexplained != 0) throw new IllegalStateException(
             s"$unexplained unexplained relation drops at $nFiles files")
         }
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(dir))
+      } finally {
+        spark.sparkContext.removeSparkListener(spillListener)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir))
+      }
     } else if (name == "gpqscale") {
       // drive the DISTRIBUTED GeoParquet sink under load: replicate monaco
       // `reps` times (lon-shifted), convert, write MULTI-FILE covering

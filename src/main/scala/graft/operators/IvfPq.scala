@@ -98,7 +98,9 @@ object IvfPq {
     * recall moves only through codebook quality (PLANS records the
     * measured recall-vs-cap curve; at the ladder rungs the sampled
     * codebooks hold the spec floors). `maxTrainVectors <= 0` disables
-    * sampling (train on everything, the pre-r14 behavior). */
+    * sampling (train on everything, the pre-r14 behavior); builds
+    * where either stage is untrained (iters = 0) also never sample —
+    * their first-k-by-id donors must come from the full corpus. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = IvfAnn.K, m: Int = ProductQuantizer.M,
       k: Int = ProductQuantizer.K, coarseIters: Int = 3,
@@ -174,8 +176,15 @@ object IvfPq {
     // itself is oracle-stated (x36 pins it). The count materializes the
     // pinned spread, work the first trainer pass would have paid
     // anyway; the filter preserves emb's deterministic partitioning.
+    // Sampling only when BOTH stages iterate: a stage with iters = 0
+    // (the x7/x12/x15 untrained convention) takes its donors as
+    // "first nCells / first k by vec_id", and a hash sample would
+    // silently change WHICH vectors donate past the cap — diverging
+    // from the full-corpus donor replay the x15 oracle states. A
+    // fully untrained build has no trainer loop to bound anyway, and
+    // no caller mixes a trained stage with an untrained one.
     val trainFilter: Option[org.apache.spark.sql.Column] =
-      if (maxTrainVectors <= 0) None
+      if (maxTrainVectors <= 0 || coarseIters <= 0 || pqIters <= 0) None
       else {
         val n = emb.count()
         if (n <= maxTrainVectors) None

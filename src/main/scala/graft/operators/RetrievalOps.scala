@@ -161,6 +161,10 @@ object RetrievalOps {
       c: Double = 60.0): DataFrame = {
     val l = a.select(col(idCol), col("rank").as("_g_ra"))
     val r = b.select(col(idCol), col("rank").as("_g_rb"))
+    val dblRrf = round(
+      coalesce(lit(1.0) / (lit(c) + col("_g_ra").cast("double")), lit(0.0))
+        + coalesce(lit(1.0) / (lit(c) + col("_g_rb").cast("double")),
+          lit(0.0)), 6)
     val rrf =
       if (c >= 0 && c == math.rint(c) && c <= 1e15) {
         val ca = lit(c.toLong) + col("_g_ra").cast("long")
@@ -172,12 +176,17 @@ object RetrievalOps {
         val den = when(ca.isNotNull && cb.isNotNull,
             ca.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * cb)
           .otherwise(coalesce(ca, cb))
-        graft.functions.ExactRound.ratio(num, den, 6)
-      } else
-        round(
-          coalesce(lit(1.0) / (lit(c) + col("_g_ra").cast("double")), lit(0.0))
-            + coalesce(lit(1.0) / (lit(c) + col("_g_rb").cast("double")),
-              lit(0.0)), 6)
+        // the exact rational exists only for INTEGRAL ranks (internal
+        // callers always supply row_number longs); a fractional rank
+        // from an external caller routes to the double path per-row
+        // instead of being silently truncated by the long cast
+        val raD = col("_g_ra").cast("double")
+        val rbD = col("_g_rb").cast("double")
+        val integral = (raD.isNull || raD === floor(raD)) &&
+          (rbD.isNull || rbD === floor(rbD))
+        when(integral, graft.functions.ExactRound.ratio(num, den, 6))
+          .otherwise(dblRrf)
+      } else dblRrf
     l.join(r, Seq(idCol), "full_outer")
       .select(col(idCol), rrf.as("rrf"))
       .orderBy(col("rrf").desc, col(idCol).asc)
@@ -931,6 +940,13 @@ object RetrievalOps {
       dfByTerm: Map[String, Long], k1: Double = K1,
       b: Double = B): org.apache.spark.sql.Column = {
     require(queryTerms.nonEmpty, "bm25ScoreColumn: queryTerms must be non-empty")
+    // EMPTY frozen snapshot (n = 0, e.g. scoring arrivals before any
+    // batch indexed): every contribution's exact denominator would be
+    // zero — score 0.0 instead, matching the aggregation scorers'
+    // emptyResult early-returns (an empty corpus ranks nothing). The
+    // same holds for sumDl = 0 (n docs, all zero-length): no term can
+    // have df > 0 there, so 0.0 is the exact score too.
+    if (n <= 0L || sumDl <= 0L) return lit(0.0)
     // a repeated term must not double-count: normalize once here so the
     // aggregation scorer, the index probe and the column scorer agree
     val terms0 = queryTerms.distinct

@@ -95,6 +95,24 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(recall8 >= 0.2, s"8x32 recall@10 $recall8")
   }
 
+  test("untrained builds never sample: a tiny cap leaves donors full-corpus") {
+    // the x7/x12/x15 convention takes first-nCells / first-k donors BY
+    // vec_id from the full corpus; a maxTrainVectors cap far below the
+    // corpus size must be ignored when either stage has iters = 0 —
+    // otherwise the donors would silently come from the hash sample
+    // and diverge from the x15 oracle's full-corpus donor replay
+    val full = IvfPq.build(renamed, "item", "vec", nCells = 4,
+      coarseIters = 0, pqIters = 0, maxTrainVectors = 0L)
+    val capped = IvfPq.build(renamed, "item", "vec", nCells = 4,
+      coarseIters = 0, pqIters = 0, maxTrainVectors = 8L)
+    try {
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(key(capped.cents) == key(full.cents))
+      assert(key(capped.codebook) == key(full.codebook))
+    } finally { full.release(); capped.release() }
+  }
+
   test("IVF-PQ probes a corpus subset yet outranks raw-vector PQ") {
     val idx = IvfPq.build(renamed, "item", "vec")
     val all = renamed.collect()

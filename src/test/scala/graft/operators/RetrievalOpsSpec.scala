@@ -789,6 +789,32 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "qid", "terms").count() == 0)
     assert(RetrievalOps.frozenStats(spark, path, Seq("a")) ==
       ((0L, 0L, Map.empty[String, Long])))
+    // scoring arrivals against the empty snapshot: every doc scores 0.0
+    // (the exact kernel's denominator would be zero — the guard returns
+    // the empty-corpus score instead of raising)
+    graft.functions.TextExprs.register(spark)
+    val arrivals = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val scored = arrivals.select(col("doc_id"),
+        RetrievalOps.bm25ScoreColumn(col("text"), Seq("a"), 0L, 0L,
+          Map.empty).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scored == Map(1L -> 0.0, 2L -> 0.0))
+  }
+
+  test("rrfFuse: fractional external ranks route to the double path, not a truncating cast") {
+    // rank 1.5 is not integral — the exact-rational path would truncate
+    // it to 1; the per-row route must reproduce the double formula
+    val a = Seq((10L, 1.5), (11L, 2.0)).toDF("id", "rank")
+    val b = Seq((10L, 2.0), (12L, 1.0)).toDF("id", "rank")
+    val got = RetrievalOps.rrfFuse(a, b, "id", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp10 = BigDecimal(1.0 / 61.5 + 1.0 / 62.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp11 = BigDecimal(1.0 / 62.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == exp10, s"fractional rank truncated: ${got(10L)}")
+    // integral ranks in the same frame still take the exact path
+    assert(got(11L) == exp11)
   }
 
   test("scoreWithModel: batch boundaries never change scores; stub is portable") {
