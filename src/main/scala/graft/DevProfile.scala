@@ -112,13 +112,16 @@ object DevProfile {
         println(df.queryExecution.executedPlan.toString)
       }
     } else if (name == "qtime") {
-      // qtime <sfDir> <reps> <query>: time one gate query reps times in
-      // one JVM (cold first call, then warm)
-      val n = args(3)
-      (1 to reps).foreach { i =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // qtime <sfDir> <reps> <query[,query…]>: time gate queries reps
+      // times each in one JVM (cold first call, then warm); a
+      // comma-separated list shares session state (memoized artifacts,
+      // snapshot caches) the way the bench does
+      args(3).split(',').foreach { n =>
+        (1 to reps).foreach { i =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
       }
     } else if (name == "x34prof") {
       // stage-by-stage timing of the trained IVF-PQ gate
