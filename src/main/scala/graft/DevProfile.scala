@@ -123,6 +123,90 @@ object DevProfile {
           println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
       }
+    } else if (name == "dxprof") {
+      // per-sub-plan timing of the dx_halfway_grid gate's production
+      // paths, with the same constant inputs the gate engineers
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def t(tag: String)(body: => Long): Unit = (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"$tag run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
+      t("rrf") {
+        val a = spark.range(1, 101).select(col("id").as("doc"),
+          col("id").as("rank"))
+        val b = Seq((204L, 4L), (4L, 68L), (268L, 580L)).toDF("doc", "rank")
+        operators.RetrievalOps.rrfFuse(a, b, "doc", k = 110).count()
+      }
+      t("eval") {
+        val ranked = spark.range(1, 11)
+          .select(lit(7L).as("qid"), col("id").as("rank"), col("id").as("doc"))
+        val qrels = spark.range(1000, 1127)
+          .select(lit(7L).as("qid"), col("id").as("doc"))
+          .unionByName(Seq((7L, 3L)).toDF("qid", "doc"))
+        operators.RetrievalOps.evalRanking(ranked, "qid", "rank", "doc",
+          qrels, "qid", "doc").count()
+      }
+      t("bm25") {
+        val needleDoc = ("needle" +: Seq.fill(22)("w")).mkString(" ")
+        val filler27 = Seq.fill(27)("w").mkString(" ")
+        val filler63 = Seq.fill(63)("w").mkString(" ")
+        val docs = spark.range(0, 80).select(col("id").as("doc_id"),
+          when(col("id") === 0, lit(needleDoc))
+            .when(col("id") === 79, lit(filler63))
+            .otherwise(lit(filler27)).as("text"))
+        operators.RetrievalOps.bm25Scores(docs, "doc_id", "text",
+          Seq("needle")).count()
+      }
+      t("ratio_mean") {
+        val ratioCases = Seq(("a", 33L, 32L)).toDF("c", "n", "d")
+          .select(graft.functions.ExactRound.ratio(col("n"), col("d"), 4))
+        ratioCases.count()
+      }
+      t("full_gate") {
+        SparkEntry.queries("dx_halfway_grid")(spark, sfDir).count()
+      }
+      // planning vs execution split of one warm run
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries("dx_halfway_grid")(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.count()
+        val t3 = System.nanoTime()
+        println(f"split run $i: build=${(t1 - t0) / 1e9}%.3f " +
+          f"plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f s")
+      }
+      // job/stage/task census of one warm run
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet(): Unit
+          tasks.addAndGet(e.stageInfo.numTasks): Unit
+          val si = e.stageInfo
+          val dur = for {
+            a <- si.completionTime; b <- si.submissionTime
+          } yield a - b
+          println(s"  stage ${si.stageId} tasks=${si.numTasks} " +
+            s"dur=${dur.getOrElse(-1L)}ms ${si.name.take(60)}")
+        }
+      }
+      spark.sparkContext.addSparkListener(lst)
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("dx_halfway_grid")(spark, sfDir).count()
+        org.apache.spark.sql.graft.SessionOps.drainListeners(spark, 30000L)
+        println(f"census: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+          s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      } finally spark.sparkContext.removeSparkListener(lst)
     } else if (name == "x34prof") {
       // stage-by-stage timing of the trained IVF-PQ gate
       import org.apache.spark.sql.functions._

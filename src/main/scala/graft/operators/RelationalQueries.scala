@@ -260,7 +260,47 @@ object RelationalQueries {
     * land the identical double ON the residue itself, not merely near
     * it. (ExactRoundSpec additionally pins the half-up decisions and
     * property-checks the helper against exact BigDecimal division.) */
-  def dxHalfwayGrid(s: SparkSession, dir: String): DataFrame = {
+  /** dx's 1-partition session clone, one per caller session (weak-keyed
+    * so a dropped session releases its clone). */
+  private val dxClones = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  /** The constructed (never persisted) dx frame per session: the gate
+    * reads nothing from `dir`, so the FRAME is session-constant — but
+    * every action on it re-executes the full plan, kernels included;
+    * only the construction + analysis cost (~0.3 s of driver work on a
+    * 6-way union of exact-decimal expressions) is amortized. */
+  private val dxFrames = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  def dxHalfwayGrid(s0: SparkSession, dir: String): DataFrame = {
+    val hit = dxFrames.get(s0)
+    if (hit != null) return hit
+    // constants-only gate: every sub-corpus is an engineered literal
+    // (nothing reads `dir`), so the caller's 32-wide shuffles are pure
+    // scheduling floor — ~0.7 s of empty tasks around ~100 rows. The
+    // build-scoped clone (the IvfPq/OsmPipeline small-input convention)
+    // sizes the whole union to ONE shuffle partition without mutating
+    // the caller's session; values are exact integer kernels, so the
+    // width change cannot move a single bit (hash-held at both SFs).
+    val s = try {
+      val cached = dxClones.get(s0)
+      if (cached != null) cached
+      else {
+        val c = s0.getClass.getMethod("cloneSession").invoke(s0)
+          .asInstanceOf[SparkSession]
+        c.conf.set("spark.sql.shuffle.partitions", "1")
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        // each implicit BroadcastExchange is its own eagerly-awaited
+        // driver job; at 1 shuffle partition a shuffle join is a single
+        // one-task stage inside the ONE job instead — fewer sequential
+        // scheduling round-trips (explicit broadcast() hints in the
+        // production operators are unaffected, as they should be)
+        c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dxClones.put(s0, c): Unit
+        c
+      }
+    } catch { case scala.util.control.NonFatal(_) => s0 }
     import s.implicits._
     // (case, num, den, k): exact num/den = ...5 at the k-th decimal
     //   33·10^4/32   = 10312.5   → half-up 1.0313   (the d14 shape)
@@ -299,10 +339,10 @@ object RelationalQueries {
     val evalCase = {
       // ranked: one query, docs 1..10 at ranks 1..10; qrels: 127
       // never-retrieved relevant ids + doc 3 (the one hit, rank 3)
-      val ranked = s.range(1, 11)
+      val ranked = s.range(1, 11, 1, 1)
         .select(lit(7L).as("qid"), col("id").as("rank"),
           col("id").as("doc"))
-      val qrels = s.range(1000, 1127)
+      val qrels = s.range(1000, 1127, 1, 1)
         .select(lit(7L).as("qid"), col("id").as("doc"))
         .unionByName(Seq((7L, 3L)).toDF("qid", "doc"))
       graft.operators.RetrievalOps
@@ -320,23 +360,28 @@ object RelationalQueries {
     // docs are off-grid controls. rrfFuse must half-up them all
     // identically to the oracle's HUGEINT mirror.
     val rrfCases = {
-      val a = s.range(1, 101).select(col("id").as("doc"),
+      val a = s.range(1, 101, 1, 1).select(col("id").as("doc"),
         col("id").as("rank"))
       val b = Seq((204L, 4L), (4L, 68L), (268L, 580L)).toDF("doc", "rank")
       val fused = graft.operators.RetrievalOps.rrfFuse(a, b, "doc", k = 110)
-      val ra = a.select(col("doc"), col("rank").as("_ra"))
-      val rb = b.select(col("doc"), col("rank").as("_rb"))
-      fused.join(ra, Seq("doc"), "left").join(rb, Seq("doc"), "left")
+      // the oracle-mirror num/den are pure functions of the ENGINEERED
+      // fixture (system A ranks doc d at rank d for d ≤ 100; system B
+      // holds exactly three known pairs), so they derive from `doc` by
+      // expression — two back-joins against the inputs added two plan
+      // levels to recompute literals the fixture already states
+      val ra = when(col("doc").between(1L, 100L), col("doc"))
+      val rb = when(col("doc") === 204L, lit(4L))
+        .when(col("doc") === 4L, lit(68L))
+        .when(col("doc") === 268L, lit(580L))
+      fused
         .select(
           concat(lit("rrf_doc_"),
             lpad(col("doc").cast("string"), 3, "0")).as("case_id"),
-          when(col("_ra").isNotNull && col("_rb").isNotNull,
-            lit(120L) + col("_ra") + col("_rb")).otherwise(lit(1L))
-            .as("num"),
-          when(col("_ra").isNotNull && col("_rb").isNotNull,
-            (lit(60L) + col("_ra")) * (lit(60L) + col("_rb")))
-            .otherwise(lit(60L) + coalesce(col("_ra"), col("_rb")))
-            .as("den"),
+          when(ra.isNotNull && rb.isNotNull, lit(120L) + ra + rb)
+            .otherwise(lit(1L)).as("num"),
+          when(ra.isNotNull && rb.isNotNull,
+            (lit(60L) + ra) * (lit(60L) + rb))
+            .otherwise(lit(60L) + coalesce(ra, rb)).as("den"),
           lit(6L).as("k"), col("rrf").as("value"))
     }
     // the residue through the PRODUCTION BM25 path (the r13 hand-proof
@@ -350,7 +395,7 @@ object RelationalQueries {
       val needleDoc = ("needle" +: Seq.fill(22)("w")).mkString(" ")
       val filler27 = Seq.fill(27)("w").mkString(" ")
       val filler63 = Seq.fill(63)("w").mkString(" ")
-      val docs = s.range(0, 80).select(col("id").as("doc_id"),
+      val docs = s.range(0, 80, 1, 1).select(col("id").as("doc_id"),
         when(col("id") === 0, lit(needleDoc))
           .when(col("id") === 79, lit(filler63))
           .otherwise(lit(filler27)).as("text"))
@@ -360,9 +405,14 @@ object RelationalQueries {
           lit(7667616L).as("num"), lit(135168L).as("den"),
           lit(6L).as("k"), col("bm25").as("value"))
     }
-    ratioCases.unionByName(meanCases).unionByName(evalCase)
+    // single-partition in-partition sort: the same total order as
+    // orderBy (one partition) without a range-partitioner SAMPLE job —
+    // 109 rows never need a second job to pick split points
+    val out = ratioCases.unionByName(meanCases).unionByName(evalCase)
       .unionByName(rrfCases).unionByName(bm25Case)
-      .orderBy("case_id")
+      .coalesce(1).sortWithinPartitions("case_id")
+    dxFrames.put(s0, out): Unit
+    out
   }
 
   /** Beyond-reference: HLL approximate distinct (sketch differs per
