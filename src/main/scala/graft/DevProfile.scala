@@ -207,6 +207,48 @@ object DevProfile {
         println(f"census: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
           s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
       } finally spark.sparkContext.removeSparkListener(lst)
+    } else if (name == "x33prof") {
+      // phase + census profile of the x33 exact-admit gate
+      import org.apache.spark.sql.functions._
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val emb = Tables.embeddings(spark, sfDir)
+        emb.count()
+        val t1 = System.nanoTime()
+        val admitted = operators.EmbeddingOps.admitVectors(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", threshold = 0.4)
+        admitted.count()
+        val t2 = System.nanoTime()
+        SparkEntry.queries("x33_vec_admit")(spark, sfDir).count()
+        val t3 = System.nanoTime()
+        println(f"x33 split run $i: scan=${(t1 - t0) / 1e9}%.3f " +
+          f"admit=${(t2 - t1) / 1e9}%.3f full=${(t3 - t2) / 1e9}%.3f s")
+      }
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet(): Unit
+          tasks.addAndGet(e.stageInfo.numTasks): Unit
+          val si = e.stageInfo
+          val dur = for {
+            a <- si.completionTime; b <- si.submissionTime
+          } yield a - b
+          println(s"  stage ${si.stageId} tasks=${si.numTasks} " +
+            s"dur=${dur.getOrElse(-1L)}ms")
+        }
+      }
+      spark.sparkContext.addSparkListener(lst)
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("x33_vec_admit")(spark, sfDir).count()
+        org.apache.spark.sql.graft.SessionOps.drainListeners(spark, 30000L)
+        println(f"x33 census: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+          s"stages=${stages.get} tasks=${tasks.get}")
+      } finally spark.sparkContext.removeSparkListener(lst)
     } else if (name == "x34prof") {
       // stage-by-stage timing of the trained IVF-PQ gate
       import org.apache.spark.sql.functions._

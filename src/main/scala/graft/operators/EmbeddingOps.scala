@@ -323,7 +323,21 @@ object EmbeddingOps {
     val near = nanvl(round(cosine(col("_g_ev"), col("_g_iv")), 6),
       lit(-2.0)) >= threshold
     val hits = (if (planes <= 0) {
-      val ex = vecs(existing, idCol, vecCol).select(col("v").as("_g_ev"))
+      // the corpus side arrives in however many splits the source gave
+      // it — at gate/batch scale often ONE (a ~1 MB parquet is a single
+      // split), which serializes the |corpus|×|batch| cosine sweep on
+      // one core while the rest idle (measured: one 454 ms task = the
+      // whole x33 gate's compute). spreadForCompute's default 4 MB
+      // floor is calibrated for O(1)-per-row kernels; the EXACT path's
+      // per-row work is multiplied by the broadcast batch's
+      // cardinality, so the floor drops to 256 KB here. At corpus
+      // scale the spread is a no-op by construction (enough natural
+      // splits), so the corpus still never shuffles where that
+      // matters; the bucketed paths below keep their cheap-per-row
+      // no-shuffle shape untouched.
+      val ex = ScaleUtils.spreadForCompute(
+          vecs(existing, idCol, vecCol), minBytes = 256L * 1024)
+        .select(col("v").as("_g_ev"))
       val in = vecs(incoming, idCol, vecCol)
         .select(col("vec_id").as("_g_iid"), col("v").as("_g_iv"))
       ex.crossJoin(broadcast(in)).filter(near)
