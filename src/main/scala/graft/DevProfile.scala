@@ -1740,6 +1740,129 @@ object DevProfile {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(root))
+    } else if (name == "advrecall") {
+      // ADVERSARIAL-geometry recall-vs-cap (VERDICT r15 ask #1): the r14
+      // samplerecall sweep saturated at 1.000 because replicated-jitter
+      // corpora are easy — every codebook trained anywhere near the data
+      // serves them. This mode builds a skewed Gaussian-mixture corpus
+      // where the sampled-codebook cap has to MATTER: ADV_CLUSTERS
+      // (default 512) mixture components with Zipf(1) mass (a few giant
+      // heads, a long tail) and per-cluster noise scale spanning 2.5
+      // orders of magnitude — a small hash sample sees almost no tail
+      // vectors, so tail centroids/codebooks degrade as the cap shrinks.
+      // Queries probe head AND tail cluster centers; recall@10 against
+      // exact full-precision cosine. `reps` = corpus size in millions.
+      // Env knobs: ADV_CELLS (256), ADV_NPROBE (16), ADV_CAPS.
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExprs.register(spark)
+      val nVecs = math.max(1, reps) * 1000000L
+      val d = 64
+      val kC = sys.env.getOrElse("ADV_CLUSTERS", "512").toInt
+      val nCells = sys.env.getOrElse("ADV_CELLS", "256").toInt
+      val nProbe = sys.env.getOrElse("ADV_NPROBE", "16").toInt
+      val caps = sys.env.getOrElse("ADV_CAPS",
+        "0,262144,65536,16384,4096").split(',').map(_.trim.toLong).toSeq
+      val rnd = new java.util.Random(151)
+      val centers = Array.fill(kC, d)(rnd.nextGaussian())
+      val sigmas = Array.tabulate(kC)(_ =>
+        0.001 * math.pow(300.0, rnd.nextDouble()))
+      // Zipf(1) mass, inverse-CDF through an 8192-bucket lookup literal
+      val w = Array.tabulate(kC)(c => 1.0 / (c + 1.0))
+      val wSum = w.sum
+      val cum = w.scanLeft(0.0)(_ + _).tail.map(_ / wSum)
+      val lookup = Array.tabulate(8192) { b =>
+        val u = (b + 0.5) / 8192.0
+        var lo = 0; var hi = kC - 1
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (cum(mid) < u) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      val headQs = Seq(0, 1, 2, 3)
+      val tailQs = Seq(kC * 3 / 5, kC * 7 / 10, kC * 4 / 5,
+        kC * 9 / 10, kC - 10, kC - 5, kC - 2, kC - 1)
+      val qClusters = headQs ++ tailQs
+      val root = java.nio.file.Files.createTempDirectory("advrecall").toString
+      try {
+        import spark.implicits._
+        val clusters = centers.indices
+          .map(c => (c, centers(c).toSeq, sigmas(c)))
+          .toDF("cid", "center", "sigma")
+        spark.range(0, nVecs, 1, 64)
+          .select(col("id").as("vec_id"),
+            element_at(lit(lookup),
+              (pmod(xxhash64(col("id")), lit(8192L)) + 1).cast("int"))
+              .as("cid"))
+          .join(broadcast(clusters), Seq("cid"))
+          .select(col("vec_id"), col("cid"),
+            expr(s"transform(sequence(0, ${d - 1}), i -> " +
+              "element_at(center, i + 1) + sigma * " +
+              "(CAST(pmod(xxhash64(vec_id * 64 + i), 1000000) AS DOUBLE)" +
+              " / 500000.0 - 1.0))").as("v"))
+          .write.parquet(s"$root/emb")
+        // planted needles: per query cluster, 10 vectors at 0.02·sigma
+        // of the center — the unambiguous true top-10 under BOTH L2 and
+        // cosine (members sit at ~4.6·sigma). Recall then measures
+        // whether the trained geometry can still SURFACE them through
+        // cell assignment + ADC — which is exactly what a starved
+        // codebook loses first in the regions the sample never saw.
+        val needleRnd = new java.util.Random(251)
+        val needles = qClusters.zipWithIndex.flatMap { case (c, qi) =>
+          (0 until 10).map { j =>
+            val v = centers(c).zipWithIndex.map { case (x, _) =>
+              x + sigmas(c) * 0.02 * (needleRnd.nextDouble() * 2 - 1) }
+            (nVecs + qi * 10L + j, c, v.toSeq)
+          }
+        }.toDF("vec_id", "cid", "v")
+        needles.coalesce(1).write.mode("append").parquet(s"$root/emb")
+        val emb = spark.read.parquet(s"$root/emb")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = emb.count()
+        val mass = emb.groupBy("cid").count()
+        val tailShare = mass.filter(col("cid") >= kC / 2)
+          .agg(sum("count")).head().getLong(0).toDouble / n
+        println(f"corpus: $n vectors, $kC clusters, tail-half mass " +
+          f"$tailShare%.4f, nCells=$nCells nProbe=$nProbe")
+        val queries = qClusters.map(c => c -> centers(c).toSeq)
+        // exact L2 ground truth (ADC's metric) by brute force — the
+        // planted needles should BE the top-10; trust the sweep, not
+        // the construction
+        val truth: Map[Int, Set[Long]] = queries.map { case (c, q) =>
+          val l2 = expr("aggregate(zip_with(v, q, (x, y) -> " +
+            "(x - y) * (x - y)), 0D, (a, e) -> a + e)")
+          c -> emb.withColumn("q", lit(q.toArray))
+            .select(col("vec_id"), l2.as("d2"))
+            .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+            .collect().map(_.getLong(0)).toSet
+        }.toMap
+        val planted = qClusters.zipWithIndex.map { case (c, qi) =>
+          c -> (0 until 10).map(j => nVecs + qi * 10L + j).toSet }.toMap
+        println("exact ground truth done; planted==truth for " +
+          s"${qClusters.count(c => truth(c) == planted(c))}/" +
+          s"${qClusters.size} queries")
+        caps.foreach { cap =>
+          val t0 = System.nanoTime()
+          val idx = operators.IvfPq.build(emb, "vec_id", "v",
+            nCells = nCells, m = 32, k = 64, coarseIters = 3,
+            pqIters = 3, portable = false, maxTrainVectors = cap)
+          val tb = (System.nanoTime() - t0) / 1e9
+          val recalls = queries.map { case (c, q) =>
+            val got = operators.IvfPq.topK(idx, q, topK = 10,
+              nProbe = nProbe).collect().map(_.getLong(0)).toSet
+            c -> (got.intersect(truth(c)).size / 10.0)
+          }
+          idx.release()
+          val hd = recalls.filter(r => headQs.contains(r._1)).map(_._2)
+          val tl = recalls.filter(r => tailQs.contains(r._1)).map(_._2)
+          println(f"cap=$cap%8d build=$tb%6.1f s recall@10 " +
+            f"mean=${recalls.map(_._2).sum / recalls.size}%.3f " +
+            f"head=${hd.sum / hd.size}%.3f tail=${tl.sum / tl.size}%.3f " +
+            recalls.map(r => f"${r._1}:${r._2}%.1f").mkString(" "))
+        }
+        emb.unpersist(): Unit
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
     } else if (name == "samplerecall") {
       // recall-vs-training-sample-size (the r14 sampled-codebook trade,
       // VERDICT r13 ask #1's PLANS row): one replicated corpus, one
