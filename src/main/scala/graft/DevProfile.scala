@@ -1783,39 +1783,47 @@ object DevProfile {
       val tailQs = Seq(kC * 3 / 5, kC * 7 / 10, kC * 4 / 5,
         kC * 9 / 10, kC - 10, kC - 5, kC - 2, kC - 1)
       val qClusters = headQs ++ tailQs
-      val root = java.nio.file.Files.createTempDirectory("advrecall").toString
+      // ADV_ROOT: fixed corpus dir reused across invocations (the sweep
+      // can then run one cap per process); default: per-run temp dir,
+      // removed on exit. Generation is skipped when the corpus exists.
+      val fixedRoot = sys.env.get("ADV_ROOT")
+      val root = fixedRoot.getOrElse(
+        java.nio.file.Files.createTempDirectory("advrecall").toString)
       try {
         import spark.implicits._
         val clusters = centers.indices
           .map(c => (c, centers(c).toSeq, sigmas(c)))
           .toDF("cid", "center", "sigma")
-        spark.range(0, nVecs, 1, 64)
-          .select(col("id").as("vec_id"),
-            element_at(lit(lookup),
-              (pmod(xxhash64(col("id")), lit(8192L)) + 1).cast("int"))
-              .as("cid"))
-          .join(broadcast(clusters), Seq("cid"))
-          .select(col("vec_id"), col("cid"),
-            expr(s"transform(sequence(0, ${d - 1}), i -> " +
-              "element_at(center, i + 1) + sigma * " +
-              "(CAST(pmod(xxhash64(vec_id * 64 + i), 1000000) AS DOUBLE)" +
-              " / 500000.0 - 1.0))").as("v"))
-          .write.parquet(s"$root/emb")
-        // planted needles: per query cluster, 10 vectors at 0.02·sigma
-        // of the center — the unambiguous true top-10 under BOTH L2 and
-        // cosine (members sit at ~4.6·sigma). Recall then measures
-        // whether the trained geometry can still SURFACE them through
-        // cell assignment + ADC — which is exactly what a starved
-        // codebook loses first in the regions the sample never saw.
-        val needleRnd = new java.util.Random(251)
-        val needles = qClusters.zipWithIndex.flatMap { case (c, qi) =>
-          (0 until 10).map { j =>
-            val v = centers(c).zipWithIndex.map { case (x, _) =>
-              x + sigmas(c) * 0.02 * (needleRnd.nextDouble() * 2 - 1) }
-            (nVecs + qi * 10L + j, c, v.toSeq)
-          }
-        }.toDF("vec_id", "cid", "v")
-        needles.coalesce(1).write.mode("append").parquet(s"$root/emb")
+        if (!new java.io.File(s"$root/emb/_SUCCESS").exists()) {
+          spark.range(0, nVecs, 1, 64)
+            .select(col("id").as("vec_id"),
+              element_at(lit(lookup),
+                (pmod(xxhash64(col("id")), lit(8192L)) + 1).cast("int"))
+                .as("cid"))
+            .join(broadcast(clusters), Seq("cid"))
+            .select(col("vec_id"), col("cid"),
+              expr(s"transform(sequence(0, ${d - 1}), i -> " +
+                "element_at(center, i + 1) + sigma * " +
+                "(CAST(pmod(xxhash64(vec_id * 64 + i), 1000000) AS DOUBLE)" +
+                " / 500000.0 - 1.0))").as("v"))
+            .write.parquet(s"$root/emb")
+          // planted needles: per query cluster, 10 vectors at
+          // 0.02·sigma of the center — the unambiguous true top-10
+          // under BOTH L2 and cosine (members sit at ~4.6·sigma).
+          // Recall then measures whether the trained geometry can
+          // still SURFACE them through cell assignment + ADC — which
+          // is exactly what a starved codebook loses first in the
+          // regions the sample never saw.
+          val needleRnd = new java.util.Random(251)
+          val needles = qClusters.zipWithIndex.flatMap { case (c, qi) =>
+            (0 until 10).map { j =>
+              val v = centers(c).zipWithIndex.map { case (x, _) =>
+                x + sigmas(c) * 0.02 * (needleRnd.nextDouble() * 2 - 1) }
+              (nVecs + qi * 10L + j, c, v.toSeq)
+            }
+          }.toDF("vec_id", "cid", "v")
+          needles.coalesce(1).write.mode("append").parquet(s"$root/emb")
+        }
         val emb = spark.read.parquet(s"$root/emb")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = emb.count()
@@ -1861,8 +1869,9 @@ object DevProfile {
             recalls.map(r => f"${r._1}:${r._2}%.1f").mkString(" "))
         }
         emb.unpersist(): Unit
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(root))
+      } finally if (fixedRoot.isEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(root))
     } else if (name == "samplerecall") {
       // recall-vs-training-sample-size (the r14 sampled-codebook trade,
       // VERDICT r13 ask #1's PLANS row): one replicated corpus, one
