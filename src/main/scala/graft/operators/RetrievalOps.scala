@@ -1264,35 +1264,42 @@ object RetrievalOps {
     * geometry; the TRAINED operating point (recall@10 = 0.8 at
     * m=32/k=64) is its own oracle-replayable gate, [[x34TrainedRecall]]. */
   def x25AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    // ONE window + ONE evalRanking for all four (path, nprobe) sweeps,
+    // keyed by a composite qid — the metric math is per-qid group-wise
+    // identical to four separate harness calls, but the plan carries a
+    // quarter of the join/agg stages (this gate was the bench's worst
+    // pure-scheduling floor once the BPE family was memoized). The
+    // unified sort key (-cosine for the raw index, adc_dist for PQ)
+    // reproduces each path's exact ranking: negation flips double
+    // order bit-exactly and ties still break (qid, id asc).
+    val subs = Seq(
+      (10L, "ivf", 1), (11L, "ivf", 2), (20L, "ivfpq", 1),
+      (21L, "ivfpq", 2))
+    val scored = subs.map { case (qid, path, np) =>
+      if (path == "ivf")
+        IvfAnn.x7SearchAt(s, dir, np)
+          .select(lit(qid).as("qid"), col("vec_id").as("id"),
+            negate(col("cosine")).as("skey"))
+      else
+        IvfPq.x15SearchAt(s, dir, np)
+          .select(lit(qid).as("qid"), col("vec_id").as("id"),
+            col("adc_dist").as("skey"))
+    }.reduce(_ unionByName _)
+    val ranked = scored.withColumn("rank", row_number()
+      .over(Window.partitionBy(col("qid"))
+        .orderBy(col("skey").asc, col("id").asc))
+      .cast("long"))
     val qrels = SimilarityQueries.x1CosineTopK(s, dir)
-      .select(lit(0L).as("qid"), col("vec_id").as("id"))
-    def ivfAt(np: Int): DataFrame = {
-      val ranked = IvfAnn.x7SearchAt(s, dir, np)
-        .select(lit(0L).as("qid"), col("vec_id").as("id"), col("cosine"))
-        .withColumn("rank", row_number()
-          .over(Window.orderBy(col("cosine").desc, col("id").asc))
-          .cast("long"))
-      evalRanking(ranked, "qid", "rank", "id", qrels, "qid", "id", k = 10)
-        .withColumn("nprobe", lit(np.toLong))
-        .withColumn("path", lit("ivf"))
-    }
-    // the COMPRESSED index's dial too (x15's IVF-PQ): same harness, same
-    // ground truth, ranking by ADC distance — quantifies what PQ's 64→4
-    // bytes/vector costs in recall at each nprobe
-    def pqAt(np: Int): DataFrame = {
-      val ranked = IvfPq.x15SearchAt(s, dir, np)
-        .select(lit(0L).as("qid"), col("vec_id").as("id"), col("adc_dist"))
-        .withColumn("rank", row_number()
-          .over(Window.orderBy(col("adc_dist").asc, col("id").asc))
-          .cast("long"))
-      evalRanking(ranked, "qid", "rank", "id", qrels, "qid", "id", k = 10)
-        .withColumn("nprobe", lit(np.toLong))
-        .withColumn("path", lit("ivfpq"))
-    }
-    ivfAt(1).unionByName(ivfAt(2)).unionByName(pqAt(1)).unionByName(pqAt(2))
-      .select(col("path"), col("nprobe"), col("n_rel"), col("hits"),
-        col("recall"), col("mrr"), col("ndcg"))
-      .orderBy(col("path").asc, col("nprobe").asc)
+      .select(explode(lit(subs.map(_._1).toArray)).as("qid"),
+        col("vec_id").as("id"))
+    val pathOf = subs.map { case (qid, p, _) => (qid, p) }.toMap
+    val npOf = subs.map { case (qid, _, np) => (qid, np.toLong) }.toMap
+    evalRanking(ranked, "qid", "rank", "id", qrels, "qid", "id", k = 10)
+      .select(
+        element_at(typedLit(pathOf), col("query_id")).as("path"),
+        element_at(typedLit(npOf), col("query_id")).as("nprobe"),
+        col("n_rel"), col("hits"), col("recall"), col("mrr"), col("ndcg"))
+      .coalesce(1).sortWithinPartitions(col("path").asc, col("nprobe").asc)
   }
 
   /** x34: the TRAINED IVF-PQ operating point as an ORACLE-REPLAYABLE
