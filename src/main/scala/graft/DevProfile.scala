@@ -1849,11 +1849,16 @@ object DevProfile {
         println("exact ground truth done; planted==truth for " +
           s"${qClusters.count(c => truth(c) == planted(c))}/" +
           s"${qClusters.size} queries")
+        // ADV_SEED=spread: density-flattened seeding (IvfAnn.spreadSeeds)
+        // instead of the first-k-by-id init — measures whether the tail
+        // allocation lottery (PLANS r15) is fixed by seeding alone
+        val seedSpread = sys.env.get("ADV_SEED").contains("spread")
         caps.foreach { cap =>
           val t0 = System.nanoTime()
           val idx = operators.IvfPq.build(emb, "vec_id", "v",
             nCells = nCells, m = 32, k = 64, coarseIters = 3,
-            pqIters = 3, portable = false, maxTrainVectors = cap)
+            pqIters = 3, portable = false, maxTrainVectors = cap,
+            seedSpread = seedSpread)
           val tb = (System.nanoTime() - t0) / 1e9
           val recalls = queries.map { case (c, q) =>
             val got = operators.IvfPq.topK(idx, q, topK = 10,

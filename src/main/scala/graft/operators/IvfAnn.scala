@@ -153,8 +153,49 @@ object IvfAnn {
     * round, and the returned relation is driver-local — consumers
     * (broadcast joins, driver-side cell ranking) read it for free with
     * NO persist to leak in the session CacheManager. */
+  /** Deterministic density-flattened seeding — the measured fix for the
+    * Lloyd's init lottery the r15 adversarial-recall sweep exposed
+    * (PLANS: first-k-by-id donors land ∝ mass, so a 0.04%-mass tail
+    * cluster gets a nearby centroid only ~20% of the time, full and
+    * sampled training alike). One pass: bucket every vector by
+    * sign-LSH over the baked hyperplane family (direction-uniform —
+    * a giant cluster occupies its few direction buckets however many
+    * members it has, so mass cannot crowd out regions), take the k
+    * most-populated buckets (count desc, bucket asc — deterministic),
+    * seed each with its min-id member. The k-means|| idea (oversample
+    * regions cheaply, then reduce) without the sequential
+    * distance-weighted draws k-means++ needs. Constraint: the plane
+    * family is baked at [[SimilarityQueries.EmbDim]] dims, so inputs
+    * must carry that dimensionality (every corpus here does). Not yet
+    * oracle-mirrored — opt-in only; no gate uses it. */
+  private[operators] def spreadSeeds(emb: DataFrame, k: Int): DataFrame = {
+    // enough planes for ~4k occupied buckets, capped: 2^20 bucket ids
+    var planes = 2
+    while ((1L << planes) < 4L * k && planes < 20) planes += 1
+    val top = emb.withColumn("_g_b", SimilarityQueries.lshBucket(planes))
+      .groupBy(col("_g_b"))
+      .agg(count(lit(1)).as("_g_n"), min(col("vec_id")).as("_g_seed"))
+      .orderBy(col("_g_n").desc, col("_g_b").asc)
+      .limit(k)
+      .select(col("_g_seed").as("vec_id"))
+    val picked = emb.join(broadcast(top), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val got = ScaleUtils.materializeLocal(picked)
+    val nGot = got.count()
+    if (nGot >= k) got
+    else {
+      // fewer occupied buckets than k: pad with the smallest-id
+      // non-seed vectors (the classic init), deterministically
+      val pad = emb.join(broadcast(got.select(col("cid").as("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        .orderBy(col("vec_id")).limit(k - nGot.toInt)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      ScaleUtils.materializeLocal(got.unionByName(pad))
+    }
+  }
+
   def trainCentroids(emb0: DataFrame, k: Int = K, iters: Int = 5,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, seedSpread: Boolean = false): DataFrame = {
     graft.functions.VectorExprs.register(emb0.sparkSession)
     // iterated map-side passes need input-side parallelism
     // ([[ScaleUtils.spreadForCompute]] doc; no-op for tiny and for
@@ -174,12 +215,12 @@ object IvfAnn {
         s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else s
     }
-    try trainCentroidsOn(emb, k, iters, portable)
+    try trainCentroidsOn(emb, k, iters, portable, seedSpread)
     finally { if (emb ne emb0) emb.unpersist(): Unit }
   }
 
   private def trainCentroidsOn(emb: DataFrame, k: Int, iters: Int,
-      portable: Boolean): DataFrame = {
+      portable: Boolean, seedSpread: Boolean = false): DataFrame = {
     // portable = ORACLE-REPLAYABLE training: every decision the loop
     // makes quantizes to 6 decimals first — assignments argmax on
     // round(cosine, 6) (tie → min cid) and centroid updates store the
@@ -195,12 +236,15 @@ object IvfAnn {
     // carried the halfway-residue hazard the integer kernel closes.
     // The 1e-6 quantum is noise against quantization error — recall
     // is unchanged (spec-held).
-    // init = the k smallest-id vectors: deterministic AND id-value-agnostic
-    // (frames whose ids don't start at 0 — e.g. via EmbeddingOps — train
-    // identically to the contiguous-id testdata)
-    var cents = ScaleUtils.materializeLocal(
-      emb.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").as("cid"), col("v").as("cv")))
+    // init (default) = the k smallest-id vectors: deterministic AND
+    // id-value-agnostic (frames whose ids don't start at 0 — e.g. via
+    // EmbeddingOps — train identically to the contiguous-id testdata);
+    // seedSpread opts into the density-flattened [[spreadSeeds]] init
+    var cents =
+      if (seedSpread) spreadSeeds(emb, k)
+      else ScaleUtils.materializeLocal(
+        emb.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
     for (_ <- 1 to iters) {
       val assigned = assignCells(emb, cents, portable)
       // update = per-cell vector mean via ONE buffer per cell folded

@@ -105,7 +105,8 @@ object IvfPq {
       nCells: Int = IvfAnn.K, m: Int = ProductQuantizer.M,
       k: Int = ProductQuantizer.K, coarseIters: Int = 3,
       pqIters: Int = 3, portable: Boolean = false,
-      maxTrainVectors: Long = DefaultMaxTrainVectors): IvfPqIndex = {
+      maxTrainVectors: Long = DefaultMaxTrainVectors,
+      seedSpread: Boolean = false): IvfPqIndex = {
     graft.functions.VectorExprs.register(df.sparkSession)
     // Build-scoped execution tuning (the OsmPipeline small-input
     // convention, measured there and here): training runs
@@ -213,7 +214,8 @@ object IvfPq {
     // integer micro-mean kernel ([[IvfAnn.trainCentroids]] /
     // [[graft.functions.MicroMeanAgg]] docs) — so the ENTIRE trained
     // index is oracle-replayable — the x34 gate's contract
-    val cents = IvfAnn.trainCentroids(trainSet, nCells, coarseIters, portable)
+    val cents = IvfAnn.trainCentroids(trainSet, nCells, coarseIters,
+      portable, seedSpread)
     val residuals0 = IvfAnn.assignCells(emb, cents, portable)
       .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
       .select(col("vec_id"), col("cell"),

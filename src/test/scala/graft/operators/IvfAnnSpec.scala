@@ -52,6 +52,30 @@ class IvfAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("spreadSeeds: k distinct centroids, deterministic under " +
+      "repartitioning, pads when buckets run out") {
+    val emb = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    def seeds(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      IvfAnn.spreadSeeds(df, k).collect().map(_.getLong(0)).sorted.toSeq
+    val a = seeds(emb, 16)
+    assert(a.length == 16 && a.distinct.length == 16)
+    // count/min are order-independent; (count desc, bucket asc) is a
+    // total order — the pick must survive any physical layout
+    assert(seeds(emb.repartition(2), 16) == a)
+    assert(seeds(emb.repartition(8, col("v")), 16) == a)
+    // k far above the occupied-bucket count exercises the smallest-id
+    // padding arm and still returns exactly k distinct seeds
+    val tiny = emb.limit(40)
+    val padded = seeds(tiny, 32)
+    assert(padded.length == 32 && padded.distinct.length == 32)
+    // trainer round-trip: seedSpread centroids feed Lloyd's unchanged
+    val cents = IvfAnn.trainCentroids(emb, k = 16, iters = 1,
+      seedSpread = true).collect()
+    assert(cents.length == 16)
+  }
+
   test("semDedup drops the higher id of a similar pair, only within a cell") {
     import spark.implicits._
     // two orthogonal centroids; vectors 10/11 nearly parallel in cell 0,
