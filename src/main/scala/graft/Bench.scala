@@ -55,8 +55,20 @@ object Bench {
         try walk.filter(java.nio.file.Files.isRegularFile(_))
           .mapToLong(java.nio.file.Files.size(_)).sum()
         finally walk.close()
-      if (dirBytes < osm.OsmPipeline.AqeMinInputBytes)
+      if (dirBytes < osm.OsmPipeline.AqeMinInputBytes) {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        // the same size policy for SHUFFLE WIDTH (the IvfPq build-scope
+        // rule: ~4 MB per reduce partition, floor 4): a 17 MB sf dir
+        // shuffled 32 ways runs near-empty reduce tasks whose fixed
+        // cost dominates the whole bench — the per-gate floor, ×125.
+        // A real deployment's input sits far above the threshold and
+        // keeps the full width; this is runtime re-planning done
+        // statically where AQE (which would do exactly this
+        // coalescing) costs more than it saves.
+        val parts = math.max(4L,
+          math.min(dirBytes / (4L * 1024 * 1024) + 1, cpus.toLong))
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
     // JVM warmup (untimed): exercise classloading, Janino/whole-stage
     // codegen, higher-order-function evaluation, hash aggs, broadcast +
