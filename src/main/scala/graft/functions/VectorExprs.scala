@@ -212,6 +212,39 @@ object VectorKernels {
     }
     sab / (math.sqrt(saa) * math.sqrt(sbb))
   }
+
+  /** L2-normalize: each element (double-widened) divided by
+    * sqrt(sum of squares) — the exact IEEE sequence of the HOF form
+    * `transform(v, x -> CAST(x AS DOUBLE) / sqrt(aggregate(v, 0D,
+    * (a, y) -> a + CAST(y)*CAST(y))))`, whose interpreted evaluation
+    * re-runs the aggregate lambda PER ELEMENT (O(dim²) per row — the
+    * measured cost of the x34/x36 normalize scans). One pass for the
+    * norm, one for the division. A ZERO vector divides by 0.0 into IEEE
+    * NaN here, where SQL Divide would raise under ANSI (Spark 4
+    * default) or null out under non-ANSI — embeddings carry no
+    * zero-norm vectors (the same caveat class as "null elements read
+    * as 0" above), and NaN is the honest serving behavior where the
+    * HOF form would crash the job. */
+  def l2normalize(a: ArrayData, aFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    val nm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x / nm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 object VectorExprs {
@@ -248,6 +281,8 @@ object VectorExprs {
       reg.createOrReplaceTempFunction("vec_nearest_cell",
         exprs => VecNearestCellExpr(exprs(0), exprs(1), exprs(2),
           exprs(3)), "built-in")
+      reg.createOrReplaceTempFunction("vec_l2normalize",
+        exprs => VecL2NormalizeExpr(exprs.head), "built-in")
     }
   }
 }
@@ -405,6 +440,26 @@ case class VecNormExpr(child: Expression) extends UnaryExpression {
     VectorKernels.norm(a.asInstanceOf[ArrayData], cF)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.norm($a, $cF)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[VectorKernels.l2normalize]] as a codegen expression:
+  * array<float|double> → array<double> (not null; null input → null via
+  * the null-safe wrapper). Bit-compatibility: see the kernel doc — the
+  * HOF `transform(..., x -> x / sqrt(aggregate(...)))` form it replaces
+  * evaluates the same left-to-right double arithmetic, just
+  * once-per-element instead of once-per-row (spec-held). */
+case class VecL2NormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprs.checkVec(child, "argument")
+  private lazy val cF = VectorExprs.isFloat(child)
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.l2normalize(a.asInstanceOf[ArrayData], cF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.l2normalize($a, $cF)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

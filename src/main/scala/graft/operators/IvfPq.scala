@@ -437,11 +437,25 @@ object IvfPq {
     graft.functions.VectorExprs.register(s)
     val emb = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val loaded = loadIndex(s, snapshotIndexPath(s, dir, emb))
+    val loaded = snapshotLocalIndex(s, dir, emb)
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
     topK(loaded, q, topK = 10, nProbe = 2)
       .select(col("pq_id").as("vec_id"), col("adc_dist"))
   }
+
+  /** The x15 snapshot index LOADED AND LOCALIZED once per (session,
+    * corpus snapshot) — the serving residency a long-lived probe
+    * process holds ([[localizeIndex]] doc): without the memo every
+    * probe invocation re-reads meta/cents/codebook parquet and
+    * re-collects the parameter-sized tables, a per-call driver-job
+    * floor that measures the loader, not the probe. Keyed on the same
+    * snapshot listing as the index path itself, so a changed corpus
+    * reloads (and rebuilds) exactly as before. */
+  private def snapshotLocalIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, emb: DataFrame): IvfPqIndex =
+    SnapshotCache.memo(s, "x15_localidx", s"$dir/embeddings.parquet") {
+      localizeIndex(loadIndex(s, snapshotIndexPath(s, dir, emb)))
+    }
 
   /** ADC top-k for a driver-held query: rank cells on the driver (by
     * cosine, matching the assignment metric), build one residual
@@ -476,11 +490,15 @@ object IvfPq {
       .sortBy { case (cid, _, s) => (-s, cid) }
       .take(nProbe)
     val cb = ProductQuantizer.collectCodebook(index.codebook)
-    val scored = probed.map { case (cid, cv, _) =>
-      val qres = query.zip(cv).map { case (q, c) => q - c }
-      ProductQuantizer.adcScores(
-        index.codes.filter(col("cell") === cid), cb, qres, index.m, index.k)
-    }.reduce(_ unionAll _)
+    // one partition-pruned scan for ALL probed cells (guide §2.4): the
+    // per-cell residual LUTs ride as one map literal instead of one
+    // adcScores subplan per cell — at nProbe=8 that is 8 scan+project
+    // subplans folded into 1, bit-equal rows by adcScoresCells' contract
+    val resByCell: Map[Long, Seq[Double]] = probed.map { case (cid, cv, _) =>
+      cid -> query.zip(cv).map { case (q, c) => q - c }
+    }.toMap
+    val scored = ProductQuantizer.adcScoresCells(
+      index.codes, cb, resByCell, index.m, index.k)
     // excludeId (typically the query's own id) is filtered BEFORE the
     // limit, so the recall-sweep form still returns a full top-k
     excludeId.fold(scored)(i => scored.filter(col("pq_id") =!= i))
@@ -683,7 +701,7 @@ object IvfPq {
     graft.functions.VectorExprs.register(s)
     val emb = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val loaded = loadIndex(s, snapshotIndexPath(s, dir, emb))
+    val loaded = snapshotLocalIndex(s, dir, emb)
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
     topK(loaded, q, topK = 10, nProbe = nProbe, excludeId = Some(0L))
       .select(col("pq_id").as("vec_id"), col("adc_dist"))

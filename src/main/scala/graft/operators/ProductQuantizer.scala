@@ -222,12 +222,25 @@ object ProductQuantizer {
     * would score against the wrong LUT entries. */
   def adcScores(codes: DataFrame, cents: Map[(Int, Int), Array[Double]],
       query: Seq[Double], m: Int = M, k: Int = K): DataFrame = {
+    val lutCol = typedLit(lutFor(cents, query, m, k))
+    codes.select(col("pq_id"),
+      round(aggregate(
+        transform(col("codes"), (c, i) => element_at(lutCol, i * k + c + 1)),
+        lit(0.0), (acc, x) => acc + x), 6).as("adc_dist"))
+  }
+
+  /** The ADC look-up table for one query (residual): per (sub, code)
+    * squared L2 between the query's subvector and the code centroid —
+    * the driver-side half of [[adcScores]], shared with the multi-cell
+    * form so both score with provably identical LUT values. */
+  private def lutFor(cents: Map[(Int, Int), Array[Double]],
+      query: Seq[Double], m: Int, k: Int): Seq[Double] = {
     require(query.length % m == 0,
       s"query dim ${query.length} must be divisible by m=$m")
     cents.values.headOption.foreach(cv => require(cv.length == query.length / m,
       s"query subvector width ${query.length / m} != codebook width ${cv.length}"))
     val w = query.length / m
-    val lut: Seq[Double] = (0 until m * k).map { i =>
+    (0 until m * k).map { i =>
       val (sub, code) = (i / k, i % k)
       cents.get((sub, code)).fold(Double.MaxValue) { cv =>
         val q = query.slice(sub * w, sub * w + w)
@@ -237,11 +250,29 @@ object ProductQuantizer {
         s
       }
     }
-    val lutCol = typedLit(lut)
-    codes.select(col("pq_id"),
-      round(aggregate(
-        transform(col("codes"), (c, i) => element_at(lutCol, i * k + c + 1)),
-        lit(0.0), (acc, x) => acc + x), 6).as("adc_dist"))
+  }
+
+  /** One-scan ADC scoring over MANY probed cells (guide §2.4 — remove
+    * per-cell subplans outright): each probed cell's residual query gets
+    * its [[lutFor]] table, all tables ride as ONE map<cell, lut> literal,
+    * and each row looks up its own cell's LUT. The row-level arithmetic
+    * (element_at chain in sub order, left-to-right aggregate, round 6)
+    * and the LUT values are exactly [[adcScores]]'s, so the output rows
+    * are bit-equal to unioning one adcScores per cell — but the plan
+    * carries ONE partition-pruned scan (PartitionFilters: cell IN (...))
+    * instead of nProbe scan+project subplans. */
+  def adcScoresCells(codes: DataFrame, cents: Map[(Int, Int), Array[Double]],
+      queriesByCell: Map[Long, Seq[Double]], m: Int = M,
+      k: Int = K): DataFrame = {
+    require(queriesByCell.nonEmpty, "no probed cells")
+    val luts: Map[Long, Seq[Double]] =
+      queriesByCell.map { case (c, q) => c -> lutFor(cents, q, m, k) }
+    val lutCol = element_at(typedLit(luts), col("cell").cast("long"))
+    codes.filter(col("cell").isin(queriesByCell.keys.toSeq: _*))
+      .select(col("pq_id"),
+        round(aggregate(
+          transform(col("codes"), (c, i) => element_at(lutCol, i * k + c + 1)),
+          lit(0.0), (acc, x) => acc + x), 6).as("adc_dist"))
   }
 
   /** Gate query: PQ-encode the embeddings table with the untrained

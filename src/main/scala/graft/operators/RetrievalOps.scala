@@ -1325,11 +1325,16 @@ object RetrievalOps {
     * the gate and the DevProfile x34 modes, so a profile can never
     * silently measure a different normalization than the gate runs. */
   private[graft] def l2NormalizedEmbeddings(s: SparkSession,
-      dir: String): DataFrame =
+      dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    // one fused codegen pass per row ([[graft.functions.VectorKernels
+    // .l2normalize]]) — the HOF form `transform(v, x -> x /
+    // sqrt(aggregate(v, ...)))` re-evaluates the interpreted aggregate
+    // lambda per ELEMENT (O(dim²)/row; ~0.8 s of every x34/x36 scan at
+    // sf0.1), with identical left-to-right IEEE arithmetic (spec-held)
     embeddings(s, dir).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
-        "sqrt(aggregate(embedding, 0D, " +
-        "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))").as("v"))
+      call_function("vec_l2normalize", col("embedding")).as("v"))
+  }
 
   def x34TrainedRecall(s: SparkSession, dir: String): DataFrame =
     trainedProbeGate(s, dir, "x34", IvfPq.DefaultMaxTrainVectors)
@@ -1365,11 +1370,18 @@ object RetrievalOps {
           maxTrainVectors = maxTrainVectors)
         try IvfPq.writeIndex(idx, out) finally idx.release()
     }
-    // localize once: the gate probes TWICE (nprobe 2 and 8), and each
-    // topK collects the parameter-sized cents/codebook — localizing
-    // pins them driver-local so the second probe re-reads nothing
-    // (same values, same decisions; only the physical source changes)
-    val idx = IvfPq.localizeIndex(IvfPq.loadIndex(s, path))
+    // localize once PER SNAPSHOT, not per invocation: each topK
+    // collects the parameter-sized cents/codebook, and loading +
+    // localizing re-read meta/cents/codebook parquet (3 driver jobs,
+    // ~0.5 s of pure per-call floor). A long-lived server holds the
+    // localized index resident (localizeIndex doc) — the memo is that
+    // residency, keyed on the corpus snapshot like the index path
+    // itself (same values, same decisions; only WHEN the parameter-
+    // sized tables are pulled changes)
+    val idx = SnapshotCache.memo(s, s"${key}_localidx",
+      s"$dir/embeddings.parquet") {
+      IvfPq.localizeIndex(IvfPq.loadIndex(s, path))
+    }
     val q = emb.filter(col("vec_id") === 0L).head().getSeq[Double](1)
     val exact = emb.filter(col("vec_id") =!= 0L)
       .select(col("vec_id"),

@@ -322,6 +322,67 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_l2normalize equals the transform/aggregate HOF form " +
+      "bit-for-bit — float and double inputs, null arrays, both codegen " +
+      "modes; zero vectors yield IEEE NaN (where SQL Divide would raise " +
+      "under ANSI)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    } :+ (999L, null.asInstanceOf[Array[Float]])
+    val base = rows.toDF("id", "a")
+    // zero-norm divergence pinned explicitly: the kernel follows IEEE
+    // (0/0 = NaN), the HOF's SQL Divide raises under ANSI — no gate
+    // corpus carries zero vectors, and NaN beats a crashed job
+    val zeroRow = Seq((0L, Array.fill(8)(0f))).toDF("id", "a")
+      .select(call_function("vec_l2normalize", col("a")).as("k"))
+      .head().getSeq[Double](0)
+    assert(zeroRow.forall(_.isNaN))
+    def hof(c: org.apache.spark.sql.Column) =
+      transform(c, x => x.cast("double") /
+        sqrt(aggregate(c, lit(0.0d),
+          (acc, y) => acc + y.cast("double") * y.cast("double"))))
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val cmp = base.select(col("id"),
+          call_function("vec_l2normalize", col("a")).as("k"),
+          hof(col("a")).as("h"))
+        val got = cmp.collect()
+        got.foreach { r =>
+          if (r.isNullAt(1) || r.isNullAt(2))
+            assert(r.isNullAt(1) == r.isNullAt(2), s"$mode: null mismatch")
+          else {
+            val k = r.getSeq[Double](1)
+            val h = r.getSeq[Double](2)
+            assert(k.length == h.length, s"$mode: length")
+            // exact bit equality, NaN == NaN (zero-vector rows)
+            k.zip(h).foreach { case (x, y) =>
+              assert(java.lang.Double.doubleToLongBits(x) ==
+                java.lang.Double.doubleToLongBits(y),
+                s"$mode: $x != $y on id ${r.getLong(0)}")
+            }
+          }
+        }
+        // double input path too (pre-cast)
+        val viaD = base.filter(col("a").isNotNull)
+          .select(col("id"), transform(col("a"), _.cast("double")).as("ad"))
+        val dk = viaD.select(col("id"),
+          call_function("vec_l2normalize", col("ad")).as("k"),
+          hof(col("ad")).as("h")).collect()
+        dk.foreach { r =>
+          r.getSeq[Double](1).zip(r.getSeq[Double](2)).foreach {
+            case (x, y) =>
+              assert(java.lang.Double.doubleToLongBits(x) ==
+                java.lang.Double.doubleToLongBits(y), s"$mode double: $x != $y")
+          }
+        }
+      } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("non-vector input is rejected at analysis") {
     val s = spark
     import s.implicits._
