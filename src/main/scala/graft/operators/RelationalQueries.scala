@@ -464,11 +464,23 @@ object RelationalQueries {
     * (ref: pbf_file_reader.py:3436-3438). */
   def w2PartitionedRowNumber(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
+      // One range exchange serves BOTH the window's clustering and the
+      // output's total order (RangePartitioning on the key satisfies the
+      // window's ClusteredDistribution; equal keys share one partition
+      // and partitions are key-ordered, so sortWithinPartitions below
+      // yields the identical global (l_orderkey, rn) order the old
+      // final orderBy produced). Two effects vs window-then-orderBy:
+      // the hash+range exchange pair collapses to one, and the
+      // WindowGroupLimit partial no longer sorts the whole scan on the
+      // map side — at bench scale lineitem.parquet is a single split,
+      // so that partial sort serialized ~600k rows on one core with the
+      // rest idle (the x33 straggler mechanism; guide §2.4/§2.6).
+      .repartitionByRange(col("l_orderkey"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
       .filter(col("rn") <= 2)
       .select(col("l_orderkey"), col("l_linenumber"), col("rn").cast("long").as("rn"))
-      .orderBy("l_orderkey", "rn")
+      .sortWithinPartitions("l_orderkey", "rn")
 
   /** W3: QUALIFY-style dedup — keep one row per key by window rank
     * (ref: pbf_file_reader.py:1082-1086). */

@@ -65,4 +65,28 @@ class InvarianceSpec extends AnyFunSuite {
       assert(a == b, s"$g diverged between physical configs")
     }
   }
+
+  test("w2's one-exchange window formulation matches the orderBy formulation row for row") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("w2_partitioned_row_number")(spark, Sf)
+    // the formulation this replaced: hash exchange for the window, then
+    // a second range exchange for the global orderBy
+    val expected = Tables.lineitem(spark, Sf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+      .filter(col("rn") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("l_orderkey", "rn")
+    // row-for-row INCLUDING order: the dump order is part of the gate
+    assert(got.collect().toSeq == expected.collect().toSeq)
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("w2_partitioned_row_number")(spark, Sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange ".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+      assert(!plan.contains("SinglePartition"), plan)
+    }
+  }
 }
