@@ -1213,6 +1213,45 @@ object DevProfile {
         println(f"pass$r: scan=${(t2 - t1) / 1e9}%.2f s ($nScan) " +
           f"probe=${(t3 - t2) / 1e9}%.2f s ($nProbe)")
       }
+    } else if (name == "bmprof") {
+      // phase profile of the bm25 corpus-scan family (x17/x18/x24):
+      // where does the gate time go — tokenize+stats, tf branch, the
+      // scorer, the x18 query-vector head(), the fusion?
+      import org.apache.spark.sql.functions._
+      graft.functions.TextExprs.register(spark)
+      graft.functions.VectorExprs.register(spark)
+      val docs = Tables.documents(spark, sfDir)
+      val terms = operators.RetrievalOps.GateTerms
+      def t(tag: String)(body: => Long): Unit = (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"$tag run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
+      val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+        call_function("split_words", col("text")).as("_g_ws"))
+        .select(col("doc_id"), col("_g_ws"),
+          size(col("_g_ws")).cast("long").as("_g_dl"))
+      t("tokenize+count")(base.select(sum(col("_g_dl"))).count())
+      val dfCols = terms.zipWithIndex.map { case (tm, i) =>
+        sum(when(array_contains(col("_g_ws"), lit(tm)), lit(1L))
+          .otherwise(lit(0L))).as(s"_g_df_$i")
+      }
+      t("stats agg")(base.agg(count(lit(1)).as("_g_n"),
+        (sum(col("_g_dl")).as("_g_sum_dl") +: dfCols): _*).count())
+      t("tf branch")(base
+        .select(col("doc_id"), col("_g_dl"), explode(col("_g_ws")).as("_g_t"))
+        .filter(col("_g_t").isin(terms: _*))
+        .groupBy(col("doc_id"), col("_g_t")).agg(count(lit(1))).count())
+      t("bm25Scores")(operators.RetrievalOps
+        .bm25Scores(docs, "doc_id", "text", terms).count())
+      t("x18 head()") {
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .filter(col("vec_id") === 0).head(); 1L
+      }
+      t("x17 full")(SparkEntry.queries("x17_bm25_topk")(spark, sfDir).count())
+      t("x18 full")(SparkEntry.queries("x18_hybrid_rrf")(spark, sfDir).count())
+      t("x24 full")(SparkEntry.queries("x24_model_rerank")(spark, sfDir).count())
     } else if (name == "bpescale") {
       // BPE trainer round-cost linearity: time word-level training at
       // increasing round counts with the materialization cadence on

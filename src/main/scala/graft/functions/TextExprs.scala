@@ -89,6 +89,30 @@ object TextKernels {
     new GenericArrayData(
       splitWords(s).map(w => UTF8String.fromString(w): Any))
 
+  /** Doc length + per-term term frequencies in ONE tokenize pass:
+    * `[dl, tf(terms(0)), …, tf(terms(k-1))]`. Tokenization is
+    * [[splitWords]] (bit-identical to split_words), term match is plain
+    * string equality on the lowercased tokens — exactly what
+    * `explode(split_words(text))` + `isin(terms)` + count produced,
+    * without materializing a row (or even a UTF8String array element)
+    * per token. Query-term bags are small, so the per-token probe is a
+    * linear scan. */
+  def termTfs(s: UTF8String, terms: Array[String]): ArrayData = {
+    val ws = splitWords(s)
+    val out = new Array[Long](terms.length + 1)
+    out(0) = ws.length.toLong
+    var i = 0
+    while (i < ws.length) {
+      var j = 0
+      while (j < terms.length) {
+        if (terms(j) == ws(i)) out(j + 1) += 1L
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word n-gram shingles joined with " ". Documents with fewer than `n`
     * words yield ONE shingle: all words joined (possibly the empty string
     * for an empty document) — the reference contract of
@@ -493,6 +517,7 @@ object TextExprs {
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, b, "built-in")
     reg1("split_words", exprs => SplitWordsExpr(exprs.head))
+    reg1("term_tfs", exprs => TermTfsExpr(exprs(0), exprs(1)))
     reg1("word_ngrams", exprs => WordNgramsExpr(exprs(0), exprs(1)))
     reg1("ngram_hashes", exprs => NgramHashesExpr(exprs(0), exprs(1)))
     reg1("merge_pair", exprs => MergePairExpr(exprs(0), exprs(1), exprs(2)))
@@ -885,6 +910,58 @@ case class SplitWordsExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.splitWordsArray($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** term_tfs(text, terms) — `[dl, tf(terms(0)), …]` in one tokenize pass
+  * ([[TextKernels.termTfs]]); terms must be a non-null foldable
+  * array<string>. */
+case class TermTfsExpr(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = second
+  override def prettyName: String = "term_tfs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if second.foldable =>
+        if (second.eval() == null)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "terms literal must not be null")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "terms must be a literal (foldable) array<string>")
+      case (other, other2) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arguments must be (string, array<string> literal), got " +
+            s"(${other.simpleString}, ${other2.simpleString})")
+    }
+  @transient private lazy val terms: Array[String] = {
+    val arr = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+  }
+  override def nullable: Boolean = first.nullable
+  override protected def nullSafeEval(input: Any, t: Any): Any =
+    TextKernels.termTfs(input.asInstanceOf[UTF8String], terms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("termTfsTerms", terms,
+      "java.lang.String[]")
+    val sCode = first.genCode(ctx)
+    val code =
+      code"""
+        ${sCode.code}
+        boolean ${ev.isNull} = ${sCode.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextKernels.termTfs(
+            ${sCode.value}, $termsRef);
+        }"""
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(first = newLeft, second = newRight)
 }
 
 /** word_ngrams(text, n) — n must be a foldable positive integer. */

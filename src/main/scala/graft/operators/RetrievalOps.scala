@@ -67,12 +67,25 @@ object RetrievalOps {
         * lit(1000000.0), 0).cast("long")
 
   /** BM25-scored documents for a driver-held bag of query terms:
-    * (idCol, bm25), one row per document matching ≥ 1 term.
+    * (idCol, bm25), one row per document matching ≥ 1 term. Rows of
+    * `docs` must be unique per idCol (every caller's corpora are).
     *
     * idf uses the ratio form `(N - df + 0.5) / (df + 0.5)` (no log): like
     * d14's ratio idf, every op in the score is a correctly-rounded IEEE
     * primitive, so an independent engine reproduces it bit-for-bit —
-    * monotonic in the classic log idf, identical ranking behavior. */
+    * monotonic in the classic log idf, identical ranking behavior.
+    *
+    * Scale shape: NO corpus-wide exchange at all. The `term_tfs` codegen
+    * kernel produces `[dl, tf_0…tf_k-1]` per doc in one tokenize pass
+    * (no token is ever materialized as a row or array element); corpus
+    * stats (N, sum_dl via dl = tc[0], per-term df via tf > 0) come from
+    * one map-side aggregation over it (1 row, broadcast); per-doc scores
+    * are then a pure projection summing micro-unit longs in fixed
+    * literal order exactly as [[bm25ScoreColumn]] does (they share
+    * [[bm25Micro]]) — bit-equal to the old explode → tf-shuffle →
+    * groupBy formulation, which materialized every token as a row and
+    * carried the query's only corpus-wide shuffle just to count per-doc
+    * term occurrences. */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Scores: queryTerms must be non-empty")
@@ -80,43 +93,56 @@ object RetrievalOps {
     // aggregation scorer, the index probe and the column scorer agree
     val terms0 = queryTerms.distinct
     graft.functions.TextExprs.register(docs.sparkSession)
-    val base = docs
+    val tcCol = call_function("term_tfs", col("_g_tx"),
+      typedLit(terms0).cast("array<string>"))
+    // the corpus arrives in however many splits the source gave it — at
+    // gate scale often ONE (a sub-split-size parquet), which would
+    // serialize every tokenize pass on one core now that no shuffle
+    // follows to re-spread the work (the x33 convention; the 256 KB
+    // floor because the kernel's per-row work is O(dl), not O(1)).
+    // Spread the frame AS GIVEN: projecting first would shrink the
+    // stats estimate under the floor (plan stats price a string column
+    // at a flat default, far under real text bytes). At corpus scale
+    // the spread is a no-op by construction (enough natural splits)
+    // and the corpus still never shuffles; the stats and scoring
+    // branches share the one spread exchange via ReuseExchange.
+    val spreadDocs = ScaleUtils.spreadForCompute(docs,
+        minBytes = 256L * 1024)
       .select(col(idCol).cast("long").as(idCol),
-        call_function("split_words", col(textCol)).as("_g_ws"))
-      .select(col(idCol), col("_g_ws"),
-        size(col("_g_ws")).cast("long").as("_g_dl"))
+        col(textCol).as("_g_tx"))
+    val base = spreadDocs
+      .select(col(idCol), tcCol.as("_g_tc"))
+      .select(Seq(col(idCol), col("_g_tc").getItem(0).as("_g_dl")) ++
+        terms0.indices.map(i =>
+          col("_g_tc").getItem(i + 1).as(s"_g_tf_$i")): _*)
     // corpus stats in ONE map-side aggregation (1 row, broadcast):
     // N, avgdl (exact long sum / count, so the double division is the
     // only inexact, correctly-rounded op) AND per-term document
-    // frequency via array_contains — no second tokenize pass, no df
-    // shuffle, no df join: the only corpus-wide exchange in the whole
-    // query is the single tf shuffle below
-    val dfCols = terms0.zipWithIndex.map { case (t, i) =>
-      sum(when(array_contains(col("_g_ws"), lit(t)), lit(1L))
-        .otherwise(lit(0L))).as(s"_g_df_$i")
+    // frequency as count of tf > 0 (≡ the old array_contains count) —
+    // no df shuffle, no df join
+    val dfCols = terms0.indices.map { i =>
+      sum(when(col(s"_g_tf_$i") > 0, lit(1L)).otherwise(lit(0L)))
+        .as(s"_g_df_$i")
     }
     val statsCols = sum(col("_g_dl")).as("_g_sum_dl") +: dfCols
     val stats = base.agg(count(lit(1)).as("_g_n"), statsCols: _*)
-    // term frequencies of QUERY terms only — the isin filter runs before
-    // the one shuffle, and doc length rides the same grouping
-    val tf = base
-      .select(col(idCol), col("_g_dl"), explode(col("_g_ws")).as("_g_term"))
-      .filter(col("_g_term").isin(terms0: _*))
-      .groupBy(col(idCol), col("_g_term"))
-      .agg(count(lit(1)).as("_g_tf"), max(col("_g_dl")).as("_g_dl"))
-    // resolve each row's df from the broadcast stats row
-    val dfOfTerm = terms0.zipWithIndex.tail
-      .foldLeft(when(col("_g_term") === terms0.head, col("_g_df_0"))) {
-        case (acc, (t, i)) => acc.when(col("_g_term") === t, col(s"_g_df_$i"))
-      }
-    val contrib = tf.crossJoin(broadcast(stats))
-      .withColumn("_g_df", dfOfTerm)
+    // per-doc score as a projection over the broadcast stats row: rows
+    // keep docs with ≥ 1 matching term — the same row set the old
+    // per-token explode produced — each term's micro contribution
+    // guarded by tf > 0 exactly as in [[bm25ScoreColumn]], summed as
+    // longs in fixed literal order (order-independent either way)
+    val micro = terms0.indices.map { i =>
+      when(col(s"_g_tf_$i") > 0,
+        bm25Micro(col(s"_g_tf_$i"), col(s"_g_df_$i"), col("_g_dl"),
+          col("_g_n"), col("_g_sum_dl"), k1, b))
+        .otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+    base
+      .filter(terms0.indices.map(i => col(s"_g_tf_$i") > 0)
+        .reduceLeft(_ || _))
+      .crossJoin(broadcast(stats))
       .select(col(idCol),
-        bm25Micro(col("_g_tf"), col("_g_df"), col("_g_dl"),
-          col("_g_n"), col("_g_sum_dl"), k1, b).as("_g_cm"))
-    contrib.groupBy(col(idCol)).agg(sum(col("_g_cm")).as("_g_sm"))
-      .select(col(idCol),
-        (col("_g_sm").cast("double") / lit(1000000.0)).as("bm25"))
+        (micro.cast("double") / lit(1000000.0)).as("bm25"))
   }
 
   /** BM25 top-k: TakeOrderedAndProject over [[bm25Scores]] — no global

@@ -397,6 +397,39 @@ class TextExprsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must not be null"), e.getMessage)
   }
 
+  test("term_tfs equals the split_words reference count, codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    val terms = Array("the", "quick", "zzz_absent")
+    // reference: dl + per-term counts from the token array the kernel
+    // must reproduce in one pass
+    def ref() = docs.select(call_function("split_words", col("text")))
+      .collect().map { r =>
+        val ws = r.getSeq[String](0)
+        (ws.length.toLong +: terms.map(t => ws.count(_ == t).toLong)).toSeq
+      }
+    def got() = docs
+      .select(call_function("term_tfs", col("text"), lit(terms)))
+      .collect().map(_.getSeq[Long](0))
+    try {
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = got()
+      assert(interp.map(_.toSeq).toSeq == ref().toSeq)
+      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      assert(got().map(_.toSeq).toSeq == interp.map(_.toSeq).toSeq)
+    } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // null text → null; non-foldable / null terms → analysis error
+    val nullRow = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(call_function("term_tfs", col("text"), lit(Array("a"))))
+      .collect()
+    assert(nullRow.head.isNullAt(0))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(call_function("term_tfs", col("text"),
+        lit(null).cast("array<string>"))).collect()
+    }
+    assert(e.getMessage.contains("must not be null"), e.getMessage)
+  }
+
   test("codegen and interpreted evaluation agree") {
     val s = spark
     try {

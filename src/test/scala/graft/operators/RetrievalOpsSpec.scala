@@ -68,15 +68,31 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
-  test("bm25 plan: query-term filter runs before the token shuffle") {
-    val plan = RetrievalOps.bm25Scores(corpus, "doc_id", "text", Seq("apple"))
+  test("bm25 plan: scoring is a projection — no token explode, no corpus shuffle") {
+    // parquet-backed, not a LocalRelation: ConvertToLocalRelation would
+    // fold the scoring projection away and leave nothing to assert on
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val plan = RetrievalOps.bm25Scores(spark.read.parquet(dir),
+        "doc_id", "text", Seq("apple"))
       .queryExecution.executedPlan.toString
-    // the isin filter must sit below the first exchange: no Generate
-    // (explode) output reaches a shuffle unfiltered
-    val firstExchange = plan.indexOf("Exchange")
-    val filterIdx = plan.indexOf("_g_term#")
-    assert(firstExchange >= 0 && filterIdx >= 0)
-    assert(plan.contains("apple"), "term literal should appear as a pushed filter")
+    // per-term tf counts inside the token array: no Generate (explode)
+    // materializing tokens as rows, and the only exchange in the whole
+    // query is the 1-row stats aggregation feeding the broadcast — the
+    // scored corpus itself never shuffles
+    assert(!plan.contains("Generate"), plan)
+    val shuffles = "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"expected at most the 1-row stats exchange:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // tf comes from the one-pass term_tfs kernel, not a per-token
+    // higher-order lambda — and it must be a materialized column, never
+    // inlined at each of the exact kernel's ~dozen references (the
+    // row-set filter legitimately carries one pushed-down copy)
+    assert(!plan.contains("lambdafunction"), plan)
+    assert(plan.contains("term_tfs"), plan)
+    assert("term_tfs".r.findAllIn(plan).size <= 4, plan)
+    assert(plan.contains("apple"), "term literal should appear in the plan")
   }
 
   test("rrfFuse: docs in both systems outrank single-system docs; exact arithmetic") {
