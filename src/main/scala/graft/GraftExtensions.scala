@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WordNgramsExpr].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => graft.functions.WordNgramsExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("term_tfs"),
+      new ExpressionInfo(classOf[graft.functions.TermTfsExpr].getName, "term_tfs"),
+      (exprs: Seq[Expression]) => graft.functions.TermTfsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("merge_pair"),
       new ExpressionInfo(classOf[graft.functions.MergePairExpr].getName, "merge_pair"),
       (exprs: Seq[Expression]) =>

@@ -1159,9 +1159,12 @@ object CorpusOps {
     val syms = docs
       .select(explode(call_function("split_words", col(textCol)))
         .as("_g_w"))
-      .select(expr(
-        "concat(transform(sequence(1, length(_g_w)), " +
-          "i -> substring(_g_w, i, 1)), array('</w>'))").as("_g_ws"))
+      // char_ngrams(w, 1) is the per-char sequence in order — one
+      // kernel pass instead of a per-char transform/sequence/substring
+      // HOF chain (identical values; the kernel is codegen, the HOF
+      // lambda is not)
+      .select(concat(call_function("char_ngrams", col("_g_w"), lit(1)),
+        array(lit("</w>"))).as("_g_ws"))
     trainOnSymbols(syms, rounds, materializeEvery, cutDir)
   }
 

@@ -778,11 +778,17 @@ object TextQueries {
     // corpus snapshot across the whole family, not once per gate
     val merges = bpeMergeTable(s, dir, chars = true, rounds = 3)
       .map { case (_, wa, wb, _) => (wa, wb) }
-    val syms = documents(s, dir)
+    // the corpus-wide encode pass: spread the sub-split-size bench
+    // parquet so the explode + char/BPE kernels don't serialize on one
+    // core (no-op at corpus scale — the bm25Scores/x33 convention), and
+    // split chars with the one-pass char_ngrams kernel instead of a
+    // per-char transform/sequence/substring HOF chain (identical
+    // values; symbol counts are computation-order-free)
+    val syms = ScaleUtils.spreadForCompute(documents(s, dir),
+        minBytes = 256L * 1024)
       .select(explode(call_function("split_words", col("text"))).as("_g_w"))
-      .select(expr(
-        "concat(transform(sequence(1, length(_g_w)), " +
-          "i -> substring(_g_w, i, 1)), array('</w>'))").as("_g_ws"))
+      .select(concat(call_function("char_ngrams", col("_g_w"), lit(1)),
+        array(lit("</w>"))).as("_g_ws"))
     syms.select(explode(CorpusOps.applyBpe(col("_g_ws"), merges))
         .as("symbol"))
       .groupBy(col("symbol")).agg(count(lit(1)).as("n"))

@@ -65,12 +65,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |       vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
         |       split_words('  Hello   World ') AS w,
         |       word_ngrams('a b c d', 3) AS g,
+        |       term_tfs('the cat the dog', array('the', 'bee')) AS tf,
         |       md5_prefix28('x') AS h""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
     assert(r.getSeq[String](2) == Seq("hello", "world"))
     assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
-    assert(r.getLong(4) ==
+    assert(r.getSeq[Long](4) == Seq(4L, 2L, 0L))
+    assert(r.getLong(5) ==
       java.lang.Long.parseLong("9dd4e46", 16)) // md5('x') = 9dd4e461...
   }
 
