@@ -152,7 +152,7 @@ object SimilarityQueries {
     * localCheckpoint — so lifecycle stays with the session's CacheManager
     * like every other cut here (lock order pairs → sigs → shingles,
     * acyclic). */
-  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cachedSignatures(s: SparkSession, dir: String): DataFrame =
     cachedView(s, dir, "sigs") {
       minhashSignaturesFrom(docShingles(s, dir))
     }

