@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print one-line JSON contracts the driver parses
+// from stdout. Under the default LoggedOutput strategy sbt re-logs the
+// forked JVM's stdout as "[info] {...}" and then appends its own
+// "[success] Total time ..." line — so the driver's last-line parse has
+// returned null since r12 (BENCH_r12-r15 `parsed: null`). StdoutOutput
+// passes the program's stdout through verbatim and showSuccess drops the
+// trailer, making the bench's final JSON line the actual last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
