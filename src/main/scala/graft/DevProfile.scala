@@ -123,6 +123,47 @@ object DevProfile {
           println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
       }
+    } else if (name == "qstages") {
+      // qstages <sfDir> <reps> <query[,query…]>: qtime plus a per-stage
+      // census of the LAST (warm) rep — job count, stages, per-stage
+      // wall/executor time/task count. The generic sibling of x2stages /
+      // x13stages for attributing a gate's warm cost to scheduling floor
+      // vs real stage work (guide §1.1/§7.1).
+      val stageTimes = new java.util.concurrent.ConcurrentHashMap[
+        Int, (String, Long, Long, Int)]()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            stageTimes.put(si.stageId,
+              (si.name.takeWhile(_ != '\n').take(70),
+                si.completionTime.getOrElse(0L) -
+                  si.submissionTime.getOrElse(0L),
+                si.taskMetrics.executorRunTime, si.numTasks))
+          }
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet(): Unit
+        })
+      args(3).split(',').foreach { n =>
+        (1 to reps).foreach { i =>
+          if (i == reps) { Thread.sleep(300); stageTimes.clear(); jobs.set(0) }
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+        Thread.sleep(300) // listener events drain async
+        import scala.jdk.CollectionConverters._
+        val all = stageTimes.asScala.toSeq.sortBy(_._1)
+        println(s"  $n warm rep: jobs=${jobs.get} stages=${all.size} " +
+          f"sumWall=${all.map(_._2._2).sum}%d ms " +
+          f"sumCpu=${all.map(_._2._3).sum}%d ms")
+        all.foreach { case (id, (nm, ms, cpu, nt)) =>
+          println(f"  stage $id%4d wall=$ms%5d cpu=$cpu%5d tasks=$nt%3d  $nm")
+        }
+      }
     } else if (name == "dxprof") {
       // per-sub-plan timing of the dx_halfway_grid gate's production
       // paths, with the same constant inputs the gate engineers

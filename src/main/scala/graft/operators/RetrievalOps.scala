@@ -953,8 +953,8 @@ object RetrievalOps {
   }
 
   /** BM25 score of a text column against driver-held query terms under
-    * FROZEN stats — a pure projection (per-term tf via a higher-order
-    * filter over the token array, contributions as micro-unit longs
+    * FROZEN stats — a pure projection (per-term tf via the one-pass
+    * `term_tfs` codegen kernel, contributions as micro-unit longs
     * summed in fixed literal order), so it runs identically on a batch
     * frame or an unbounded stream: no aggregation, no state, no shuffle.
     * Matches [[bm25Scores]] bit-for-bit when the frozen stats come from
@@ -976,11 +976,25 @@ object RetrievalOps {
     // a repeated term must not double-count: normalize once here so the
     // aggregation scorer, the index probe and the column scorer agree
     val terms0 = queryTerms.distinct
-    val ws = call_function("split_words", textCol)
-    val dl = size(ws).cast("long")
-    val micro = terms0.map { t =>
+    // per-term tf via the one-pass `term_tfs` codegen kernel — the same
+    // [dl, tf_0, …] vector [[bm25Scores]] consumes, replacing the
+    // per-term `size(filter(tokens, λ))` higher-order filters that
+    // CodegenFallback'd per token on every arrival. Built directly as an
+    // expression (a pure Column function has no session to register the
+    // SQL name on); every getItem references the SAME kernel subtree, so
+    // whole-stage codegen's subexpression elimination tokenizes once per
+    // row. tf/dl semantics are bit-identical (TextKernels.termTfs
+    // scaladoc + the codegen==interpreted spec): lowercased \s+ tokens,
+    // exact string match, so scores are unchanged.
+    val tc = org.apache.spark.sql.graft.SessionOps.column(
+      graft.functions.TermTfsExpr(
+        org.apache.spark.sql.graft.SessionOps.expression(textCol),
+        org.apache.spark.sql.graft.SessionOps.expression(
+          typedLit(terms0).cast("array<string>"))))
+    val dl = tc.getItem(0)
+    val micro = terms0.zipWithIndex.map { case (t, i) =>
       val df = dfByTerm.getOrElse(t, 0L)
-      val tf = size(filter(ws, w => w === lit(t))).cast("long")
+      val tf = tc.getItem(i + 1)
       when(tf > 0,
         bm25Micro(tf, lit(df), dl, lit(n), lit(sumDl), k1, b))
         .otherwise(lit(0L))

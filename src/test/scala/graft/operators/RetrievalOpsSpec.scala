@@ -61,6 +61,31 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(iDup == iDis)
   }
 
+  test("bm25ScoreColumn: term_tfs kernel path — codegen == interpreted, " +
+      "equals the aggregation scorer") {
+    graft.functions.TextExprs.register(spark)
+    val terms = Seq("apple", "cherry", "zzz_absent")
+    val path = java.nio.file.Files.createTempDirectory("cgidx").toString + "/idx"
+    RetrievalOps.indexCorpus(corpus, "doc_id", "text", path, nBuckets = 4)
+    val (n, sumDl, dfs) = RetrievalOps.frozenStats(spark, path, terms)
+    def got() = corpus.select(col("doc_id"),
+        RetrievalOps.bm25ScoreColumn(col("text"), terms, n, sumDl, dfs).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val s = spark
+    try {
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = got()
+      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      assert(got() == interp)
+      // a non-matching doc scores 0.0 (doc 5); matching docs carry the
+      // exact scores the distributed aggregation scorer computes
+      assert(interp(5L) == 0.0)
+      val agg = RetrievalOps.bm25Scores(corpus, "doc_id", "text", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(interp.filter(_._2 > 0.0) == agg && agg.nonEmpty)
+    } finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("bm25TopK: k bounds the result and ranking is (score desc, id asc)") {
     val rows = RetrievalOps.bm25TopK(corpus, "doc_id", "text",
       Seq("apple", "cherry"), k = 2).collect()
