@@ -157,19 +157,13 @@ object SimilarityQueries {
       minhashSignaturesFrom(docShingles(s, dir))
     }
 
-  /** Fingerprint of the documents input: file name + length + mtime. */
-  private def inputSnapshot(s: SparkSession, dir: String): String = {
-    val p = new Path(dir, "documents.parquet")
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(p)) "missing"
-    else {
-      val st = fs.getFileStatus(p)
-      if (st.isFile) s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-      else fs.listStatus(p).sortBy(_.getPath.getName)
-        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-        .mkString("|")
-    }
-  }
+  /** Fingerprint of the documents input: file name + length + mtime —
+    * delegated to [[SnapshotCache.snapshotOf]] (one listing
+    * implementation; local paths take its fast java.nio walk, and a
+    * directory corpus now fingerprints recursively like every other
+    * snapshot key). */
+  private def inputSnapshot(s: SparkSession, dir: String): String =
+    SnapshotCache.snapshotOf(s, new Path(dir, "documents.parquet").toString)
 
   // --------------------------------------------------------- minhash ----
 
