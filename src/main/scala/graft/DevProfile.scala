@@ -164,6 +164,33 @@ object DevProfile {
           println(f"  stage $id%4d wall=$ms%5d cpu=$cpu%5d tasks=$nt%3d  $nm")
         }
       }
+    } else if (name == "probeprof") {
+      // probeprof <sfDir> <reps> <query[,query…]>: split each warm call
+      // into DataFrame CONSTRUCTION (gate fn: snapshot resolves, stats
+      // reads, relation building) vs ACTION (analysis+opt+execution),
+      // and time SnapshotCache.snapshotOf on the index work dirs
+      args(3).split(',').foreach { n =>
+        (1 to reps).foreach { i =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.count()
+          val t2 = System.nanoTime()
+          println(f"$n run $i: construct ${(t1 - t0) / 1e9}%.3f s " +
+            f"action ${(t2 - t1) / 1e9}%.3f s")
+        }
+      }
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      tmp.listFiles().filter(_.getName.startsWith("graft_x"))
+        .take(4).foreach { d =>
+          val p = d.toString + "/idx"
+          (1 to 3).foreach { _ =>
+            val t0 = System.nanoTime()
+            val snap = operators.SnapshotCache.snapshotOf(spark, p)
+            println(f"snapshotOf($p): ${(System.nanoTime() - t0) / 1e6}%.1f ms" +
+              s" (${snap.count(_ == '|') + 1} entries)")
+          }
+        }
     } else if (name == "dxprof") {
       // per-sub-plan timing of the dx_halfway_grid gate's production
       // paths, with the same constant inputs the gate engineers

@@ -376,18 +376,27 @@ object RetrievalOps {
         Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
           sort_array(collect_list(col("pos"))).as("positions"))
       else Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    tokens.groupBy(col("id"), col("term"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("pt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .repartition(nBuckets, col("pt"))
+    val sumDl = writePostingsRows(
+      tokens.groupBy(col("id"), col("term"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("pt", pmod(xxhash64(col("term")), lit(nBuckets.toLong))),
+      postingsPath, nBuckets)
+    (docs.count(), sumDl)
+  }
+
+  /** Write already-aggregated postings rows (id, term, tf, dl[,
+    * positions], pt) in the standard bucket-partitioned layout; returns
+    * sum(tf) measured over the WRITTEN files (= sum_dl of the documents
+    * the rows came from — the no-second-corpus-pass convention of
+    * [[writePostings]]). The explicit read schema handles a row-less
+    * write (an all-zero-token generation has nothing to infer from). */
+  private def writePostingsRows(rows: DataFrame, postingsPath: String,
+      nBuckets: Int): Long = {
+    rows.repartition(nBuckets, col("pt"))
       .write.mode("overwrite").partitionBy("pt").parquet(postingsPath)
-    val spark = docs.sparkSession
-    val n = docs.count()
-    // explicit schema: an empty corpus writes a postings directory with
-    // no files, where schema inference has nothing to infer
-    val sumRow = spark.read.schema("tf BIGINT").parquet(postingsPath)
-      .agg(sum(col("tf"))).head()
-    (n, if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0))
+    val sumRow = rows.sparkSession.read.schema("tf BIGINT")
+      .parquet(postingsPath).agg(sum(col("tf"))).head()
+    if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
   }
 
   /** The stats commit-marker row: (n, avgdl, n_buckets, sum_dl,
@@ -692,10 +701,11 @@ object RetrievalOps {
     * The match is a left-fold over the phrase's per-term position
     * arrays: start at term 0's offsets, each step keeps term i's offsets
     * that extend a match (`array_intersect(acc + 1, positions_i)`) — all
-    * integer set ops, engine-exact. Scale: every per-term relation is
-    * bucket-PRUNED (PartitionFilters) before the m−1 id-equi-joins, so
-    * the join inputs are each term's postings only, never the corpus;
-    * rare-term phrases broadcast under AQE. */
+    * integer set ops, engine-exact. Scale: ONE bucket-PRUNED scan
+    * (PartitionFilters) feeds ONE groupBy(id) that pivots each doc's
+    * per-term offset arrays side by side — the probe reads each term's
+    * postings once and shuffles each matching posting once, keyed by
+    * doc id, never the corpus. */
   def phraseTopK(spark: SparkSession, path: String, phrase: Seq[String],
       k: Int = 10, slop: Int = 0): DataFrame = {
     require(phrase.size >= 2, "phraseTopK: phrase needs >= 2 words")
@@ -713,11 +723,24 @@ object RetrievalOps {
     val pruned = postings
       .filter(col("pt").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("id"), col("term"), col("positions"))
-    val frames = phrase.zipWithIndex.map { case (t, i) =>
-      pruned.filter(col("term") === t)
-        .select(col("id"), col("positions").as(s"_p$i"))
+    // ONE pruned scan + ONE groupBy(id) instead of one scan per phrase
+    // word plus m−1 id-equi-joins (the r15 verdict's one-scan
+    // discipline): postings hold exactly one row per (id, term) across
+    // generations (the build's groupBy(id, term); append ids are
+    // disjoint from the base by contract), so `max(when(term = tᵢ,
+    // positions))` picks that row's offsets verbatim — max over one
+    // non-null value per group, deterministic — and a doc lacking any
+    // phrase word keeps a null and drops below, exactly the rows the
+    // inner joins kept. Scale shape: the exchange carries each matching
+    // posting once, keyed by doc id (never a per-term hot key), where
+    // the join form shuffled every per-term frame separately.
+    val aggCols = phrase.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("positions"))).as(s"_p$i")
     }
-    val joined = frames.reduce((a, b) => a.join(b, "id"))
+    val joined = pruned.groupBy(col("id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .filter(phrase.indices.map(i => col(s"_p$i").isNotNull)
+        .reduceLeft(_ && _))
     // slop widens each step's allowed gap to 1..slop+1 (Lucene-style
     // ordered proximity); the intersect dedups, so n_occurrences counts
     // DISTINCT end positions that complete a within-slop match
@@ -786,8 +809,25 @@ object RetrievalOps {
     * to what a full rebuild over the union would compute; scorers
     * consume sum_dl/n as an exact rational, never a pre-rounded avgdl
     * double), bucket count is invariant across generations by
-    * construction. Returns (n, sumDl, nBuckets, withPositions). */
+    * construction. Returns (n, sumDl, nBuckets, withPositions).
+    *
+    * MEMOIZED per (session, root, file-listing snapshot): the stats rows
+    * are immutable commit markers of their generation, so re-reading
+    * them per probe spent 2 Spark jobs (schema inference + head) per
+    * generation on every warm probe — the dominant fixed cost of
+    * x21/x23/x26/x27/x31's serving path (qstages census: 2-4 of x21's 4
+    * / x31's 6 warm jobs were stats reads). The memo key takes a FRESH
+    * recursive listing of the root on every call (driver-side metadata,
+    * no Spark job), so an append, rebuild or compaction — anything that
+    * changes any file under the root — recomputes: probes after a
+    * mutation read exactly what an unmemoized read would. */
   private def readStats(spark: SparkSession,
+      path: String): (Long, Long, Int, Boolean) =
+    SnapshotCache.memo(spark, "bm25stats", path) {
+      readStatsUncached(spark, path)
+    }
+
+  private def readStatsUncached(spark: SparkSession,
       path: String): (Long, Long, Int, Boolean) = {
     val base = readBaseStats(spark, path)
     var n = base.getAs[Long]("n")
@@ -1167,20 +1207,63 @@ object RetrievalOps {
     bm25TopKIndexed(s, snapshotIndexPath(s, dir), GateTerms, k = 10)
       .select(col("id").as("doc_id"), col("bm25"))
 
-  /** x31: INCREMENTAL index growth end-to-end — the base index is built
-    * over 80% of the corpus (doc_id % 5 != 0), the remaining 20% arrives
-    * later through [[appendToPostings]], and the probe runs over the
-    * grown index. The oracle is x21's unchanged (full-corpus BM25): a
-    * hash match proves the appended generations fold into df/n/avgdl
-    * EXACTLY like a full rebuild — the no-rebuild ingestion contract. */
+  /** Split a FULL-corpus postings index into x31's generational layout
+    * without re-tokenizing the corpus: base generation = the full
+    * index's postings where id % 5 != 0, `appends/batch=0` = the rest —
+    * exactly the bytes `indexCorpus(docs.filter(% 5 != 0))` +
+    * `appendToPostings(docs.filter(% 5 == 0), batchId = 0)` write,
+    * because the build's groupBy(id, term) commutes with any filter on
+    * id: tf, dl and pt are per-(id, term) values, so filtering the
+    * aggregated rows equals aggregating the filtered corpus (spec-held
+    * row-for-row, stats included). Document counts still count DOCS
+    * (zero-token docs carry no postings row): the caller passes the
+    * base-side doc count; the append side is the full index's n minus
+    * it. sum_dl per generation re-measures as sum(tf) over the written
+    * files, the [[writePostings]] convention. Layout conventions match
+    * the originals: writer lease around the mutation, per-generation
+    * stats commit marker written LAST. */
+  private[operators] def deriveMod5SplitIndex(s: SparkSession,
+      fullIndexPath: String, nBase: Long, out: String): Unit = {
+    val fullRoot = activeRoot(s, fullIndexPath)
+    val base = readBaseStats(s, fullRoot)
+    val nBuckets = base.getAs[Int]("n_buckets")
+    val nFull = base.getAs[Long]("n")
+    require(!base.getAs[Boolean]("with_positions"),
+      "deriveMod5SplitIndex: expects a BM25 (positions-free) source index")
+    val full = loadPostings(s, fullRoot, withPositions = false)
+    IndexLayout.withWriterLease(s, out, "deriveMod5SplitIndex") {
+      val sumBase = writePostingsRows(full.filter(col("id") % 5 =!= 0),
+        s"$out/postings", nBuckets)
+      writeStats(s, s"$out/stats", nBase, sumBase, nBuckets,
+        withPositions = false)
+      val gen = s"$out/appends/batch=0"
+      val sumApp = writePostingsRows(full.filter(col("id") % 5 === 0),
+        s"$gen/postings", nBuckets)
+      writeStats(s, s"$gen/stats", nFull - nBase, sumApp, nBuckets,
+        withPositions = false)
+    }
+  }
+
+  /** x31: INCREMENTAL index growth end-to-end — the base index covers
+    * 80% of the corpus (doc_id % 5 != 0), the remaining 20% stands as an
+    * `appends/batch=0` generation, and the probe runs over the grown
+    * union exactly as [[appendToPostings]] leaves it. The oracle is
+    * x21's unchanged (full-corpus BM25): a hash match proves the
+    * appended generations fold into df/n/avgdl EXACTLY like a full
+    * rebuild — the no-rebuild ingestion contract.
+    *
+    * The BUILD derives both generations from x21's snapshot index
+    * ([[deriveMod5SplitIndex]]; r15 verdict item 1) instead of
+    * re-tokenizing the whole corpus a second time per snapshot — the
+    * postings split is provably the same bytes, the probe path is
+    * unchanged, and append machinery itself stays covered by
+    * appendToPostings' own specs and the streaming twins. */
   def x31Bm25Append(s: SparkSession, dir: String): DataFrame = {
     val path = SnapshotCache.resolve(s, "x31", s"$dir/documents.parquet") {
       out =>
-        val docs = documents(s, dir)
-        indexCorpus(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
-          out)
-        appendToPostings(docs.filter(col("doc_id") % 5 === 0), "doc_id",
-          "text", out, batchId = Some(0L))
+        val nBase = documents(s, dir)
+          .filter(col("doc_id") % 5 =!= 0).count()
+        deriveMod5SplitIndex(s, snapshotIndexPath(s, dir), nBase, out)
     }
     bm25TopKIndexed(s, path, GateTerms, k = 10)
       .select(col("id").as("doc_id"), col("bm25"))

@@ -490,6 +490,47 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(at1.getLong(2) == 0 && at1.getDouble(4) == 0.0)
   }
 
+  test("deriveMod5SplitIndex equals the indexCorpus + appendToPostings build") {
+    // zero-token docs on BOTH sides of the split (3 base, 10 append) pin
+    // the n accounting: they carry no postings row but count in n
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "banana cherry"), (3L, ""),
+      (4L, "apple apple"), (5L, "cherry"),
+      (10L, "   "), (12L, "apple cherry banana apple")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("derividx").toString
+    val full = s"$tmp/full"
+    RetrievalOps.indexCorpus(docs, "doc_id", "text", full, nBuckets = 8)
+    val a = s"$tmp/ref"
+    RetrievalOps.indexCorpus(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", a, nBuckets = 8)
+    RetrievalOps.appendToPostings(docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", a, batchId = Some(0L))
+    val b = s"$tmp/derived"
+    val nBase = docs.filter(col("doc_id") % 5 =!= 0).count()
+    RetrievalOps.deriveMod5SplitIndex(spark, full, nBase, b)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("term"), col("tf"), col("dl"),
+        col("pt").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rows(s"$a/postings") == rows(s"$b/postings"))
+    assert(rows(s"$a/appends/batch=0/postings") ==
+      rows(s"$b/appends/batch=0/postings"))
+    def stats(p: String) = spark.read.parquet(p)
+      .select("n", "avgdl", "n_buckets", "sum_dl", "with_positions")
+      .head().toSeq
+    assert(stats(s"$a/stats") == stats(s"$b/stats"))
+    assert(stats(s"$a/appends/batch=0/stats") ==
+      stats(s"$b/appends/batch=0/stats"))
+    val pa = RetrievalOps.bm25TopKIndexed(spark, a, Seq("apple", "cherry"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pb = RetrievalOps.bm25TopKIndexed(spark, b, Seq("apple", "cherry"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pa == pb && pa.nonEmpty)
+  }
+
   test("phraseTopK: exact consecutive-word matching, overlaps and repeats") {
     val docs = Seq(
       (1L, "a b c a b"),      // "a b" twice
@@ -515,6 +556,10 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") &&
       !plan.contains("PartitionFilters: []"))
+    // one-scan probe: the per-term pivot aggregation replaced the m−1
+    // id-equi-joins — no join operator, one pruned postings scan
+    assert(!plan.contains("Join"), plan)
+    assert("Scan parquet".r.findAllMatchIn(plan).length == 1, plan)
   }
 
   test("phraseTopK slop: proximity widens matches; slop 0 equals exact phrase") {
