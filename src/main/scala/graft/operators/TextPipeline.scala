@@ -66,27 +66,36 @@ object TextPipeline {
     // as sequential filters would do. Otherwise a near-dup cluster whose
     // representative is itself quality-rejected would drop its members
     // too, silently losing the content entirely.
-    val qualityPass = qualified.filter(col("_g_quality").isNull)
-
-    // exact dedup among quality survivors: minimum id per digest wins
-    val keepers = qualityPass
-      .select(md5(col(textCol)).as("_g_h"), col(idCol).cast("long").as("_g_kid"))
-      .groupBy(col("_g_h")).agg(min(col("_g_kid")).as("_g_keeper"))
+    //
+    // Exact dedup among quality survivors (minimum id per digest wins)
+    // as ONE window over the annotated frame: `min(id where quality
+    // passes) over (partition by md5)` IS the old keepers relation —
+    // min ignores the nulls quality-rejected rows contribute, a group
+    // with no survivor yields null exactly like the old left join
+    // missing — computed where both consumers (the exact-survivor
+    // filter below and the final annotation) already need it. The old
+    // shape shuffled the corpus by md5 TWICE (keeper join + annotate
+    // join) plus a keeper aggregation; this shuffles it once.
+    val wMd5 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g_md5"))
+    val withKeeper = qualified
+      .withColumn("_g_md5", md5(col(textCol)))
+      .withColumn("_g_keeper",
+        min(when(col("_g_quality").isNull, col(idCol).cast("long")))
+          .over(wMd5))
     val exactReason =
       when(col("_g_keeper").isNotNull && col(idCol) =!= col("_g_keeper"),
         "exact_dup")
-    val exactPass = qualityPass
-      .withColumn("_g_h", md5(col(textCol)))
-      .join(keepers, Seq("_g_h"))
-      .filter(col(idCol) === col("_g_keeper"))
-      .drop("_g_h", "_g_keeper")
+    val exactPass = withKeeper
+      .filter(col("_g_quality").isNull && col(idCol) === col("_g_keeper"))
+      .drop("_g_md5", "_g_keeper")
 
     // near dedup among exact survivors (cluster min wins)
     val nearDrops = CorpusOps.dedupClusters(exactPass, idCol, textCol,
       threshold = config.nearDupThreshold, ngram = config.ngram)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").cast("long").as(idCol),
-        lit("near_dup").as("_g_near"))
+        lit(true).as("_g_isnear"))
 
     // decontamination: any shared word n-gram with the benchmark (checked
     // for all docs — contamination is a property of the text, and running
@@ -109,23 +118,28 @@ object TextPipeline {
       CorpusOps.shingleHashes(contamSource, idCol, textCol, config.ngram)
         .join(broadcast(benchGrams), Seq("shash"), "left_semi")
         .select(col("doc_id").cast("long").as(idCol),
-          lit("contaminated").as("_g_contam"))
-        .distinct()
+          lit(false).as("_g_isnear"))
     }
 
-    val annotated = qualified
-      .withColumn("_g_md5", md5(col(textCol)))
-      .join(keepers.withColumnRenamed("_g_h", "_g_md5"), Seq("_g_md5"), "left")
-      .join(nearDrops, Seq(idCol), "left")
-    val withContam = contam.fold(
-      annotated.withColumn("_g_contam", lit(null: String)))(c =>
-      annotated.join(c, Seq(idCol), "left"))
-    withContam
+    // ONE dropped-ids relation and ONE annotation join instead of one
+    // join per dedup/decontamination stage: near-dup and contaminated
+    // ids union (both bounded by the corpus' id width, no text rides),
+    // the groupBy dedups docs flagged by both stages (replacing contam's
+    // old per-branch distinct), and the reason keeps the sequential
+    // pipeline's priority — near_dup wins over contaminated, exactly the
+    // old coalesce order.
+    val drops = contam.fold(nearDrops)(c =>
+      nearDrops.unionByName(c).groupBy(col(idCol))
+        .agg(max(col("_g_isnear")).as("_g_isnear")))
+      .select(col(idCol),
+        when(col("_g_isnear"), lit("near_dup"))
+          .otherwise(lit("contaminated")).as("_g_drop"))
+    withKeeper
+      .join(drops, Seq(idCol), "left")
       .withColumn("reject_reason",
-        coalesce(col("_g_quality"), exactReason, col("_g_near"),
-          col("_g_contam")))
-      .drop("_g_md5", "_g_keeper", "_g_near", "_g_contam",
-        "_g_quality", "top_word_share")
+        coalesce(col("_g_quality"), exactReason, col("_g_drop")))
+      .drop("_g_md5", "_g_keeper", "_g_drop", "_g_quality",
+        "top_word_share")
   }
 
   /** The kept documents, annotation columns removed. */
