@@ -511,21 +511,28 @@ object CorpusOps {
     * self-join) measured 3.8 s cold at sf0.1; this shape ~halves it and
     * removes three shuffles plus the corpus-scale cache. */
   /** Below this estimated input size, [[spread]] keeps the natural
-    * partitioning: the repartition's fixed stage cost (measured,
-    * x13prof at sf0.1 — ~0.5 s of a 1.3 s gate on the 0.6 MB corpus
-    * that runs ~0.9 s without it) exceeds what serializing the explode
-    * of this much text on few cores can lose. The threshold is LOW on
-    * purpose — asymmetric risk, measured (`DevProfile spreadsweep`,
-    * single-split replicas of the sf0.1 corpus): at 1.2 MB compressed
-    * the serial explode already costs 2.9 s vs 0.5 s spread, at 3.2 MB
-    * 11.0 s vs 1.5 s (7×) — the blowup's work is text × k and parquet
-    * compression UNDERSTATES repetitive text badly (the 3.2 MB replica
-    * is ~88 MB raw), so erring high serializes without bound while
-    * erring low wastes one sub-second shuffle. Deliberately not the
-    * conversion path's 256 MB `AqeMinInputBytes` — that calibrates AQE
-    * stage-materialization overhead against input SCAN cost, unrelated
-    * to explode work. */
-  private[operators] val SpreadMinInputBytes: Long = 1L << 20
+    * partitioning: the repartition's fixed stage cost exceeds what
+    * serializing the explode of this much text on few cores can lose.
+    * The threshold is LOW on purpose — asymmetric risk, measured
+    * (`DevProfile spreadsweep`, single-split replicas of the sf0.1
+    * corpus): at 1.2 MB compressed the serial explode already costs
+    * 2.9 s vs 0.5 s spread, at 3.2 MB 11.0 s vs 1.5 s (7×) — the
+    * blowup's work is text × k and parquet compression UNDERSTATES
+    * repetitive text badly (the 3.2 MB replica is ~88 MB raw), so
+    * erring high serializes without bound while erring low wastes one
+    * sub-second shuffle. Deliberately not the conversion path's 256 MB
+    * `AqeMinInputBytes` — that calibrates AQE stage-materialization
+    * overhead against input SCAN cost, unrelated to explode work.
+    *
+    * 256 KB (was 1 MB): the r13 calibration measured the repartition at
+    * ~0.5 s of a 1.3 s gate on the 0.6 MB sf0.1 corpus, but that cost
+    * was the era's 32-wide-shuffle scheduling floor, not the data
+    * round-trip — re-measured r16 (qstages census, post shuffle-width
+    * sizing): x13's gram explode ran as ONE 440 ms task with 31 cores
+    * idle while the whole spread costs ~100 ms. Matches the 256 KB
+    * floor [[ScaleUtils.spreadForCompute]] uses for the same
+    * O(text)-per-row kernel reasoning (the x33/bm25 convention). */
+  private[operators] val SpreadMinInputBytes: Long = 256L * 1024
 
   /** Ensure at least default-parallelism partitions before a ×k map-side
     * gram explode — but only when the input is big enough for the
@@ -557,9 +564,14 @@ object CorpusOps {
     // explode-positions-then-substr form copied the whole text into
     // every per-position row — O(len²) bytes per doc through the
     // projection; r9 measurement: x13 1.55 -> ~1.1 s at sf0.1)
-    val buckets0 = spread(docs
+    // spread the frame AS GIVEN, before projecting: plan stats price a
+    // string column at a flat default, so a post-project estimate sits
+    // far under the real text bytes and the floor never fires (the
+    // bm25Scores lesson; measured here — the old call site left the
+    // gram explode a single 440 ms task with 31 cores idle at sf0.1)
+    val buckets0 = spread(docs, col(idCol))
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_g_text"))
-      .filter(length(col("_g_text")) >= k), col("doc_id"))
+      .filter(length(col("_g_text")) >= k)
       .select(col("doc_id"), explode(call_function("char_gram_hashes",
         col("_g_text"), lit(k), lit(modP))).as("h"))
       .groupBy(col("h")).agg(boundedSet(col("doc_id")).as("_g_ds"))
@@ -633,9 +645,9 @@ object CorpusOps {
     // aggregate and the semi-join probe) recompute this map-side explode
     // rather than persist it: gram rows dwarf the input text, so at any
     // scale re-tokenizing costs less than materializing the cut.
-    val grams = spread(
-      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
-      col("doc_id"))
+    // spread before projecting (the x13/bm25Scores stats-floor lesson)
+    val grams = spread(docs, col(idCol))
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol))
       .select(col("doc_id"),
         size(call_function("split_words", col(textCol))).as("_g_nw"),
         posexplode(call_function("ngram_hashes", col(textCol), lit(n)))
