@@ -75,17 +75,18 @@ object RetrievalOps {
     * primitive, so an independent engine reproduces it bit-for-bit —
     * monotonic in the classic log idf, identical ranking behavior.
     *
-    * Scale shape: NO corpus-wide exchange at all. The `term_tfs` codegen
-    * kernel produces `[dl, tf_0…tf_k-1]` per doc in one tokenize pass
-    * (no token is ever materialized as a row or array element); corpus
-    * stats (N, sum_dl via dl = tc[0], per-term df via tf > 0) come from
-    * one map-side aggregation over it (1 row, broadcast); per-doc scores
-    * are then a pure projection summing micro-unit longs in fixed
-    * literal order exactly as [[bm25ScoreColumn]] does (they share
-    * [[bm25Micro]]) — bit-equal to the old explode → tf-shuffle →
-    * groupBy formulation, which materialized every token as a row and
-    * carried the query's only corpus-wide shuffle just to count per-doc
-    * term occurrences. */
+    * Scale shape: ONE tokenize pass over the corpus, ONE compact
+    * exchange. The `term_tfs` codegen kernel produces
+    * `[dl, tf_0…tf_k-1]` per doc in one pass (no token is ever
+    * materialized as a row or array element) map-side in the scan
+    * stage; the (id, vector) rows — k+2 longs per doc, not the text —
+    * exchange once, keyed on id, and BOTH consumers read that shuffle
+    * output (ReuseExchange): corpus stats (N, sum_dl via dl = tc[0],
+    * per-term df via tf > 0) as one aggregation (1 row, broadcast),
+    * and per-doc scores as a pure projection summing micro-unit longs
+    * in fixed literal order exactly as [[bm25ScoreColumn]] does (they
+    * share [[bm25Micro]]) — bit-equal to the old explode → tf-shuffle
+    * → groupBy formulation, which materialized every token as a row. */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Scores: queryTerms must be non-empty")
@@ -95,26 +96,31 @@ object RetrievalOps {
     graft.functions.TextExprs.register(docs.sparkSession)
     val tcCol = call_function("term_tfs", col("_g_tx"),
       typedLit(terms0).cast("array<string>"))
-    // the corpus arrives in however many splits the source gave it — at
-    // gate scale often ONE (a sub-split-size parquet), which would
-    // serialize every tokenize pass on one core now that no shuffle
-    // follows to re-spread the work (the x33 convention; the 256 KB
-    // floor because the kernel's per-row work is O(dl), not O(1)).
-    // Spread the frame AS GIVEN: projecting first would shrink the
-    // stats estimate under the floor (plan stats price a string column
-    // at a flat default, far under real text bytes). At corpus scale
-    // the spread is a no-op by construction (enough natural splits)
-    // and the corpus still never shuffles; the stats and scoring
-    // branches share the one spread exchange via ReuseExchange.
-    val spreadDocs = ScaleUtils.spreadForCompute(docs,
-        minBytes = 256L * 1024)
+    // ONE tokenize pass, ONE shared exchange (r16; guide §2.3/§2.4).
+    // The r15 shape spread the RAW TEXT and let the stats and scoring
+    // branches each consume it — but column pruning specialized the two
+    // exchange subtrees (stats drops the id), so ReuseExchange never
+    // fired and the corpus was scanned AND tokenized twice per query
+    // (qstages census: two 32-task stages of ~1 s cpu each at sf0.1; at
+    // 100 TB, two full text passes). Now the compact [dl, tf_0…tf_k-1]
+    // vector is computed map-side in the scan stage and the exchange
+    // carries (id, vector) rows — tens of bytes per doc instead of the
+    // text — KEYED ON id, which pins the id column into both branches'
+    // pruned subtrees so they stay identical and the scoring job reads
+    // the stats job's shuffle output (ReusedExchange, census-verified).
+    // Tokenize parallelism comes from the input's natural splits, which
+    // a corpus-scale input always has; the kernel CONTRACTS text to
+    // k+2 longs, so nothing explode-shaped needs a pre-spread here.
+    // The two selects stay layered (tc aliased once, getItems above) so
+    // CollapseProject cannot inline the kernel call per extracted item.
+    val base = docs
       .select(col(idCol).cast("long").as(idCol),
         col(textCol).as("_g_tx"))
-    val base = spreadDocs
       .select(col(idCol), tcCol.as("_g_tc"))
       .select(Seq(col(idCol), col("_g_tc").getItem(0).as("_g_dl")) ++
         terms0.indices.map(i =>
           col("_g_tc").getItem(i + 1).as(s"_g_tf_$i")): _*)
+      .repartition(col(idCol))
     // corpus stats in ONE map-side aggregation (1 row, broadcast):
     // N, avgdl (exact long sum / count, so the double division is the
     // only inexact, correctly-rounded op) AND per-term document
@@ -130,14 +136,27 @@ object RetrievalOps {
     // keep docs with ≥ 1 matching term — the same row set the old
     // per-token explode produced — each term's micro contribution
     // guarded by tf > 0 exactly as in [[bm25ScoreColumn]], summed as
-    // longs in fixed literal order (order-independent either way)
+    // longs in fixed literal order (order-independent either way).
+    // The scoring side reads `base`'s exchange through a groupBy(id)
+    // whose distribution the exchange already satisfies (no new
+    // shuffle; ids are unique per the caller contract, so min(x) per
+    // id IS the row's value): predicates on aggregate outputs do not
+    // push below an aggregate, which is what keeps the tf > 0 filter
+    // ABOVE the shared exchange — pushed below it (as a bare filter
+    // was), the scoring subtree no longer matched the stats subtree,
+    // ReuseExchange never fired, and the corpus was scanned and
+    // tokenized a second time with the kernel re-evaluated per filter
+    // disjunct (executed-plan + census verified).
     val micro = terms0.indices.map { i =>
       when(col(s"_g_tf_$i") > 0,
         bm25Micro(col(s"_g_tf_$i"), col(s"_g_df_$i"), col("_g_dl"),
           col("_g_n"), col("_g_sum_dl"), k1, b))
         .otherwise(lit(0L))
     }.reduceLeft(_ + _)
-    base
+    base.groupBy(col(idCol))
+      .agg(min(col("_g_dl")).as("_g_dl"),
+        terms0.indices.map(i =>
+          min(col(s"_g_tf_$i")).as(s"_g_tf_$i")): _*)
       .filter(terms0.indices.map(i => col(s"_g_tf_$i") > 0)
         .reduceLeft(_ || _))
       .crossJoin(broadcast(stats))

@@ -93,30 +93,45 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
-  test("bm25 plan: scoring is a projection — no token explode, no corpus shuffle") {
+  test("bm25 plan: one tokenize pass, one shared compact exchange, " +
+      "no token explode") {
     // parquet-backed, not a LocalRelation: ConvertToLocalRelation would
     // fold the scoring projection away and leave nothing to assert on
     val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
     corpus.write.mode("overwrite").parquet(dir)
-    val plan = RetrievalOps.bm25Scores(spark.read.parquet(dir),
-        "doc_id", "text", Seq("apple"))
-      .queryExecution.executedPlan.toString
+    // AQE off for the assertion: the static planner's ReuseExchange is
+    // what the isFinalPlan=false string can show (under AQE the same
+    // reuse happens at stage materialization and is invisible here)
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      RetrievalOps.bm25Scores(spark.read.parquet(dir),
+          "doc_id", "text", Seq("apple"))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
     // per-term tf counts inside the token array: no Generate (explode)
-    // materializing tokens as rows, and the only exchange in the whole
-    // query is the 1-row stats aggregation feeding the broadcast — the
-    // scored corpus itself never shuffles
+    // materializing tokens as rows
     assert(!plan.contains("Generate"), plan)
-    val shuffles = "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
-    assert(shuffles <= 1, s"expected at most the 1-row stats exchange:\n$plan")
+    // ONE scan of the corpus feeding ONE compact (id, dl, tf…) exchange
+    // the stats aggregation reads back as a ReusedExchange — the text is
+    // tokenized once per query, and the only other exchange is the 1-row
+    // stats aggregation feeding the broadcast
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("ReusedExchange"), plan)
+    // count Exchange OPERATOR lines (a ReusedExchange line embeds the
+    // text "Exchange hashpartitioning…" as its reference — not a node)
+    val shuffles = plan.linesIterator.count(l =>
+      l.replaceAll("^[\\s:+-]*", "").startsWith("Exchange "))
+    assert(shuffles <= 2,
+      s"expected the compact corpus exchange + the 1-row stats exchange:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
     // tf comes from the one-pass term_tfs kernel, not a per-token
     // higher-order lambda — and it must be a materialized column, never
-    // inlined at each of the exact kernel's ~dozen references (the
-    // row-set filter legitimately carries one pushed-down copy)
+    // inlined at each of the exact kernel's ~dozen references, and never
+    // duplicated below the exchange by a pushed-down row-set filter (the
+    // groupBy(id) barrier holds the filter above the shared exchange)
     assert(!plan.contains("lambdafunction"), plan)
-    assert(plan.contains("term_tfs"), plan)
-    assert("term_tfs".r.findAllIn(plan).size <= 4, plan)
+    assert("term_tfs".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("apple"), "term literal should appear in the plan")
   }
 
